@@ -1,0 +1,117 @@
+"""Stetson J variability statistic (Stetson 1996, PASP 108, 851).
+
+The kernel is pure numpy and runs per light curve inside
+``groupBy().applyInPandas``. The robust mean follows the standard
+LSST/Stetson down-weighting scheme (alpha=2, beta=2, 20 iterations,
+tolerance 1e-6).
+
+Parity target: ``/root/reference/src/tape/analysis/stetsonj.py:12-190``;
+golden values: band g ≈ -0.04174282, band r ≈ 0.6075282 on the reference
+test parquet (``test_ensemble.py:1956-1963``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Union
+
+import numpy as np
+
+from .base import AnalysisFunction
+
+__all__ = ["calc_stetson_J", "StetsonJ"]
+
+
+def _stetson_mean(
+    values: np.ndarray,
+    errors: np.ndarray,
+    mean: Optional[float] = None,
+    alpha: float = 2.0,
+    beta: float = 2.0,
+    n_iter: int = 20,
+    tol: float = 1e-6,
+) -> float:
+    """Iteratively re-weighted mean that down-weights outliers.
+
+    Each iteration scales the inverse-variance weights by
+    ``1 / (1 + (|chi|/alpha)**beta)`` where chi is the error-normalized,
+    bias-corrected residual. Stops early when the mean moves by less than
+    ``tol`` both absolutely and fractionally.
+    """
+    n = len(values)
+    bias_factor = np.sqrt(n / (n - 1))
+    inv_var = 1.0 / errors**2
+    if mean is None:
+        mean = np.average(values, weights=inv_var)
+    for _ in range(n_iter):
+        chi = np.abs(bias_factor * (values - mean) / errors)
+        new_mean = np.average(values, weights=inv_var / (1.0 + (chi / alpha) ** beta))
+        delta = np.abs(new_mean - mean)
+        mean = new_mean
+        if mean == 0:
+            break
+        if delta / np.abs(mean) < tol and delta < tol:
+            break
+    return mean
+
+
+def _stetson_J_single_band(fluxes: np.ndarray, errors: np.ndarray) -> float:
+    """Stetson J for one band of one light curve; NaN if fewer than 2 points."""
+    n = len(fluxes)
+    if n <= 1:
+        return np.nan
+    mean = _stetson_mean(fluxes, errors)
+    delta = np.sqrt(n / (n - 1)) * (fluxes - mean) / errors
+    p_k = delta**2 - 1.0
+    return float(np.mean(np.sign(p_k) * np.sqrt(np.abs(p_k))))
+
+
+class StetsonJ(AnalysisFunction):
+    """Compute Stetson J per band for one light curve.
+
+    Returns a dict ``{band: J}``. Via ``Ensemble.batch`` the dict is
+    standardized into per-band result columns.
+    """
+
+    def cols(self, ens) -> List[str]:
+        return [ens._flux_col, ens._err_col, ens._band_col]
+
+    def meta(self, ens):
+        return "stetsonJ", float
+
+    def on(self, ens) -> List[str]:
+        return [ens._id_col]
+
+    def __call__(
+        self,
+        flux: np.ndarray,
+        err: np.ndarray,
+        band: np.ndarray,
+        *,
+        band_to_calc: Union[str, Iterable[str], None] = None,
+        check_nans: bool = False,
+    ):
+        flux = np.asarray(flux, dtype=float)
+        err = np.asarray(err, dtype=float)
+        band = np.asarray(band)
+
+        if check_nans:
+            keep = ~(np.isnan(flux) | np.isnan(err))
+            flux, err, band = flux[keep], err[keep], band[keep]
+
+        present = np.unique(band)
+        if band_to_calc is None:
+            band_to_calc = present
+        elif isinstance(band_to_calc, str):
+            band_to_calc = [band_to_calc]
+
+        out = {}
+        for b in band_to_calc:
+            if b in present:
+                sel = band == b
+                out[b] = _stetson_J_single_band(flux[sel], err[sel])
+            else:
+                out[b] = np.nan
+        return out
+
+
+calc_stetson_J = StetsonJ()

@@ -1,0 +1,149 @@
+"""Base machinery shared by all structure-function estimators.
+
+Handles delta-t binning (three schemes), per-curve vs combined binned
+statistics, and bootstrap sub-sampling. Pure numpy/scipy; executed inside
+Spark pandas-UDF workers, one call per light-curve group (or one call over
+a collected set in combine mode).
+
+Parity target:
+``/root/reference/src/tape/analysis/structure_function/base_calculator.py:60-215``.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import List
+
+import numpy as np
+from scipy.stats import binned_statistic
+
+from .argument_container import StructureFunctionArgumentContainer
+from ..light_curve import StructureFunctionLightCurve
+
+
+def compute_dt_bins(dts: np.ndarray, method: str, count_target: int) -> np.ndarray:
+    """Derive bin edges for an array of time differences.
+
+    The number of bins targets ``count_target`` samples per bin; edges are
+    computed over the *unique* dt values.
+
+    - ``'size'``: quantile edges → roughly equal sample counts per bin.
+    - ``'length'``: equal-width edges; first edge nudged down by 0.1% of the
+      range so the minimum value falls inside (pandas.cut convention).
+    - ``'loglength'``: equal width in log space, same first-edge nudge.
+    """
+    num_bins = int(np.ceil(len(dts) / count_target))
+    uniq = np.unique(dts)
+    if method == "size":
+        return np.quantile(uniq, np.linspace(0.0, 1.0, num_bins + 1))
+    if method == "length":
+        lo, hi = uniq.min(), uniq.max()
+        edges = np.linspace(lo, hi, num_bins + 1)
+        edges[0] -= 0.001 * (hi - lo)
+        return edges
+    if method == "loglength":
+        logs = np.log(uniq)
+        lo, hi = logs.min(), logs.max()
+        edges = np.linspace(lo, hi, num_bins + 1)
+        edges[0] -= 0.001 * (hi - lo)
+        return np.exp(edges)
+    raise ValueError(f"Method '{method}' not recognized")
+
+
+class StructureFunctionCalculator(ABC):
+    """Base class for SF estimators; subclasses implement :meth:`calculate`.
+
+    A calculator owns a list of :class:`StructureFunctionLightCurve` plus the
+    argument container, and provides binning + binned-statistic helpers.
+    """
+
+    def __init__(
+        self,
+        lightcurves: List[StructureFunctionLightCurve],
+        argument_container: StructureFunctionArgumentContainer,
+    ):
+        self._lightcurves = lightcurves
+        self._argument_container = argument_container
+        self._bins = argument_container.bins  # None → auto-bin on first use
+
+    @abstractmethod
+    def calculate(self):
+        """Return (list-of-dt-arrays, list-of-sf-arrays), one entry per curve
+        (or a single entry in combine mode)."""
+        raise NotImplementedError
+
+    @staticmethod
+    @abstractmethod
+    def name_id() -> str:
+        """Unique registry name for this method."""
+        raise NotImplementedError
+
+    @staticmethod
+    def expected_argument_container() -> type:
+        """Argument-container class this method needs."""
+        return StructureFunctionArgumentContainer
+
+    def _bootstrap(self, random_generator=None):
+        """Resample every curve's difference arrays (with replacement).
+
+        Sample size is the smallest curve's difference count when
+        ``equally_weight_lightcurves`` is set, else the user-specified
+        ``number_lightcurve_samples``.
+        """
+        counts = [lc.number_of_difference_values for lc in self._lightcurves]
+        if self._argument_container.equally_weight_lightcurves:
+            n_samples = min(counts)
+        else:
+            n_samples = self._argument_container.number_lightcurve_samples
+        for lc in self._lightcurves:
+            lc.select_difference_samples(n_samples, random_generator=random_generator)
+
+    def _binned_statistics(self, sample_values=None, statistic="mean"):
+        """Bin each curve's dt values and apply ``statistic`` to the matching
+        sample values per bin.
+
+        Returns (mean-dt-per-bin arrays, statistic-per-bin arrays) — one array
+        per curve, or one combined pair when ``combine`` is set. Bin edges are
+        computed once (from the first eligible curve's full dt set, or the
+        union in combine mode) and reused, matching the reference behavior.
+        """
+        if sample_values is None:
+            sample_values = [lc.sample_d_fluxes for lc in self._lightcurves]
+        if len(sample_values) != len(self._lightcurves):
+            raise AttributeError("Number of lightcurves must equal sample_values.")
+
+        if self._argument_container.combine and len(self._lightcurves) > 1:
+            sample_dts = np.hstack([lc.sample_d_times for lc in self._lightcurves])
+            binning_dts = np.hstack([lc._all_d_times for lc in self._lightcurves])
+            values = np.hstack(list(sample_values))
+            if self._bins is None:
+                self._bins = compute_dt_bins(
+                    binning_dts,
+                    self._argument_container.bin_method,
+                    self._argument_container.bin_count_target,
+                )
+            stat, _, _ = binned_statistic(sample_dts, values, statistic=statistic, bins=self._bins)
+            mean_dt, _, _ = binned_statistic(sample_dts, sample_dts, statistic="mean", bins=self._bins)
+            return [mean_dt], [stat]
+
+        dt_out, stat_out = [], []
+        for lc, values in zip(self._lightcurves, sample_values):
+            if lc._all_d_times.size > 1:
+                if self._bins is None:
+                    self._bins = compute_dt_bins(
+                        lc._all_d_times,
+                        self._argument_container.bin_method,
+                        self._argument_container.bin_count_target,
+                    )
+                stat, _, _ = binned_statistic(
+                    lc.sample_d_times, values, statistic=statistic, bins=self._bins
+                )
+                mean_dt, _, _ = binned_statistic(
+                    lc.sample_d_times, lc.sample_d_times, statistic="mean", bins=self._bins
+                )
+                dt_out.append(mean_dt)
+                stat_out.append(stat)
+            else:
+                dt_out.append(np.array([]))
+                stat_out.append(np.array([]))
+        return dt_out, stat_out
