@@ -1,0 +1,20 @@
+"""Analysis kernels: pure-numpy per-lightcurve functions run inside
+``groupBy().applyInPandas`` workers, plus the self-describing
+:class:`AnalysisFunction` contract that lets ``Ensemble.batch`` plan them."""
+
+from .base import AnalysisFunction
+from .light_curve import LightCurve, StructureFunctionLightCurve
+from .stetson import StetsonJ, calc_stetson_J
+from .structurefunction2 import calc_sf2
+from .structure_function import SF_METHODS, StructureFunctionArgumentContainer
+
+__all__ = [
+    "AnalysisFunction",
+    "LightCurve",
+    "StructureFunctionLightCurve",
+    "StetsonJ",
+    "calc_stetson_J",
+    "calc_sf2",
+    "SF_METHODS",
+    "StructureFunctionArgumentContainer",
+]

@@ -76,7 +76,8 @@ class StetsonJ(AnalysisFunction):
         return [ens._flux_col, ens._err_col, ens._band_col]
 
     def meta(self, ens):
-        return "stetsonJ", float
+        # dict-valued result → MapType(band → J) column in Spark
+        return "stetsonJ", dict
 
     def on(self, ens) -> List[str]:
         return [ens._id_col]

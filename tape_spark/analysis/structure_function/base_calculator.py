@@ -1,7 +1,7 @@
 """Base machinery shared by all structure-function estimators.
 
 Handles delta-t binning (three schemes), per-curve vs combined binned
-statistics, and bootstrap sub-sampling. Pure numpy/scipy; executed inside
+statistics, and bootstrap sub-sampling. Pure numpy; executed inside
 Spark pandas-UDF workers, one call per light-curve group (or one call over
 a collected set in combine mode).
 
@@ -15,10 +15,45 @@ from abc import ABC, abstractmethod
 from typing import List
 
 import numpy as np
-from scipy.stats import binned_statistic
 
 from .argument_container import StructureFunctionArgumentContainer
 from ..light_curve import StructureFunctionLightCurve
+
+
+def binned_statistic(x, values, statistic="mean", bins=10):
+    """Numpy-only stand-in for ``scipy.stats.binned_statistic``.
+
+    Supports the subset the SF estimators use: ``statistic`` is ``'mean'``
+    or a callable applied to the values falling in each bin. Bin intervals
+    are left-closed/right-open except the last bin, which includes its
+    right edge (scipy convention). Empty bins yield NaN. Returns
+    ``(statistic_per_bin, bin_edges, bin_index_per_sample)``.
+
+    The sandbox has no scipy, so this keeps the estimators importable in
+    Spark Python workers with only numpy on the path.
+    """
+    x = np.asarray(x, dtype=float)
+    values = np.asarray(values, dtype=float)
+    edges = np.asarray(bins, dtype=float)
+    n_bins = edges.size - 1
+    # digitize: index of the right edge; shift to 0-based bin index.
+    idx = np.digitize(x, edges) - 1
+    idx[x == edges[-1]] = n_bins - 1  # last bin right-inclusive
+    valid = (idx >= 0) & (idx < n_bins)
+    stat = np.full(n_bins, np.nan)
+    if statistic == "mean":
+        counts = np.bincount(idx[valid], minlength=n_bins)
+        sums = np.bincount(idx[valid], weights=values[valid], minlength=n_bins)
+        nonzero = counts > 0
+        stat[nonzero] = sums[nonzero] / counts[nonzero]
+    elif callable(statistic):
+        for b in range(n_bins):
+            mask = valid & (idx == b)
+            if mask.any():
+                stat[b] = statistic(values[mask])
+    else:
+        raise ValueError(f"Unsupported statistic: {statistic!r}")
+    return stat, edges, idx + 1
 
 
 def compute_dt_bins(dts: np.ndarray, method: str, count_target: int) -> np.ndarray:

@@ -66,7 +66,9 @@ class Bauer2009AStructureFunctionCalculator(StructureFunctionCalculator):
         _, mean_err2 = self._binned_statistics(
             sample_values=[lc.sample_sum_squared_error for lc in self._lightcurves]
         )
-        sfs = np.asarray(mean_df2) - np.asarray(mean_err2)
+        # Per-curve elementwise subtraction: curves with no positive-dt pairs
+        # produce empty arrays, so a stacked np.asarray would be ragged.
+        sfs = [df2 - err2 for df2, err2 in zip(mean_df2, mean_err2)]
         return dts, sfs
 
     @staticmethod
@@ -87,7 +89,10 @@ class Bauer2009BStructureFunctionCalculator(StructureFunctionCalculator):
         _, mean_err2 = self._binned_statistics(
             sample_values=[lc.sample_sum_squared_error for lc in self._lightcurves]
         )
-        sfs = PI_OVER_2 * np.square(mean_abs_df) - mean_err2
+        sfs = [
+            PI_OVER_2 * np.square(abs_df) - err2
+            for abs_df, err2 in zip(mean_abs_df, mean_err2)
+        ]
         return dts, sfs
 
     @staticmethod

@@ -1,0 +1,1150 @@
+"""The Ensemble session: a two-table (Object/Source) light-curve data model
+on Spark DataFrames with lazy consistency sync and a grouped-apply engine.
+
+Architecture (Spark-first, not a port):
+
+- Frames are plain immutable ``pyspark.sql.DataFrame``s tracked in a dict;
+  every op is declared through the DataFrame API so Catalyst handles
+  pushdown, pruning, join strategy, and AQE does runtime re-planning.
+- "Lightcurve cohesion" (all rows of one object co-located) is
+  ``repartition(id_col)`` at ingest; at rest it should be bucketed parquet.
+  ``groupBy(id).applyInPandas`` then reuses that partitioning.
+- The dirty/sync protocol (the reference's one novel semantic) is session
+  bookkeeping only: mutating ops mark a table dirty; the next read of the
+  *other* table injects ``left_semi`` joins. No driver-side id collection.
+
+Parity targets: ``/root/reference/src/tape/ensemble.py`` (session, ops,
+batch at :1054-1237, sync at :2196-2292) and
+``/root/reference/src/tape/ensemble_frame.py`` (frame ops). The Dask
+partition-type dispatch machinery (~600 LoC) is intentionally absent —
+Spark needs none of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .analysis.base import AnalysisFunction
+from .timeseries import TimeSeries
+from .utils.column_mapper import ColumnMapper
+from .utils.expr import translate_query_expr
+
+SOURCE_FRAME_LABEL = "source"
+OBJECT_FRAME_LABEL = "object"
+METADATA_FILENAME = "ensemble_metadata.json"
+
+
+def _spark_type(t) -> T.DataType:
+    """Translate a python/numpy/pandas type marker into a Spark DataType.
+
+    Covers the shapes the reference's ``meta`` accepted
+    (``ensemble.py:2477-2505``): python builtins, numpy dtypes, strings.
+    ``dict`` maps to ``MapType(string, double)`` for per-band dict results.
+    """
+    if isinstance(t, T.DataType):
+        return t
+    if t is dict:
+        return T.MapType(T.StringType(), T.DoubleType())
+    if t is float:
+        return T.DoubleType()
+    if t is int:
+        return T.LongType()
+    if t is str or t is object:
+        return T.StringType()
+    if t is bool:
+        return T.BooleanType()
+    if isinstance(t, str):
+        lowered = t.lower()
+        ddl = {
+            "float": T.DoubleType(), "float64": T.DoubleType(), "double": T.DoubleType(),
+            "float32": T.FloatType(),
+            "int": T.LongType(), "int64": T.LongType(), "long": T.LongType(),
+            "int32": T.IntegerType(), "integer": T.IntegerType(),
+            "str": T.StringType(), "string": T.StringType(), "object": T.StringType(),
+            "bool": T.BooleanType(), "boolean": T.BooleanType(),
+        }
+        if lowered in ddl:
+            return ddl[lowered]
+        return T._parse_datatype_string(t)
+    # numpy dtype-ish
+    kind = np.dtype(t).kind
+    if kind == "f":
+        return T.DoubleType()
+    if kind in ("i", "u"):
+        return T.LongType()
+    if kind == "b":
+        return T.BooleanType()
+    return T.StringType()
+
+
+class Ensemble:
+    """Session object holding named Spark frames + the column-role map.
+
+    Parameters
+    ----------
+    spark : SparkSession, optional
+        An existing session; when omitted the active (or a new local)
+        session is used.
+    keep_empty_objects : bool
+        When False (default), syncing after a source filter also drops
+        objects that lost all their sources.
+    """
+
+    def __init__(self, spark: Optional[SparkSession] = None, keep_empty_objects: bool = False):
+        self.spark = spark or SparkSession.builder.getOrCreate()
+        self.frames: Dict[str, DataFrame] = {}
+        self.keep_empty_objects = keep_empty_objects
+
+        self._source_dirty = False
+        self._object_dirty = False
+        self._source_temp: List[str] = []
+        self._object_temp: List[str] = []
+        self._frame_counter = 0
+
+        self.column_mapper: Optional[ColumnMapper] = None
+        self._id_col: Optional[str] = None
+        self._time_col: Optional[str] = None
+        self._flux_col: Optional[str] = None
+        self._err_col: Optional[str] = None
+        self._band_col: Optional[str] = None
+
+    # ------------------------------------------------------------------ #
+    # frame tracking                                                     #
+    # ------------------------------------------------------------------ #
+
+    @property
+    def source(self) -> DataFrame:
+        """The source (per-observation) frame, synced if stale."""
+        self._lazy_sync_tables(SOURCE_FRAME_LABEL)
+        return self.frames[SOURCE_FRAME_LABEL]
+
+    @property
+    def object(self) -> DataFrame:
+        """The object (per-lightcurve) frame, synced if stale."""
+        self._lazy_sync_tables(OBJECT_FRAME_LABEL)
+        return self.frames[OBJECT_FRAME_LABEL]
+
+    def _generate_label(self) -> str:
+        self._frame_counter += 1
+        return f"result_{self._frame_counter}"
+
+    def add_frame(self, frame: DataFrame, label: Optional[str] = None) -> str:
+        """Track a result frame under ``label`` (auto-generated if omitted)."""
+        label = label or self._generate_label()
+        if label in self.frames:
+            raise ValueError(f"Frame label '{label}' already exists; use update_frame")
+        self.frames[label] = frame
+        return label
+
+    def update_frame(self, frame: DataFrame, label: str) -> str:
+        """Replace (or create) the frame tracked under ``label``."""
+        self.frames[label] = frame
+        if label == SOURCE_FRAME_LABEL:
+            self._source_dirty = True
+        elif label == OBJECT_FRAME_LABEL:
+            self._object_dirty = True
+        return label
+
+    def drop_frame(self, label: str):
+        """Stop tracking ``label`` (the two core frames cannot be dropped)."""
+        if label in (SOURCE_FRAME_LABEL, OBJECT_FRAME_LABEL):
+            raise ValueError(f"Cannot drop the core '{label}' frame")
+        del self.frames[label]
+
+    def select_frame(self, label: str) -> DataFrame:
+        """Fetch a tracked frame by label."""
+        if label not in self.frames:
+            raise KeyError(f"Unknown frame label '{label}'; known: {sorted(self.frames)}")
+        return self.frames[label]
+
+    def frame_info(self) -> pd.DataFrame:
+        """Summary table of tracked frames (label, columns)."""
+        rows = [{"label": k, "columns": ", ".join(v.columns)} for k, v in self.frames.items()]
+        return pd.DataFrame(rows)
+
+    # ------------------------------------------------------------------ #
+    # ingestion                                                          #
+    # ------------------------------------------------------------------ #
+
+    def _load_column_mapper(self, column_mapper: ColumnMapper):
+        ready, needed = column_mapper.is_ready(show_needed=True)
+        if not ready:
+            raise ValueError(f"ColumnMapper is missing critical columns: {needed}")
+        self.column_mapper = column_mapper
+        m = column_mapper.map
+        self._id_col = m["id_col"]
+        self._time_col = m["time_col"]
+        self._flux_col = m["flux_col"]
+        self._err_col = m["err_col"]
+        self._band_col = m["band_col"]
+
+    def from_spark(
+        self,
+        source_frame: DataFrame,
+        object_frame: Optional[DataFrame] = None,
+        column_mapper: Optional[ColumnMapper] = None,
+        sync_tables: bool = True,
+        npartitions: Optional[int] = None,
+        partition_by_id: bool = True,
+        sort: bool = False,
+    ) -> "Ensemble":
+        """Core ingestion (analog of the reference's ``from_dask_dataframe``,
+        ``ensemble.py:1586-1665``): establish lightcurve cohesion by
+        repartitioning on the id column, optionally sort curves in-partition,
+        and derive the object table when absent.
+
+        At 100 TB the repartition is the one unavoidable shuffle; writing the
+        result as id-bucketed parquet lets every later groupBy/join reuse it.
+        """
+        if column_mapper is not None:
+            self._load_column_mapper(column_mapper)
+        if self.column_mapper is None:
+            raise ValueError("A ColumnMapper is required on first ingestion")
+
+        df = source_frame
+        if npartitions:
+            df = df.repartition(npartitions, self._id_col)
+        elif partition_by_id:
+            df = df.repartition(self._id_col)
+        if sort:
+            df = df.sortWithinPartitions(self._id_col, self._band_col, self._time_col)
+        self.frames[SOURCE_FRAME_LABEL] = df
+
+        if object_frame is None:
+            self.frames[OBJECT_FRAME_LABEL] = df.select(self._id_col).distinct()
+            self._source_dirty = False
+            self._object_dirty = False
+        else:
+            self.frames[OBJECT_FRAME_LABEL] = object_frame
+            if sync_tables:
+                self._source_dirty = True
+                self._object_dirty = True
+                self._sync_tables()
+        return self
+
+    def from_parquet(
+        self,
+        source_file: str,
+        object_file: Optional[str] = None,
+        column_mapper: Optional[ColumnMapper] = None,
+        additional_cols: bool = True,
+        npartitions: Optional[int] = None,
+        sort: bool = False,
+        **kwargs,
+    ) -> "Ensemble":
+        """Load source (and optional object) parquet.
+
+        ``additional_cols=False`` restricts the scan to the five critical
+        columns — Catalyst prunes the parquet read schema accordingly.
+        Parity: ``ensemble.py:1920-2006``.
+        """
+        if column_mapper is not None:
+            self._load_column_mapper(column_mapper)
+        if self.column_mapper is None:
+            raise ValueError("A ColumnMapper is required on first ingestion")
+        src = self.spark.read.parquet(source_file)
+        if not additional_cols:
+            critical = [self._id_col, self._time_col, self._flux_col, self._err_col, self._band_col]
+            src = src.select(*critical)
+        obj = self.spark.read.parquet(object_file) if object_file else None
+        return self.from_spark(src, object_frame=obj, npartitions=npartitions, sort=sort, **kwargs)
+
+    def from_pandas(
+        self,
+        source_frame: pd.DataFrame,
+        object_frame: Optional[pd.DataFrame] = None,
+        column_mapper: Optional[ColumnMapper] = None,
+        **kwargs,
+    ) -> "Ensemble":
+        """Ingest in-memory pandas frames (parity: ``ensemble.py:1535-1584``)."""
+        src = self.spark.createDataFrame(source_frame)
+        obj = self.spark.createDataFrame(object_frame) if object_frame is not None else None
+        return self.from_spark(src, object_frame=obj, column_mapper=column_mapper, **kwargs)
+
+    def from_source_dict(
+        self, source_dict: dict, column_mapper: Optional[ColumnMapper] = None, **kwargs
+    ) -> "Ensemble":
+        """Ingest a dict of equal-length columns (parity: ``ensemble.py:2068-2108``)."""
+        return self.from_pandas(pd.DataFrame(source_dict), column_mapper=column_mapper, **kwargs)
+
+    def from_hipscat(
+        self,
+        source_path: str,
+        object_path: Optional[str] = None,
+        column_mapper: Optional[ColumnMapper] = None,
+        **kwargs,
+    ) -> "Ensemble":
+        """Load HiPSCat-style spatially partitioned catalogs.
+
+        The on-disk layout is Hive-like (``Norder=/Dir=/Npix=`` directories of
+        parquet); Spark's partition discovery reads it natively, and partition
+        pruning applies to any filter on the partition columns.
+        Parity: ``ensemble.py:1760-1842`` (without the LSDB dependency).
+        """
+        if column_mapper is not None:
+            self._load_column_mapper(column_mapper)
+        if self.column_mapper is None:
+            raise ValueError("A ColumnMapper is required on first ingestion")
+        src = self.spark.read.option("basePath", source_path).parquet(source_path)
+        obj = (
+            self.spark.read.option("basePath", object_path).parquet(object_path)
+            if object_path
+            else None
+        )
+        return self.from_spark(src, object_frame=obj, **kwargs)
+
+    def insert_sources(
+        self,
+        obj_ids: list,
+        bands: list,
+        timestamps: list,
+        fluxes: list,
+        flux_errs: list,
+        force_repartition: bool = False,
+    ) -> "Ensemble":
+        """Append observation rows to the source table
+        (parity: ``ensemble.py:268-356``)."""
+        rows = pd.DataFrame(
+            {
+                self._id_col: obj_ids,
+                self._band_col: bands,
+                self._time_col: timestamps,
+                self._flux_col: fluxes,
+                self._err_col: flux_errs,
+            }
+        )
+        new_df = self.spark.createDataFrame(rows)
+        src = self.frames[SOURCE_FRAME_LABEL]
+        for col in src.columns:  # align schemas; absent extra columns → null
+            if col not in new_df.columns:
+                new_df = new_df.withColumn(col, F.lit(None).cast(src.schema[col].dataType))
+        for field in src.schema.fields:
+            new_df = new_df.withColumn(field.name, F.col(field.name).cast(field.dataType))
+        merged = src.unionByName(new_df.select(*src.columns))
+        if force_repartition:
+            merged = merged.repartition(self._id_col)
+        self.frames[SOURCE_FRAME_LABEL] = merged
+        self._source_dirty = True
+        return self
+
+    # ------------------------------------------------------------------ #
+    # dirty/sync consistency protocol                                    #
+    # ------------------------------------------------------------------ #
+
+    def _mark_dirty(self, table: str):
+        if table == SOURCE_FRAME_LABEL:
+            self._source_dirty = True
+        elif table == OBJECT_FRAME_LABEL:
+            self._object_dirty = True
+
+    def _lazy_sync_tables(self, table: str = "all"):
+        """Inject pending semi-joins before reading a stale table.
+
+        Reading source is stale when object was filtered (and vice versa).
+        Parity: ``ensemble.py:2196-2233``.
+        """
+        if table == SOURCE_FRAME_LABEL and self._object_dirty:
+            self._sync_tables()
+        elif table == OBJECT_FRAME_LABEL and self._source_dirty:
+            self._sync_tables()
+        elif table == "all" and (self._source_dirty or self._object_dirty):
+            self._sync_tables()
+
+    def _sync_tables(self):
+        """Re-establish referential consistency with ``left_semi`` joins.
+
+        Both directions are Catalyst-native semi-joins on the id column —
+        never a driver-side collected id list (the reference's slow path at
+        ``ensemble.py:2254-2258`` is deliberately not reproduced). Temporary
+        columns registered via ``assign(..., temporary=True)`` /
+        ``calc_nobs`` are dropped. With both frames partitioned by id, AQE
+        picks broadcast for a small surviving-id side automatically.
+        """
+        id_col = self._id_col
+        src = self.frames[SOURCE_FRAME_LABEL]
+        obj = self.frames[OBJECT_FRAME_LABEL]
+
+        # Temporary columns live only until the next sync, on both tables
+        # (they may be stale once either side has been filtered).
+        if self._object_temp:
+            obj = obj.select(*[c for c in obj.columns if c not in self._object_temp])
+            self._object_temp = []
+        if self._source_temp:
+            src = src.select(*[c for c in src.columns if c not in self._source_temp])
+            self._source_temp = []
+
+        if self._object_dirty:
+            src = src.join(obj.select(id_col).distinct(), on=id_col, how="left_semi")
+
+        if self._source_dirty and not self.keep_empty_objects:
+            obj = obj.join(src.select(id_col).distinct(), on=id_col, how="left_semi")
+
+        self.frames[SOURCE_FRAME_LABEL] = src
+        self.frames[OBJECT_FRAME_LABEL] = obj
+        self._source_dirty = False
+        self._object_dirty = False
+
+    # ------------------------------------------------------------------ #
+    # projections / filters / column ops                                 #
+    # ------------------------------------------------------------------ #
+
+    def _table_df(self, table: str) -> DataFrame:
+        if table not in self.frames:
+            raise KeyError(f"Unknown table '{table}'")
+        self._lazy_sync_tables(table)
+        return self.frames[table]
+
+    def select(self, columns: List[str], table: str = SOURCE_FRAME_LABEL) -> "Ensemble":
+        """Keep only ``columns`` (the id column is always retained).
+        Parity: ``ensemble.py:641-661``."""
+        df = self._table_df(table)
+        keep = [self._id_col] + [c for c in columns if c != self._id_col]
+        self.frames[table] = df.select(*keep)
+        return self
+
+    def query(self, expr: str, table: str = SOURCE_FRAME_LABEL) -> "Ensemble":
+        """Row filter with a pandas-query-style expression; marks the table
+        dirty. Parity: ``ensemble.py:663-694``."""
+        df = self._table_df(table)
+        self.frames[table] = df.filter(translate_query_expr(expr))
+        self._mark_dirty(table)
+        return self
+
+    def filter_from_series(self, keep_condition: Column, table: str = SOURCE_FRAME_LABEL) -> "Ensemble":
+        """Filter by a boolean Column expression
+        (parity: ``ensemble.py:696-715`` — the aligned-series contract maps
+        onto a Column in Spark's immutable model)."""
+        df = self._table_df(table)
+        self.frames[table] = df.filter(keep_condition)
+        self._mark_dirty(table)
+        return self
+
+    def dropna(
+        self,
+        table: str = SOURCE_FRAME_LABEL,
+        how: str = "any",
+        thresh: Optional[int] = None,
+        subset: Optional[List[str]] = None,
+    ) -> "Ensemble":
+        """Drop rows with nulls/NaNs (parity: ``ensemble.py:614-639``)."""
+        df = self._table_df(table)
+        if thresh is not None:
+            self.frames[table] = df.na.drop(thresh=thresh, subset=subset)
+        else:
+            self.frames[table] = df.na.drop(how=how, subset=subset)
+        self._mark_dirty(table)
+        return self
+
+    def assign(self, table: str = SOURCE_FRAME_LABEL, temporary: bool = False, **columns) -> "Ensemble":
+        """Add computed columns. Values may be Spark Columns, SQL strings, or
+        callables ``df -> Column``. ``temporary`` columns are auto-dropped at
+        the next sync. Parity: ``ensemble.py:717-771``."""
+        df = self._table_df(table)
+        for name, value in columns.items():
+            if callable(value) and not isinstance(value, Column):
+                value = value(df)
+            if isinstance(value, str):
+                value = F.expr(value)
+            if not isinstance(value, Column):
+                value = F.lit(value)
+            df = df.withColumn(name, value)
+            if temporary:
+                registry = self._source_temp if table == SOURCE_FRAME_LABEL else self._object_temp
+                registry.append(name)
+        self.frames[table] = df
+        return self
+
+    def drop(self, columns: Union[str, List[str]], table: str = SOURCE_FRAME_LABEL) -> "Ensemble":
+        """Drop columns (parity: ``ensemble_frame.py:470-507``)."""
+        df = self._table_df(table)
+        columns = [columns] if isinstance(columns, str) else columns
+        self.frames[table] = df.drop(*columns)
+        return self
+
+    def coalesce(
+        self,
+        input_cols: List[str],
+        output_col: str,
+        table: str = SOURCE_FRAME_LABEL,
+        drop_inputs: bool = False,
+    ) -> "Ensemble":
+        """First-non-null across ``input_cols`` → ``output_col``; built-in
+        ``F.coalesce``. Re-maps a critical column role when its source column
+        is dropped. Parity: ``ensemble_frame.py:1136-1208``."""
+        df = self._table_df(table)
+        df = df.withColumn(output_col, F.coalesce(*[F.col(c) for c in input_cols]))
+        if drop_inputs:
+            for role, col in list(self.column_mapper.map.items()):
+                if col in input_cols:
+                    self.column_mapper.assign(**{role: output_col})
+                    setattr(self, f"_{role}", output_col)
+            df = df.drop(*[c for c in input_cols if c != output_col])
+        self.frames[table] = df
+        return self
+
+    def sample(self, frac: float, replace: bool = False, random_state: Optional[int] = None) -> "Ensemble":
+        """Random sample of *objects*, propagated to sources via sync;
+        returns a new Ensemble. Parity: ``ensemble.py:524-581``."""
+        new_ens = self._copy()
+        sampled = new_ens.frames[OBJECT_FRAME_LABEL].sample(
+            withReplacement=replace, fraction=frac, seed=random_state
+        )
+        new_ens.frames[OBJECT_FRAME_LABEL] = sampled
+        new_ens._object_dirty = True
+        return new_ens
+
+    def head(self, n: int = 5, table: str = SOURCE_FRAME_LABEL) -> pd.DataFrame:
+        """First ``n`` rows as pandas (parity: ``ensemble.py:592-612``)."""
+        return self._table_df(table).limit(n).toPandas()
+
+    def tail(self, n: int = 5, table: str = SOURCE_FRAME_LABEL) -> pd.DataFrame:
+        """Last ``n`` rows as pandas."""
+        rows = self._table_df(table).tail(n)
+        return pd.DataFrame([r.asDict() for r in rows])
+
+    def persist(self, table: str = "all") -> "Ensemble":
+        """Pin frames in executor memory (parity: ``ensemble.py:512-522``)."""
+        labels = [SOURCE_FRAME_LABEL, OBJECT_FRAME_LABEL] if table == "all" else [table]
+        for label in labels:
+            self.frames[label] = self._table_df(label).persist()
+        return self
+
+    def compute(self, table: str = SOURCE_FRAME_LABEL) -> pd.DataFrame:
+        """Materialize a frame to pandas (sync included)."""
+        return self._table_df(table).toPandas()
+
+    def _copy(self) -> "Ensemble":
+        new = Ensemble(self.spark, keep_empty_objects=self.keep_empty_objects)
+        new.frames = dict(self.frames)
+        new._source_dirty = self._source_dirty
+        new._object_dirty = self._object_dirty
+        new._source_temp = list(self._source_temp)
+        new._object_temp = list(self._object_temp)
+        new._frame_counter = self._frame_counter
+        if self.column_mapper is not None:
+            new._load_column_mapper(self.column_mapper)
+        return new
+
+    # ------------------------------------------------------------------ #
+    # scalar transforms                                                  #
+    # ------------------------------------------------------------------ #
+
+    def convert_flux_to_mag(
+        self,
+        zero_point: Union[str, float],
+        zp_form: str = "mag",
+        out_col_name: Optional[str] = None,
+        flux_col: Optional[str] = None,
+        err_col: Optional[str] = None,
+        table: str = SOURCE_FRAME_LABEL,
+    ) -> "Ensemble":
+        """Flux → magnitude with error propagation, as built-in column
+        arithmetic (no UDF). Parity: ``ensemble.py:2110-2189``.
+
+        ``zp_form='mag'``: mag = -2.5·log10(flux) + zp;
+        ``zp_form='flux'``: mag = -2.5·log10(flux/zp).
+        Error: (2.5/ln 10)·(err/flux).
+        """
+        flux_col = flux_col or self._flux_col
+        err_col = err_col or self._err_col
+        out_col_name = out_col_name or f"{flux_col}_mag"
+        df = self._table_df(table)
+        zp = F.col(zero_point) if isinstance(zero_point, str) else F.lit(float(zero_point))
+        if zp_form in ("mag", "magnitude"):
+            mag = -2.5 * F.log10(F.col(flux_col)) + zp
+        elif zp_form == "flux":
+            mag = -2.5 * F.log10(F.col(flux_col) / zp)
+        else:
+            raise ValueError(f"Unsupported zero-point form: {zp_form!r}")
+        df = df.withColumn(out_col_name, mag)
+        if err_col in df.columns:
+            err_expr = (2.5 / float(np.log(10))) * (F.col(err_col) / F.col(flux_col))
+            df = df.withColumn(f"{out_col_name}_err", err_expr)
+        self.frames[table] = df
+        return self
+
+    # ------------------------------------------------------------------ #
+    # aggregations                                                       #
+    # ------------------------------------------------------------------ #
+
+    def calc_nobs(
+        self,
+        by_band: bool = False,
+        label: str = "nobs",
+        temporary: bool = True,
+        band_values: Optional[List[str]] = None,
+    ) -> "Ensemble":
+        """Observation counts per object, attached to the object table.
+
+        Plain ``groupBy(id).count()`` (map-side partial aggregation — no
+        custom fast path needed); the by-band variant is a pivot. Passing
+        ``band_values`` avoids the extra distinct-values job at scale.
+        Parity: ``ensemble.py:773-870``.
+        """
+        id_col, band_col = self._id_col, self._band_col
+        src = self.frames[SOURCE_FRAME_LABEL]
+        obj = self._table_df(OBJECT_FRAME_LABEL)
+        added: List[str] = []
+        if by_band:
+            pivot = src.groupBy(id_col).pivot(band_col, band_values)
+            counts = pivot.count().na.fill(0)
+            band_cols = [c for c in counts.columns if c != id_col]
+            renamed = counts.select(
+                id_col, *[F.col(c).alias(f"{label}_{c}") for c in band_cols]
+            )
+            total = sum(F.col(f"{label}_{c}") for c in band_cols)
+            counts = renamed.withColumn(f"{label}_total", total.cast("long"))
+            added = [f"{label}_{c}" for c in band_cols] + [f"{label}_total"]
+        else:
+            counts = src.groupBy(id_col).agg(F.count(F.lit(1)).alias(f"{label}_total"))
+            added = [f"{label}_total"]
+        obj = obj.drop(*[c for c in added if c in obj.columns])
+        self.frames[OBJECT_FRAME_LABEL] = obj.join(counts, on=id_col, how="left").na.fill(
+            0, subset=added
+        )
+        if temporary:
+            self._object_temp.extend(added)
+        return self
+
+    def prune(self, threshold: int = 50, col_name: Optional[str] = None) -> "Ensemble":
+        """Drop objects with fewer than ``threshold`` observations; sources
+        follow at the next sync. The canonical benchmark workflow
+        (``/root/reference/benchmarks/benchmarks.py:35-40``).
+        Parity: ``ensemble.py:872-904``.
+        """
+        col_name = col_name or "nobs_total"
+        if col_name not in self.frames[OBJECT_FRAME_LABEL].columns:
+            self.calc_nobs(by_band=False, label=col_name.replace("_total", ""), temporary=True)
+        obj = self.frames[OBJECT_FRAME_LABEL]
+        self.frames[OBJECT_FRAME_LABEL] = obj.filter(F.col(col_name) >= threshold)
+        self._object_dirty = True
+        return self
+
+    def bin_sources(
+        self,
+        time_window: float = 1.0,
+        offset: float = 0.0,
+        custom_aggr: Optional[Dict[str, str]] = None,
+        count_col: Optional[str] = None,
+    ) -> "Ensemble":
+        """Re-bin sources in time: group by (id, band, time-bucket) and
+        aggregate time→mean, flux→mean, err→sqrt(Σerr²)/n.
+
+        The reference needs a custom Dask ``Aggregation(chunk, agg,
+        finalize)`` here (``ensemble.py:1015-1020``); in Spark the same
+        partial+final split is what every built-in aggregate already does,
+        so this is pure expressions — one shuffle, map-side combine.
+        Parity: ``ensemble.py:956-1052``.
+        """
+        id_col, band_col = self._id_col, self._band_col
+        t, fx, er = self._time_col, self._flux_col, self._err_col
+        src = self._table_df(SOURCE_FRAME_LABEL)
+
+        bucket = F.floor((F.col(t) + F.lit(offset)) / F.lit(time_window))
+        agg_map = {
+            t: F.mean(t).alias(t),
+            fx: F.mean(fx).alias(fx),
+            er: (F.sqrt(F.sum(F.pow(F.col(er), 2))) / F.count(F.lit(1))).alias(er),
+        }
+        if custom_aggr:  # user aggregates override/extend the defaults
+            for col, how in custom_aggr.items():
+                agg_map[col] = F.expr(f"{how}(`{col}`)").alias(col)
+        aggs = list(agg_map.values())
+        if count_col is not None:
+            aggs.append(F.count(F.lit(1)).cast("long").alias(count_col))
+        binned = src.groupBy(F.col(id_col), F.col(band_col), bucket.alias("__time_bucket")).agg(*aggs)
+        self.frames[SOURCE_FRAME_LABEL] = binned.drop("__time_bucket")
+        self._source_dirty = True
+        return self
+
+    def find_day_gap_offset(self) -> float:
+        """Estimate the observatory's "noon" as a day-fraction offset: the
+        midpoint of the longest run of hours-of-day with zero observations.
+        Distributed histogram + 24-element driver scan.
+        Parity: ``ensemble.py:906-954``.
+        """
+        t = self._time_col
+        src = self._table_df(SOURCE_FRAME_LABEL)
+        hours_df = (
+            src.select((F.floor(F.col(t) * 24) % 24).cast("int").alias("hour"))
+            .groupBy("hour")
+            .count()
+            .collect()
+        )
+        occupied = {row["hour"] for row in hours_df}
+        best_len, best_mid = 0, -1.0
+        start = 0
+        while start < 24:
+            end = start
+            while end < 48 and (end % 24) not in occupied:
+                end += 1
+            if end - start > best_len:
+                best_len = end - start
+                best_mid = (start + end) / 2.0
+            start = end + 1
+        if best_len == 0:
+            return -1.0
+        return (best_mid % 24.0) / 24.0
+
+    # ------------------------------------------------------------------ #
+    # sorts / physical layout                                            #
+    # ------------------------------------------------------------------ #
+
+    def sort_lightcurves(self, by_band: bool = False) -> "Ensemble":
+        """Per-partition sort by (id, [band,] time) — no global shuffle;
+        correct under lightcurve cohesion. Parity: ``ensemble.py:445-483``."""
+        src = self._table_df(SOURCE_FRAME_LABEL)
+        keys = [self._id_col, self._band_col, self._time_col] if by_band else [self._id_col, self._time_col]
+        self.frames[SOURCE_FRAME_LABEL] = src.sortWithinPartitions(*keys)
+        return self
+
+    def check_sorted(self, table: str = SOURCE_FRAME_LABEL) -> bool:
+        """Is the id column non-decreasing within every partition?
+        Parity: ``ensemble.py:395-416``."""
+        df = self._table_df(table)
+        id_col = self._id_col
+        w = Window.partitionBy(F.spark_partition_id()).orderBy(F.monotonically_increasing_id())
+        violations = (
+            df.select(F.col(id_col), F.lag(id_col).over(w).alias("__prev"))
+            .filter(F.col("__prev") > F.col(id_col))
+            .limit(1)
+            .count()
+        )
+        return violations == 0
+
+    def check_lightcurve_cohesion(self) -> bool:
+        """Does every object live in exactly one partition?
+        Parity: ``ensemble.py:418-443``."""
+        src = self.frames[SOURCE_FRAME_LABEL]
+        spread = (
+            src.select(self._id_col, F.spark_partition_id().alias("__pid"))
+            .groupBy(self._id_col)
+            .agg(F.countDistinct("__pid").alias("npart"))
+            .filter(F.col("npart") > 1)
+            .limit(1)
+            .count()
+        )
+        return spread == 0
+
+    # ------------------------------------------------------------------ #
+    # the batch() UDF engine                                             #
+    # ------------------------------------------------------------------ #
+
+    def _translate_meta(self, meta, on: List[str], base_df: DataFrame) -> T.StructType:
+        """User ``meta`` → exact ``applyInPandas`` StructType, with the group
+        keys prepended. Covers the shapes the reference accepted
+        (``ensemble.py:2477-2505``): None → ``(result double)``, tuple,
+        dict, list-of-tuples, pandas prototypes, StructType, DDL string.
+        """
+        if meta is None:
+            fields = [T.StructField("result", T.DoubleType())]
+        elif isinstance(meta, T.StructType):
+            fields = list(meta.fields)
+        elif isinstance(meta, tuple) and len(meta) == 2 and isinstance(meta[0], str):
+            fields = [T.StructField(meta[0], _spark_type(meta[1]))]
+        elif isinstance(meta, dict):
+            fields = [T.StructField(k, _spark_type(v)) for k, v in meta.items()]
+        elif isinstance(meta, (list,)):
+            fields = [T.StructField(k, _spark_type(v)) for k, v in meta]
+        elif isinstance(meta, pd.Series):
+            fields = [T.StructField(meta.name or "result", _spark_type(meta.dtype))]
+        elif isinstance(meta, pd.DataFrame):
+            fields = [T.StructField(c, _spark_type(meta[c].dtype)) for c in meta.columns]
+        elif isinstance(meta, str):
+            fields = list(T._parse_datatype_string(meta).fields)
+        else:
+            raise TypeError(f"Unsupported meta: {meta!r}")
+        existing = {f.name for f in fields}
+        key_fields = [base_df.schema[k] for k in on if k not in existing]
+        return T.StructType(key_fields + fields)
+
+    def batch(
+        self,
+        func: Union[Callable, AnalysisFunction],
+        *args: str,
+        meta=None,
+        by_band: bool = False,
+        on: Union[str, List[str], None] = None,
+        label: Optional[str] = None,
+        band_values: Optional[List[str]] = None,
+        **kwargs,
+    ) -> DataFrame:
+        """Run an arbitrary per-lightcurve function at scale.
+
+        One plan for every case: ``source.groupBy(on).applyInPandas(wrapper,
+        schema)`` — Arrow-batched grouped-map pandas UDF. With the source
+        already partitioned by id (ingest contract) Spark's
+        EnsureRequirements elides the shuffle, which is why the reference's
+        dual ``use_map`` code paths (``ensemble.py:1203-1225``) collapse to
+        one here.
+
+        Parameters mirror the reference (``ensemble.py:1054-1237``):
+        ``func`` may be an :class:`AnalysisFunction` (self-describing), or
+        any callable taking one numpy array per column name in ``*args``.
+        ``meta`` is the result schema (several accepted shapes);
+        ``by_band`` groups per (id, band) and pivots results to
+        ``{col}_{band}`` columns; ``on`` overrides the grouping keys.
+        """
+        self._lazy_sync_tables("all")
+
+        if isinstance(func, AnalysisFunction):
+            cols = func.cols(self)
+            if meta is None:
+                meta = func.meta(self)
+            if on is None:
+                on = func.on(self)
+        else:
+            cols = list(args)
+        if on is None:
+            on = [self._id_col]
+        if isinstance(on, str):
+            on = [on]
+        on = list(on)
+
+        band_col = self._band_col
+        if by_band:
+            # band must be the last grouping key so each (id, band) is a group
+            on = [k for k in on if k != band_col] + [band_col]
+
+        src = self.frames[SOURCE_FRAME_LABEL]
+        obj = self.frames[OBJECT_FRAME_LABEL]
+        needed = set(cols) | set(on)
+        from_object = [
+            c for c in needed if c not in src.columns and c in obj.columns and c != self._id_col
+        ]
+        if from_object:
+            # Pull referenced object columns into source; AQE broadcasts the
+            # (much smaller) object side automatically.
+            src = src.join(obj.select(self._id_col, *from_object), on=self._id_col, how="left")
+        missing = [c for c in needed if c not in src.columns and c not in from_object]
+        if missing:
+            raise KeyError(f"batch() columns not found in source/object: {missing}")
+
+        schema = self._translate_meta(meta, on, src)
+        result_fields = [f for f in schema.fields if f.name not in on]
+        result_names = [f.name for f in result_fields]
+        first_is_map = isinstance(result_fields[0].dataType, T.MapType) if result_fields else False
+        func_cols = list(cols)
+        group_keys = list(on)
+
+        def wrapper(pdf: pd.DataFrame) -> pd.DataFrame:
+            key_vals = [pdf[k].iloc[0] for k in group_keys]
+            arrays = [pdf[c].to_numpy() for c in func_cols]
+            res = func(*arrays, **kwargs)
+            out = _standardize_result(res, result_names, first_is_map)
+            for k, v in zip(group_keys, key_vals):
+                if k not in out.columns:
+                    out[k] = v
+            return out[group_keys + result_names]
+
+        result = src.groupBy(*on).applyInPandas(wrapper, schema)
+
+        if by_band:
+            id_keys = [k for k in on if k != band_col]
+            if band_values is None:
+                band_values = sorted(
+                    r[0] for r in src.select(band_col).distinct().collect()
+                )
+            aggs = [F.first(F.col(c)).alias(c) for c in result_names]
+            result = result.groupBy(*id_keys).pivot(band_col, band_values).agg(*aggs)
+            # normalize pivot names to the reference's {col}_{band} convention
+            renames = {}
+            for b in band_values:
+                if len(result_names) == 1:
+                    renames[str(b)] = f"{result_names[0]}_{b}"
+                else:
+                    for c in result_names:
+                        renames[f"{b}_{c}"] = f"{c}_{b}"
+            result = result.select(
+                *id_keys, *[F.col(old).alias(new) for old, new in renames.items()]
+            )
+
+        self.add_frame(result, label or self._generate_label())
+        return result
+
+    # ------------------------------------------------------------------ #
+    # sf2 convenience                                                    #
+    # ------------------------------------------------------------------ #
+
+    def sf2(
+        self,
+        sf_method: str = "basic",
+        argument_container=None,
+        band_to_calc=None,
+        combine: bool = False,
+        label: Optional[str] = None,
+    ) -> DataFrame:
+        """Structure function squared over every light curve.
+
+        Per-curve mode dispatches the numpy kernel through :meth:`batch`.
+        Combine mode (all curves binned together) is the one operator with
+        no single Spark primitive; it gets a two-phase distributed plan in
+        :meth:`_sf2_combine` instead of collecting to the driver.
+        Parity: ``ensemble.py:2429-2475``.
+        """
+        from .analysis.structure_function import StructureFunctionArgumentContainer
+        from .analysis.structurefunction2 import calc_sf2
+
+        if argument_container is None:
+            argument_container = StructureFunctionArgumentContainer()
+            argument_container.sf_method = sf_method
+        if band_to_calc is not None:
+            argument_container.band_to_calc = band_to_calc
+
+        if combine or argument_container.combine:
+            argument_container.combine = True
+            return self._sf2_combine(argument_container)
+        return self.batch(
+            calc_sf2,
+            label=label,
+            sf_method=sf_method,
+            argument_container=argument_container,
+        )
+
+    def _sf2_combine(self, argument_container) -> DataFrame:
+        """Distributed combine-mode SF²: (1) per-curve pairwise differences
+        via ``applyInPandas`` (O(nᵢ²) per curve, embarrassingly parallel),
+        (2) per-band bin edges from exact distributed quantiles over the
+        *unique* dt values (``approxQuantile(..., relativeError=0)``),
+        (3) one global binned aggregation with built-in expressions per
+        estimator formula. Mirrors ``base_calculator.py:149-171`` semantics
+        without materializing differences on the driver.
+        """
+        from .analysis.light_curve import StructureFunctionLightCurve
+
+        id_col, band_col = self._id_col, self._band_col
+        t, fx, er = self._time_col, self._flux_col, self._err_col
+        self._lazy_sync_tables("all")
+        src = self.frames[SOURCE_FRAME_LABEL]
+
+        diff_schema = T.StructType(
+            [
+                T.StructField("band", T.StringType()),
+                T.StructField("dt", T.DoubleType()),
+                T.StructField("d_flux", T.DoubleType()),
+                T.StructField("err2", T.DoubleType()),
+            ]
+        )
+        t_c, fx_c, er_c, b_c = t, fx, er, band_col
+
+        def diffs(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for b, grp in pdf.groupby(b_c):
+                try:
+                    lc = StructureFunctionLightCurve(
+                        times=grp[t_c].to_numpy(),
+                        fluxes=grp[fx_c].to_numpy(),
+                        errors=grp[er_c].to_numpy(),
+                    )
+                except ValueError:
+                    continue
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "band": str(b),
+                            "dt": lc._all_d_times,
+                            "d_flux": lc._all_d_fluxes,
+                            "err2": lc._all_sum_squared_error,
+                        }
+                    )
+                )
+            if not out:
+                return pd.DataFrame({f.name: [] for f in diff_schema.fields})
+            return pd.concat(out, ignore_index=True)
+
+        diff_df = src.groupBy(id_col).applyInPandas(diffs, diff_schema)
+        diff_df = diff_df.persist()
+
+        bands = [r[0] for r in diff_df.select("band").distinct().collect()]
+        per_band_edges: Dict[str, np.ndarray] = {}
+        for b in bands:
+            band_diffs = diff_df.filter(F.col("band") == b)
+            if argument_container.bins is not None:
+                per_band_edges[b] = np.asarray(argument_container.bins, dtype=float)
+                continue
+            total = band_diffs.count()
+            uniq = band_diffs.select("dt").distinct()
+            num_bins = int(np.ceil(total / argument_container.bin_count_target))
+            if argument_container.bin_method == "size":
+                # quantiles over *unique* dts, exact (relativeError=0),
+                # computed distributedly — parity with compute_dt_bins('size')
+                probs = list(np.linspace(0.0, 1.0, num_bins + 1))
+                edges = np.asarray(uniq.approxQuantile("dt", probs, 0.0))
+            else:
+                # equal-width (or log-width) schemes only need the range
+                lo, hi = uniq.agg(F.min("dt"), F.max("dt")).first()
+                if argument_container.bin_method == "loglength":
+                    logs = np.linspace(np.log(lo), np.log(hi), num_bins + 1)
+                    logs[0] -= 0.001 * (np.log(hi) - np.log(lo))
+                    edges = np.exp(logs)
+                else:
+                    edges = np.linspace(lo, hi, num_bins + 1)
+                    edges[0] -= 0.001 * (hi - lo)
+            per_band_edges[b] = edges
+
+        edges_map = {b: e.tolist() for b, e in per_band_edges.items()}
+
+        @F.pandas_udf(T.IntegerType())
+        def bucket_of(band_s: pd.Series, dt_s: pd.Series) -> pd.Series:
+            out = np.full(len(dt_s), -1, dtype=np.int32)
+            for b in band_s.unique():
+                edges = np.asarray(edges_map.get(b, []))
+                if edges.size < 2:
+                    continue
+                mask = (band_s == b).to_numpy()
+                idx = np.digitize(dt_s.to_numpy()[mask], edges) - 1
+                idx[dt_s.to_numpy()[mask] == edges[-1]] = edges.size - 2
+                idx[(idx < 0) | (idx > edges.size - 2)] = -1
+                out[mask] = idx
+            return pd.Series(out)
+
+        bucketed = diff_df.withColumn("bucket", bucket_of(F.col("band"), F.col("dt"))).filter(
+            F.col("bucket") >= 0
+        )
+
+        method = argument_container.sf_method
+        df2 = F.pow(F.col("d_flux"), 2)
+        if method == "basic":
+            sf2_expr = F.mean(df2 - F.col("err2"))
+        elif method == "bauer_2009a":
+            sf2_expr = F.mean(df2) - F.mean("err2")
+        elif method == "bauer_2009b":
+            sf2_expr = (
+                F.lit(float(np.pi / 2)) * F.pow(F.mean(F.abs(F.col("d_flux"))), 2)
+                - F.mean("err2")
+            )
+        elif method == "schmidt_2010":
+            sf2_expr = F.pow(
+                F.mean(
+                    F.lit(float(np.sqrt(np.pi / 2))) * F.abs(F.col("d_flux"))
+                    - F.sqrt(F.col("err2"))
+                ),
+                2,
+            )
+        elif method == "macleod_2012":
+            iqr = F.expr("percentile(d_flux, 0.75) - percentile(d_flux, 0.25)")
+            sf2_expr = F.pow(F.lit(0.74) * iqr, 2)
+        else:
+            raise ValueError(f"Combine mode does not support method {method!r}")
+
+        result = (
+            bucketed.groupBy("band", "bucket")
+            .agg(F.mean("dt").alias("dt"), sf2_expr.alias("sf2"))
+            .withColumn("lc_id", F.lit("combined"))
+            .select("lc_id", "band", "dt", "sf2")
+            .orderBy("band", "bucket")
+        )
+        self.add_frame(result, self._generate_label())
+        return result
+
+    # ------------------------------------------------------------------ #
+    # persistence                                                        #
+    # ------------------------------------------------------------------ #
+
+    def save_ensemble(self, path: str = ".", dirname: str = "ensemble", additional_frames=True) -> str:
+        """Write every tracked frame as a parquet subdir + metadata JSON.
+        Parity: ``ensemble.py:1315-1430``."""
+        self._lazy_sync_tables("all")
+        root = os.path.join(path, dirname)
+        os.makedirs(root, exist_ok=True)
+        if additional_frames is True:
+            labels = list(self.frames)
+        elif additional_frames is False:
+            labels = [SOURCE_FRAME_LABEL, OBJECT_FRAME_LABEL]
+        else:
+            labels = [SOURCE_FRAME_LABEL, OBJECT_FRAME_LABEL] + list(additional_frames)
+        for label in labels:
+            self.frames[label].write.mode("overwrite").parquet(os.path.join(root, label))
+        metadata = {
+            "frames": labels,
+            "column_mapper": self.column_mapper.map if self.column_mapper else None,
+            "keep_empty_objects": self.keep_empty_objects,
+        }
+        with open(os.path.join(root, METADATA_FILENAME), "w") as fh:
+            json.dump(metadata, fh, indent=2)
+        return root
+
+    def from_ensemble(self, dirpath: str, additional_frames=True) -> "Ensemble":
+        """Reload a saved ensemble directory (parity: ``ensemble.py:1432-1533``)."""
+        with open(os.path.join(dirpath, METADATA_FILENAME)) as fh:
+            metadata = json.load(fh)
+        if metadata.get("column_mapper"):
+            self._load_column_mapper(ColumnMapper(**metadata["column_mapper"]))
+        self.keep_empty_objects = metadata.get("keep_empty_objects", False)
+        if additional_frames is True:
+            labels = metadata["frames"]
+        elif additional_frames is False:
+            labels = [SOURCE_FRAME_LABEL, OBJECT_FRAME_LABEL]
+        else:
+            labels = [SOURCE_FRAME_LABEL, OBJECT_FRAME_LABEL] + list(additional_frames)
+        for label in labels:
+            self.frames[label] = self.spark.read.parquet(os.path.join(dirpath, label))
+        self._source_dirty = False
+        self._object_dirty = False
+        return self
+
+    # ------------------------------------------------------------------ #
+    # local views                                                        #
+    # ------------------------------------------------------------------ #
+
+    def to_timeseries(
+        self,
+        target: int,
+        table: str = SOURCE_FRAME_LABEL,
+        id_col: Optional[str] = None,
+        time_col: Optional[str] = None,
+        flux_col: Optional[str] = None,
+        err_col: Optional[str] = None,
+        band_col: Optional[str] = None,
+    ) -> TimeSeries:
+        """Materialize one object's light curve as a local
+        :class:`TimeSeries` (predicate pushes down to the scan).
+        Parity: ``ensemble.py:2342-2401``."""
+        id_col = id_col or self._id_col
+        pdf = self._table_df(table).filter(F.col(id_col) == target).toPandas()
+        return TimeSeries().from_dataframe(
+            pdf,
+            object_id=target,
+            time_label=time_col or self._time_col,
+            flux_label=flux_col or self._flux_col,
+            err_label=err_col or self._err_col,
+            band_label=band_col or self._band_col,
+        )
+
+
+def _standardize_result(res, result_names: List[str], first_is_map: bool) -> pd.DataFrame:
+    """Normalize a batch() function result into a pandas DataFrame with the
+    declared result columns (the reference's ``_standardize_batch``,
+    ``ensemble.py:1239-1313``, adapted to schema-rigid Spark)."""
+    if isinstance(res, pd.DataFrame):
+        return res.reset_index(drop=True)
+    if isinstance(res, pd.Series):
+        if first_is_map:
+            return pd.DataFrame({result_names[0]: [dict(res)]})
+        if set(map(str, res.index)) >= set(result_names):
+            return pd.DataFrame([{k: res[k] for k in result_names}])
+        return pd.DataFrame({result_names[0]: res.reset_index(drop=True)})
+    if isinstance(res, dict):
+        if first_is_map:
+            return pd.DataFrame({result_names[0]: [res]})
+        if set(res) >= set(result_names):
+            return pd.DataFrame([{k: res[k] for k in result_names}])
+        raise ValueError(f"dict result keys {sorted(res)} do not cover schema {result_names}")
+    if isinstance(res, (list, tuple, np.ndarray)):
+        arr = np.asarray(res)
+        if arr.ndim == 0:
+            return pd.DataFrame({result_names[0]: [arr.item()]})
+        if arr.ndim == 1 and len(result_names) == 1:
+            return pd.DataFrame({result_names[0]: arr})
+        if arr.ndim == 1 and len(arr) == len(result_names):
+            return pd.DataFrame([dict(zip(result_names, arr))])
+        return pd.DataFrame(arr, columns=result_names)
+    return pd.DataFrame({result_names[0]: [res]})
