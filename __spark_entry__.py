@@ -1,38 +1,670 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship prune→batch workflow on sf0.001.
+``queries()`` registers one callable per implemented operator from
+SURVEY.md §2 (plus the data-pipeline extensions); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one.
+
+Conventions used so Spark and DuckDB results hash identically:
+- time columns are epoch seconds as double (``timestampdiff`` from the
+  NTZ epoch on the Spark side == DuckDB ``epoch(ts)``; timezone-free);
+- every float produced by an aggregation (or transcendental function) is
+  ``round(x, 6)`` on BOTH sides so last-ulp engine differences vanish;
+- every computed column is aliased identically on both sides.
+
+Light-curve mapping for the TPC-H-ish testdata: ``lineitem`` is the
+source table with id=l_orderkey, time=epoch(l_shipdate),
+flux=l_extendedprice, err=l_quantity, band=l_returnflag.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+EPOCH_EXPR = "cast(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) as double)"
+
+
+def _lineitem_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        "l_orderkey",
+        F.expr(EPOCH_EXPR.format(col="l_shipdate")).alias("t"),
+        "l_extendedprice",
+        "l_quantity",
+        "l_returnflag",
+    )
+
+
+def _ensemble(spark: SparkSession, sf_dir: str):
+    from tape_spark import ColumnMapper, Ensemble
+
+    cm = ColumnMapper(
+        id_col="l_orderkey",
+        time_col="t",
+        flux_col="l_extendedprice",
+        err_col="l_quantity",
+        band_col="l_returnflag",
+    )
+    return Ensemble(spark).from_spark(
+        _lineitem_source(spark, sf_dir), column_mapper=cm, npartitions=32
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS) which Spark only reads as a
+    # raw long; ns/1e9 gives epoch seconds matching DuckDB's epoch(ts).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("t", (F.col("ts").cast("double") / F.lit(1e9)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: ingest lineitem as light curves, prune thin curves, run a
+    batch(np.mean) over flux via applyInPandas — the reference's canonical
+    benchmark workflow (benchmarks.py:27-40) on Spark."""
+    ens = _ensemble(spark, "/root/testdata/sf0.001")
+    ens.prune(threshold=4)
+    result = ens.batch(np.mean, "l_extendedprice", meta=("result", float))
+    return result.select("l_orderkey", F.round("result", 6).alias("result"))
+
+
+# --------------------------------------------------------------------- #
+# TAPE-parity queries over lineitem-as-lightcurves                       #
+# --------------------------------------------------------------------- #
+
+
+def q_ingest_source(spark, sf_dir):
+    """from_parquet + critical-column projection (SURVEY §2.1)."""
+    return _ensemble(spark, sf_dir).source
+
+
+def q_calc_nobs(spark, sf_dir):
+    """groupBy(id).count() → object.nobs_total (SURVEY §2.5)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.calc_nobs()
+    return ens.object.select("l_orderkey", "nobs_total")
+
+
+def q_calc_nobs_by_band(spark, sf_dir):
+    """Per-band pivot counts (SURVEY §2.5)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.calc_nobs(by_band=True, band_values=["A", "N", "R"])
+    return ens.object.select("l_orderkey", "nobs_A", "nobs_N", "nobs_R", "nobs_total")
+
+
+def q_prune(spark, sf_dir):
+    """prune(threshold): objects with ≥5 observations (SURVEY §2.5)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.prune(threshold=5)
+    return ens.frames["object"].select("l_orderkey", "nobs_total")
+
+
+def q_prune_sync(spark, sf_dir):
+    """prune → implicit left-semi sync of the source table (SURVEY §1.2)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.prune(threshold=5)
+    return ens.source  # property access triggers the lazy sync
+
+
+def q_query_filter(spark, sf_dir):
+    """pandas-dialect query() filter (SURVEY §2.2)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.query("(l_extendedprice > 30000) & (l_quantity < 40)")
+    return ens.frames["source"]
+
+
+def q_assign_dropna(spark, sf_dir):
+    """assign() computed column + dropna(subset) (SURVEY §2.2)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.assign(flagged=F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")))
+    ens.dropna(subset=["flagged"])
+    return ens.frames["source"]
+
+
+def q_flux_to_mag(spark, sf_dir):
+    """convert_flux_to_mag with scalar zero point (SURVEY §2.3)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.convert_flux_to_mag(zero_point=25.0)
+    return ens.frames["source"].select(
+        "l_orderkey",
+        "t",
+        F.round("l_extendedprice_mag", 6).alias("mag"),
+        F.round("l_extendedprice_mag_err", 6).alias("mag_err"),
+    )
+
+
+def q_coalesce(spark, sf_dir):
+    """coalesce(first-non-null across columns) (SURVEY §2.2)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.assign(flag_or_null=F.expr("nullif(l_returnflag, 'N')"), fallback=F.lit("Z"))
+    ens.coalesce(["flag_or_null", "fallback"], "flag2")
+    return ens.frames["source"].select("l_orderkey", "flag2")
+
+
+def q_bin_sources(spark, sf_dir):
+    """bin_sources: weekly time-bucket partial+final aggregation (SURVEY §2.5)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.bin_sources(time_window=604800.0, count_col="bin_count")
+    return ens.frames["source"].select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round("t", 6).alias("t"),
+        F.round("l_extendedprice", 6).alias("flux_mean"),
+        F.round("l_quantity", 6).alias("err_agg"),
+        "bin_count",
+    )
+
+
+def q_head_sorted(spark, sf_dir):
+    """Deterministic top-100 (orderBy + limit) (SURVEY §2.6)."""
+    src = _ensemble(spark, sf_dir).source
+    return src.orderBy("l_orderkey", "t", "l_returnflag", "l_extendedprice", "l_quantity").limit(100)
+
+
+def q_batch_mean_flux(spark, sf_dir):
+    """batch(np.mean) — the grouped applyInPandas engine (SURVEY §2.7)."""
+    ens = _ensemble(spark, sf_dir)
+    result = ens.batch(np.mean, "l_extendedprice", meta=("result", float))
+    return result.select("l_orderkey", F.round("result", 6).alias("result"))
+
+
+def q_batch_amplitude(spark, sf_dir):
+    """batch() with a custom user kernel: half peak-to-peak amplitude."""
+    ens = _ensemble(spark, sf_dir)
+
+    def amplitude(flux):
+        return (np.max(flux) - np.min(flux)) / 2.0
+
+    result = ens.batch(amplitude, "l_extendedprice", meta=("amplitude", float))
+    return result.select("l_orderkey", F.round("amplitude", 6).alias("amplitude"))
+
+
+def q_batch_by_band(spark, sf_dir):
+    """batch(by_band=True): per-(id,band) groups pivoted to result_<band>."""
+    ens = _ensemble(spark, sf_dir)
+    result = ens.batch(
+        np.mean, "l_extendedprice", meta=("result", float), by_band=True, band_values=["A", "N", "R"]
+    )
+    return result.select(
+        "l_orderkey",
+        F.round("result_A", 6).alias("result_A"),
+        F.round("result_N", 6).alias("result_N"),
+        F.round("result_R", 6).alias("result_R"),
+    )
+
+
+def q_merge_orders(spark, sf_dir):
+    """Ensemble.merge with a broadcast dimension (SURVEY §2.4)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.calc_nobs()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    merged = ens.merge(orders, on="l_orderkey", how="inner", table="object", broadcast_right=True)
+    return merged.select("l_orderkey", "nobs_total", "o_totalprice")
+
+
+def q_sort_lightcurves(spark, sf_dir):
+    """sortWithinPartitions under cohesion; same row set (SURVEY §2.6)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.sort_lightcurves(by_band=True)
+    return ens.frames["source"]
+
+
+def q_save_load_roundtrip(spark, sf_dir):
+    """save_ensemble → from_ensemble parquet+metadata roundtrip (SURVEY §2.1)."""
+    from tape_spark import Ensemble
+
+    ens = _ensemble(spark, sf_dir)
+    root = ens.save_ensemble(os.path.join(_REPO_DIR, ".tmp"), f"ens_rt_{os.getpid()}")
+    return Ensemble(spark).from_ensemble(root).source
+
+
+def q_hour_histogram(spark, sf_dir):
+    """Hour-of-day observation histogram (find_day_gap_offset core, §2.5)."""
+    src = _ensemble(spark, sf_dir).source
+    return (
+        src.select((F.floor(F.col("t") / 3600) % 24).cast("int").alias("hour"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_stetson_j(spark, sf_dir):
+    """Stetson J per band via batch(); no SQL equivalent (SURVEY §2.8)."""
+    from tape_spark.analysis import calc_stetson_J
+
+    ens = _ensemble(spark, sf_dir)
+    ens.prune(threshold=5)
+    result = ens.batch(calc_stetson_J)
+    return result.select("l_orderkey", F.explode("stetsonJ").alias("band", "stetson_j"))
+
+
+def q_sf2_basic(spark, sf_dir):
+    """Structure function squared, per curve; no SQL equivalent (§2.8)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.prune(threshold=5)
+    return ens.sf2(sf_method="basic")
+
+
+def q_sf2_combine(spark, sf_dir):
+    """SF² combine mode: global binned aggregation; no SQL equivalent (§2.8)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.prune(threshold=5)
+    return ens.sf2(sf_method="basic", combine=True)
+
+
+# --------------------------------------------------------------------- #
+# data-pipeline extensions (documents / embeddings / events)             #
+# --------------------------------------------------------------------- #
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: survivor id + duplicate count per distinct text."""
+    from tape_spark.operators import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-bigram Jaccard pairs via inverted-index join."""
+    from tape_spark.operators import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), n=2, threshold=0.2)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (engine-specific hashes → rows-only check)."""
+    from tape_spark.operators import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(_docs(spark, sf_dir), num_hashes=64, bands=16, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash signatures (engine-specific hashes → rows-only check)."""
+    from tape_spark.operators import simhash_signatures
+
+    return simhash_signatures(_docs(spark, sf_dir), bits=32)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force oracle path)."""
+    from tape_spark.operators import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.5, brute_force=True)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors."""
+    from tape_spark.operators import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tk = cosine_topk(emb, queries_df, k=10)
+    return tk.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (approximate → rows-only check)."""
+    from tape_spark.operators import lsh_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tk = lsh_cosine_topk(emb, queries_df, k=10)
+    return tk.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    """Stopword-vote language ID heuristic."""
+    from tape_spark.operators import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality-scoring features (lengths, token stats, punctuation)."""
+    from tape_spark.operators import text_quality
+
+    q = text_quality(_docs(spark, sf_dir))
+    return q.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """BPE-ish regex + whitespace token counts."""
+    from tape_spark.operators import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Normalized-content SHA-256 fingerprint."""
+    from tape_spark.operators import document_fingerprint
+
+    return document_fingerprint(_docs(spark, sf_dir)).select("doc_id", "content_sha")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-payload packaging: byte length + checksum metadata."""
+    from tape_spark.operators.multimodal import attach_binary_payload
+
+    return attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain").select(
+        "media_id", "media_type", "n_bytes", "checksum"
+    )
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """mapInPandas decode plumbing with the deterministic stub decoder
+    (no SQL equivalent)."""
+    from tape_spark.operators.multimodal import attach_binary_payload, decode_media
+
+    media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
+    return decode_media(media, decoder="fake").select(
+        "media_id", "width", "height", "channels"
+    )
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 15-minute window aggregation over the events stream table
+    (batch equivalent of the Structured Streaming path)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.floor(F.col("t") / 900)).cast("long").alias("window_id"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap splits sessions per user."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("t").over(w).isNull() | ((F.col("t") - F.lag("t").over(w)) > 1800), 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """JSON property extraction from the events props column."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ingest_source": q_ingest_source,
+        "calc_nobs": q_calc_nobs,
+        "calc_nobs_by_band": q_calc_nobs_by_band,
+        "prune": q_prune,
+        "prune_sync": q_prune_sync,
+        "query_filter": q_query_filter,
+        "assign_dropna": q_assign_dropna,
+        "flux_to_mag": q_flux_to_mag,
+        "coalesce": q_coalesce,
+        "bin_sources": q_bin_sources,
+        "head_sorted": q_head_sorted,
+        "batch_mean_flux": q_batch_mean_flux,
+        "batch_amplitude": q_batch_amplitude,
+        "batch_by_band": q_batch_by_band,
+        "merge_orders": q_merge_orders,
+        "sort_lightcurves": q_sort_lightcurves,
+        "save_load_roundtrip": q_save_load_roundtrip,
+        "hour_histogram": q_hour_histogram,
+        "stetson_j": q_stetson_j,
+        "sf2_basic": q_sf2_basic,
+        "sf2_combine": q_sf2_combine,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
+        "events_json": q_events_json,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_CRITICAL_SELECT = (
+    "SELECT l_orderkey, epoch(l_shipdate) AS t, l_extendedprice, l_quantity, l_returnflag FROM lineitem"
+)
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+"""
+
+_LANGID_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it)\\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|zu)\\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|que|dans)\\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que|por|con)\\b')) AS s_es,
+    len(regexp_extract_all(text, '[一-鿿]')) > 0 AS has_cjk
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN has_cjk THEN 'zh'
+       WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM scored
+"""
+
+_ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
+  FROM embeddings c, q
+)
+SELECT query_id, corpus_id, round(sim, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+_EMB_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
+"""
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+    CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id) IS NULL
+          OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ingest_source": _CRITICAL_SELECT,
+        "calc_nobs": (
+            "SELECT l_orderkey, count(*) AS nobs_total FROM lineitem GROUP BY l_orderkey"
+        ),
+        "calc_nobs_by_band": (
+            "SELECT l_orderkey, "
+            "count(*) FILTER (WHERE l_returnflag = 'A') AS nobs_A, "
+            "count(*) FILTER (WHERE l_returnflag = 'N') AS nobs_N, "
+            "count(*) FILTER (WHERE l_returnflag = 'R') AS nobs_R, "
+            "count(*) AS nobs_total FROM lineitem GROUP BY l_orderkey"
+        ),
+        "prune": (
+            "SELECT l_orderkey, count(*) AS nobs_total FROM lineitem "
+            "GROUP BY l_orderkey HAVING count(*) >= 5"
+        ),
+        "prune_sync": (
+            _CRITICAL_SELECT
+            + " WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 5)"
+        ),
+        "query_filter": (
+            _CRITICAL_SELECT + " WHERE l_extendedprice > 30000 AND l_quantity < 40"
+        ),
+        "assign_dropna": (
+            "SELECT l_orderkey, epoch(l_shipdate) AS t, l_extendedprice, l_quantity, l_returnflag, "
+            "l_extendedprice AS flagged FROM lineitem WHERE l_quantity > 25"
+        ),
+        "flux_to_mag": (
+            "SELECT l_orderkey, epoch(l_shipdate) AS t, "
+            "round(-2.5 * log10(l_extendedprice) + 25.0, 6) AS mag, "
+            "round((2.5 / ln(10)) * (l_quantity / l_extendedprice), 6) AS mag_err "
+            "FROM lineitem"
+        ),
+        "coalesce": (
+            "SELECT l_orderkey, coalesce(nullif(l_returnflag, 'N'), 'Z') AS flag2 FROM lineitem"
+        ),
+        "bin_sources": (
+            "SELECT l_orderkey, l_returnflag, "
+            "round(avg(epoch(l_shipdate)), 6) AS t, "
+            "round(avg(l_extendedprice), 6) AS flux_mean, "
+            "round(sqrt(sum(l_quantity * l_quantity)) / count(*), 6) AS err_agg, "
+            "count(*) AS bin_count "
+            "FROM lineitem GROUP BY l_orderkey, l_returnflag, floor(epoch(l_shipdate) / 604800)"
+        ),
+        "head_sorted": (
+            _CRITICAL_SELECT
+            + " ORDER BY l_orderkey, t, l_returnflag, l_extendedprice, l_quantity LIMIT 100"
+        ),
+        "batch_mean_flux": (
+            "SELECT l_orderkey, round(avg(l_extendedprice), 6) AS result FROM lineitem GROUP BY l_orderkey"
+        ),
+        "batch_amplitude": (
+            "SELECT l_orderkey, round((max(l_extendedprice) - min(l_extendedprice)) / 2, 6) AS amplitude "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "batch_by_band": (
+            "SELECT l_orderkey, "
+            "round(avg(l_extendedprice) FILTER (WHERE l_returnflag = 'A'), 6) AS result_A, "
+            "round(avg(l_extendedprice) FILTER (WHERE l_returnflag = 'N'), 6) AS result_N, "
+            "round(avg(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 6) AS result_R "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "merge_orders": (
+            "SELECT c.l_orderkey, c.nobs_total, o.o_totalprice FROM "
+            "(SELECT l_orderkey, count(*) AS nobs_total FROM lineitem GROUP BY l_orderkey) c "
+            "JOIN orders o ON o.o_orderkey = c.l_orderkey"
+        ),
+        "sort_lightcurves": _CRITICAL_SELECT,
+        "save_load_roundtrip": _CRITICAL_SELECT,
+        "hour_histogram": (
+            "SELECT CAST(CAST(floor(epoch(l_shipdate) / 3600) AS BIGINT) % 24 AS INT) AS hour, "
+            "count(*) AS n FROM lineitem GROUP BY 1"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"
+        ),
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "ann_cosine_topk": _ANN_TOPK_SQL,
+        "text_langid": _LANGID_SQL,
+        "text_quality": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
+            "round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE "
+            "length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS avg_token_len, "
+            "round(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio "
+            "FROM documents"
+        ),
+        "token_count": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens, "
+            "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens "
+            "FROM documents"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_sha FROM documents"
+        ),
+        "multimodal_meta": (
+            "SELECT doc_id AS media_id, 'text/plain' AS media_type, "
+            "CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS checksum FROM documents"
+        ),
+        "events_tumbling": (
+            "SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS window_id, event_type, "
+            "count(*) AS n, round(avg(value), 6) AS avg_value FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": _SESSIONIZE_SQL,
+        "events_json": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+        ),
+    }

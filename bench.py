@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline workloads at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workloads mirror the reference's asv suite (benchmarks/benchmarks.py:27-40)
+plus the scale-path pipeline operators:
+  q1 batch_mean   — groupBy(id).applyInPandas(np.mean) throughput
+  q2 prune_sync   — count-filter + implicit left-semi sync + head
+  q3 sf2_basic    — SF² kernel over all curves (UDF-bound)
+  q4 minhash_lsh  — MinHash+LSH near-dup over documents
+  q5 ann_topk     — brute-force cosine top-k over embeddings
+  q6 bin_sources  — time-bucket partial aggregation
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as em
+
+    timings = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    ens = em._ensemble(spark, SF_DIR)
+    ens.frames["source"] = ens.frames["source"].persist()
+    ens.frames["source"].count()  # warm the cache so workloads measure compute
+
+    run("q1_batch_mean", lambda: ens.batch(np.mean, "l_extendedprice", meta=("result", float)).count())
+
+    def prune_sync():
+        e = em._ensemble(spark, SF_DIR)
+        e.prune(threshold=5)
+        e.source.limit(5).collect()
+
+    run("q2_prune_sync", prune_sync)
+
+    def sf2():
+        e = em._ensemble(spark, SF_DIR)
+        e.prune(threshold=5)
+        e.sf2(sf_method="basic").count()
+
+    run("q3_sf2_basic", sf2)
+
+    docs = em._docs(spark, SF_DIR)
+    from tape_spark.operators import cosine_topk, minhash_near_duplicates
+
+    run(
+        "q4_minhash_lsh",
+        lambda: minhash_near_duplicates(docs, num_hashes=64, bands=16, threshold=0.3).count(),
+    )
+
+    emb = em._emb(spark, SF_DIR)
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    run("q5_ann_topk", lambda: cosine_topk(emb, queries_df, k=10).count())
+
+    def bins():
+        e = em._ensemble(spark, SF_DIR)
+        e.bin_sources(time_window=604800.0, count_col="bin_count")
+        e.frames["source"].count()
+
+    run("q6_bin_sources", bins)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

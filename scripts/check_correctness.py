@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on local Spark, runs the matching
+``oracle_sql()`` in DuckDB over the same parquet, and compares row count,
+column names, and values (rows sorted by all columns; floats compared to
+1e-9 relative). Queries without an oracle get a rows-only check.
+
+Usage: python scripts/check_correctness.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
+    if len(spark_pdf) != len(oracle_pdf):
+        return f"ROWCOUNT {len(spark_pdf)} vs {len(oracle_pdf)}"
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        return f"SCHEMA {s_cols} vs {o_cols}"
+    s = spark_pdf[s_cols].sort_values(s_cols, kind="mergesort").reset_index(drop=True)
+    o = oracle_pdf[o_cols].sort_values(o_cols, kind="mergesort").reset_index(drop=True)
+    for c in s_cols:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sa = sv.astype(float).to_numpy()
+            oa = ov.astype(float).to_numpy()
+            ok = np.isclose(sa, oa, rtol=1e-9, atol=1e-12, equal_nan=True)
+            if not ok.all():
+                i = int(np.argmin(ok))
+                return f"VALUES col={c} row={i}: {sa[i]!r} vs {oa[i]!r}"
+        else:
+            sa = sv.astype(str).to_numpy()
+            oa = ov.astype(str).to_numpy()
+            if not (sa == oa).all():
+                i = int(np.argmin(sa == oa))
+                return f"VALUES col={c} row={i}: {sa[i]!r} vs {oa[i]!r}"
+    return "OK"
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"PASS {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: ORACLE ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        verdict = compare(sdf, odf)
+        status = "PASS" if verdict == "OK" else "FAIL"
+        if status == "PASS":
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"{status} {name}: {verdict} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -490,6 +490,42 @@ class Ensemble:
         self.frames[table] = df
         return self
 
+    def merge(
+        self,
+        right: Union[DataFrame, str],
+        on: Union[str, List[str], None] = None,
+        how: str = "inner",
+        table: str = SOURCE_FRAME_LABEL,
+        broadcast_right: bool = False,
+        label: Optional[str] = None,
+    ) -> DataFrame:
+        """Relational merge of a tracked table with another frame.
+
+        ``right`` may be a DataFrame or a tracked frame label. Catalyst/AQE
+        picks broadcast vs sort-merge automatically; ``broadcast_right``
+        forces the hint for known-small dimensions.
+        Parity: ``ensemble_frame.py:313-406`` (merge) / ``:408-468`` (join).
+        """
+        left = self._table_df(table)
+        if isinstance(right, str):
+            right = self.select_frame(right)
+        if broadcast_right:
+            right = F.broadcast(right)
+        on = on or self._id_col
+        result = left.join(right, on=on, how=how)
+        self.add_frame(result, label or self._generate_label())
+        return result
+
+    def join(
+        self,
+        other: Union[DataFrame, str],
+        how: str = "left",
+        table: str = SOURCE_FRAME_LABEL,
+        label: Optional[str] = None,
+    ) -> DataFrame:
+        """Index (id-column) join — thin wrapper over :meth:`merge`."""
+        return self.merge(other, on=self._id_col, how=how, table=table, label=label)
+
     def sample(self, frac: float, replace: bool = False, random_state: Optional[int] = None) -> "Ensemble":
         """Random sample of *objects*, propagated to sources via sync;
         returns a new Ensemble. Parity: ``ensemble.py:524-581``."""

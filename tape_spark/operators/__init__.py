@@ -1,0 +1,35 @@
+"""Large-scale data-pipeline operators beyond the reference's surface:
+deduplication, similarity search, text analysis, multimodal plumbing.
+
+These are Spark-first designs for the 100 TB training-data-pipeline case:
+inverted-index joins instead of all-pairs, minhash banding instead of full
+Jaccard matrices, JVM-side expressions wherever the semantics allow.
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    embedding_near_duplicates,
+)
+from .similarity import cosine_topk, lsh_cosine_topk
+from .text import language_id, text_quality, token_count, document_fingerprint
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "embedding_near_duplicates",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "language_id",
+    "text_quality",
+    "token_count",
+    "document_fingerprint",
+]

@@ -1,0 +1,275 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+and embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- Exact dedup is one hash-grouped aggregation (map-side combine).
+- Near-dup NEVER does an all-pairs comparison. Candidate generation is an
+  inverted-index (shingle or LSH-band) equi-join, so cost scales with the
+  number of *colliding* pairs, not N².
+- All hashing uses ``xxhash64`` — JVM-side, whole-stage-codegen friendly.
+- Signatures are fixed-width arrays of longs; banding turns them into
+  equi-join keys so Catalyst plans an ordinary shuffle join (skew handled
+  by AQE).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokenization and n-gram assembly are pure built-in expressions
+    (split + transform over a sequence) — no Python in the hot path.
+    """
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ngrams = F.expr(
+        f"transform(sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n - 1}, 0)), "
+        f"i -> array_join(slice(split(trim(lower({text_col})), '\\\\s+'), i, {n}), ' '))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(ngrams).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate removal: keep the lowest id per distinct text.
+
+    One hash aggregation: ``groupBy(text).agg(min(id), count)``. At scale,
+    group by ``xxhash64(text)`` first to shrink shuffle width (two texts
+    colliding on a 64-bit hash is negligible; a final equality check can be
+    layered on if required).
+
+    Returns ``(doc_id, dup_count)`` — the survivor id and how many rows it
+    represents.
+    """
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .select(id_col, "dup_count")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index plan: explode distinct shingles, self-join on the
+    shingle (each shared shingle yields one pair row), count shared
+    shingles per pair, then ``|A∩B| / (|A| + |B| − |A∩B|)``. The join
+    fan-out is bounded by shingle document frequency — at 100 TB, drop
+    ultra-common shingles first (a WHERE on document frequency) to cap
+    skew; AQE split handles the rest.
+    """
+    shingles = _word_shingles(df, text_col, id_col, n)
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    pair_counts = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        pair_counts.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection") / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """MinHash signatures: (id, array<long> of ``num_hashes`` minima).
+
+    Each hash function is ``xxhash64(shingle, seed=i)``; the signature is
+    ``num_hashes`` MIN aggregates over one exploded-shingle shuffle —
+    entirely JVM-side, one pass.
+    """
+    shingles = _word_shingles(df, text_col, id_col, shingle_n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingles.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: documents sharing any (band-index, band-hash) bucket
+    become candidate pairs.
+
+    The signature is sliced into ``bands`` runs of ``rows_per_band``; each
+    run is hashed to one bucket key. Bucket membership is an equi-join —
+    never an all-pairs scan. Returns distinct ``(id_a, id_b)``.
+    """
+    band_entries = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> named_struct('band', b, 'bucket', xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), b)))"
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 2,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified.
+
+    Candidates from banding, then *verified* by estimating Jaccard as the
+    fraction of agreeing signature positions (zip_with over the two
+    signature arrays — built-in, no re-shingling join). Returns
+    ``(id_a, id_b, est_jaccard)`` above ``threshold``.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    candidates = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """SimHash: one 64-bit signature per document from token hashes.
+
+    Per bit b, sum +1/−1 over tokens according to bit b of
+    ``xxhash64(token)``, then take the sign — all built-in expressions:
+    explode tokens → 64 conditional-sum aggregates → bit reassembly.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).withColumn("th", F.xxhash64("token"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(*sums)
+    # reassemble: sum of 2^b over bits whose vote is positive
+    sig = None
+    for b in range(bits - 1):  # skip the sign bit to stay in long range
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    seed: int = 7,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Scale path (default): random-hyperplane LSH — documents agreeing on all
+    ``num_planes`` sign bits land in one bucket; cosine is computed only
+    within buckets. ``brute_force=True`` compares all pairs (oracle /
+    small-data path). Returns ``(id_a, id_b, cosine)`` ≥ threshold.
+    """
+    import numpy as np
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = emb.select(F.col(id_col), v.alias("v"), norm.alias("norm"))
+
+    if not brute_force:
+        dim = len(emb.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((num_planes, dim))
+        bucket = None
+        for p in range(num_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            dot = F.aggregate(F.zip_with(F.col("v"), plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            bit = F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        base = base.withColumn("bucket", bucket)
+        a = base.alias("a")
+        b = base.alias("b")
+        joined = a.join(b, on=[F.col("a.bucket") == F.col("b.bucket")])
+    else:
+        a = base.alias("a")
+        b = base.alias("b")
+        joined = a.crossJoin(b)
+
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("cosine", dot_ab / (F.col("a.norm") * F.col("b.norm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,152 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything except the winnowing fingerprint is pure built-in expressions
+(regexp/split/length — JVM-side, codegen-friendly); the fingerprint's
+rolling-hash window-minimum runs as an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Small per-language stopword lists for the n-gram voting heuristic.
+# Order matters: ties break toward the earlier entry.
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "que", "dans"],
+    "es": ["el", "los", "las", "es", "una", "que", "por", "con"],
+}
+CJK_PATTERN = r"[一-鿿]"
+
+# BPE-ish tokenization: letter runs, digit runs, or single non-space symbols.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def _stopword_hits(text_col, words) -> "F.Column":
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pattern), F.lit(1)))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: per-language stopword vote + CJK detection.
+
+    Each language scores the count of its stopword matches; CJK characters
+    force ``zh``; the argmax (ties → earlier language, zero hits →
+    ``'und'``) is the prediction. Deterministic and SQL-expressible, so a
+    cross-engine oracle can verify it exactly.
+    """
+    scored = df.select(
+        F.col(id_col),
+        *[_stopword_hits(F.col(text_col), ws).alias(f"score_{lang}") for lang, ws in LANG_STOPWORDS.items()],
+        (F.size(F.regexp_extract_all(F.col(text_col), F.lit(CJK_PATTERN), F.lit(0))) > 0).alias("has_cjk"),
+    )
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(F.col("has_cjk"), F.lit("zh")).when(best <= 0, F.lit("und"))
+    for lang in langs:  # first language reaching the max wins
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring features: lengths, token stats, punctuation ratio.
+
+    Columns: ``n_chars``, ``n_tokens`` (whitespace), ``avg_token_len``,
+    ``punct_ratio``. All built-in expressions; thresholds for filtering are
+    the caller's policy.
+    """
+    text = F.col(text_col)
+    tokens = F.split(F.trim(text), r"\s+")
+    n_chars = F.length(text)
+    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens))
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (
+            F.when(n_tokens > 0, F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / n_tokens)
+            .otherwise(F.lit(0.0))
+        ).alias("avg_token_len"),
+        (F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))).alias("punct_ratio"),
+    )
+
+
+def token_count(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = BPE_ISH_PATTERN,
+) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    single symbols) plus a plain whitespace count."""
+    text = F.lower(F.col(text_col))
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long").alias("n_bpe_tokens"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(ws))
+        .cast("long")
+        .alias("n_ws_tokens"),
+    )
+
+
+def document_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprints: a normalized-content SHA plus winnowed
+    rolling-hash fingerprints.
+
+    ``content_sha`` is ``sha2`` of the whitespace-collapsed lowercased text
+    (built-in; exact-dup detection robust to spacing). ``winnow`` applies
+    the standard winnowing scheme (Schleimer et al. 2003): polynomial
+    rolling hashes of ``k``-grams, minimum per sliding ``window`` —
+    an Arrow-batched pandas UDF since it's inherently sequential per doc.
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def winnow(texts: pd.Series) -> pd.Series:
+        base, mod = 257, (1 << 61) - 1
+        out = []
+        for t in texts:
+            s = " ".join(str(t).lower().split())
+            if len(s) < k:
+                out.append([])
+                continue
+            vals = np.frombuffer(s.encode("utf-8", "replace")[: len(s)], dtype=np.uint8)
+            # rolling hash of all k-grams
+            h = 0
+            power = pow(base, k - 1, mod)
+            hashes = []
+            for i, c in enumerate(vals):
+                h = (h * base + int(c)) % mod
+                if i >= k - 1:
+                    hashes.append(h)
+                    h = (h - int(vals[i - k + 1]) * power) % mod
+            arr = np.asarray(hashes, dtype=np.int64)
+            if arr.size <= window:
+                out.append([int(arr.min())] if arr.size else [])
+                continue
+            mins = {int(arr[i : i + window].min()) for i in range(arr.size - window + 1)}
+            out.append(sorted(mins))
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        F.sha2(normalized, 256).alias("content_sha"),
+        winnow(F.col(text_col)).alias("winnow"),
+    )
