@@ -477,10 +477,18 @@ class Ensemble:
         drop_inputs: bool = False,
     ) -> "Ensemble":
         """First-non-null across ``input_cols`` → ``output_col``; built-in
-        ``F.coalesce``. Re-maps a critical column role when its source column
-        is dropped. Parity: ``ensemble_frame.py:1136-1208``."""
+        ``F.coalesce``. The reference's pandas ``combine_first`` treats NaN
+        as missing, so float columns are NaN-masked before coalescing.
+        Re-maps a critical column role when its source column is dropped.
+        Parity: ``ensemble_frame.py:1136-1208``."""
         df = self._table_df(table)
-        df = df.withColumn(output_col, F.coalesce(*[F.col(c) for c in input_cols]))
+        parts = []
+        for c in input_cols:
+            if isinstance(df.schema[c].dataType, (T.DoubleType, T.FloatType)):
+                parts.append(F.when(~F.isnan(F.col(c)), F.col(c)))
+            else:
+                parts.append(F.col(c))
+        df = df.withColumn(output_col, F.coalesce(*parts))
         if drop_inputs:
             for role, col in list(self.column_mapper.map.items()):
                 if col in input_cols:

@@ -27,10 +27,14 @@ def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     Tokenization and n-gram assembly are pure built-in expressions
     (split + transform over a sequence) — no Python in the hot path.
     """
-    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_tok = f"size(split(trim(lower({text_col})), '\\\\s+'))"
+    # Documents shorter than n tokens (including empty text) yield no
+    # shingles; the CASE guard avoids sequence(1, 0) → slice(…, 0, …) errors.
     ngrams = F.expr(
-        f"transform(sequence(1, greatest(size(split(trim(lower({text_col})), '\\\\s+')) - {n - 1}, 0)), "
-        f"i -> array_join(slice(split(trim(lower({text_col})), '\\\\s+'), i, {n}), ' '))"
+        f"CASE WHEN {n_tok} >= {n} THEN "
+        f"transform(sequence(1, {n_tok} - {n - 1}), "
+        f"i -> array_join(slice(split(trim(lower({text_col})), '\\\\s+'), i, {n}), ' ')) "
+        f"ELSE array() END"
     )
     return (
         df.select(F.col(id_col), F.explode(ngrams).alias("shingle"))

@@ -135,6 +135,6 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) 
         f"transform(sequence(0, least(int(n_bytes / {every_n_bytes}), {max_frames - 1})), "
         f"i -> substring(payload, i * {every_n_bytes} + 1, {every_n_bytes}))"
     )
-    return df.select("media_id", F.explode(frames).alias("frame")).withColumn(
-        "frame_bytes", F.length("frame").cast("long")
-    )
+    return df.select(
+        "media_id", F.posexplode(frames).alias("frame_index", "frame")
+    ).withColumn("frame_bytes", F.length("frame").cast("long"))

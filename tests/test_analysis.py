@@ -1,0 +1,286 @@
+"""Analysis-kernel tests with the reference's golden values
+(``test_ensemble.py:1934-1963`` StetsonJ, ``test_analysis.py:138-158``
+sf2 base case) plus per-calculator unit tests
+(``tests/tape_tests/structure_function_calculators/``)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tape_spark.analysis import (
+    SF_METHODS,
+    StructureFunctionArgumentContainer,
+    calc_sf2,
+    calc_stetson_J,
+)
+from tape_spark.analysis.light_curve import LightCurve, StructureFunctionLightCurve
+from tape_spark.analysis.structure_function.base_calculator import (
+    binned_statistic,
+    compute_dt_bins,
+)
+
+# The reference's 8-point test curve (test_analysis.py:144-147).
+TEST_T = [1.11, 2.23, 3.45, 4.01, 5.67, 6.32, 7.88, 8.2]
+TEST_Y = [0.11, 0.23, 0.45, 0.01, 0.67, 0.32, 0.88, 0.2]
+TEST_YERR = [0.1, 0.023, 0.045, 0.1, 0.067, 0.032, 0.8, 0.02]
+
+
+def test_sf2_base_case_golden():
+    res = calc_sf2(
+        time=TEST_T,
+        flux=TEST_Y,
+        err=TEST_YERR,
+        band=np.array(["r"] * 8),
+        lc_id=[1] * 8,
+    )
+    assert res["dt"][0] == pytest.approx(3.1482, rel=0.001)
+    assert res["sf2"][0] == pytest.approx(0.005365, rel=0.001)
+
+
+def test_sf2_all_none_times():
+    res = calc_sf2(
+        time=np.array([None] * 8),
+        flux=TEST_Y,
+        err=TEST_YERR,
+        band=np.array(["r"] * 8),
+        lc_id=[1] * 8,
+    )
+    assert len(res) > 0  # falls back to ordinal times
+
+
+def test_sf2_scalar_err():
+    res = calc_sf2(
+        time=TEST_T, flux=TEST_Y, err=0.1, band=np.array(["r"] * 8), lc_id=[1] * 8
+    )
+    assert len(res) > 0
+
+
+def test_sf2_band_to_calc_filter():
+    band = np.array(["r", "r", "r", "r", "g", "g", "g", "g"])
+    container = StructureFunctionArgumentContainer()
+    container.band_to_calc = "r"
+    res = calc_sf2(
+        time=TEST_T, flux=TEST_Y, err=TEST_YERR, band=band, lc_id=[1] * 8,
+        argument_container=container,
+    )
+    assert set(res["band"]) == {"r"}
+
+
+def test_sf2_wrong_length_band_raises():
+    with pytest.raises(ValueError, match="same length"):
+        calc_sf2(time=TEST_T, flux=TEST_Y, err=TEST_YERR, band=np.array(["r"] * 3), lc_id=[1] * 8)
+
+
+def test_sf2_method_mismatch_raises():
+    container = StructureFunctionArgumentContainer()
+    container.sf_method = "basic"
+    # explicitly asking for a different method than the container was built for
+    with pytest.raises((ValueError, TypeError)):
+        calc_sf2(
+            time=TEST_T, flux=TEST_Y, err=TEST_YERR, band=np.array(["r"] * 8),
+            lc_id=[1] * 8, sf_method="no_such_method", argument_container=container,
+        )
+
+
+@pytest.mark.parametrize("method", ["basic", "macleod_2012", "bauer_2009a", "bauer_2009b", "schmidt_2010"])
+def test_all_sf_methods_run(method):
+    rng = np.random.default_rng(11)
+    n = 50
+    res = calc_sf2(
+        time=np.sort(rng.uniform(0, 100, n)),
+        flux=rng.normal(10, 1, n),
+        err=np.abs(rng.normal(0.1, 0.01, n)),
+        band=np.array(["g"] * n),
+        lc_id=[7] * n,
+        sf_method=method,
+    )
+    assert len(res) > 0
+    assert res["dt"].is_monotonic_increasing
+
+
+def test_sf_registry_complete():
+    assert set(SF_METHODS) == {"basic", "macleod_2012", "bauer_2009a", "bauer_2009b", "schmidt_2010"}
+
+
+# One shared 3-point curve (the SF minimum): pairs give
+# dt = [1, 3, 2], d_flux = [2, 5, 3], err^2-sums = [0.05, 0.10, 0.13].
+_T3, _F3, _E3 = np.array([1.0, 2.0, 4.0]), np.array([1.0, 3.0, 6.0]), np.array([0.1, 0.2, 0.3])
+_DF = np.array([2.0, 5.0, 3.0])
+_E2 = np.array([0.05, 0.10, 0.13])
+
+
+def _one_bin_calc(method):
+    lc = StructureFunctionLightCurve(times=_T3, fluxes=_F3, errors=_E3)
+    container = SF_METHODS[method].expected_argument_container()()
+    container.sf_method = method
+    container.bins = [0.0, 5.0]
+    return SF_METHODS[method](lightcurves=[lc], argument_container=container)
+
+
+def test_basic_calculator_exact():
+    dts, sf2s = _one_bin_calc("basic").calculate()
+    assert np.isclose(dts[0][0], 2.0)
+    assert np.isclose(sf2s[0][0], np.mean(_DF**2 - _E2))
+
+
+def test_bauer_2009a_exact():
+    _, sf2s = _one_bin_calc("bauer_2009a").calculate()
+    assert np.isclose(sf2s[0][0], np.mean(_DF**2) - np.mean(_E2))
+
+
+def test_bauer_2009b_exact():
+    _, sf2s = _one_bin_calc("bauer_2009b").calculate()
+    assert np.isclose(sf2s[0][0], (np.pi / 2) * np.mean(np.abs(_DF)) ** 2 - np.mean(_E2))
+
+
+def test_schmidt_2010_exact():
+    _, sf2s = _one_bin_calc("schmidt_2010").calculate()
+    expected = np.mean(np.sqrt(np.pi / 2) * np.abs(_DF) - np.sqrt(_E2)) ** 2
+    assert np.isclose(sf2s[0][0], expected)
+
+
+def test_macleod_2012_exact():
+    _, sf2s = _one_bin_calc("macleod_2012").calculate()
+    q75, q25 = np.percentile(_DF, [75, 25])
+    assert np.isclose(sf2s[0][0], (0.74 * (q75 - q25)) ** 2)
+
+
+def test_degenerate_curve_does_not_crash_ragged():
+    """A curve with all-duplicate timestamps yields zero positive-dt pairs;
+    the estimator must skip it rather than raise on ragged arrays
+    (ADVICE r1, low: calculators.py ragged np.asarray)."""
+    good = StructureFunctionLightCurve(
+        times=np.array([1.0, 2.0, 3.0]), fluxes=np.array([1.0, 2.0, 3.0]),
+        errors=np.array([0.1, 0.1, 0.1]),
+    )
+    degenerate = StructureFunctionLightCurve(
+        times=np.array([5.0, 5.0, 5.0]), fluxes=np.array([1.0, 2.0, 3.0]),
+        errors=np.array([0.1, 0.1, 0.1]),
+    )
+    container = StructureFunctionArgumentContainer()
+    container.bins = [0.0, 10.0]
+    for method in ("basic", "bauer_2009a", "bauer_2009b"):
+        calc = SF_METHODS[method](lightcurves=[good, degenerate], argument_container=container)
+        dts, sf2s = calc.calculate()
+        assert len(dts) == 2
+        assert dts[1].size == 0  # degenerate curve contributes nothing
+
+
+def test_binned_statistic_matches_manual():
+    x = np.array([0.5, 1.5, 1.6, 2.5, 3.0])
+    v = np.array([1.0, 2.0, 4.0, 8.0, 16.0])
+    stat, edges, _ = binned_statistic(x, v, statistic="mean", bins=[0.0, 1.0, 2.0, 3.0])
+    assert np.isclose(stat[0], 1.0)
+    assert np.isclose(stat[1], 3.0)
+    assert np.isclose(stat[2], 12.0)  # right edge inclusive in last bin
+
+
+def test_binned_statistic_callable_and_empty_bins():
+    x = np.array([0.5, 2.5])
+    v = np.array([3.0, 7.0])
+    stat, _, _ = binned_statistic(x, v, statistic=np.max, bins=[0.0, 1.0, 2.0, 3.0])
+    assert stat[0] == 3.0 and np.isnan(stat[1]) and stat[2] == 7.0
+
+
+@pytest.mark.parametrize("method", ["size", "length", "loglength"])
+def test_compute_dt_bins_cover_all_samples(method):
+    rng = np.random.default_rng(3)
+    dts = rng.uniform(0.1, 50.0, 500)
+    edges = compute_dt_bins(dts, method, count_target=100)
+    assert edges[0] <= dts.min() or np.isclose(edges[0], dts.min())
+    assert edges[-1] >= dts.max() or np.isclose(edges[-1], dts.max())
+    idx = np.digitize(dts, edges) - 1
+    # float round-trip (exp∘log) can land the max a hair past the last edge
+    idx[np.isclose(dts, edges[-1]) | (dts >= edges[-1])] = edges.size - 2
+    assert ((idx >= 0) & (idx <= edges.size - 2)).all()
+
+
+def test_stetson_j_constant_curve_near_zero():
+    rng = np.random.default_rng(5)
+    n = 500
+    err = np.full(n, 0.1)
+    flux = 10.0 + rng.normal(0, 0.1, n)
+    out = calc_stetson_J(flux, err, np.array(["g"] * n))
+    assert abs(out["g"]) < 0.6  # pure noise → J ≈ 0 (statistical bound)
+
+
+def test_stetson_j_variable_curve_positive():
+    rng = np.random.default_rng(6)
+    n = 500
+    err = np.full(n, 0.1)
+    flux = 10.0 + 5.0 * np.sin(np.linspace(0, 20, n)) + rng.normal(0, 0.1, n)
+    out = calc_stetson_J(flux, err, np.array(["g"] * n))
+    assert out["g"] > 10  # strong coherent variability
+
+
+def test_stetson_j_band_selection_and_missing_band():
+    flux = np.array([1.0, 2.0, 3.0, 4.0])
+    err = np.array([0.1, 0.1, 0.1, 0.1])
+    band = np.array(["g", "g", "r", "r"])
+    out = calc_stetson_J(flux, err, band, band_to_calc=["g", "z"])
+    assert set(out) == {"g", "z"}
+    assert np.isnan(out["z"])
+
+
+def test_stetson_j_single_point_nan():
+    out = calc_stetson_J(np.array([1.0]), np.array([0.1]), np.array(["g"]))
+    assert np.isnan(out["g"])
+
+
+def test_light_curve_nan_filtering():
+    lc = LightCurve(
+        times=np.array([1.0, 2.0, np.nan, 4.0]),
+        fluxes=np.array([1.0, np.nan, 3.0, 4.0]),
+        errors=np.array([0.1, 0.1, 0.1, 0.1]),
+    )
+    assert len(lc._times) == 2  # rows 0 and 3 survive
+
+
+def test_light_curve_minimum_points():
+    with pytest.raises(ValueError):
+        StructureFunctionLightCurve(
+            times=np.array([1.0]), fluxes=np.array([1.0]), errors=np.array([0.1])
+        )
+
+
+def test_sf_light_curve_pairwise_differences():
+    lc = StructureFunctionLightCurve(
+        times=np.array([1.0, 2.0, 4.0]), fluxes=np.array([1.0, 3.0, 6.0]),
+        errors=np.array([0.1, 0.2, 0.3]),
+    )
+    assert sorted(lc._all_d_times.tolist()) == [1.0, 2.0, 3.0]
+    # d_fluxes correspond to (later - earlier) for positive dt pairs
+    assert sorted(np.abs(lc._all_d_fluxes).tolist()) == [2.0, 3.0, 5.0]
+
+
+# ------------------------------------------------------------------ #
+# golden end-to-end through the Spark engine                          #
+# ------------------------------------------------------------------ #
+
+
+def test_golden_stetson_j_through_batch(golden_ensemble):
+    """The reference's flagship integration test
+    (test_ensemble.py:1934-1963): prune(10) → dropna → batch(StetsonJ)
+    must reproduce g ≈ -0.04174282 and r ≈ 0.6075282."""
+    ens = golden_ensemble
+    ens.prune(10)
+    ens.dropna(table="source")
+    result = ens.batch(calc_stetson_J, band_to_calc=None, label="stetson_j")
+    assert "stetson_j" in ens.frames
+    pdf = result.toPandas().sort_values("ps1_objid").reset_index(drop=True)
+    j = pdf["stetsonJ"].iloc[0]
+    assert j["g"] == pytest.approx(-0.04174282, rel=0.001)
+    assert j["r"] == pytest.approx(0.6075282, rel=0.001)
+
+
+def test_golden_sf2_through_ensemble(golden_ensemble):
+    """sf2 through the full engine returns per-(curve, band) rows with
+    finite dt (test_ensemble.py:2349-2391 analog)."""
+    ens = golden_ensemble
+    ens.prune(10)
+    ens.dropna(table="source")
+    res = ens.sf2(sf_method="basic").toPandas()
+    assert len(res) > 0
+    # group key (ps1_objid) is prepended by the batch engine
+    assert {"lc_id", "band", "dt", "sf2", "1_sigma"} <= set(res.columns)
+    assert np.isfinite(res["dt"]).all()

@@ -1,0 +1,145 @@
+"""batch() UDF-engine tests (reference model: ``test_ensemble.py:1927-2251``
+batch variants, custom meta, by_band pivot shape)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tape_spark.analysis import AnalysisFunction
+
+
+def test_batch_np_mean_matches_sql(ramp_ensemble):
+    result = ramp_ensemble.batch(np.mean, "flux", meta=("result", float)).toPandas()
+    expected = ramp_ensemble.compute("source").groupby("id")["flux"].mean()
+    merged = result.set_index("id")["result"].sort_index()
+    assert np.allclose(merged.to_numpy(), expected.sort_index().to_numpy())
+
+
+def test_batch_custom_kernel_two_cols(ramp_ensemble):
+    def weighted_mean(flux, err):
+        w = 1.0 / (err**2 + 1e-9)
+        return float(np.average(flux, weights=w))
+
+    result = ramp_ensemble.batch(weighted_mean, "flux", "err", meta=("wmean", float)).toPandas()
+    assert len(result) == 5
+    assert result["wmean"].notna().all()
+
+
+def test_batch_default_meta(ramp_ensemble):
+    result = ramp_ensemble.batch(np.std, "flux")
+    assert result.columns == ["id", "result"]
+
+
+def test_batch_meta_shapes(ramp_ensemble):
+    # dict meta with two fields
+    def two_stats(flux):
+        return {"lo": float(np.min(flux)), "hi": float(np.max(flux))}
+
+    r = ramp_ensemble.batch(two_stats, "flux", meta={"lo": float, "hi": float}).toPandas()
+    assert set(r.columns) == {"id", "lo", "hi"}
+    assert (r["hi"] >= r["lo"]).all()
+
+    # DDL-string meta
+    r2 = ramp_ensemble.batch(lambda f: float(f.sum()), "flux", meta="total double")
+    assert [f.name for f in r2.schema.fields] == ["id", "total"]
+
+    # list-of-tuples meta
+    r3 = ramp_ensemble.batch(
+        lambda f: (float(f.min()), float(f.max())), "flux", meta=[("lo", float), ("hi", float)]
+    ).toPandas()
+    assert (r3["hi"] >= r3["lo"]).all()
+
+
+def test_batch_series_result(ramp_ensemble):
+    def as_series(flux):
+        return pd.Series({"lo": float(np.min(flux)), "hi": float(np.max(flux))})
+
+    r = ramp_ensemble.batch(as_series, "flux", meta={"lo": float, "hi": float}).toPandas()
+    assert set(r.columns) == {"id", "lo", "hi"}
+
+
+def test_batch_dataframe_result_multi_row(ramp_ensemble):
+    def per_band_table(flux, band):
+        return (
+            pd.DataFrame({"flux": flux, "band": band})
+            .groupby("band")["flux"]
+            .mean()
+            .rename("mean_flux")
+            .reset_index()
+        )
+
+    r = ramp_ensemble.batch(
+        per_band_table, "flux", "band", meta={"band": str, "mean_flux": float}
+    ).toPandas()
+    assert len(r) == 20  # 5 objects x 4 bands
+    assert set(r["band"]) == {"r", "g", "b", "i"}
+
+
+def test_batch_by_band_pivot(ramp_ensemble):
+    r = ramp_ensemble.batch(
+        np.mean, "flux", meta=("result", float), by_band=True, band_values=["b", "g", "i", "r"]
+    )
+    assert sorted(r.columns) == ["id", "result_b", "result_g", "result_i", "result_r"]
+    pdf = r.toPandas()
+    assert len(pdf) == 5
+
+
+def test_batch_by_band_infers_bands(ramp_ensemble):
+    r = ramp_ensemble.batch(np.mean, "flux", meta=("result", float), by_band=True)
+    assert sorted(r.columns) == ["id", "result_b", "result_g", "result_i", "result_r"]
+
+
+def test_batch_on_object_column(ramp_ensemble_with_object):
+    """Grouping on an object-table column pulls it into source via join."""
+    ens = ramp_ensemble_with_object
+    r = ens.batch(np.mean, "flux", meta=("result", float), on=["name"]).toPandas()
+    assert len(r) == 5
+    assert "name" in r.columns
+
+
+def test_batch_missing_column_raises(ramp_ensemble):
+    with pytest.raises(KeyError, match="not found"):
+        ramp_ensemble.batch(np.mean, "no_such_col", meta=("result", float))
+
+
+def test_batch_tracks_result_frame(ramp_ensemble):
+    n_before = len(ramp_ensemble.frames)
+    ramp_ensemble.batch(np.mean, "flux", meta=("result", float), label="my_result")
+    assert len(ramp_ensemble.frames) == n_before + 1
+    assert "my_result" in ramp_ensemble.frames
+
+
+def test_batch_analysis_function_dispatch(ramp_ensemble):
+    class MeanFlux(AnalysisFunction):
+        def cols(self, ens):
+            return [ens._flux_col]
+
+        def meta(self, ens):
+            return {"mean_flux": float}
+
+        def on(self, ens):
+            return [ens._id_col]
+
+        def __call__(self, flux, **kwargs):
+            return float(np.mean(flux))
+
+    r = ramp_ensemble.batch(MeanFlux()).toPandas()
+    assert set(r.columns) == {"id", "mean_flux"}
+    assert len(r) == 5
+
+
+def test_batch_runs_after_sync(ramp_ensemble):
+    ramp_ensemble.query("id >= 8003", table="object")
+    r = ramp_ensemble.batch(np.mean, "flux", meta=("result", float)).toPandas()
+    assert set(r["id"]) == {8003, 8004}
+
+
+def test_batch_kwargs_passthrough(ramp_ensemble):
+    def quantile(flux, q=0.5):
+        return float(np.quantile(flux, q))
+
+    r50 = ramp_ensemble.batch(quantile, "flux", meta=("v", float)).toPandas()
+    r90 = ramp_ensemble.batch(quantile, "flux", meta=("v", float), q=0.9).toPandas()
+    assert (r90["v"] >= r50["v"]).all()

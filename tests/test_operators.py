@@ -1,0 +1,161 @@
+"""Data-pipeline operator tests: dedup, similarity search, text analysis,
+multimodal plumbing (the beyond-reference surface)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tape_spark.operators import (
+    cosine_topk,
+    document_fingerprint,
+    embedding_near_duplicates,
+    exact_dedup,
+    language_id,
+    lsh_cosine_topk,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    text_quality,
+    token_count,
+)
+from tape_spark.operators.multimodal import attach_binary_payload, decode_media, frame_sample
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (3, "der schnelle braune fuchs springt und ist nicht da"),
+        (4, "completely unrelated text about spark engines and data"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+@pytest.fixture
+def emb(spark):
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=8).astype(np.float32)
+    vecs = [
+        base,
+        base + rng.normal(scale=0.01, size=8).astype(np.float32),  # near dup of 0
+        rng.normal(size=8).astype(np.float32),
+        rng.normal(size=8).astype(np.float32),
+    ]
+    pdf = pd.DataFrame({"vec_id": range(4), "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup_groups_identical_text(docs):
+    out = exact_dedup(docs).toPandas()
+    dup_row = out[out["dup_count"] == 2]
+    assert len(dup_row) == 1
+    assert dup_row["doc_id"].iloc[0] == 0  # min-id survivor
+    assert len(out) == 5  # 6 docs, one pair merged
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.2).toPandas()
+    keys = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in keys  # identical
+    assert (0, 2) in keys or (1, 2) in keys  # one-word change
+    exact = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 1)]
+    assert np.isclose(exact["jaccard"].iloc[0], 1.0)
+
+
+def test_minhash_estimates_jaccard(docs):
+    pairs = minhash_near_duplicates(docs, num_hashes=128, bands=32, threshold=0.3).toPandas()
+    keys = {tuple(sorted((a, b))): j for a, b, j in zip(pairs["id_a"], pairs["id_b"], pairs["est_jaccard"])}
+    assert (0, 1) in keys
+    assert keys[(0, 1)] == pytest.approx(1.0, abs=0.05)  # identical docs
+
+
+def test_simhash_identical_docs_same_signature(docs):
+    sig = simhash_signatures(docs, bits=64).toPandas().set_index("doc_id")["simhash"]
+    assert sig[0] == sig[1]
+    # near-dup should be within a few bits; unrelated should differ more
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")
+    assert ham(sig[0], sig[2]) <= ham(sig[0], sig[4])
+
+
+def test_embedding_near_duplicates_brute(emb):
+    pairs = embedding_near_duplicates(emb, threshold=0.9, brute_force=True).toPandas()
+    assert len(pairs) == 1
+    assert (pairs["id_a"].iloc[0], pairs["id_b"].iloc[0]) == (0, 1)
+    assert pairs["cosine"].iloc[0] > 0.99
+
+
+def test_cosine_topk_matches_numpy(emb):
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk(emb, queries, k=2).toPandas()
+    # rank 1 for each query must be itself (cosine 1.0)
+    top1 = out[out["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["corpus_id"].to_numpy()).all()
+    assert np.allclose(top1["cosine"], 1.0)
+    # query 0's second neighbor is vec 1 (the near-duplicate)
+    second = out[(out["query_id"] == 0) & (out["rank"] == 2)]
+    assert second["corpus_id"].iloc[0] == 1
+
+
+def test_lsh_topk_recalls_near_neighbors(emb):
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_cosine_topk(emb, queries, k=2).toPandas()
+    mine = out[(out["query_id"] == 0)].sort_values("rank")
+    # LSH buckets always contain the vector itself
+    assert mine["corpus_id"].iloc[0] == 0
+
+
+def test_language_id_heuristic(docs):
+    out = language_id(docs).toPandas().set_index("doc_id")["pred_lang"]
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[5] == "und"
+
+
+def test_text_quality_features(docs):
+    out = text_quality(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens"] == 9
+    assert out.loc[5, "n_tokens"] == 0
+    assert out.loc[0, "n_chars"] == len("the quick brown fox jumps over the lazy dog")
+    assert (out["punct_ratio"] >= 0).all()
+
+
+def test_token_count(docs):
+    out = token_count(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_ws_tokens"] == 9
+    assert out.loc[0, "n_bpe_tokens"] >= 9
+    assert out.loc[5, "n_ws_tokens"] == 0
+
+
+def test_document_fingerprint_normalizes_whitespace(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["Hello   World", "  hello world "]})
+    df = spark.createDataFrame(pdf)
+    out = document_fingerprint(df).toPandas()
+    assert out["content_sha"].nunique() == 1  # case/whitespace-insensitive match
+
+
+def test_multimodal_payload_and_decode(docs):
+    media = attach_binary_payload(docs, "text", "doc_id", "text/plain")
+    pdf = media.toPandas()
+    assert set(pdf.columns) >= {"media_id", "media_type", "payload", "n_bytes", "checksum"}
+    assert (pdf["n_bytes"] == pdf["payload"].map(len)).all()
+
+    decoded = decode_media(media, decoder="fake").toPandas()
+    assert {"width", "height", "channels"} <= set(decoded.columns)
+    assert len(decoded) == 6
+
+
+def test_multimodal_real_decoder_is_stubbed(docs):
+    media = attach_binary_payload(docs, "text", "doc_id", "text/plain")
+    with pytest.raises(Exception):  # NotImplementedError inside workers → Py4J error
+        decode_media(media, decoder="real").toPandas()
+
+
+def test_frame_sample_plumbing(docs):
+    media = attach_binary_payload(docs, "text", "doc_id", "text/plain")
+    frames = frame_sample(media, every_n_bytes=8, max_frames=3).toPandas()
+    assert (frames["frame_index"] < 3).all()
+    assert len(frames) > 0

@@ -1,0 +1,101 @@
+"""Dirty/sync consistency-protocol tests (reference model:
+``test_ensemble.py:1097-1283`` test_sync_tables / test_lazy_sync_tables /
+test_temporary_cols, ``:1411-1544`` dropna/keep_empty)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tape_spark import Ensemble
+
+
+def test_object_filter_drops_sources(ramp_ensemble):
+    ens = ramp_ensemble
+    ens.query("id >= 8002", table="object")
+    assert ens._object_dirty
+    src = ens.compute("source")
+    assert set(src["id"].unique()) == {8002, 8003, 8004}
+    assert not ens._object_dirty
+
+
+def test_source_filter_drops_objects(ramp_ensemble):
+    ens = ramp_ensemble
+    ens.query("id == 8000", table="source")
+    assert ens._source_dirty
+    obj = ens.compute("object")
+    assert list(obj["id"]) == [8000]
+
+
+def test_keep_empty_objects(spark, ramp_rows, ramp_cm):
+    ens = Ensemble(spark, keep_empty_objects=True).from_source_dict(
+        ramp_rows, column_mapper=ramp_cm, npartitions=2
+    )
+    ens.query("id == 8000", table="source")
+    assert ens.compute("object")["id"].nunique() == 5  # empties survive
+    assert ens.compute("source")["id"].nunique() == 1
+
+
+def test_lazy_sync_is_lazy(ramp_ensemble):
+    ens = ramp_ensemble
+    ens.query("id == 8000", table="source")
+    # no read of the object table yet → still dirty
+    assert ens._source_dirty
+    _ = ens.frames["object"]  # raw dict access does NOT trigger sync
+    assert ens._source_dirty
+    _ = ens.object  # property read does
+    assert not ens._source_dirty
+
+
+def test_bidirectional_sync(ramp_ensemble):
+    ens = ramp_ensemble
+    ens.query("id >= 8001", table="object")
+    ens.query("flux > 2", table="source")
+    src = ens.compute("source")
+    obj = ens.compute("object")
+    assert set(src["id"].unique()) == set(obj["id"])
+    assert (src["flux"] > 2).all()
+    assert 8000 not in set(obj["id"])
+
+
+def test_temporary_columns_dropped_at_sync(ramp_ensemble):
+    ens = ramp_ensemble
+    ens.calc_nobs(temporary=True)
+    assert "nobs_total" in ens.frames["object"].columns
+    ens.query("flux > 1", table="source")  # marks source dirty
+    obj = ens.object  # sync drops the stale temporary column
+    assert "nobs_total" not in obj.columns
+
+
+def test_permanent_columns_survive_sync(ramp_ensemble):
+    ens = ramp_ensemble
+    ens.calc_nobs(temporary=False)
+    ens.query("flux > 1", table="source")
+    assert "nobs_total" in ens.object.columns
+
+
+def test_assign_temporary_registry(ramp_ensemble):
+    ens = ramp_ensemble
+    ens.assign(table="source", temporary=True, tmp=F.lit(1))
+    assert "tmp" in ens.frames["source"].columns
+    ens.query("id >= 8001", table="object")
+    assert "tmp" not in ens.source.columns
+
+
+def test_prune_then_source_access(ramp_ensemble):
+    """The canonical benchmark workflow (reference benchmarks.py:35-40)."""
+    ens = ramp_ensemble
+    ens.prune(threshold=200)  # every ramp object has exactly 200 rows
+    assert ens.object.count() == 5
+    ens2_rows = ens.source.count()
+    assert ens2_rows == 1000
+
+    ens.prune(threshold=201)
+    assert ens.object.count() == 0
+    assert ens.source.count() == 0
+
+
+def test_update_frame_marks_dirty(ramp_ensemble):
+    ens = ramp_ensemble
+    filtered = ens.frames["object"].filter(F.col("id") == 8000)
+    ens.update_frame(filtered, "object")
+    assert ens._object_dirty
+    assert ens.compute("source")["id"].nunique() == 1

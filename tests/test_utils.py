@@ -1,0 +1,106 @@
+"""ColumnMapper, query-expression shim, and TimeSeries tests
+(reference model: ``test_utils.py``, ``test_timeseries.py``)."""
+
+import numpy as np
+import pytest
+
+from tape_spark import ColumnMapper, TimeSeries
+from tape_spark.utils.column_mapper import PS1ColumnMapper, ZTFColumnMapper
+from tape_spark.utils.expr import translate_query_expr
+
+
+def test_column_mapper_readiness():
+    cm = ColumnMapper()
+    ready, needed = cm.is_ready(show_needed=True)
+    assert not ready
+    assert len(needed) == 5
+    cm.assign(id_col="id", time_col="t", flux_col="f", err_col="e", band_col="b")
+    assert cm.is_ready()
+
+
+def test_column_mapper_known_maps():
+    ztf = ZTFColumnMapper()
+    assert ztf.is_ready()
+    assert ztf.map["time_col"] == "mjd"
+    ps1 = PS1ColumnMapper()
+    assert ps1.is_ready()
+    assert ps1.map["id_col"] == "objID"  # reference column_mapper.py:185
+
+
+def test_translate_query_expr_boolean_ops():
+    assert translate_query_expr("a & b") == "a  AND  b"
+    assert translate_query_expr("a | ~b") == "a  OR   NOT b"
+
+
+def test_translate_query_expr_preserves_literals():
+    out = translate_query_expr("band == 'g&r' & flux > 1")
+    assert "'g&r'" in out
+    assert out.endswith("flux > 1")
+    assert " AND " in out
+
+
+def test_translate_query_expr_rejects_at():
+    with pytest.raises(ValueError):
+        translate_query_expr("flux > @x")
+
+
+def test_timeseries_from_dict_and_golden_sf2():
+    """The reference's TimeSeries sf2 test (test_analysis.py:115-136)."""
+    ts = TimeSeries()
+    ts.meta["id"] = 1
+    ts.from_dict(
+        {
+            "time": [1.11, 2.23, 3.45, 4.01, 5.67, 6.32, 7.88, 8.2],
+            "flux": [0.11, 0.23, 0.45, 0.01, 0.67, 0.32, 0.88, 0.2],
+            "flux_err": [0.1, 0.023, 0.045, 0.1, 0.067, 0.032, 0.8, 0.02],
+            "band": ["r"] * 8,
+        }
+    )
+    res = ts.sf2()
+    assert res["sf2"][0] == pytest.approx(0.005365, rel=0.001)
+
+
+def test_timeseries_band_index():
+    ts = TimeSeries().from_dict(
+        {
+            "time": [1.0, 2.0, 3.0, 4.0],
+            "flux": [1.0, 2.0, 3.0, 4.0],
+            "flux_err": [0.1, 0.1, 0.1, 0.1],
+            "band": ["g", "r", "g", "r"],
+        }
+    )
+    assert list(ts.band) == ["g", "g", "r", "r"]  # sorted by band index
+    assert ts.data.index.names == ["band", "index"]
+
+
+def test_timeseries_stetson_j():
+    n = 100
+    rng = np.random.default_rng(2)
+    ts = TimeSeries().from_dict(
+        {
+            "time": np.arange(n, dtype=float),
+            "flux": rng.normal(10, 0.1, n),
+            "flux_err": np.full(n, 0.1),
+            "band": ["g"] * n,
+        }
+    )
+    out = ts.stetson_J()
+    assert "g" in out and np.isfinite(out["g"])
+
+
+def test_timeseries_missing_band_label_raises():
+    with pytest.raises(KeyError):
+        TimeSeries().from_dict({"time": [1.0], "flux": [1.0], "flux_err": [0.1]})
+
+
+def test_timeseries_dropna():
+    ts = TimeSeries().from_dict(
+        {
+            "time": [1.0, 2.0],
+            "flux": [1.0, np.nan],
+            "flux_err": [0.1, 0.1],
+            "band": ["g", "g"],
+        }
+    )
+    ts.dropna()
+    assert len(ts.data) == 1
