@@ -103,6 +103,12 @@ class Ensemble:
         self.frames: Dict[str, DataFrame] = {}
         self.keep_empty_objects = keep_empty_objects
 
+        # Lightcurve cohesion: true when every object's rows are known to be
+        # co-located in one source partition (established at ingest by
+        # repartition(id); invalidated by unions/rebinning). Gates the
+        # batch() mapInPandas fast path.
+        self._source_cohesive = False
+
         self._source_dirty = False
         self._object_dirty = False
         self._source_temp: List[str] = []
@@ -149,6 +155,7 @@ class Ensemble:
         self.frames[label] = frame
         if label == SOURCE_FRAME_LABEL:
             self._source_dirty = True
+            self._source_cohesive = False  # arbitrary replacement — unknown layout
         elif label == OBJECT_FRAME_LABEL:
             self._object_dirty = True
         return label
@@ -216,6 +223,7 @@ class Ensemble:
             df = df.repartition(self._id_col)
         if sort:
             df = df.sortWithinPartitions(self._id_col, self._band_col, self._time_col)
+        self._source_cohesive = bool(npartitions or partition_by_id)
         self.frames[SOURCE_FRAME_LABEL] = df
 
         if object_frame is None:
@@ -331,6 +339,10 @@ class Ensemble:
         merged = src.unionByName(new_df.select(*src.columns))
         if force_repartition:
             merged = merged.repartition(self._id_col)
+        else:
+            # appended rows live in their own partitions → an object's rows
+            # may now straddle partitions
+            self._source_cohesive = False
         self.frames[SOURCE_FRAME_LABEL] = merged
         self._source_dirty = True
         return self
@@ -568,6 +580,7 @@ class Ensemble:
     def _copy(self) -> "Ensemble":
         new = Ensemble(self.spark, keep_empty_objects=self.keep_empty_objects)
         new.frames = dict(self.frames)
+        new._source_cohesive = self._source_cohesive
         new._source_dirty = self._source_dirty
         new._object_dirty = self._object_dirty
         new._source_temp = list(self._source_temp)
@@ -706,6 +719,7 @@ class Ensemble:
             aggs.append(F.count(F.lit(1)).cast("long").alias(count_col))
         binned = src.groupBy(F.col(id_col), F.col(band_col), bucket.alias("__time_bucket")).agg(*aggs)
         self.frames[SOURCE_FRAME_LABEL] = binned.drop("__time_bucket")
+        self._source_cohesive = False  # now hash-partitioned by (id, band, bucket)
         self._source_dirty = True
         return self
 
@@ -819,16 +833,24 @@ class Ensemble:
         on: Union[str, List[str], None] = None,
         label: Optional[str] = None,
         band_values: Optional[List[str]] = None,
+        use_map: Optional[bool] = None,
         **kwargs,
     ) -> DataFrame:
         """Run an arbitrary per-lightcurve function at scale.
 
-        One plan for every case: ``source.groupBy(on).applyInPandas(wrapper,
-        schema)`` — Arrow-batched grouped-map pandas UDF. With the source
-        already partitioned by id (ingest contract) Spark's
-        EnsureRequirements elides the shuffle, which is why the reference's
-        dual ``use_map`` code paths (``ensemble.py:1203-1225``) collapse to
-        one here.
+        Two physical strategies (the reference's ``use_map`` duality,
+        ``ensemble.py:1203-1225``, re-expressed for Spark's cost profile):
+
+        - **map path** (default when the source is cohesive and the group
+          keys include the id): ``sortWithinPartitions(on)`` +
+          ``mapInPandas`` — one Arrow stream per partition, group
+          boundaries found with numpy, one Python call per *group* but one
+          serialization round-trip per *partition*. With millions of tiny
+          light curves this is an order of magnitude faster than grouped
+          ``applyInPandas``, whose per-group Arrow batching dominates.
+        - **shuffle path** (``use_map=False``, or grouping on non-id keys,
+          or cohesion unknown): ``groupBy(on).applyInPandas`` — always
+          correct, shuffles by the group keys.
 
         Parameters mirror the reference (``ensemble.py:1054-1237``):
         ``func`` may be an :class:`AnalysisFunction` (self-describing), or
@@ -879,17 +901,76 @@ class Ensemble:
         func_cols = list(cols)
         group_keys = list(on)
 
-        def wrapper(pdf: pd.DataFrame) -> pd.DataFrame:
-            key_vals = [pdf[k].iloc[0] for k in group_keys]
-            arrays = [pdf[c].to_numpy() for c in func_cols]
-            res = func(*arrays, **kwargs)
-            out = _standardize_result(res, result_names, first_is_map)
-            for k, v in zip(group_keys, key_vals):
-                if k not in out.columns:
-                    out[k] = v
-            return out[group_keys + result_names]
+        def process_groups(pdf: pd.DataFrame) -> Optional[pd.DataFrame]:
+            """Run ``func`` over every group in a frame already sorted by the
+            group keys; scalar results are accumulated row-wise to avoid a
+            per-group DataFrame construction."""
+            n = len(pdf)
+            key_arrays = [pdf[k].to_numpy() for k in group_keys]
+            change = np.zeros(n, dtype=bool)
+            change[0] = True
+            for ka in key_arrays:
+                change[1:] |= ka[1:] != ka[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            col_arrays = [pdf[c].to_numpy() for c in func_cols]
+            scalar_ok = len(result_names) == 1 and not first_is_map
+            simple_rows: list = []
+            frames: list = []
+            for s, e in zip(starts, ends):
+                res = func(*[a[s:e] for a in col_arrays], **kwargs)
+                if scalar_ok and isinstance(res, (int, float, np.integer, np.floating)):
+                    simple_rows.append(tuple(ka[s] for ka in key_arrays) + (res,))
+                else:
+                    out = _standardize_result(res, result_names, first_is_map)
+                    for k, ka in zip(group_keys, key_arrays):
+                        if k not in out.columns:
+                            out[k] = ka[s]
+                    frames.append(out[group_keys + result_names])
+            if simple_rows:
+                frames.append(pd.DataFrame(simple_rows, columns=group_keys + result_names))
+            if not frames:
+                return None
+            return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
-        result = src.groupBy(*on).applyInPandas(wrapper, schema)
+        def apply_wrapper(pdf: pd.DataFrame) -> pd.DataFrame:
+            # one group per call → key columns are constant; no sort needed
+            out = process_groups(pdf)
+            if out is None:
+                return pd.DataFrame({c: [] for c in group_keys + result_names})
+            return out
+
+        def map_wrapper(batches):
+            # Input is sorted by the group keys within the partition, so the
+            # rows of the trailing group form a suffix; carry them into the
+            # next Arrow batch in case the group continues there.
+            carry: Optional[pd.DataFrame] = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                if not len(pdf):
+                    continue
+                suffix = np.ones(len(pdf), dtype=bool)
+                for k in group_keys:
+                    kv = pdf[k].to_numpy()
+                    suffix &= kv == kv[-1]
+                carry = pdf.iloc[np.flatnonzero(suffix)]
+                body = pdf.iloc[np.flatnonzero(~suffix)]
+                if len(body):
+                    out = process_groups(body)
+                    if out is not None:
+                        yield out
+            if carry is not None and len(carry):
+                out = process_groups(carry)
+                if out is not None:
+                    yield out
+
+        if use_map is None:
+            use_map = self._source_cohesive and self._id_col in on and not from_object
+        if use_map:
+            result = src.sortWithinPartitions(*on).mapInPandas(map_wrapper, schema)
+        else:
+            result = src.groupBy(*on).applyInPandas(apply_wrapper, schema)
 
         if by_band:
             id_keys = [k for k in on if k != band_col]

@@ -17,8 +17,11 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
@@ -27,19 +30,21 @@ def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     Tokenization and n-gram assembly are pure built-in expressions
     (split + transform over a sequence) — no Python in the hot path.
     """
-    n_tok = f"size(split(trim(lower({text_col})), '\\\\s+'))"
-    # Documents shorter than n tokens (including empty text) yield no
-    # shingles; the CASE guard avoids sequence(1, 0) → slice(…, 0, …) errors.
+    # Tokenize once into a column; referencing the raw text inside the
+    # transform lambda would re-run the regex split per shingle index
+    # (O(tokens²) per document). Documents shorter than n tokens (including
+    # empty text) yield no shingles; the CASE guard avoids
+    # sequence(1, 0) → slice(…, 0, …) errors.
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
+    )
     ngrams = F.expr(
-        f"CASE WHEN {n_tok} >= {n} THEN "
-        f"transform(sequence(1, {n_tok} - {n - 1}), "
-        f"i -> array_join(slice(split(trim(lower({text_col})), '\\\\s+'), i, {n}), ' ')) "
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> array_join(slice(__toks, i, {n}), ' ')) "
         f"ELSE array() END"
     )
-    return (
-        df.select(F.col(id_col), F.explode(ngrams).alias("shingle"))
-        .distinct()
-    )
+    return toks.select(F.col(id_col), F.explode(ngrams).alias("shingle")).distinct()
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -107,22 +112,50 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 2,
+    seed: int = 13,
 ) -> DataFrame:
     """MinHash signatures: (id, array<long> of ``num_hashes`` minima).
 
-    Each hash function is ``xxhash64(shingle, seed=i)``; the signature is
-    ``num_hashes`` MIN aggregates over one exploded-shingle shuffle —
-    entirely JVM-side, one pass.
+    Shuffle-free: per document, distinct shingles are hashed once JVM-side
+    (``xxhash64``), then a vectorized pandas UDF derives all ``num_hashes``
+    permutation minima with one numpy broadcast over the affine family
+    ``h_i(x) = a_i·x + b_i (mod 2^64)``. This replaces the classic
+    explode → groupBy(id) → 64×MIN plan — which shuffles every shingle —
+    with a narrow map, so at 100 TB cost is one scan, no exchange.
+
+    Documents with no shingles (shorter than ``shingle_n`` tokens) emit no
+    signature row, matching the aggregate formulation.
     """
-    shingles = _word_shingles(df, text_col, id_col, shingle_n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = shingles.groupBy(id_col).agg(*mins)
-    return sig.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    n = shingle_n
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
     )
+    # Tokenize once, then hash each shingle in place — no re-split per index,
+    # no intermediate shingle strings kept beyond the expression.
+    hashed = toks.select(
+        F.col(id_col),
+        F.expr(
+            f"CASE WHEN size(__toks) >= {n} THEN "
+            f"array_distinct(transform(sequence(1, size(__toks) - {n - 1}), "
+            f"i -> xxhash64(array_join(slice(__toks, i, {n}), ' ')))) "
+            f"ELSE array() END"
+        ).alias("h0"),
+    ).filter(F.size("h0") > 0)
+
+    rng = np.random.default_rng(seed)
+    a = (rng.integers(1, 2**62, num_hashes, dtype=np.uint64) * np.uint64(2)) + np.uint64(1)
+    b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(h0: pd.Series) -> pd.Series:
+        out = []
+        for arr in h0:
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            m = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+            out.append(m.view(np.int64))
+        return pd.Series(out)
+
+    return hashed.select(F.col(id_col), sig(F.col("h0")).alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -175,7 +208,10 @@ def minhash_near_duplicates(
     ``(id_a, id_b, est_jaccard)`` above ``threshold``.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    # The signature frame feeds the banding self-join AND both verify
+    # joins; without persisting, the shingle + 64-way min pipeline would
+    # recompute 4x. At warehouse scale this is the table you'd materialize.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
     candidates = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
@@ -205,26 +241,30 @@ def simhash_signatures(
     """SimHash: one 64-bit signature per document from token hashes.
 
     Per bit b, sum +1/−1 over tokens according to bit b of
-    ``xxhash64(token)``, then take the sign — all built-in expressions:
-    explode tokens → 64 conditional-sum aggregates → bit reassembly.
+    ``xxhash64(token)``, then take the sign. Token hashes are computed
+    JVM-side in one narrow projection; the bit-vote matrix is one numpy
+    broadcast inside an Arrow-batched pandas UDF — no explode, no shuffle
+    (the classic explode → groupBy → 64×SUM plan shuffles every token).
+    Bit ``bits-1`` is left clear so the signature stays a positive long.
     """
-    tokens = df.select(
+    toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
-    ).withColumn("th", F.xxhash64("token"))
-    sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    agg = tokens.groupBy(id_col).agg(*sums)
-    # reassemble: sum of 2^b over bits whose vote is positive
-    sig = None
-    for b in range(bits - 1):  # skip the sign bit to stay in long range
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+        F.expr(
+            f"transform(split(trim(lower({text_col})), '\\\\s+'), t -> xxhash64(t))"
+        ).alias("th"),
+    )
+    shifts = np.arange(bits - 1, dtype=np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def sig(th: pd.Series) -> pd.Series:
+        out = np.zeros(len(th), dtype=np.int64)
+        for i, arr in enumerate(th):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            bit_votes = (2 * ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) - 1).sum(axis=0)
+            out[i] = int(((bit_votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        return pd.Series(out)
+
+    return toks.select(F.col(id_col), sig(F.col("th")).alias("simhash"))
 
 
 def embedding_near_duplicates(

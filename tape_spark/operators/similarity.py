@@ -35,26 +35,56 @@ def cosine_topk(
     """Exact brute-force cosine top-k: for each query vector, the ``k``
     most-similar corpus vectors.
 
-    Plan: broadcast the (small) query side, one pass over the corpus
-    computing cosine via built-in higher-order functions (zip_with +
-    aggregate — JVM-side, no Python), then a per-query window ranking.
+    Plan: collect the (small) query matrix to a numpy array shipped in the
+    UDF closure, stream corpus partitions through ``mapInPandas`` computing
+    all cosines per Arrow batch with one BLAS matmul, keep only each
+    batch's local top-k per query, then resolve the global top-k with a
+    per-query window over the (tiny) union of local winners. At 100 TB the
+    per-executor output is O(k · |queries|), not O(|corpus|·|queries|).
     Ties break on corpus id for determinism.
     """
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("cnorm", _norm(F.col("cv")))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("qnorm", _norm(F.col("qv")))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    scored = c.join(F.broadcast(q)).withColumn(
-        "cosine", _dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm"))
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("corpus_id", corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            c_mat /= np.maximum(np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-300)
+            sims = c_mat @ q_mat.T  # (batch, n_queries)
+            n_local = min(k, sims.shape[0])
+            cid = pdf[id_col].to_numpy()
+            # local top-k per query: argpartition then exact sort of the head
+            frames = []
+            for j in range(sims.shape[1]):
+                col = sims[:, j]
+                idx = np.argpartition(-col, n_local - 1)[:n_local]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": q_ids[j], "corpus_id": cid[idx], "cosine": col[idx]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
