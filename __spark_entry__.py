@@ -409,21 +409,13 @@ def q_events_tumbling(spark, sf_dir):
 
 
 def q_events_sessionize(spark, sf_dir):
-    """Sessionization: 30-minute inactivity gap splits sessions per user."""
-    from pyspark.sql import Window
+    """Sessionization: 30-minute inactivity gap splits sessions per user
+    (tape_spark.streaming.sessionize — the batch analog of the
+    session_window streaming operator)."""
+    from tape_spark.streaming import sessionize
 
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("t", "event_id")
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.lag("t").over(w).isNull() | ((F.col("t") - F.lag("t").over(w)) > 1800), 1
-        ).otherwise(0),
-    )
-    return (
-        flagged.groupBy("user_id")
-        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
-    )
+    return sessionize(ev, user_col="user_id", ts_col="t", gap_seconds=1800.0, order_cols=["event_id"])
 
 
 def q_events_json(spark, sf_dir):

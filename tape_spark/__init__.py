@@ -9,6 +9,16 @@ engine over ``groupBy().applyInPandas``, astronomy analysis kernels
 """
 
 from .ensemble import Ensemble
+from .readers import (
+    available_datasets,
+    read_dataset,
+    read_ensemble,
+    read_hipscat,
+    read_pandas_dataframe,
+    read_parquet,
+    read_source_dict,
+    read_spark_dataframe,
+)
 from .timeseries import TimeSeries
 from .utils.column_mapper import ColumnMapper, PS1ColumnMapper, ZTFColumnMapper
 
@@ -20,4 +30,12 @@ __all__ = [
     "ColumnMapper",
     "ZTFColumnMapper",
     "PS1ColumnMapper",
+    "read_ensemble",
+    "read_parquet",
+    "read_pandas_dataframe",
+    "read_spark_dataframe",
+    "read_source_dict",
+    "read_hipscat",
+    "read_dataset",
+    "available_datasets",
 ]

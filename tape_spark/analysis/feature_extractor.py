@@ -1,0 +1,75 @@
+"""Wrapper exposing the ``light-curve`` (Rust) feature evaluators to
+``Ensemble.batch``.
+
+The package is optional; import errors surface only when the extractor is
+actually constructed, so the rest of the analysis library works without it.
+The Rust evaluators run fine inside Spark Python workers (they are plain
+CPython extension calls on numpy arrays).
+
+Parity target: ``/root/reference/src/tape/analysis/feature_extractor.py:17-98``.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+from .base import AnalysisFunction
+
+try:  # pragma: no cover - exercised only when light-curve is installed
+    import light_curve as licu
+
+    BaseLightCurveFeature = licu.light_curve_ext._FeatureEvaluator
+    LIGHT_CURVE_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    licu = None
+    BaseLightCurveFeature = None
+    LIGHT_CURVE_AVAILABLE = False
+
+__all__ = ["FeatureExtractor", "LIGHT_CURVE_AVAILABLE"]
+
+
+class FeatureExtractor(AnalysisFunction):
+    """Run one ``light-curve`` feature evaluator per light curve.
+
+    ``feature`` must be a ``light_curve`` evaluator (e.g. ``licu.Amplitude()``
+    or a ``licu.Extractor(...)`` bundle); its ``names`` attribute defines the
+    output columns (all float64).
+    """
+
+    def __init__(self, feature):
+        if not LIGHT_CURVE_AVAILABLE:
+            raise ImportError(
+                "The 'light-curve' package is required for FeatureExtractor; "
+                "install it (pip install light-curve) to use Rust feature evaluators."
+            )
+        if not isinstance(feature, BaseLightCurveFeature):
+            raise TypeError("feature must be a light-curve feature evaluator")
+        self.feature = feature
+
+    def cols(self, ens) -> List[str]:
+        return [ens._time_col, ens._flux_col, ens._err_col, ens._band_col]
+
+    def meta(self, ens):
+        return {name: float for name in self.feature.names}
+
+    def on(self, ens) -> List[str]:
+        return [ens._id_col]
+
+    def __call__(self, time, flux, err, band, *, band_to_calc: str, **kwargs) -> pd.Series:
+        if band_to_calc is not None:
+            mask = band == band_to_calc
+            time, flux, err = (np.asarray(a)[mask] for a in (time, flux, err))
+
+        if not kwargs.get("sorted", False):
+            order = np.argsort(time)
+            time, flux, err = (np.asarray(a)[order] for a in (time, flux, err))
+            kwargs = dict(kwargs, sorted=True)
+
+        dtype = np.result_type(*(np.asarray(a).dtype for a in (time, flux, err)))
+        time, flux, err = (np.asarray(a, dtype=dtype) for a in (time, flux, err))
+
+        values = self.feature(time, flux, err, **kwargs)
+        return pd.Series(dict(zip(self.feature.names, values)))

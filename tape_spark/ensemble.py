@@ -861,6 +861,18 @@ class Ensemble:
         """
         self._lazy_sync_tables("all")
 
+        if not isinstance(func, AnalysisFunction):
+            # auto-wrap raw light-curve (Rust) evaluators, as the reference
+            # does at ensemble.py:1152-1154
+            from .analysis.feature_extractor import (
+                LIGHT_CURVE_AVAILABLE,
+                BaseLightCurveFeature,
+                FeatureExtractor,
+            )
+
+            if LIGHT_CURVE_AVAILABLE and isinstance(func, BaseLightCurveFeature):
+                func = FeatureExtractor(func)
+
         if isinstance(func, AnalysisFunction):
             cols = func.cols(self)
             if meta is None:

@@ -1,0 +1,23 @@
+"""Structured Streaming surface for event-stream analytics.
+
+The reference is batch-only (SURVEY §2.9), so this module is part of the
+beyond-reference extension set: window aggregations that run identically
+over batch DataFrames and streams (`readStream` + watermark), for the
+``events``-style tables a large pipeline ingests continuously.
+"""
+
+from .windows import (
+    read_event_stream,
+    sessionize,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "read_event_stream",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "sessionize",
+]

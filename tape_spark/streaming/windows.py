@@ -1,0 +1,134 @@
+"""Windowed event-stream operators, batch/stream-unified.
+
+Every aggregation here is expressed with ``F.window`` / ``F.session_window``
+so the same function body works on a static DataFrame (batch backfill) and
+on a ``readStream`` DataFrame (incremental). On streams, pass ``watermark``
+so state is bounded and late data beyond the horizon is dropped — the
+standard Structured Streaming late-data contract.
+
+At scale: windowed aggregation state is partitioned by (key, window) and
+kept in the state store; watermarks bound its size. The batch equivalents
+are plain hash aggregations with map-side partial combine.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-based event stream: new files under ``path`` become
+    micro-batches. ``schema`` is required (streaming reads do not infer)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: Optional[str]) -> DataFrame:
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    keys: Optional[List[str]] = None,
+    value_col: str = "value",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Non-overlapping time buckets: count + mean per (window, keys)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    group = [F.window(F.col(ts_col), window)] + [F.col(k) for k in (keys or [])]
+    return (
+        df.groupBy(*group)
+        .agg(F.count(F.lit(1)).alias("n"), F.avg(value_col).alias("avg_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(keys or []),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "15 minutes",
+    slide: str = "5 minutes",
+    keys: Optional[List[str]] = None,
+    value_col: str = "value",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Overlapping windows (each event lands in window/slide buckets)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    group = [F.window(F.col(ts_col), window, slide)] + [F.col(k) for k in (keys or [])]
+    return (
+        df.groupBy(*group)
+        .agg(F.count(F.lit(1)).alias("n"), F.avg(value_col).alias("avg_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(keys or []),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    keys: Optional[List[str]] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Sessions: events separated by ≤ ``gap`` merge into one window
+    (``F.session_window`` — Spark's built-in stateful session operator)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    group = [F.session_window(F.col(ts_col), gap)] + [F.col(k) for k in (keys or [])]
+    return (
+        df.groupBy(*group)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *(keys or []),
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "t",
+    gap_seconds: float = 1800.0,
+    order_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Batch sessionization over an epoch-seconds column: per user, a gap
+    greater than ``gap_seconds`` starts a new session. Returns per-user
+    session and event counts (the batch analog of
+    :func:`session_window_agg`, usable when time is a plain double)."""
+    w = Window.partitionBy(user_col).orderBy(*( [ts_col] + (order_cols or []) ))
+    lag = F.lag(ts_col).over(w)
+    flagged = df.withColumn(
+        "new_session",
+        F.when(lag.isNull() | ((F.col(ts_col) - lag) > gap_seconds), 1).otherwise(0),
+    )
+    return flagged.groupBy(user_col).agg(
+        F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )

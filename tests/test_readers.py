@@ -1,0 +1,93 @@
+"""Module-level reader wrappers (reference: ``ensemble_readers.py``) and
+the gated FeatureExtractor."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import tape_spark
+from tape_spark import (
+    ColumnMapper,
+    read_ensemble,
+    read_pandas_dataframe,
+    read_parquet,
+    read_source_dict,
+    read_spark_dataframe,
+)
+from tape_spark.analysis.feature_extractor import LIGHT_CURVE_AVAILABLE, FeatureExtractor
+
+
+def test_read_source_dict(spark, ramp_rows, ramp_cm):
+    ens = read_source_dict(ramp_rows, column_mapper=ramp_cm, spark=spark, npartitions=2)
+    assert ens.object.count() == 5
+
+
+def test_read_pandas_dataframe(spark, ramp_rows, ramp_cm):
+    ens = read_pandas_dataframe(pd.DataFrame(ramp_rows), column_mapper=ramp_cm, spark=spark)
+    assert ens.source.count() == 1000
+
+
+def test_read_spark_dataframe(spark, ramp_rows, ramp_cm):
+    df = spark.createDataFrame(pd.DataFrame(ramp_rows))
+    ens = read_spark_dataframe(df, column_mapper=ramp_cm)
+    assert ens.source.count() == 1000
+
+
+def test_read_parquet_and_read_ensemble_roundtrip(spark, tmp_path):
+    cm = ColumnMapper(
+        id_col="l_orderkey",
+        time_col="l_linenumber",
+        flux_col="l_extendedprice",
+        err_col="l_quantity",
+        band_col="l_returnflag",
+    )
+    ens = read_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet", column_mapper=cm, spark=spark, npartitions=4
+    )
+    n = ens.source.count()
+    root = ens.save_ensemble(str(tmp_path), "saved")
+    ens2 = read_ensemble(root, spark=spark)
+    assert ens2.source.count() == n
+
+
+def test_read_hipscat_partition_discovery(spark, tmp_path, ramp_rows, ramp_cm):
+    """Write a Norder=/Npix=-style layout and read it back with partition
+    discovery providing the partition columns."""
+    pdf = pd.DataFrame(ramp_rows)
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "cat")
+    df.withColumn("Norder", (df.id % 2).cast("int")).write.partitionBy("Norder").parquet(path)
+    ens = tape_spark.read_hipscat(path, column_mapper=ramp_cm, spark=spark)
+    assert ens.source.count() == 1000
+    assert "Norder" in ens.source.columns
+
+
+def test_read_dataset_local_registry(spark, tmp_path, monkeypatch):
+    registry = {
+        "tiny_lineitem": {
+            "description": "local test dataset",
+            "source_file": "/root/testdata/sf0.001/lineitem.parquet",
+            "column_map": {
+                "id_col": "l_orderkey",
+                "time_col": "l_linenumber",
+                "flux_col": "l_extendedprice",
+                "err_col": "l_quantity",
+                "band_col": "l_returnflag",
+            },
+        }
+    }
+    reg_path = tmp_path / "registry.json"
+    reg_path.write_text(json.dumps(registry))
+    monkeypatch.setenv("TAPE_SPARK_DATASET_REGISTRY", str(reg_path))
+    assert tape_spark.available_datasets() == {"tiny_lineitem": "local test dataset"}
+    ens = tape_spark.read_dataset("tiny_lineitem", spark=spark, npartitions=4)
+    assert ens.source.count() > 0
+
+
+def test_feature_extractor_gated():
+    if LIGHT_CURVE_AVAILABLE:
+        pytest.skip("light-curve installed; gating not applicable")
+    with pytest.raises(ImportError, match="light-curve"):
+        FeatureExtractor(object())

@@ -1,0 +1,122 @@
+"""Structured Streaming window operators: batch/stream parity via a file
+stream with availableNow trigger against the same data computed in batch."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tape_spark.streaming import (
+    read_event_stream,
+    session_window_agg,
+    sessionize,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture
+def events_pdf():
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for u in range(3):
+        for i in range(40):
+            rows.append(
+                {
+                    "ts": base + dt.timedelta(minutes=2 * i + u),
+                    "user_id": u,
+                    "value": float(i),
+                }
+            )
+        # a second burst after a 2-hour silence → new session
+        for i in range(5):
+            rows.append(
+                {
+                    "ts": base + dt.timedelta(hours=4, minutes=3 * i, seconds=u),
+                    "user_id": u,
+                    "value": float(100 + i),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture
+def events_df(spark, events_pdf):
+    return spark.createDataFrame(events_pdf, schema=SCHEMA)
+
+
+def test_tumbling_window_batch(events_df):
+    out = tumbling_window_agg(events_df, window="15 minutes", keys=["user_id"]).toPandas()
+    assert (out["n"] > 0).all()
+    # every event is in exactly one window
+    assert out["n"].sum() == events_df.count()
+    assert (out["window_end"] - out["window_start"] == pd.Timedelta(minutes=15)).all()
+
+
+def test_sliding_window_batch(events_df):
+    out = sliding_window_agg(
+        events_df, window="15 minutes", slide="5 minutes", keys=["user_id"]
+    ).toPandas()
+    # each event lands in window/slide = 3 windows
+    assert out["n"].sum() == events_df.count() * 3
+
+
+def test_session_window_batch(events_df):
+    out = session_window_agg(events_df, gap="30 minutes", keys=["user_id"]).toPandas()
+    # two bursts per user separated by 2h silence → 2 sessions each
+    assert len(out) == 6
+    assert out.groupby("user_id").size().eq(2).all()
+    assert out["n_events"].sum() == events_df.count()
+
+
+def test_sessionize_epoch_seconds(events_df):
+    with_epoch = events_df.withColumn("t", F.col("ts").cast("double"))
+    out = sessionize(with_epoch, gap_seconds=1800.0).toPandas()
+    assert (out["n_sessions"] == 2).all()
+    assert out["n_events"].sum() == events_df.count()
+
+
+def test_streaming_matches_batch(spark, events_pdf, events_df, tmp_path):
+    """availableNow file stream through the same tumbling aggregation must
+    reproduce the batch result exactly."""
+    src_dir = str(tmp_path / "stream_src")
+    events_df.repartition(4).write.parquet(src_dir)
+
+    stream = read_event_stream(spark, src_dir, SCHEMA, max_files_per_trigger=2)
+    assert stream.isStreaming
+    agg = tumbling_window_agg(
+        stream, window="15 minutes", keys=["user_id"], watermark="1 hour"
+    )
+
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = (
+        spark.table("tumbling_test")
+        .toPandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        tumbling_window_agg(events_df, window="15 minutes", keys=["user_id"])
+        .toPandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
