@@ -1,0 +1,111 @@
+"""Physical-plan assertions: the scale properties (pushdown, pruning,
+broadcast, shuffle counts) that make each operator viable at 100 TB.
+These lock in the plan shapes audited via .explain('formatted')."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tape_spark import ColumnMapper, Ensemble
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture
+def li_ensemble(spark):
+    cm = ColumnMapper(
+        id_col="l_orderkey",
+        time_col="l_linenumber",
+        flux_col="l_extendedprice",
+        err_col="l_quantity",
+        band_col="l_returnflag",
+    )
+    return Ensemble(spark).from_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        column_mapper=cm,
+        additional_cols=False,
+        npartitions=8,
+    )
+
+
+def test_column_pruning_reaches_scan(li_ensemble):
+    """additional_cols=False must prune the parquet ReadSchema to the five
+    critical columns — no full-width scan for a 5-column projection."""
+    plan = plan_of(li_ensemble.source)
+    assert "l_partkey" not in plan
+    assert "l_shipdate" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, li_ensemble):
+    li_ensemble.query("l_extendedprice > 30000")
+    plan = plan_of(li_ensemble.frames["source"])
+    assert "PushedFilters: [IsNotNull(l_extendedprice), GreaterThan(l_extendedprice,30000.0)" in plan
+
+
+def test_batch_map_path_single_exchange(li_ensemble):
+    """The cohesive fast path: exactly one Exchange (the ingest
+    repartition), then MapInPandas — no per-group shuffle."""
+    result = li_ensemble.batch(np.mean, "l_extendedprice", meta=("result", float))
+    plan = plan_of(result)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_batch_shuffle_path_when_forced(li_ensemble):
+    result = li_ensemble.batch(
+        np.mean, "l_extendedprice", meta=("result", float), use_map=False
+    )
+    assert "FlatMapGroupsInPandas" in plan_of(result)
+
+
+def test_batch_falls_back_without_cohesion(li_ensemble):
+    li_ensemble.frames["source"] = li_ensemble.frames["source"].repartition(8)
+    li_ensemble._source_cohesive = False
+    result = li_ensemble.batch(np.mean, "l_extendedprice", meta=("result", float))
+    assert "FlatMapGroupsInPandas" in plan_of(result)
+
+
+def test_sync_is_semi_join_not_collect(li_ensemble):
+    li_ensemble.prune(threshold=4)
+    plan = plan_of(li_ensemble.source)
+    assert "LeftSemi" in plan
+
+
+def test_sync_shuffle_bound(li_ensemble):
+    """The prune→sync plan must stay at ≤3 hash exchanges (source
+    repartition + the two id-aggregation branches, which are identical and
+    deduplicated by AQE's ReuseExchange at runtime) and must broadcast the
+    surviving-id side rather than shuffle-join the full source."""
+    li_ensemble.prune(threshold=4)
+    plan = plan_of(li_ensemble.source)
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_merge_broadcast_hint(spark, li_ensemble):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    merged = li_ensemble.merge(orders, on="l_orderkey", how="inner", broadcast_right=True)
+    assert "BroadcastHashJoin" in plan_of(merged)
+
+
+def test_bin_sources_partial_aggregation(li_ensemble):
+    """bin_sources must be one partial+final aggregation (map-side combine),
+    not a UDAF: two HashAggregates around a single new Exchange."""
+    li_ensemble.bin_sources(time_window=2.0, count_col="n")
+    plan = plan_of(li_ensemble.frames["source"])
+    assert "partial_" in plan  # map-side partial aggregation present
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_sort_lightcurves_no_global_shuffle(li_ensemble):
+    before = plan_of(li_ensemble.source).count("Exchange")
+    li_ensemble.sort_lightcurves()
+    plan = plan_of(li_ensemble.frames["source"])
+    assert plan.count("Exchange") == before  # sortWithinPartitions adds none
+    assert "Sort " in plan or "Sort [" in plan
