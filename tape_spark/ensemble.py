@@ -309,6 +309,37 @@ class Ensemble:
         )
         return self.from_spark(src, object_frame=obj, **kwargs)
 
+    def from_lsdb(
+        self,
+        source_catalog,
+        object_catalog=None,
+        column_mapper: Optional[ColumnMapper] = None,
+        **kwargs,
+    ) -> "Ensemble":
+        """Ingest LSDB ``Catalog`` objects (parity: ``ensemble.py:1667-1758``).
+
+        LSDB is an optional dependency; catalogs are materialized through
+        their Dask collection (``.compute()``) and re-distributed by Spark.
+        For large HiPSCat catalogs prefer :meth:`from_hipscat`, which reads
+        the ``Norder=/Dir=/Npix=`` parquet layout directly with Spark's
+        partition discovery and never routes data through the driver.
+        """
+        try:
+            import lsdb  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - lsdb not in sandbox
+            raise ImportError(
+                "from_lsdb requires the optional 'lsdb' package; "
+                "use from_hipscat to read HiPSCat directories directly"
+            ) from exc
+        src_pdf = source_catalog.compute()
+        obj_pdf = object_catalog.compute() if object_catalog is not None else None
+        return self.from_pandas(
+            src_pdf.reset_index(),
+            object_frame=obj_pdf.reset_index() if obj_pdf is not None else None,
+            column_mapper=column_mapper,
+            **kwargs,
+        )
+
     def insert_sources(
         self,
         obj_ids: list,

@@ -143,3 +143,40 @@ def test_batch_kwargs_passthrough(ramp_ensemble):
     r50 = ramp_ensemble.batch(quantile, "flux", meta=("v", float)).toPandas()
     r90 = ramp_ensemble.batch(quantile, "flux", meta=("v", float), q=0.9).toPandas()
     assert (r90["v"] >= r50["v"]).all()
+
+
+def test_batch_by_band_multi_result_columns(ramp_ensemble):
+    """Pivot naming for multi-column results follows the reference's
+    {col}_{band} convention (ensemble.py:1284-1306)."""
+
+    def lo_hi(flux):
+        return {"lo": float(np.min(flux)), "hi": float(np.max(flux))}
+
+    r = ramp_ensemble.batch(
+        lo_hi, "flux", meta={"lo": float, "hi": float}, by_band=True, band_values=["g", "r"]
+    )
+    assert sorted(r.columns) == ["hi_g", "hi_r", "id", "lo_g", "lo_r"]
+
+
+def test_batch_multi_key_grouping(ramp_ensemble):
+    r = ramp_ensemble.batch(
+        np.mean, "flux", meta=("result", float), on=["id", "band"]
+    ).toPandas()
+    assert len(r) == 20  # 5 objects x 4 bands
+    assert {"id", "band", "result"} == set(r.columns)
+
+
+def test_batch_map_and_shuffle_paths_agree(ramp_ensemble):
+    fast = (
+        ramp_ensemble.batch(np.std, "flux", meta=("s", float), use_map=True)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    slow = (
+        ramp_ensemble.batch(np.std, "flux", meta=("s", float), use_map=False)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, slow)
