@@ -395,6 +395,101 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_select_project(spark, sf_dir):
+    """Ensemble.select column projection (SURVEY §2.2) — the id column is
+    always retained."""
+    ens = _ensemble(spark, sf_dir)
+    ens.select(["l_extendedprice", "l_returnflag"])
+    return ens.frames["source"]
+
+
+def q_filter_from_series(spark, sf_dir):
+    """filter_from_series boolean-Column filter (SURVEY §2.2)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.filter_from_series((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+    return ens.frames["source"]
+
+
+def q_insert_sources(spark, sf_dir):
+    """insert_sources union-append (SURVEY §2.1)."""
+    ens = _ensemble(spark, sf_dir)
+    ens.insert_sources(
+        obj_ids=[1, 2],
+        bands=["Z", "Z"],
+        timestamps=[0.0, 1.0],
+        fluxes=[123.5, 456.5],
+        flux_errs=[1.0, 2.0],
+    )
+    return ens.frames["source"]
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Exact dedup materializing the surviving corpus rows."""
+    from tape_spark.operators import dedup_keep_first
+
+    return dedup_keep_first(_docs(spark, sf_dir)).select("doc_id", "text")
+
+
+def q_text_stopword_ratio(spark, sf_dir):
+    """English stopword-ratio quality feature."""
+    from tape_spark.operators import stopword_ratio
+
+    q = stopword_ratio(_docs(spark, sf_dir))
+    return q.select("doc_id", F.round("stop_ratio", 6).alias("stop_ratio"))
+
+
+def q_day_gap_offset(spark, sf_dir):
+    """find_day_gap_offset scalar wrapped as a 1-row frame (driver-side
+    24-element scan; no SQL equivalent for the gap-run loop)."""
+    ens = _ensemble(spark, sf_dir)
+    offset = ens.find_day_gap_offset()
+    return spark.createDataFrame([(float(offset),)], "offset double")
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Hyperplane-LSH near-dup scale path (approximate → rows-only)."""
+    from tape_spark.operators import embedding_near_duplicates
+
+    # a 0.5-cosine threshold is a wide net (θ≈60°): short bucket keys with
+    # many OR-amplification tables keep recall high (1-(1-(2/3)^4)^16 ≈ .97)
+    pairs = embedding_near_duplicates(
+        _emb(spark, sf_dir), threshold=0.5, num_planes=4, num_tables=16, brute_force=False
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding 15-minute windows every 5 minutes over events
+    (tape_spark.streaming.sliding_window_agg; each event lands in 3
+    windows)."""
+    from tape_spark.streaming import sliding_window_agg
+
+    ev = _events(spark, sf_dir).withColumn("ts2", F.col("t").cast("timestamp"))
+    out = sliding_window_agg(
+        ev, ts_col="ts2", window="15 minutes", slide="5 minutes", keys=["event_type"], value_col="value"
+    )
+    return out.select(
+        F.col("window_start").cast("double").alias("window_start"),
+        "event_type",
+        "n",
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+def q_events_session_window(spark, sf_dir):
+    """Built-in stateful session windows (F.session_window) per user."""
+    from tape_spark.streaming import session_window_agg
+
+    ev = _events(spark, sf_dir).withColumn("ts2", F.col("t").cast("timestamp"))
+    out = session_window_agg(ev, ts_col="ts2", gap="30 minutes", keys=["user_id"])
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("double").alias("session_start"),
+        F.col("session_end").cast("double").alias("session_end"),
+        "n_events",
+    )
+
+
 def q_events_tumbling(spark, sf_dir):
     """Tumbling 15-minute window aggregation over the events stream table
     (batch equivalent of the Structured Streaming path)."""
@@ -447,23 +542,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_lightcurves": q_sort_lightcurves,
         "save_load_roundtrip": q_save_load_roundtrip,
         "hour_histogram": q_hour_histogram,
+        "select_project": q_select_project,
+        "filter_from_series": q_filter_from_series,
+        "insert_sources": q_insert_sources,
+        "day_gap_offset": q_day_gap_offset,
         "stetson_j": q_stetson_j,
         "sf2_basic": q_sf2_basic,
         "sf2_combine": q_sf2_combine,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep_first": q_dedup_keep_first,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
+        "text_stopword_ratio": q_text_stopword_ratio,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_session_window": q_events_session_window,
         "events_sessionize": q_events_sessionize,
         "events_json": q_events_json,
     }
@@ -548,6 +652,35 @@ FROM flagged GROUP BY user_id
 """
 
 
+_SLIDING_SQL = """
+WITH e AS (SELECT epoch(ts) AS t, event_type, value FROM events),
+x AS (
+  SELECT t, event_type, value, CAST(floor(t / 300) AS BIGINT) - u.j AS w
+  FROM e, UNNEST([0, 1, 2]) AS u(j)
+)
+SELECT CAST(w * 300 AS DOUBLE) AS window_start, event_type,
+       count(*) AS n, round(avg(value), 6) AS avg_value
+FROM x GROUP BY 1, 2
+"""
+
+_SESSION_WINDOW_SQL = """
+WITH o AS (SELECT user_id, epoch(ts) AS t, event_id FROM events),
+flagged AS (
+  SELECT user_id, t,
+    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+sess AS (
+  SELECT user_id, t,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(t) AS session_start, max(t) + 1800 AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ingest_source": _CRITICAL_SELECT,
@@ -622,8 +755,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(CAST(floor(epoch(l_shipdate) / 3600) AS BIGINT) % 24 AS INT) AS hour, "
             "count(*) AS n FROM lineitem GROUP BY 1"
         ),
+        "select_project": (
+            "SELECT l_orderkey, l_extendedprice, l_returnflag FROM lineitem"
+        ),
+        "filter_from_series": (
+            _CRITICAL_SELECT + " WHERE l_quantity >= 10 AND l_quantity <= 20"
+        ),
+        "insert_sources": (
+            _CRITICAL_SELECT
+            + " UNION ALL SELECT * FROM (VALUES (1, 0.0, 123.5, 1.0, 'Z'), (2, 1.0, 456.5, 2.0, 'Z'))"
+        ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"
+        ),
+        "dedup_keep_first": (
+            "SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER "
+            "(PARTITION BY text ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
         ),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
@@ -651,6 +798,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS media_id, 'text/plain' AS media_type, "
             "CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS checksum FROM documents"
         ),
+        "text_stopword_ratio": (
+            "SELECT doc_id, round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE "
+            "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it)\\b')) * 1.0 "
+            "/ len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS stop_ratio "
+            "FROM documents"
+        ),
+        "events_sliding": _SLIDING_SQL,
+        "events_session_window": _SESSION_WINDOW_SQL,
         "events_tumbling": (
             "SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS window_id, event_type, "
             "count(*) AS n, round(avg(value), 6) AS avg_value FROM events GROUP BY 1, 2"

@@ -8,6 +8,7 @@ Jaccard matrices, JVM-side expressions wherever the semantics allow.
 
 from .dedup import (
     exact_dedup,
+    dedup_keep_first,
     minhash_signatures,
     lsh_candidate_pairs,
     minhash_near_duplicates,
@@ -16,10 +17,12 @@ from .dedup import (
     embedding_near_duplicates,
 )
 from .similarity import cosine_topk, lsh_cosine_topk
-from .text import language_id, text_quality, token_count, document_fingerprint
+from .text import language_id, stopword_ratio, text_quality, token_count, document_fingerprint
 
 __all__ = [
     "exact_dedup",
+    "dedup_keep_first",
+    "stopword_ratio",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_near_duplicates",

@@ -65,6 +65,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup that returns the full surviving rows (lowest id per
+    distinct text) — the 'materialize the cleaned corpus' form of
+    :func:`exact_dedup`. One window over hash-partitioned text groups."""
+    w = Window.partitionBy(text_col).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -273,18 +285,22 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     num_planes: int = 8,
+    num_tables: int = 8,
     seed: int = 7,
     brute_force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
-    Scale path (default): random-hyperplane LSH — documents agreeing on all
-    ``num_planes`` sign bits land in one bucket; cosine is computed only
-    within buckets. ``brute_force=True`` compares all pairs (oracle /
-    small-data path). Returns ``(id_a, id_b, cosine)`` ≥ threshold.
+    Scale path (default): random-hyperplane LSH with OR-amplification —
+    ``num_tables`` independent sets of ``num_planes`` hyperplanes; vectors
+    agreeing on every sign bit in *any* table become candidates (equi-join
+    on ``(table, bucket)``, exact cosine verify, distinct). Per-table miss
+    probability for a pair at angle θ is ``1 − (1 − θ/π)^planes``, so L
+    tables drive recall to ``1 − miss^L`` while keeping cost proportional
+    to bucket occupancy — never all-pairs. ``brute_force=True`` compares
+    all pairs (oracle / small-data path).
+    Returns ``(id_a, id_b, cosine)`` ≥ threshold.
     """
-    import numpy as np
-
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     base = emb.select(F.col(id_col), v.alias("v"), norm.alias("norm"))
@@ -292,28 +308,58 @@ def embedding_near_duplicates(
     if not brute_force:
         dim = len(emb.select(vec_col).first()[0])
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((num_planes, dim))
-        bucket = None
-        for p in range(num_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-            dot = F.aggregate(F.zip_with(F.col("v"), plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-            bit = F.when(dot >= 0, F.lit(2**p)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        base = base.withColumn("bucket", bucket)
-        a = base.alias("a")
-        b = base.alias("b")
-        joined = a.join(b, on=[F.col("a.bucket") == F.col("b.bucket")])
+        # all tables' hyperplanes as one (dim, tables*planes) matrix: every
+        # bucket bit for a batch of vectors is a single BLAS matmul + sign
+        planes = rng.standard_normal((num_tables * num_planes, dim))
+        plane_mat = planes.T.copy()
+        weights = (2 ** np.arange(num_planes, dtype=np.int64)).reshape(1, 1, num_planes)
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def buckets(vs: pd.Series) -> pd.Series:
+            mat = np.array(vs.tolist(), dtype=np.float64)  # (batch, dim)
+            bits = (mat @ plane_mat) >= 0  # (batch, tables*planes)
+            ids = (bits.reshape(len(mat), num_tables, num_planes) * weights).sum(axis=2)
+            return pd.Series(list(ids))
+
+        tabled = base.withColumn("bs", buckets(F.col("v"))).select(
+            id_col, "v", "norm", F.posexplode("bs").alias("t", "bucket")
+        )
+        a = tabled.alias("a")
+        b = tabled.alias("b")
+        joined = (
+            a.join(b, on=[F.col("a.t") == F.col("b.t"), F.col("a.bucket") == F.col("b.bucket")])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+                F.col("a.norm").alias("na"),
+                F.col("b.norm").alias("nb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])  # pairs colliding in >1 table
+        )
     else:
         a = base.alias("a")
         b = base.alias("b")
-        joined = a.crossJoin(b)
+        joined = (
+            a.crossJoin(b)
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+                F.col("a.norm").alias("na"),
+                F.col("b.norm").alias("nb"),
+            )
+        )
 
     dot_ab = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn("cosine", dot_ab / (F.col("a.norm") * F.col("b.norm")))
+        joined.withColumn("cosine", dot_ab / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )

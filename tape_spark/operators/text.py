@@ -80,6 +80,27 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def stopword_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: "list[str] | None" = None,
+) -> DataFrame:
+    """Fraction of whitespace tokens that are (English, by default)
+    stopwords — a standard quality-filter feature. Ratio is 0 for empty
+    documents."""
+    words = words or LANG_STOPWORDS["en"]
+    text = F.col(text_col)
+    hits = _stopword_hits(text, words)
+    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+    return df.select(
+        F.col(id_col),
+        (F.when(n_tokens > 0, hits / n_tokens).otherwise(F.lit(0.0))).alias("stop_ratio"),
+    )
+
+
 def token_count(
     df: DataFrame,
     text_col: str = "text",
