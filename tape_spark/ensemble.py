@@ -309,6 +309,67 @@ class Ensemble:
         )
         return self.from_spark(src, object_frame=obj, **kwargs)
 
+    def save_bucketed(
+        self,
+        source_table: str,
+        object_table: Optional[str] = None,
+        num_buckets: int = 32,
+        mode: str = "overwrite",
+    ) -> "Ensemble":
+        """Write the source as an id-bucketed, id/band/time-sorted metastore
+        table — the at-rest storage contract for 100 TB deployments
+        (docs/SCALING.md). A bucketed scan satisfies Catalyst's id-hash
+        distribution requirement, so ``groupBy(id)`` aggregations, the sync
+        semi-joins, and ``batch()`` run with no exchange at all.
+        """
+        self._lazy_sync_tables("all")
+        (
+            self.frames[SOURCE_FRAME_LABEL]
+            .write.mode(mode)
+            .format("parquet")
+            .bucketBy(num_buckets, self._id_col)
+            .sortBy(self._id_col, self._band_col, self._time_col)
+            .saveAsTable(source_table)
+        )
+        if object_table:
+            (
+                self.frames[OBJECT_FRAME_LABEL]
+                .write.mode(mode)
+                .format("parquet")
+                .bucketBy(num_buckets, self._id_col)
+                .sortBy(self._id_col)
+                .saveAsTable(object_table)
+            )
+        return self
+
+    def from_table(
+        self,
+        source_table: str,
+        object_table: Optional[str] = None,
+        column_mapper: Optional[ColumnMapper] = None,
+    ) -> "Ensemble":
+        """Load from metastore tables written by :meth:`save_bucketed`.
+
+        No repartition is issued: a bucketed table's scan already reports
+        id-hash partitioning (one bucket per task, files unsplit), so
+        cohesion holds and every downstream id-keyed plan elides its
+        shuffle.
+        """
+        if column_mapper is not None:
+            self._load_column_mapper(column_mapper)
+        if self.column_mapper is None:
+            raise ValueError("A ColumnMapper is required on first ingestion")
+        src = self.spark.table(source_table)
+        self.frames[SOURCE_FRAME_LABEL] = src
+        if object_table:
+            self.frames[OBJECT_FRAME_LABEL] = self.spark.table(object_table)
+        else:
+            self.frames[OBJECT_FRAME_LABEL] = src.select(self._id_col).distinct()
+        self._source_dirty = False
+        self._object_dirty = False
+        self._source_cohesive = True  # bucketed scan: one bucket per task
+        return self
+
     def from_lsdb(
         self,
         source_catalog,

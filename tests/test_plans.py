@@ -109,3 +109,41 @@ def test_sort_lightcurves_no_global_shuffle(li_ensemble):
     plan = plan_of(li_ensemble.frames["source"])
     assert plan.count("Exchange") == before  # sortWithinPartitions adds none
     assert "Sort " in plan or "Sort [" in plan
+
+
+def test_bucketed_table_elides_all_shuffles(spark, li_ensemble, tmp_path):
+    """The at-rest storage contract: an id-bucketed table feeds groupBy(id)
+    aggregations and the shuffle-path batch() with ZERO exchanges."""
+    from tape_spark import ColumnMapper, Ensemble
+
+    # lands in ./spark-warehouse (gitignored); dropped in the finally block
+    li_ensemble.save_bucketed("bucketed_src_test", num_buckets=8)
+    try:
+        cm = ColumnMapper(
+            id_col="l_orderkey",
+            time_col="l_linenumber",
+            flux_col="l_extendedprice",
+            err_col="l_quantity",
+            band_col="l_returnflag",
+        )
+        ens = Ensemble(spark).from_table("bucketed_src_test", column_mapper=cm)
+
+        counts = ens.frames["source"].groupBy("l_orderkey").count()
+        assert "Exchange" not in plan_of(counts)
+
+        shuffle_batch = ens.batch(
+            np.mean, "l_extendedprice", meta=("result", float), use_map=False
+        )
+        assert "Exchange" not in plan_of(shuffle_batch)
+
+        map_batch = ens.batch(np.mean, "l_extendedprice", meta=("result", float))
+        plan = plan_of(map_batch)
+        assert "MapInPandas" in plan and "Exchange" not in plan
+
+        # correctness of the bucketed path against a plain aggregation
+        expected = (
+            li_ensemble.frames["source"].groupBy("l_orderkey").count().count()
+        )
+        assert counts.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_src_test")
