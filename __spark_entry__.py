@@ -58,7 +58,11 @@ def _ensemble(spark: SparkSession, sf_dir: str):
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-file corpora load as one partition; spread across cores (a real
+    # 100 TB corpus arrives pre-split, so this shuffle exists only at toy SF)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -143,16 +143,27 @@ def minhash_signatures(
         F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
     )
     # Tokenize once, then hash each shingle in place — no re-split per index,
-    # no intermediate shingle strings kept beyond the expression.
-    hashed = toks.select(
-        F.col(id_col),
-        F.expr(
+    # no intermediate shingle strings kept beyond the expression. For the
+    # common bigram case, zip adjacent tokens (two O(n) slices) instead of
+    # slicing per index (O(n²) array copies).
+    if n == 2:
+        shingle_expr = (
+            "CASE WHEN size(__toks) >= 2 THEN "
+            "array_distinct(zip_with("
+            "slice(__toks, 1, size(__toks) - 1), slice(__toks, 2, size(__toks) - 1), "
+            "(a, b) -> xxhash64(concat(a, ' ', b)))) "
+            "ELSE array() END"
+        )
+    else:
+        shingle_expr = (
             f"CASE WHEN size(__toks) >= {n} THEN "
             f"array_distinct(transform(sequence(1, size(__toks) - {n - 1}), "
             f"i -> xxhash64(array_join(slice(__toks, i, {n}), ' ')))) "
             f"ELSE array() END"
-        ).alias("h0"),
-    ).filter(F.size("h0") > 0)
+        )
+    hashed = toks.select(F.col(id_col), F.expr(shingle_expr).alias("h0")).filter(
+        F.size("h0") > 0
+    )
 
     rng = np.random.default_rng(seed)
     a = (rng.integers(1, 2**62, num_hashes, dtype=np.uint64) * np.uint64(2)) + np.uint64(1)
