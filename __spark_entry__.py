@@ -494,6 +494,18 @@ def q_events_session_window(spark, sf_dir):
     )
 
 
+def q_events_running_stats(spark, sf_dir):
+    """Per-user running statistics (batch form of the
+    applyInPandasWithState streaming operator)."""
+    from tape_spark.streaming import running_stats
+
+    ev = _events(spark, sf_dir)
+    out = running_stats(ev, keys=["user_id"], value_col="value")
+    return out.select(
+        "user_id", "n", F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std")
+    )
+
+
 def q_events_tumbling(spark, sf_dir):
     """Tumbling 15-minute window aggregation over the events stream table
     (batch equivalent of the Structured Streaming path)."""
@@ -569,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "events_running_stats": q_events_running_stats,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_session_window": q_events_session_window,
@@ -807,6 +820,10 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it)\\b')) * 1.0 "
             "/ len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS stop_ratio "
             "FROM documents"
+        ),
+        "events_running_stats": (
+            "SELECT user_id, count(value) AS n, round(avg(value), 6) AS mean, "
+            "round(coalesce(stddev_samp(value), 0), 6) AS std FROM events GROUP BY user_id"
         ),
         "events_sliding": _SLIDING_SQL,
         "events_session_window": _SESSION_WINDOW_SQL,

@@ -6,6 +6,7 @@ over batch DataFrames and streams (`readStream` + watermark), for the
 ``events``-style tables a large pipeline ingests continuously.
 """
 
+from .stateful import running_stats
 from .windows import (
     read_event_stream,
     sessionize,
@@ -20,4 +21,5 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "sessionize",
+    "running_stats",
 ]

@@ -3,6 +3,7 @@ stream with availableNow trigger against the same data computed in batch."""
 
 import datetime as dt
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -120,3 +121,39 @@ def test_streaming_matches_batch(spark, events_pdf, events_df, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_stateful_running_stats_stream_matches_batch(spark, events_pdf, events_df, tmp_path):
+    """applyInPandasWithState running stats across multiple micro-batches
+    must converge to the batch aggregation."""
+    from tape_spark.streaming import running_stats
+
+    src_dir = str(tmp_path / "stateful_src")
+    events_df.repartition(6).write.parquet(src_dir)
+
+    stream = read_event_stream(spark, src_dir, SCHEMA, max_files_per_trigger=2)
+    stats = running_stats(stream, keys=["user_id"], value_col="value")
+
+    query = (
+        stats.writeStream.format("memory")
+        .queryName("running_stats_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    # update mode emits one row per key per micro-batch; the final state is
+    # the row with the largest n per key
+    got = spark.table("running_stats_test").toPandas()
+    final = got.sort_values("n").groupby("user_id").last().sort_index()
+
+    expected = (
+        running_stats(events_df, keys=["user_id"], value_col="value")
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (final["n"] == expected["n"]).all()
+    assert np.allclose(final["mean"], expected["mean"])
+    assert np.allclose(final["std"], expected["std"])
