@@ -344,6 +344,20 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (k-means inverted-file) approximate top-k (rows-only check)."""
+    from tape_spark.operators import ivf_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    tk = ivf_cosine_topk(emb, queries_df, k=10, num_clusters=16, nprobe=4)
+    return tk.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_text_langid(spark, sf_dir):
     """Stopword-vote language ID heuristic."""
     from tape_spark.operators import language_id
@@ -573,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,

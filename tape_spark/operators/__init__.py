@@ -16,7 +16,7 @@ from .dedup import (
     simhash_signatures,
     embedding_near_duplicates,
 )
-from .similarity import cosine_topk, lsh_cosine_topk
+from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import language_id, stopword_ratio, text_quality, token_count, document_fingerprint
 
 __all__ = [
@@ -31,6 +31,7 @@ __all__ = [
     "embedding_near_duplicates",
     "cosine_topk",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
     "language_id",
     "text_quality",
     "token_count",

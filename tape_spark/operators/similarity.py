@@ -8,8 +8,11 @@ occupancy instead of |corpus| × |queries|.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _as_double(col):
@@ -43,10 +46,6 @@ def cosine_topk(
     per-executor output is O(k · |queries|), not O(|corpus|·|queries|).
     Ties break on corpus id for determinism.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -90,6 +89,89 @@ def cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_clusters: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    1. **Train** a coarse quantizer: k-means over a driver-side sample of
+       the corpus (spherical — vectors L2-normalized, centroids
+       re-normalized each iteration).
+    2. **Assign** every corpus vector to its nearest centroid — one BLAS
+       matmul per Arrow batch against the broadcast centroid matrix.
+    3. **Probe**: each query searches only its ``nprobe`` nearest
+       centroids' inverted lists; candidates come from an equi-join on the
+       cluster id, local top-k per batch, global window resolve.
+
+    At 100 TB the corpus pass is one narrow map; search cost scales with
+    ``nprobe / num_clusters`` of the corpus instead of all of it. Recall
+    improves with ``nprobe`` (= brute force at ``nprobe == num_clusters``).
+    """
+    # --- train: spherical k-means on a sample (driver-side numpy) ---
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()], dtype=np.float64
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-300)
+    rng = np.random.default_rng(seed)
+    k_eff = min(num_clusters, len(sample))
+    centroids = sample[rng.choice(len(sample), k_eff, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(k_eff):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300)
+
+    cent_T = centroids.T.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_cluster(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        return pd.Series((mat @ cent_T).argmax(axis=1).astype(np.int32))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_clusters(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        sims = mat @ cent_T
+        order = np.argsort(-sims, axis=1)[:, : min(nprobe, k_eff)].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cnorm", _norm(F.col("cv"))).withColumn("cluster", nearest_cluster(F.col("cv")))
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("qnorm", _norm(F.col("qv")))
+        .withColumn("cluster", F.explode(probe_clusters(F.col("qv"))))
+    )
+
+    scored = c.join(F.broadcast(q), on="cluster").withColumn(
+        "cosine", _dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -108,8 +190,6 @@ def lsh_cosine_topk(
     layered by unioning neighbor buckets. The hyperplanes are literal
     arrays in the plan — no Python at execution time.
     """
-    import numpy as np
-
     dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))

@@ -159,3 +159,24 @@ def test_frame_sample_plumbing(docs):
     frames = frame_sample(media, every_n_bytes=8, max_frames=3).toPandas()
     assert (frames["frame_index"] < 3).all()
     assert len(frames) > 0
+
+
+def test_ivf_topk_recall_vs_brute(spark, emb):
+    """IVF with full probing equals brute force; partial probing still
+    recalls the self-match and the near-duplicate."""
+    from tape_spark.operators import ivf_cosine_topk
+
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    full = ivf_cosine_topk(
+        emb, queries, k=2, num_clusters=4, nprobe=4, train_sample=100
+    ).toPandas()
+    brute = cosine_topk(emb, queries, k=2).toPandas()
+    f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (f["corpus_id"] == b["corpus_id"]).all()
+
+    partial = ivf_cosine_topk(
+        emb, queries, k=2, num_clusters=4, nprobe=2, train_sample=100
+    ).toPandas()
+    top1 = partial[partial["rank"] == 1]
+    assert (top1["query_id"].to_numpy() == top1["corpus_id"].to_numpy()).all()
