@@ -508,6 +508,26 @@ def q_events_session_window(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """mapInPandas resize plumbing with the deterministic fake resampler
+    (no SQL equivalent)."""
+    from tape_spark.operators.multimodal import attach_binary_payload, resize_media
+
+    media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
+    out = resize_media(media, width=16, height=8)
+    return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
+
+
+def q_multimodal_embedding(spark, sf_dir):
+    """Binary → fixed-dim embedding feature extraction (stub encoder; no
+    SQL equivalent)."""
+    from tape_spark.operators.multimodal import attach_binary_payload, media_embedding
+
+    media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
+    emb = media_embedding(media, dim=16)
+    return emb.select("media_id", F.round(F.element_at("embedding", 1), 6).alias("e0"))
+
+
 def q_events_running_stats(spark, sf_dir):
     """Per-user running statistics (batch form of the
     applyInPandasWithState streaming operator)."""
@@ -596,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_embedding": q_multimodal_embedding,
         "events_running_stats": q_events_running_stats,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,

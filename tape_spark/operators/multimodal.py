@@ -127,6 +127,103 @@ def decode_media(df: DataFrame, decoder: str = "fake", batch_limit: int = 256) -
     return df.mapInPandas(run, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resample: truncate/tile the bytes
+    to width*height (capped). A real implementation decodes, resamples,
+    re-encodes; the Spark-side contract (binary in → binary out, bounded
+    size) is identical."""
+    target = min(width * height, 1 << 16)
+    if not payload:
+        return b"\x00" * target
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def _unimplemented_resize(payload: bytes, width: int, height: int) -> bytes:
+    raise NotImplementedError(
+        "Real media resizing requires an image library not present in this "
+        "environment; register one in RESIZERS."
+    )
+
+
+RESIZERS: Dict[str, Callable[[bytes, int, int], bytes]] = {
+    "fake": _fake_resize,
+    "real": _unimplemented_resize,
+}
+
+
+def resize_media(
+    df: DataFrame, width: int = 224, height: int = 224, resizer: str = "fake"
+) -> DataFrame:
+    """Resize media payloads to (width, height) via ``mapInPandas``.
+
+    Same plumbing contract as :func:`decode_media`: Arrow-batched transfer,
+    per-item worker function, stable output schema. The resized payload is
+    size-bounded, so downstream stages can size partitions deterministically
+    (a key property when normalizing 100 TB of mixed-resolution media to a
+    training shape).
+    """
+    resize = RESIZERS[resizer]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        resize(bytes(p) if p is not None else b"", width, height)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+            yield out[[f.name for f in RESIZE_SCHEMA.fields]]
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def media_embedding(df: DataFrame, dim: int = 16, decoder: str = "fake") -> DataFrame:
+    """Feature-extract media payloads into fixed-``dim`` embedding vectors.
+
+    The extractor is the registered decoder's feature output, hashed down /
+    padded to ``dim`` deterministically — the stand-in for an image/audio
+    encoder model. Output (media_id, embedding array<double>) feeds directly
+    into the similarity-search operators (cosine_topk, ivf_cosine_topk,
+    embedding_near_duplicates).
+    """
+    decode = DECODERS[decoder]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                feat = decode(bytes(p) if p is not None else b"")["feature"]
+                v = np.resize(np.asarray(feat, dtype=np.float64), dim)
+                vecs.append(v.tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "embedding": vecs})
+
+    return df.mapInPandas(run, schema)
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
     """"Frame sampling" plumbing: slice evenly spaced byte windows out of a
     payload (stand-in for video frame extraction). Built-in expressions

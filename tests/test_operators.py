@@ -180,3 +180,29 @@ def test_ivf_topk_recall_vs_brute(spark, emb):
     ).toPandas()
     top1 = partial[partial["rank"] == 1]
     assert (top1["query_id"].to_numpy() == top1["corpus_id"].to_numpy()).all()
+
+
+def test_resize_media_bounded_output(docs):
+    from tape_spark.operators.multimodal import attach_binary_payload, resize_media
+
+    media = attach_binary_payload(docs, "text", "doc_id", "text/plain")
+    out = resize_media(media, width=8, height=4).toPandas()
+    assert (out["payload"].map(len) == 32).all()  # width*height bytes
+    assert (out["width"] == 8).all() and (out["height"] == 4).all()
+
+
+def test_media_embedding_feeds_similarity(docs):
+    from tape_spark.operators import cosine_topk
+    from tape_spark.operators.multimodal import attach_binary_payload, media_embedding
+
+    media = attach_binary_payload(docs, "text", "doc_id", "text/plain")
+    emb = media_embedding(media, dim=16)
+    pdf = emb.toPandas()
+    assert pdf["embedding"].map(len).eq(16).all()
+    # identical payloads (docs 0 and 1) -> identical embeddings
+    by_id = pdf.set_index("media_id")["embedding"]
+    assert list(by_id[0]) == list(by_id[1])
+    # embeddings are consumable by the ANN operators end-to-end
+    queries = emb.select(F.col("media_id").alias("query_id"), "embedding").limit(2)
+    tk = cosine_topk(emb, queries, k=2, id_col="media_id").toPandas()
+    assert len(tk) == 4
