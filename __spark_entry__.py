@@ -278,6 +278,20 @@ def q_sf2_combine(spark, sf_dir):
 # --------------------------------------------------------------------- #
 
 
+def q_lc_similarity(spark, sf_dir):
+    """Light-curve similarity search: PAA embedding per curve through
+    batch(), cosine top-5 (no SQL equivalent for the procedural PAA)."""
+    from tape_spark.operators import similar_lightcurves
+
+    ens = _ensemble(spark, sf_dir)
+    ens.prune(threshold=5)
+    ids = [r[0] for r in ens.object.select("l_orderkey").orderBy("l_orderkey").limit(3).collect()]
+    out = similar_lightcurves(ens, query_ids=ids, k=5, num_bins=16)
+    return out.select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: survivor id + duplicate count per distinct text."""
     from tape_spark.operators import exact_dedup
@@ -599,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stetson_j": q_stetson_j,
         "sf2_basic": q_sf2_basic,
         "sf2_combine": q_sf2_combine,
+        "lc_similarity": q_lc_similarity,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

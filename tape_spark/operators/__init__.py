@@ -16,6 +16,7 @@ from .dedup import (
     simhash_signatures,
     embedding_near_duplicates,
 )
+from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import language_id, stopword_ratio, text_quality, token_count, document_fingerprint
 
@@ -32,6 +33,8 @@ __all__ = [
     "cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
+    "lightcurve_embeddings",
+    "similar_lightcurves",
     "language_id",
     "text_quality",
     "token_count",

@@ -206,3 +206,18 @@ def test_media_embedding_feeds_similarity(docs):
     queries = emb.select(F.col("media_id").alias("query_id"), "embedding").limit(2)
     tk = cosine_topk(emb, queries, k=2, id_col="media_id").toPandas()
     assert len(tk) == 4
+
+
+def test_lightcurve_similarity_search(ramp_ensemble):
+    """PAA embeddings + cosine top-k over light curves: each query curve's
+    best match is itself."""
+    from tape_spark.operators import lightcurve_embeddings, similar_lightcurves
+
+    emb = lightcurve_embeddings(ramp_ensemble, num_bins=16).toPandas()
+    assert len(emb) == 5
+    assert emb["embedding"].map(len).eq(16).all()
+
+    out = similar_lightcurves(ramp_ensemble, query_ids=[8000, 8001], k=3).toPandas()
+    top1 = out[out["rank"] == 1]
+    assert set(top1["query_id"]) == {8000, 8001}
+    assert (top1["query_id"].to_numpy() == top1["corpus_id"].to_numpy()).all()
