@@ -1072,7 +1072,13 @@ class Ensemble:
         if use_map is None:
             use_map = self._source_cohesive and self._id_col in on and not from_object
         if use_map:
-            result = src.sortWithinPartitions(*on).mapInPandas(map_wrapper, schema)
+            # sort by time inside each group too: order-sensitive kernels see
+            # deterministic, time-ordered rows (the same contract
+            # sort_lightcurves establishes in the reference)
+            sort_keys = list(on)
+            if self._time_col in src.columns and self._time_col not in sort_keys:
+                sort_keys.append(self._time_col)
+            result = src.sortWithinPartitions(*sort_keys).mapInPandas(map_wrapper, schema)
         else:
             result = src.groupBy(*on).applyInPandas(apply_wrapper, schema)
 
