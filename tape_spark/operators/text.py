@@ -139,31 +139,32 @@ def document_fingerprint(
     """
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
 
+    # polynomial k-gram hashes as one sliding-window matmul per document:
+    # with byte values < 256 and k ≤ 7 the dot product stays below 2^63,
+    # so no intermediate modulo is needed (vectorized, no per-char loop)
+    if k > 7:
+        raise ValueError("document_fingerprint supports k <= 7 (int64 rolling hash)")
+    base = 257
+    powers = (base ** np.arange(k - 1, -1, -1)).astype(np.int64)
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def winnow(texts: pd.Series) -> pd.Series:
-        base, mod = 257, (1 << 61) - 1
+        from numpy.lib.stride_tricks import sliding_window_view
+
         out = []
         for t in texts:
             s = " ".join(str(t).lower().split())
-            if len(s) < k:
+            data = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
+            if data.size < k:
                 out.append([])
                 continue
-            vals = np.frombuffer(s.encode("utf-8", "replace")[: len(s)], dtype=np.uint8)
-            # rolling hash of all k-grams
-            h = 0
-            power = pow(base, k - 1, mod)
-            hashes = []
-            for i, c in enumerate(vals):
-                h = (h * base + int(c)) % mod
-                if i >= k - 1:
-                    hashes.append(h)
-                    h = (h - int(vals[i - k + 1]) * power) % mod
-            arr = np.asarray(hashes, dtype=np.int64)
-            if arr.size <= window:
-                out.append([int(arr.min())] if arr.size else [])
+            grams = sliding_window_view(data, k).astype(np.int64)
+            hashes = grams @ powers
+            if hashes.size <= window:
+                out.append([int(hashes.min())])
                 continue
-            mins = {int(arr[i : i + window].min()) for i in range(arr.size - window + 1)}
-            out.append(sorted(mins))
+            mins = np.unique(sliding_window_view(hashes, window).min(axis=1))
+            out.append(mins.tolist())
         return pd.Series(out)
 
     return df.select(

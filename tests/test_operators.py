@@ -221,3 +221,15 @@ def test_lightcurve_similarity_search(ramp_ensemble):
     top1 = out[out["rank"] == 1]
     assert set(top1["query_id"]) == {8000, 8001}
     assert (top1["query_id"].to_numpy() == top1["corpus_id"].to_numpy()).all()
+
+
+def test_winnowed_fingerprints(docs):
+    out = document_fingerprint(docs, k=5, window=4).toPandas().set_index("doc_id")
+    # identical docs share the full fingerprint set
+    assert list(out.loc[0, "winnow"]) == list(out.loc[1, "winnow"])
+    # near-dup shares most fingerprints with the original (winnowing
+    # guarantee: one-word edits leave distant windows untouched)
+    a, c = set(out.loc[0, "winnow"]), set(out.loc[2, "winnow"])
+    assert len(a & c) / len(a | c) > 0.5
+    # empty doc -> empty fingerprint set
+    assert list(out.loc[5, "winnow"]) == []
