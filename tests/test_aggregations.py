@@ -104,3 +104,25 @@ def test_cohesion_detects_split_objects(spark, ramp_rows, ramp_cm):
     # round-robin repartition deliberately breaks cohesion
     ens.frames["source"] = ens.frames["source"].repartition(8)
     assert not ens.check_lightcurve_cohesion()
+
+
+def test_batch_kernel_sees_time_sorted_rows(ramp_ensemble):
+    """Port of the reference's sort-enforcement test
+    (test_ensemble.py:1974-2046): a kernel that raises on unsorted input
+    must succeed on the map path, which time-sorts within groups."""
+
+    def assert_sorted(time, flux):
+        if not np.all(np.diff(time) >= 0):
+            raise ValueError("input not time-sorted")
+        return float(flux[0])
+
+    out = ramp_ensemble.batch(assert_sorted, "time", "flux", meta=("first_flux", float))
+    assert out.count() == 5
+
+
+def test_check_sorted_detects_unsorted(ramp_ensemble):
+    ens = ramp_ensemble
+    # interleaved ids within partitions → id column not monotonic
+    assert not ens.check_sorted()
+    ens.sort_lightcurves()
+    assert ens.check_sorted()
