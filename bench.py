@@ -55,6 +55,20 @@ def main():
     ens.frames["source"] = ens.frames["source"].persist()
     ens.frames["source"].count()  # warm the cache so workloads measure compute
 
+    # Spin up the Python UDF worker pool (one pandas+numpy import per core)
+    # before timing, so queries measure steady-state compute — the signal
+    # that extrapolates to a long-lived cluster — not one-time JVM/worker
+    # start-up.
+    import pandas as _pd
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(int(CPUS) * 4, numPartitions=int(CPUS)).mapInPandas(
+        _noop, "id long"
+    ).count()
+
     run("q1_batch_mean", lambda: ens.batch(np.mean, "l_extendedprice", meta=("result", float)).count())
 
     def prune_sync():
@@ -91,6 +105,35 @@ def main():
         e.frames["source"].count()
 
     run("q6_bin_sources", bins)
+
+    from tape_spark.operators import exact_dedup, language_id, text_quality
+
+    def text_pipeline():
+        language_id(docs).count()
+        text_quality(docs).count()
+        exact_dedup(docs).count()
+
+    run("q7_text_pipeline", text_pipeline)
+
+    def events_windows():
+        from tape_spark.streaming import sessionize
+
+        ev = em._events(spark, SF_DIR)
+        ev.groupBy((F.floor(F.col("t") / 900)).cast("long").alias("w"), "event_type").agg(
+            F.count(F.lit(1)), F.avg("value")
+        ).count()
+        sessionize(ev, user_col="user_id", ts_col="t", order_cols=["event_id"]).count()
+
+    run("q8_events_windows", events_windows)
+
+    def stetson():
+        from tape_spark.analysis import calc_stetson_J
+
+        e = em._ensemble(spark, SF_DIR)
+        e.prune(threshold=5)
+        e.batch(calc_stetson_J).count()
+
+    run("q9_stetson_j", stetson)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -1018,12 +1018,16 @@ class Ensemble:
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], n)
             col_arrays = [pdf[c].to_numpy() for c in func_cols]
-            scalar_ok = len(result_names) == 1 and not first_is_map
+            one_result = len(result_names) == 1
+            scalar_ok = one_result and not first_is_map
+            map_ok = one_result and first_is_map
             simple_rows: list = []
             frames: list = []
             for s, e in zip(starts, ends):
                 res = func(*[a[s:e] for a in col_arrays], **kwargs)
-                if scalar_ok and isinstance(res, (int, float, np.integer, np.floating)):
+                if (scalar_ok and isinstance(res, (int, float, np.integer, np.floating))) or (
+                    map_ok and isinstance(res, dict)
+                ):
                     simple_rows.append(tuple(ka[s] for ka in key_arrays) + (res,))
                 else:
                     out = _standardize_result(res, result_names, first_is_map)

@@ -92,3 +92,29 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"l_orderkey", "result"}
+
+
+def test_skewed_object_correctness(spark, ramp_cm):
+    """One pathological object with 100x the observations of the rest:
+    batch (both paths), prune, and sync stay correct (the heavy group lands
+    in one task — see docs/SCALING.md for the skew discussion)."""
+    import pandas as pd
+
+    n_heavy, n_light = 20_000, 50
+    pdf = pd.DataFrame(
+        {
+            "id": np.r_[np.zeros(n_heavy, int), 1 + (np.arange(n_light * 9) % 9)],
+            "time": np.arange(n_heavy + n_light * 9, dtype=float),
+            "flux": np.r_[np.full(n_heavy, 5.0), np.full(n_light * 9, 7.0)],
+            "err": 0.1,
+            "band": "g",
+        }
+    )
+    ens = Ensemble(spark).from_pandas(pdf, column_mapper=ramp_cm, npartitions=8)
+    out = ens.batch(np.mean, "flux", meta=("m", float)).toPandas().set_index("id")
+    assert out.loc[0, "m"] == 5.0
+    assert (out.drop(index=0)["m"] == 7.0).all()
+
+    ens.prune(threshold=1000)  # only the heavy object survives
+    assert ens.object.count() == 1
+    assert ens.source.count() == n_heavy
