@@ -683,6 +683,87 @@ class Ensemble:
         return new
 
     # ------------------------------------------------------------------ #
+    # introspection / column-map utilities                               #
+    # ------------------------------------------------------------------ #
+
+    @property
+    def columns(self) -> List[str]:
+        """Source-table columns (parity: ``ensemble.py`` ``columns``)."""
+        return self.frames[SOURCE_FRAME_LABEL].columns
+
+    def info(self, verbose: bool = True) -> pd.DataFrame:
+        """Per-frame summary: label, row count, column count (computes one
+        count job per frame, like the reference's ``info``)."""
+        rows = [
+            {"label": k, "rows": v.count(), "columns": len(v.columns)}
+            for k, v in self.frames.items()
+        ]
+        out = pd.DataFrame(rows)
+        if verbose:
+            print(out.to_string(index=False))
+        return out
+
+    def client_info(self) -> dict:
+        """Execution-backend info (the Spark analog of the reference's Dask
+        ``client_info``)."""
+        sc = self.spark.sparkContext
+        return {
+            "spark_version": self.spark.version,
+            "master": sc.master,
+            "app_id": sc.applicationId,
+            "default_parallelism": sc.defaultParallelism,
+        }
+
+    def make_column_map(self) -> ColumnMapper:
+        """A copy of the current column-role mapping
+        (parity: ``ensemble.py`` ``make_column_map``)."""
+        return ColumnMapper(**self.column_mapper.map)
+
+    def update_column_mapping(self, column_mapper: Optional[ColumnMapper] = None, **roles) -> "Ensemble":
+        """Re-point column roles (parity: ``ensemble.py``
+        ``update_column_mapping``)."""
+        if column_mapper is None:
+            column_mapper = self.make_column_map()
+            column_mapper.assign(**roles)
+        self._load_column_mapper(column_mapper)
+        return self
+
+    def select_random_timeseries(self, seed: Optional[int] = None) -> TimeSeries:
+        """Materialize one randomly chosen object's light curve
+        (parity: ``ensemble.py:2303-2340``)."""
+        row = (
+            self._table_df(OBJECT_FRAME_LABEL)
+            .select(self._id_col)
+            .orderBy(F.rand(seed))
+            .limit(1)
+            .first()
+        )
+        if row is None:
+            raise ValueError("The object table is empty; no time series to select")
+        return self.to_timeseries(row[0])
+
+    def from_dataset(self, dataset: str, **kwargs) -> "Ensemble":
+        """Load a curated dataset by registry name (delegates to
+        :mod:`tape_spark.readers`; parity: ``ensemble.py:2008-2034``)."""
+        from .readers import _load_registry
+
+        entry = _load_registry()[dataset]
+        return self.from_parquet(
+            entry["source_file"],
+            object_file=entry.get("object_file"),
+            column_mapper=ColumnMapper(**entry["column_map"]),
+            **kwargs,
+        )
+
+    @staticmethod
+    def available_datasets() -> dict:
+        """Names + descriptions of curated datasets
+        (parity: ``ensemble.py:2036-2066``)."""
+        from .readers import available_datasets as _ad
+
+        return _ad()
+
+    # ------------------------------------------------------------------ #
     # scalar transforms                                                  #
     # ------------------------------------------------------------------ #
 

@@ -238,3 +238,28 @@ def test_to_timeseries(ramp_ensemble):
     assert ts.meta["id"] == 8000
     assert len(ts.time) == 200
     assert set(ts.band.unique()) <= {"r", "g", "b", "i"}
+
+
+def test_introspection_surface(ramp_ensemble):
+    assert "flux" in ramp_ensemble.columns
+    info = ramp_ensemble.info(verbose=False)
+    assert set(info["label"]) >= {"source", "object"}
+    assert info.set_index("label").loc["source", "rows"] == 1000
+    ci = ramp_ensemble.client_info()
+    assert ci["master"].startswith("local")
+
+
+def test_make_and_update_column_map(ramp_ensemble):
+    cm = ramp_ensemble.make_column_map()
+    assert cm.map["flux_col"] == "flux"
+    ramp_ensemble.assign(flux2=lambda df: df["flux"] * 2)
+    ramp_ensemble.update_column_mapping(flux_col="flux2")
+    assert ramp_ensemble._flux_col == "flux2"
+    result = ramp_ensemble.batch(np.mean, "flux2", meta=("m", float)).toPandas()
+    assert len(result) == 5
+
+
+def test_select_random_timeseries(ramp_ensemble):
+    ts = ramp_ensemble.select_random_timeseries(seed=3)
+    assert ts.meta["id"] in {8000, 8001, 8002, 8003, 8004}
+    assert len(ts.time) == 200
