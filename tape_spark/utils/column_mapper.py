@@ -83,6 +83,12 @@ class ColumnMapper:
             roles["id_col"] = "_hipscat_index"
         return cls(**roles)
 
+    def use_known_map(self, name: str, hipscat: bool = False) -> "ColumnMapper":
+        """Adopt a known survey mapping in place (parity with the
+        reference's ``use_known_map``, ``column_mapper.py:112-135``)."""
+        known = type(self).from_known_map(name, hipscat=hipscat)
+        return self.assign(**known.map)
+
 
 # Known survey column layouts (public catalog schemas; values match the
 # reference's ZTFColumnMapper/PS1ColumnMapper).
