@@ -223,6 +223,30 @@ def q_merge_orders(spark, sf_dir):
     return merged.select("l_orderkey", "nobs_total", "o_totalprice")
 
 
+def q_merge_rollup_nation(spark, sf_dir):
+    """Multi-table relational breadth: source ⋈ orders ⋈ customer ⋈ nation
+    (dimensions broadcast), revenue rolled up per nation (TPC-H-Q5-style;
+    SURVEY §2.4 join surface composed with §2.5 aggregation)."""
+    ens = _ensemble(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = ens.merge(orders, on="l_orderkey", how="inner", broadcast_right=True)
+    joined = joined.join(F.broadcast(customer), on="o_custkey").join(
+        F.broadcast(nation), on="c_nationkey"
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+    )
+
+
 def q_sort_lightcurves(spark, sf_dir):
     """sortWithinPartitions under cohesion; same row set (SURVEY §2.6)."""
     ens = _ensemble(spark, sf_dir)
@@ -603,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_amplitude": q_batch_amplitude,
         "batch_by_band": q_batch_by_band,
         "merge_orders": q_merge_orders,
+        "merge_rollup_nation": q_merge_rollup_nation,
         "sort_lightcurves": q_sort_lightcurves,
         "save_load_roundtrip": q_save_load_roundtrip,
         "hour_histogram": q_hour_histogram,
@@ -817,6 +842,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.l_orderkey, c.nobs_total, o.o_totalprice FROM "
             "(SELECT l_orderkey, count(*) AS nobs_total FROM lineitem GROUP BY l_orderkey) c "
             "JOIN orders o ON o.o_orderkey = c.l_orderkey"
+        ),
+        "merge_rollup_nation": (
+            "SELECT n_name, count(*) AS n_obs, round(sum(l_extendedprice), 4) AS revenue "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey GROUP BY n_name"
         ),
         "sort_lightcurves": _CRITICAL_SELECT,
         "save_load_roundtrip": _CRITICAL_SELECT,
