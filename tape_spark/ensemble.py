@@ -1283,32 +1283,47 @@ class Ensemble:
         diff_df = src.groupBy(id_col).applyInPandas(diffs, diff_schema)
         diff_df = diff_df.persist()
 
-        bands = [r[0] for r in diff_df.select("band").distinct().collect()]
+        # Bin edges in two jobs total (not 2-3 *per band*): one aggregation
+        # for per-band difference counts, then one action over a union of
+        # per-band quantile/range branches. `percentile` uses linear
+        # interpolation, matching numpy's quantile in compute_dt_bins.
         per_band_edges: Dict[str, np.ndarray] = {}
-        for b in bands:
-            band_diffs = diff_df.filter(F.col("band") == b)
-            if argument_container.bins is not None:
+        counts = {r[0]: r[1] for r in diff_df.groupBy("band").count().collect()}
+        if argument_container.bins is not None:
+            for b in counts:
                 per_band_edges[b] = np.asarray(argument_container.bins, dtype=float)
-                continue
-            total = band_diffs.count()
-            uniq = band_diffs.select("dt").distinct()
-            num_bins = int(np.ceil(total / argument_container.bin_count_target))
-            if argument_container.bin_method == "size":
-                # quantiles over *unique* dts, exact (relativeError=0),
-                # computed distributedly — parity with compute_dt_bins('size')
-                probs = list(np.linspace(0.0, 1.0, num_bins + 1))
-                edges = np.asarray(uniq.approxQuantile("dt", probs, 0.0))
-            else:
-                # equal-width (or log-width) schemes only need the range
-                lo, hi = uniq.agg(F.min("dt"), F.max("dt")).first()
-                if argument_container.bin_method == "loglength":
-                    logs = np.linspace(np.log(lo), np.log(hi), num_bins + 1)
-                    logs[0] -= 0.001 * (np.log(hi) - np.log(lo))
-                    edges = np.exp(logs)
+        else:
+            uniq = diff_df.select("band", "dt").distinct()
+            branches = []
+            for b, total in counts.items():
+                num_bins = int(np.ceil(total / argument_container.bin_count_target))
+                band_uniq = uniq.filter(F.col("band") == b)
+                if argument_container.bin_method == "size":
+                    probs = ", ".join(map(str, np.linspace(0.0, 1.0, num_bins + 1)))
+                    agg = band_uniq.agg(
+                        F.expr(f"percentile(dt, array({probs}))").alias("qs")
+                    )
                 else:
-                    edges = np.linspace(lo, hi, num_bins + 1)
-                    edges[0] -= 0.001 * (hi - lo)
-            per_band_edges[b] = edges
+                    agg = band_uniq.agg(F.array(F.min("dt"), F.max("dt")).alias("qs"))
+                branches.append(agg.select(F.lit(b).alias("band"), "qs"))
+            from functools import reduce
+
+            rows = reduce(lambda a, c: a.unionByName(c), branches).collect()
+            for row in rows:
+                b, qs = row["band"], np.asarray(row["qs"], dtype=float)
+                if argument_container.bin_method == "size":
+                    edges = qs
+                else:
+                    lo, hi = qs
+                    num_bins = int(np.ceil(counts[b] / argument_container.bin_count_target))
+                    if argument_container.bin_method == "loglength":
+                        logs = np.linspace(np.log(lo), np.log(hi), num_bins + 1)
+                        logs[0] -= 0.001 * (np.log(hi) - np.log(lo))
+                        edges = np.exp(logs)
+                    else:
+                        edges = np.linspace(lo, hi, num_bins + 1)
+                        edges[0] -= 0.001 * (hi - lo)
+                per_band_edges[b] = edges
 
         edges_map = {b: e.tolist() for b, e in per_band_edges.items()}
 
