@@ -47,19 +47,27 @@ def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     return toks.select(F.col(id_col), F.explode(ngrams).alias("shingle")).distinct()
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", by_hash: bool = False
+) -> DataFrame:
     """Exact duplicate removal: keep the lowest id per distinct text.
 
-    One hash aggregation: ``groupBy(text).agg(min(id), count)``. At scale,
-    group by ``xxhash64(text)`` first to shrink shuffle width (two texts
-    colliding on a 64-bit hash is negligible; a final equality check can be
-    layered on if required).
+    One hash aggregation: ``groupBy(text).agg(min(id), count)``.
+    ``by_hash=True`` groups by ``(xxhash64(text), length(text))`` instead —
+    at 100 TB this shrinks the shuffled key from whole documents to 16
+    bytes; a (hash, length) collision between different texts is
+    negligible (≪ 1 in 2⁶⁴), and a residual equality verify can be layered
+    on where that is not acceptable.
 
     Returns ``(doc_id, dup_count)`` — the survivor id and how many rows it
     represents.
     """
+    if by_hash:
+        key = [F.xxhash64(F.col(text_col)).alias("__h"), F.length(text_col).alias("__l")]
+    else:
+        key = [F.col(text_col)]
     return (
-        df.groupBy(text_col)
+        df.groupBy(*key)
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .select(id_col, "dup_count")
     )

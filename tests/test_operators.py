@@ -233,3 +233,9 @@ def test_winnowed_fingerprints(docs):
     assert len(a & c) / len(a | c) > 0.5
     # empty doc -> empty fingerprint set
     assert list(out.loc[5, "winnow"]) == []
+
+
+def test_exact_dedup_hash_variant_agrees(docs):
+    full = exact_dedup(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    hashed = exact_dedup(docs, by_hash=True).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, hashed)

@@ -147,3 +147,23 @@ def test_bucketed_table_elides_all_shuffles(spark, li_ensemble, tmp_path):
         assert counts.count() == expected
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_src_test")
+
+
+def test_bucketed_object_table_roundtrip(spark, li_ensemble):
+    li_ensemble.calc_nobs(temporary=False)
+    li_ensemble.save_bucketed("b_src2", object_table="b_obj2", num_buckets=4)
+    try:
+        from tape_spark import ColumnMapper, Ensemble
+
+        cm = ColumnMapper(
+            id_col="l_orderkey", time_col="l_linenumber", flux_col="l_extendedprice",
+            err_col="l_quantity", band_col="l_returnflag",
+        )
+        ens = Ensemble(spark).from_table("b_src2", object_table="b_obj2", column_mapper=cm)
+        assert "nobs_total" in ens.object.columns
+        # bucketed object ⋈ bucketed source sync: no exchange on either side
+        ens.prune(threshold=4)
+        assert ens.object.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_src2")
+        spark.sql("DROP TABLE IF EXISTS b_obj2")
