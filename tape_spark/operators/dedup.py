@@ -96,12 +96,17 @@ def ngram_jaccard_pairs(
 
     Inverted-index plan: explode distinct shingles, self-join on the
     shingle (each shared shingle yields one pair row), count shared
-    shingles per pair, then ``|A∩B| / (|A| + |B| − |A∩B|)``. The join
+    shingles per pair, then ``|A∩B| / (|A| + |B| − |A∩B|)``. Shingles are
+    replaced by their 64-bit hash before the shuffle, so the join key is 8
+    bytes instead of an n-gram string (hash collisions perturb a count by
+    ≪ 1 in 2⁶⁴ — negligible against the exact-set semantics). The join
     fan-out is bounded by shingle document frequency — at 100 TB, drop
     ultra-common shingles first (a WHERE on document frequency) to cap
     skew; AQE split handles the rest.
     """
-    shingles = _word_shingles(df, text_col, id_col, n)
+    shingles = _word_shingles(df, text_col, id_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = shingles.alias("a")
