@@ -91,6 +91,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 2,
     threshold: float = 0.5,
+    max_doc_frequency: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -108,6 +109,19 @@ def ngram_jaccard_pairs(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_doc_frequency is not None:
+        # cap join fan-out: a shingle in d documents yields O(d²) pair rows,
+        # so stop-shingles dominate cost while carrying no dedup signal.
+        # Sizes are computed BEFORE the cap so the Jaccard denominator stays
+        # exact; dropping shared shingles only understates |A∩B| (similarity
+        # is under-, never over-estimated).
+        rare = (
+            shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_frequency)
+            .select("shingle")
+        )
+        shingles = shingles.join(rare, on="shingle", how="left_semi")
 
     a = shingles.alias("a")
     b = shingles.alias("b")

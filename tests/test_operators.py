@@ -239,3 +239,12 @@ def test_exact_dedup_hash_variant_agrees(docs):
     full = exact_dedup(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
     hashed = exact_dedup(docs, by_hash=True).toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(full, hashed)
+
+
+def test_ngram_jaccard_doc_frequency_cap(docs):
+    """Capping shingle document frequency drops only stop-shingles; the
+    identical pair (sharing rare shingles too) survives with jaccard <= 1."""
+    capped = ngram_jaccard_pairs(docs, n=2, threshold=0.2, max_doc_frequency=3).toPandas()
+    keys = {tuple(sorted((a, b))) for a, b in zip(capped["id_a"], capped["id_b"])}
+    assert (0, 1) in keys
+    assert (capped["jaccard"] <= 1.0).all()
