@@ -213,13 +213,17 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """LSH banding: documents sharing any (band-index, band-hash) bucket
     become candidate pairs.
 
     The signature is sliced into ``bands`` runs of ``rows_per_band``; each
     run is hashed to one bucket key. Bucket membership is an equi-join —
-    never an all-pairs scan. Returns distinct ``(id_a, id_b)``.
+    never an all-pairs scan. ``max_bucket_size`` drops over-full buckets
+    (boilerplate clusters whose O(size²) pair fan-out dominates cost; at
+    corpus scale such clusters are near-identical and better handled by
+    exact dedup first). Returns distinct ``(id_a, id_b)``.
     """
     band_entries = signatures.select(
         F.col(id_col),
@@ -230,6 +234,14 @@ def lsh_candidate_pairs(
             )
         ).alias("e"),
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        small = (
+            band_entries.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        band_entries = band_entries.join(small, on=["band", "bucket"], how="left_semi")
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
