@@ -1308,7 +1308,7 @@ class Ensemble:
                 branches.append(agg.select(F.lit(b).alias("band"), "qs"))
             from functools import reduce
 
-            rows = reduce(lambda a, c: a.unionByName(c), branches).collect()
+            rows = reduce(lambda a, c: a.unionByName(c), branches).collect() if branches else []
             for row in rows:
                 b, qs = row["band"], np.asarray(row["qs"], dtype=float)
                 if argument_container.bin_method == "size":

@@ -118,3 +118,8 @@ def test_skewed_object_correctness(spark, ramp_cm):
     ens.prune(threshold=1000)  # only the heavy object survives
     assert ens.object.count() == 1
     assert ens.source.count() == n_heavy
+
+
+def test_sf2_combine_on_empty_source(ramp_ensemble):
+    ramp_ensemble.query("flux > 1e12")
+    assert ramp_ensemble.sf2(sf_method="basic", combine=True).count() == 0
