@@ -284,3 +284,17 @@ def test_golden_sf2_through_ensemble(golden_ensemble):
     # group key (ps1_objid) is prepended by the batch engine
     assert {"lc_id", "band", "dt", "sf2", "1_sigma"} <= set(res.columns)
     assert np.isfinite(res["dt"]).all()
+
+
+def test_golden_stetson_j_grouped_by_band(golden_ensemble):
+    """The reference's on=['ps1_objid','filterName'] variant
+    (test_ensemble.py:1959-1961): per-(id, band) groups reproduce the same
+    golden values as the per-id dict result."""
+    ens = golden_ensemble
+    ens.prune(10)
+    ens.dropna(table="source")
+    result = ens.batch(calc_stetson_J, on=["ps1_objid", "filterName"])
+    pdf = result.toPandas().sort_values(["ps1_objid", "filterName"]).reset_index(drop=True)
+    first = pdf[pdf["ps1_objid"] == pdf["ps1_objid"].iloc[0]].set_index("filterName")
+    assert first.loc["g", "stetsonJ"]["g"] == pytest.approx(-0.04174282, rel=0.001)
+    assert first.loc["r", "stetsonJ"]["r"] == pytest.approx(0.6075282, rel=0.001)
