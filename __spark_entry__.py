@@ -317,10 +317,15 @@ def q_lc_similarity(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: survivor id + duplicate count per distinct text."""
+    """Exact dedup: survivor id + duplicate count per distinct text.
+
+    Runs the scale-default hash-keyed plan (groupBy on
+    (xxhash64(text), length)); the oracle groups by full text — outputs
+    are identical barring a 2⁻⁶⁴ collision, so the hash path itself is
+    what gets oracle-checked."""
     from tape_spark.operators import exact_dedup
 
-    return exact_dedup(_docs(spark, sf_dir))
+    return exact_dedup(_docs(spark, sf_dir), by_hash=True)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
@@ -533,15 +538,23 @@ def q_events_sliding(spark, sf_dir):
 
 
 def q_events_session_window(spark, sf_dir):
-    """Built-in stateful session windows (F.session_window) per user."""
+    """Built-in stateful session windows (F.session_window) per user.
+
+    The events parquet is TIMESTAMP(NANOS); Spark timestamps are µs. Both
+    sides truncate to exact integer microseconds (``ts div 1000`` here,
+    ``epoch_ns(ts) // 1000`` in the oracle) so the emitted epoch-second
+    doubles are bit-identical — ns-vs-µs rounding at the 6th decimal was
+    the round-2 hash mismatch."""
     from tape_spark.streaming import session_window_agg
 
-    ev = _events(spark, sf_dir).withColumn("ts2", F.col("t").cast("timestamp"))
+    ev = _events(spark, sf_dir).withColumn(
+        "ts2", F.timestamp_micros(F.expr("ts div 1000"))
+    )
     out = session_window_agg(ev, ts_col="ts2", gap="30 minutes", keys=["user_id"])
     return out.select(
         "user_id",
-        F.col("session_start").cast("double").alias("session_start"),
-        F.col("session_end").cast("double").alias("session_end"),
+        F.round(F.col("session_start").cast("double"), 6).alias("session_start"),
+        F.round(F.col("session_end").cast("double"), 6).alias("session_end"),
         "n_events",
     )
 
@@ -757,19 +770,23 @@ SELECT CAST(w * 300 AS DOUBLE) AS window_start, event_type,
 FROM x GROUP BY 1, 2
 """
 
+# Session windows in exact integer microseconds (epoch_ns // 1000), matching
+# Spark's µs timestamp precision; a gap strictly greater than 30 min starts a
+# new session (F.session_window merges events exactly gap-distance apart).
 _SESSION_WINDOW_SQL = """
-WITH o AS (SELECT user_id, epoch(ts) AS t, event_id FROM events),
+WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id FROM events),
 flagged AS (
-  SELECT user_id, t,
-    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns
-  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+  SELECT user_id, t_us,
+    CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
 ),
 sess AS (
-  SELECT user_id, t,
-    sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+  SELECT user_id, t_us,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY t_us ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
-SELECT user_id, min(t) AS session_start, max(t) + 1800 AS session_end,
+SELECT user_id, round(min(t_us) / 1000000.0, 6) AS session_start,
+       round((max(t_us) + 1800000000) / 1000000.0, 6) AS session_end,
        count(*) AS n_events
 FROM sess GROUP BY user_id, sid
 """

@@ -3,8 +3,10 @@
 
 Runs every ``queries()`` entry at sf0.01 on local Spark, runs the matching
 ``oracle_sql()`` in DuckDB over the same parquet, and compares row count,
-column names, and values (rows sorted by all columns; floats compared to
-1e-9 relative). Queries without an oracle get a rows-only check.
+column names, and values exactly the way the driver does: floats rounded to
+6 decimals on BOTH sides, columns sorted by name, rows sorted by all
+columns, then EXACT equality (the driver hashes; rtol comparisons hide
+precision bugs). Queries without an oracle get a rows-only check.
 
 Usage: python scripts/check_correctness.py [query_name ...]
 """
@@ -26,20 +28,30 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _normalize(pdf: pd.DataFrame, cols: list) -> pd.DataFrame:
+    """Driver-style normalization: round floats to 6dp, then sort rows by
+    all (name-sorted) columns so the value comparison is order-free."""
+    out = pdf[cols].copy()
+    for c in cols:
+        if pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c].astype(float).round(6)
+    return out.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
     if len(spark_pdf) != len(oracle_pdf):
         return f"ROWCOUNT {len(spark_pdf)} vs {len(oracle_pdf)}"
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if s_cols != o_cols:
         return f"SCHEMA {s_cols} vs {o_cols}"
-    s = spark_pdf[s_cols].sort_values(s_cols, kind="mergesort").reset_index(drop=True)
-    o = oracle_pdf[o_cols].sort_values(o_cols, kind="mergesort").reset_index(drop=True)
+    s = _normalize(spark_pdf, s_cols)
+    o = _normalize(oracle_pdf, o_cols)
     for c in s_cols:
         sv, ov = s[c], o[c]
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
-            sa = sv.astype(float).to_numpy()
-            oa = ov.astype(float).to_numpy()
-            ok = np.isclose(sa, oa, rtol=1e-9, atol=1e-12, equal_nan=True)
+            sa = sv.astype(float).round(6).to_numpy()
+            oa = ov.astype(float).round(6).to_numpy()
+            ok = (sa == oa) | (np.isnan(sa) & np.isnan(oa))
             if not ok.all():
                 i = int(np.argmin(ok))
                 return f"VALUES col={c} row={i}: {sa[i]!r} vs {oa[i]!r}"

@@ -36,6 +36,13 @@ def _stetson_mean(
     ``1 / (1 + (|chi|/alpha)**beta)`` where chi is the error-normalized,
     bias-corrected residual. Stops early when the mean moves by less than
     ``tol`` both absolutely and fractionally.
+
+    The fractional test divides by the SIGNED mean, mirroring the
+    published LSST ``meas_base`` kernel (and the reference's
+    ``stetsonj.py:184-189``) verbatim: for a negative mean the fractional
+    test is vacuously true, so iteration stops as soon as the absolute
+    move is below ``tol``. The golden parity values depend on reproducing
+    this early-exit exactly, so it is intentional, not a bug to fix.
     """
     n = len(values)
     bias_factor = np.sqrt(n / (n - 1))
@@ -49,7 +56,8 @@ def _stetson_mean(
         mean = new_mean
         if mean == 0:
             break
-        if delta / np.abs(mean) < tol and delta < tol:
+        # signed mean on purpose — see docstring (meas_base early-exit)
+        if delta / mean < tol and delta < tol:
             break
     return mean
 

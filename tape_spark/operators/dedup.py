@@ -48,16 +48,19 @@ def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
 
 
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", by_hash: bool = False
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", by_hash: bool = True
 ) -> DataFrame:
     """Exact duplicate removal: keep the lowest id per distinct text.
 
-    One hash aggregation: ``groupBy(text).agg(min(id), count)``.
-    ``by_hash=True`` groups by ``(xxhash64(text), length(text))`` instead —
-    at 100 TB this shrinks the shuffled key from whole documents to 16
-    bytes; a (hash, length) collision between different texts is
-    negligible (≪ 1 in 2⁶⁴), and a residual equality verify can be layered
-    on where that is not acceptable.
+    One hash aggregation. The default (``by_hash=True``, the scale path)
+    groups by ``(xxhash64(text), length(text))`` — at 100 TB this shrinks
+    the shuffled grouping key from whole documents to 16 bytes; a
+    (hash, length) collision between different texts is negligible
+    (≪ 1 in 2⁶⁴), and a residual equality verify can be layered on where
+    that is not acceptable. ``by_hash=False`` groups by the full text —
+    exact by construction, only sensible for small corpora. Both paths
+    produce identical output barring a 2⁻⁶⁴ collision, so the same
+    SQL oracle (GROUP BY text) validates either.
 
     Returns ``(doc_id, dup_count)`` — the survivor id and how many rows it
     represents.
@@ -73,11 +76,26 @@ def exact_dedup(
     )
 
 
-def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dedup_keep_first(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", by_hash: bool = True
+) -> DataFrame:
     """Exact dedup that returns the full surviving rows (lowest id per
     distinct text) — the 'materialize the cleaned corpus' form of
-    :func:`exact_dedup`. One window over hash-partitioned text groups."""
-    w = Window.partitionBy(text_col).orderBy(F.col(id_col).asc())
+    :func:`exact_dedup`. One window over hash-partitioned text groups.
+
+    With ``by_hash=True`` (default, the scale path) the window partitions
+    by ``(xxhash64(text), length(text))`` so the exchange hashes and the
+    sort compares 16-byte keys instead of multi-KB documents; the rows
+    themselves shuffle either way (the output needs them), the win is key
+    comparison cost and skew bookkeeping. Output is identical to the
+    by-text window barring a 2⁻⁶⁴ collision.
+    """
+    if by_hash:
+        w = Window.partitionBy(
+            F.xxhash64(F.col(text_col)), F.length(text_col)
+        ).orderBy(F.col(id_col).asc())
+    else:
+        w = Window.partitionBy(text_col).orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -49,7 +49,9 @@ def cosine_topk(
     q_rows = queries.select(query_id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # same zero-norm guard as the corpus side: an all-zero query yields
+    # cosine 0 everywhere instead of NaN (which would silently drop it)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
 
     out_schema = T.StructType(
         [
@@ -68,11 +70,19 @@ def cosine_topk(
             sims = c_mat @ q_mat.T  # (batch, n_queries)
             n_local = min(k, sims.shape[0])
             cid = pdf[id_col].to_numpy()
-            # local top-k per query: argpartition then exact sort of the head
+            # local top-k per query, tie-complete: keep EVERY row whose
+            # cosine >= the k-th largest, so candidates tied at the k-th
+            # value all reach the global window and its deterministic
+            # (cosine DESC, corpus_id ASC) order resolves them — a bare
+            # argpartition keeps an arbitrary subset of the tie class.
             frames = []
             for j in range(sims.shape[1]):
                 col = sims[:, j]
-                idx = np.argpartition(-col, n_local - 1)[:n_local]
+                if n_local < len(col):
+                    kth = -np.partition(-col, n_local - 1)[n_local - 1]
+                    idx = np.nonzero(col >= kth)[0]
+                else:
+                    idx = np.arange(len(col))
                 frames.append(
                     pd.DataFrame(
                         {"query_id": q_ids[j], "corpus_id": cid[idx], "cosine": col[idx]}

@@ -236,8 +236,16 @@ def test_winnowed_fingerprints(docs):
 
 
 def test_exact_dedup_hash_variant_agrees(docs):
-    full = exact_dedup(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    full = exact_dedup(docs, by_hash=False).toPandas().sort_values("doc_id").reset_index(drop=True)
     hashed = exact_dedup(docs, by_hash=True).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, hashed)
+
+
+def test_dedup_keep_first_hash_variant_agrees(docs):
+    from tape_spark.operators import dedup_keep_first
+
+    full = dedup_keep_first(docs, by_hash=False).toPandas().sort_values("doc_id").reset_index(drop=True)
+    hashed = dedup_keep_first(docs, by_hash=True).toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(full, hashed)
 
 
