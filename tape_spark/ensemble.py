@@ -1201,6 +1201,7 @@ class Ensemble:
         band_to_calc=None,
         combine: bool = False,
         label: Optional[str] = None,
+        exact_quantiles: Optional[bool] = None,
     ) -> DataFrame:
         """Structure function squared over every light curve.
 
@@ -1221,7 +1222,7 @@ class Ensemble:
 
         if combine or argument_container.combine:
             argument_container.combine = True
-            return self._sf2_combine(argument_container)
+            return self._sf2_combine(argument_container, exact_quantiles=exact_quantiles)
         return self.batch(
             calc_sf2,
             label=label,
@@ -1229,34 +1230,78 @@ class Ensemble:
             argument_container=argument_container,
         )
 
-    def _sf2_combine(self, argument_container) -> DataFrame:
+    # above this many pairwise differences, 'size' bin edges switch from the
+    # exact single-group `percentile` (whole distinct-dt set in one reducer's
+    # sort buffer) to the mergeable `approx_percentile` sketch
+    _SF2_EXACT_QUANTILE_MAX = 2_000_000
+    # approx_percentile accuracy: rank error <= 1/accuracy of the distinct-dt
+    # count, i.e. edges land within 0.01% of the exact quantile rank
+    _SF2_APPROX_QUANTILE_ACCURACY = 10_000
+
+    def _sf2_combine(self, argument_container, exact_quantiles: Optional[bool] = None) -> DataFrame:
         """Distributed combine-mode SF²: (1) per-curve pairwise differences
         via ``applyInPandas`` (O(nᵢ²) per curve, embarrassingly parallel),
-        (2) per-band bin edges from exact distributed quantiles over the
-        *unique* dt values (``approxQuantile(..., relativeError=0)``),
-        (3) one global binned aggregation with built-in expressions per
-        estimator formula. Mirrors ``base_calculator.py:149-171`` semantics
-        without materializing differences on the driver.
+        (2) per-band bin edges from distributed quantiles over the *unique*
+        dt values, (3) one global binned aggregation with built-in
+        expressions per estimator formula. Mirrors
+        ``base_calculator.py:149-171`` semantics without materializing
+        differences on the driver.
+
+        Parity with the in-kernel combine path
+        (``analysis/structurefunction2.py``):
+
+        - ``band_to_calc`` filters bands before difference generation (the
+          predicate reaches the source scan).
+        - ``estimate_err``/``calculation_repetitions`` bootstrap-resample
+          each curve's differences per repetition and report the
+          across-repetition median plus ``1_sigma`` (half the
+          upper−lower quantile spread), with optional
+          ``lower_error``/``upper_error`` columns. Without ``estimate_err``
+          every repetition is identical, so the median equals the single
+          pass and the spread is exactly zero — computed in one pass.
+        - Bin edges always come from the full (unsampled) dt set, as in
+          ``_binned_statistics``.
+
+        ``exact_quantiles`` picks the 'size' bin-edge strategy: exact
+        ``percentile`` (single-group; numpy-identical, small data) vs
+        ``approx_percentile`` (mergeable partial aggregation — no
+        single-task quantile stage; rank error ≤ 1/accuracy). Default: auto
+        by total difference count (``_SF2_EXACT_QUANTILE_MAX``).
+
+        Buckets with no samples are omitted (the in-kernel path emits NaN
+        rows for them); at combine scale empty buckets occur only with
+        degenerate manual edges.
         """
+        import zlib
+
         from .analysis.light_curve import StructureFunctionLightCurve
 
+        ac = argument_container
         id_col, band_col = self._id_col, self._band_col
         t, fx, er = self._time_col, self._flux_col, self._err_col
         self._lazy_sync_tables("all")
         src = self.frames[SOURCE_FRAME_LABEL]
 
+        band_to_calc = ac.band_to_calc
+        if isinstance(band_to_calc, str):
+            band_to_calc = [band_to_calc]
+        if band_to_calc is not None:
+            src = src.filter(F.col(band_col).isin([str(b) for b in band_to_calc]))
+
         diff_schema = T.StructType(
             [
+                T.StructField("lc", T.StringType()),
                 T.StructField("band", T.StringType()),
                 T.StructField("dt", T.DoubleType()),
                 T.StructField("d_flux", T.DoubleType()),
                 T.StructField("err2", T.DoubleType()),
             ]
         )
-        t_c, fx_c, er_c, b_c = t, fx, er, band_col
+        t_c, fx_c, er_c, b_c, i_c = t, fx, er, band_col, id_col
 
         def diffs(pdf: pd.DataFrame) -> pd.DataFrame:
             out = []
+            lc_key = str(pdf[i_c].iloc[0]) if len(pdf) else ""
             for b, grp in pdf.groupby(b_c):
                 try:
                     lc = StructureFunctionLightCurve(
@@ -1269,6 +1314,7 @@ class Ensemble:
                 out.append(
                     pd.DataFrame(
                         {
+                            "lc": lc_key,
                             "band": str(b),
                             "dt": lc._all_d_times,
                             "d_flux": lc._all_d_fluxes,
@@ -1289,20 +1335,27 @@ class Ensemble:
         # interpolation, matching numpy's quantile in compute_dt_bins.
         per_band_edges: Dict[str, np.ndarray] = {}
         counts = {r[0]: r[1] for r in diff_df.groupBy("band").count().collect()}
-        if argument_container.bins is not None:
+        if exact_quantiles is None:
+            exact_quantiles = sum(counts.values()) <= self._SF2_EXACT_QUANTILE_MAX
+        if ac.bins is not None:
             for b in counts:
-                per_band_edges[b] = np.asarray(argument_container.bins, dtype=float)
+                per_band_edges[b] = np.asarray(ac.bins, dtype=float)
         else:
             uniq = diff_df.select("band", "dt").distinct()
             branches = []
             for b, total in counts.items():
-                num_bins = int(np.ceil(total / argument_container.bin_count_target))
+                num_bins = int(np.ceil(total / ac.bin_count_target))
                 band_uniq = uniq.filter(F.col("band") == b)
-                if argument_container.bin_method == "size":
+                if ac.bin_method == "size":
                     probs = ", ".join(map(str, np.linspace(0.0, 1.0, num_bins + 1)))
-                    agg = band_uniq.agg(
-                        F.expr(f"percentile(dt, array({probs}))").alias("qs")
-                    )
+                    if exact_quantiles:
+                        q_expr = f"percentile(dt, array({probs}))"
+                    else:
+                        q_expr = (
+                            f"approx_percentile(dt, array({probs}), "
+                            f"{self._SF2_APPROX_QUANTILE_ACCURACY})"
+                        )
+                    agg = band_uniq.agg(F.expr(q_expr).alias("qs"))
                 else:
                     agg = band_uniq.agg(F.array(F.min("dt"), F.max("dt")).alias("qs"))
                 branches.append(agg.select(F.lit(b).alias("band"), "qs"))
@@ -1311,12 +1364,12 @@ class Ensemble:
             rows = reduce(lambda a, c: a.unionByName(c), branches).collect() if branches else []
             for row in rows:
                 b, qs = row["band"], np.asarray(row["qs"], dtype=float)
-                if argument_container.bin_method == "size":
+                if ac.bin_method == "size":
                     edges = qs
                 else:
                     lo, hi = qs
-                    num_bins = int(np.ceil(counts[b] / argument_container.bin_count_target))
-                    if argument_container.bin_method == "loglength":
+                    num_bins = int(np.ceil(counts[b] / ac.bin_count_target))
+                    if ac.bin_method == "loglength":
                         logs = np.linspace(np.log(lo), np.log(hi), num_bins + 1)
                         logs[0] -= 0.001 * (np.log(hi) - np.log(lo))
                         edges = np.exp(logs)
@@ -1341,11 +1394,7 @@ class Ensemble:
                 out[mask] = idx
             return pd.Series(out)
 
-        bucketed = diff_df.withColumn("bucket", bucket_of(F.col("band"), F.col("dt"))).filter(
-            F.col("bucket") >= 0
-        )
-
-        method = argument_container.sf_method
+        method = ac.sf_method
         df2 = F.pow(F.col("d_flux"), 2)
         if method == "basic":
             sf2_expr = F.mean(df2 - F.col("err2"))
@@ -1370,12 +1419,130 @@ class Ensemble:
         else:
             raise ValueError(f"Combine mode does not support method {method!r}")
 
+        want_bounds = ac.report_upper_lower_error_separately
+        out_cols = ["lc_id", "band", "dt", "sf2", "1_sigma"] + (
+            ["lower_error", "upper_error"] if want_bounds else []
+        )
+
+        if not ac.estimate_err:
+            # Every repetition is identical without resampling: the
+            # across-repetition median is the single-pass value and the
+            # quantile spread is exactly zero (reference behavior for
+            # calculation_repetitions >= 1, estimate_err=False).
+            bucketed = diff_df.withColumn(
+                "bucket", bucket_of(F.col("band"), F.col("dt"))
+            ).filter(F.col("bucket") >= 0)
+            result = (
+                bucketed.groupBy("band", "bucket")
+                .agg(F.mean("dt").alias("dt"), sf2_expr.alias("sf2"))
+                .withColumn("lc_id", F.lit("combined"))
+                .withColumn("1_sigma", F.lit(0.0))
+            )
+            if want_bounds:
+                result = result.withColumn("lower_error", F.lit(0.0)).withColumn(
+                    "upper_error", F.lit(0.0)
+                )
+            result = result.select(*out_cols, "bucket").orderBy("band", "bucket").drop("bucket")
+            self.add_frame(result, self._generate_label())
+            return result
+
+        # --- bootstrap path: per-(band, curve) resample with replacement,
+        # one repetition index per draw; per-repetition binned aggregation;
+        # then a tiny across-repetition median/quantile aggregation. The
+        # resample fan-out is R x n_samples rows per curve — each curve's
+        # differences stay within one task, no driver involvement.
+        reps = int(ac.calculation_repetitions)
+        seed = ac.random_seed
+        if ac.equally_weight_lightcurves:
+            n_samples_map = {
+                r[0]: r[1]
+                for r in diff_df.groupBy("band", "lc")
+                .count()
+                .groupBy("band")
+                .agg(F.min("count").alias("n"))
+                .select("band", "n")
+                .collect()
+            }
+        else:
+            n_samples_map = {}
+        fixed_n = ac.number_lightcurve_samples
+
+        sample_schema = T.StructType(
+            [
+                T.StructField("band", T.StringType()),
+                T.StructField("rep", T.IntegerType()),
+                T.StructField("dt", T.DoubleType()),
+                T.StructField("d_flux", T.DoubleType()),
+                T.StructField("err2", T.DoubleType()),
+            ]
+        )
+
+        def resample(key, pdf):
+            b, lc_key = key
+            m = len(pdf)
+            n = n_samples_map.get(b, fixed_n)
+            if n is None:
+                n = m
+            if n > m:
+                raise ValueError(
+                    f"Requesting {n} samples, but only {m} are present in the lightcurve"
+                )
+            if seed is None:
+                rng = np.random.default_rng()
+            else:
+                # deterministic per (band, curve): reruns with the same seed
+                # reproduce the same draws regardless of task placement
+                rng = np.random.default_rng(
+                    [int(seed), zlib.crc32(str(b).encode()), zlib.crc32(str(lc_key).encode())]
+                )
+            arr = pdf[["dt", "d_flux", "err2"]].to_numpy(dtype=float)
+            idx = rng.integers(0, m, size=(reps, n))
+            flat = arr[idx.ravel()]
+            return pd.DataFrame(
+                {
+                    "band": str(b),
+                    "rep": np.repeat(np.arange(reps, dtype=np.int32), n),
+                    "dt": flat[:, 0],
+                    "d_flux": flat[:, 1],
+                    "err2": flat[:, 2],
+                }
+            )
+
+        sampled = diff_df.groupBy("band", "lc").applyInPandas(resample, sample_schema)
+        bucketed = sampled.withColumn(
+            "bucket", bucket_of(F.col("band"), F.col("dt"))
+        ).filter(F.col("bucket") >= 0)
+        per_rep = bucketed.groupBy("band", "rep", "bucket").agg(
+            F.mean("dt").alias("dt"), sf2_expr.alias("sf2")
+        )
+        # across-repetition aggregation: <= R rows per (band, bucket).
+        # `percentile` over the present repetitions == nanmedian/nanquantile
+        # (a bucket empty in some repetition contributes NaN there, which
+        # numpy's nan-aggregations skip).
+        lo_q, hi_q = float(ac.lower_error_quantile), float(ac.upper_error_quantile)
+        agg_cols = [
+            F.expr("percentile(dt, 0.5)").alias("dt"),
+            F.expr("percentile(sf2, 0.5)").alias("sf2"),
+            (
+                (F.expr(f"percentile(sf2, {hi_q})") - F.expr(f"percentile(sf2, {lo_q})")) / 2.0
+            ).alias("1_sigma"),
+        ]
+        if want_bounds:
+            agg_cols += [
+                (F.expr("percentile(sf2, 0.5)") - F.expr(f"percentile(sf2, {lo_q})")).alias(
+                    "lower_error"
+                ),
+                (F.expr(f"percentile(sf2, {hi_q})") - F.expr("percentile(sf2, 0.5)")).alias(
+                    "upper_error"
+                ),
+            ]
         result = (
-            bucketed.groupBy("band", "bucket")
-            .agg(F.mean("dt").alias("dt"), sf2_expr.alias("sf2"))
+            per_rep.groupBy("band", "bucket")
+            .agg(*agg_cols)
             .withColumn("lc_id", F.lit("combined"))
-            .select("lc_id", "band", "dt", "sf2")
+            .select(*out_cols, "bucket")
             .orderBy("band", "bucket")
+            .drop("bucket")
         )
         self.add_frame(result, self._generate_label())
         return result

@@ -86,6 +86,102 @@ def test_sf2_ignore_timestamps():
     assert len(res) > 0
 
 
+def _kernel_combine(ramp_rows, **ac_kwargs):
+    """In-kernel combine-mode result on the ramp data (the golden model for
+    the distributed plan)."""
+    container = StructureFunctionArgumentContainer()
+    container.combine = True
+    for k, v in ac_kwargs.items():
+        setattr(container, k, v)
+    res = calc_sf2(
+        time=ramp_rows["time"],
+        flux=ramp_rows["flux"],
+        err=ramp_rows["err"],
+        band=ramp_rows["band"],
+        lc_id=ramp_rows["id"],
+        argument_container=container,
+    )
+    # the kernel emits NaN rows for empty bins; the distributed plan omits
+    # those buckets entirely — align by dropping them before comparison
+    return res.dropna(subset=["sf2"]).sort_values(["band", "dt"]).reset_index(drop=True)
+
+
+def test_sf2_combine_distributed_matches_kernel(ramp_ensemble, ramp_rows):
+    """Golden parity: the distributed combine plan reproduces the in-kernel
+    combine path (dt, sf2 bin-for-bin; 1_sigma exactly zero without
+    bootstrap) on the same data."""
+    dist = (
+        ramp_ensemble.sf2(combine=True, exact_quantiles=True)
+        .toPandas()
+        .sort_values(["band", "dt"])
+        .reset_index(drop=True)
+    )
+    kern = _kernel_combine(ramp_rows)
+    assert list(dist["band"]) == list(kern["band"])
+    np.testing.assert_allclose(dist["dt"], kern["dt"], rtol=1e-9)
+    np.testing.assert_allclose(dist["sf2"], kern["sf2"], rtol=1e-9, atol=1e-12)
+    assert (dist["1_sigma"] == 0.0).all()
+    assert set(dist["lc_id"]) == {"combined"}
+
+
+def test_sf2_combine_approx_quantiles_close(ramp_ensemble, ramp_rows):
+    """The approx_percentile edge path (no single-task quantile stage) lands
+    within a bin of the exact path: same bands, similar bin structure."""
+    approx = (
+        ramp_ensemble.sf2(combine=True, exact_quantiles=False)
+        .toPandas()
+        .sort_values(["band", "dt"])
+        .reset_index(drop=True)
+    )
+    kern = _kernel_combine(ramp_rows)
+    assert set(approx["band"]) == set(kern["band"])
+    # approx_percentile returns actual elements (no interpolation), so bin
+    # edges shift slightly; bin counts stay within a few of exact
+    for b in set(kern["band"]):
+        n_a = int((approx["band"] == b).sum())
+        n_k = int((kern["band"] == b).sum())
+        assert abs(n_a - n_k) <= max(3, int(0.15 * n_k))
+    assert np.isfinite(approx["sf2"]).all()
+
+
+def test_sf2_combine_bootstrap_error_bars(ramp_ensemble):
+    """estimate_err + repetitions: 1_sigma reported and positive somewhere;
+    per-(band,curve) seeding makes the distributed bootstrap deterministic."""
+    container = StructureFunctionArgumentContainer()
+    container.combine = True
+    container.estimate_err = True
+    container.calculation_repetitions = 10
+    container.random_seed = 42
+
+    def run():
+        return (
+            ramp_ensemble.sf2(argument_container=container, combine=True)
+            .toPandas()
+            .sort_values(["band", "dt"])
+            .reset_index(drop=True)
+        )
+
+    res = run()
+    assert set(res["lc_id"]) == {"combined"}
+    assert (res["1_sigma"] >= 0).all()
+    assert (res["1_sigma"] > 0).any()
+    pd.testing.assert_frame_equal(res, run())
+
+
+def test_sf2_combine_bounds_and_band_filter(ramp_ensemble):
+    container = StructureFunctionArgumentContainer()
+    container.combine = True
+    container.estimate_err = True
+    container.calculation_repetitions = 5
+    container.random_seed = 3
+    container.band_to_calc = "g"
+    container.report_upper_lower_error_separately = True
+    res = ramp_ensemble.sf2(argument_container=container, combine=True).toPandas()
+    assert set(res["band"]) == {"g"}
+    assert {"lower_error", "upper_error"} <= set(res.columns)
+    assert ((res["lower_error"] >= 0) & (res["upper_error"] >= 0)).all()
+
+
 def test_sf2_equally_weight_lightcurves():
     """Two curves of very different lengths, equal weighting resamples the
     larger down to the smaller count."""
