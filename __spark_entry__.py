@@ -198,6 +198,23 @@ def q_batch_amplitude(spark, sf_dir):
     return result.select("l_orderkey", F.round("amplitude", 6).alias("amplitude"))
 
 
+def q_batch_features(spark, sf_dir):
+    """FeatureExtractor dispatch through batch(): pure-python fallback
+    evaluators (the optional Rust light-curve wheel is absent in this
+    environment) bundled licu.Extractor-style; amplitude and mean are
+    SQL-expressible so the whole dispatch path is oracle-checked."""
+    from tape_spark.analysis import FeatureExtractor, PyAmplitude, PyExtractor, PyMean
+
+    ens = _ensemble(spark, sf_dir)
+    feat = FeatureExtractor(PyExtractor(PyAmplitude(), PyMean()))
+    result = ens.batch(feat, band_to_calc=None)
+    return result.select(
+        "l_orderkey",
+        F.round("amplitude", 6).alias("amplitude"),
+        F.round("mean", 6).alias("mean"),
+    )
+
+
 def q_batch_by_band(spark, sf_dir):
     """batch(by_band=True): per-(id,band) groups pivoted to result_<band>."""
     ens = _ensemble(spark, sf_dir)
@@ -638,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_sorted": q_head_sorted,
         "batch_mean_flux": q_batch_mean_flux,
         "batch_amplitude": q_batch_amplitude,
+        "batch_features": q_batch_features,
         "batch_by_band": q_batch_by_band,
         "merge_orders": q_merge_orders,
         "merge_rollup_nation": q_merge_rollup_nation,
@@ -846,6 +864,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "batch_amplitude": (
             "SELECT l_orderkey, round((max(l_extendedprice) - min(l_extendedprice)) / 2, 6) AS amplitude "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "batch_features": (
+            "SELECT l_orderkey, "
+            "round((max(l_extendedprice) - min(l_extendedprice)) / 2, 6) AS amplitude, "
+            "round(avg(l_extendedprice), 6) AS mean "
             "FROM lineitem GROUP BY l_orderkey"
         ),
         "batch_by_band": (

@@ -3,6 +3,16 @@
 :class:`AnalysisFunction` contract that lets ``Ensemble.batch`` plan them."""
 
 from .base import AnalysisFunction
+from .feature_extractor import (
+    LIGHT_CURVE_AVAILABLE,
+    FeatureExtractor,
+    PyAmplitude,
+    PyExtractor,
+    PyMean,
+    PyMedian,
+    PyStandardDeviation,
+    PythonFeatureEvaluator,
+)
 from .light_curve import LightCurve, StructureFunctionLightCurve
 from .stetson import StetsonJ, calc_stetson_J
 from .structurefunction2 import calc_sf2
@@ -10,7 +20,15 @@ from .structure_function import SF_METHODS, StructureFunctionArgumentContainer
 
 __all__ = [
     "AnalysisFunction",
+    "FeatureExtractor",
+    "LIGHT_CURVE_AVAILABLE",
     "LightCurve",
+    "PyAmplitude",
+    "PyExtractor",
+    "PyMean",
+    "PyMedian",
+    "PyStandardDeviation",
+    "PythonFeatureEvaluator",
     "StructureFunctionLightCurve",
     "StetsonJ",
     "calc_stetson_J",

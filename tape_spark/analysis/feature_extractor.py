@@ -28,7 +28,74 @@ except ImportError:  # pragma: no cover
     BaseLightCurveFeature = None
     LIGHT_CURVE_AVAILABLE = False
 
-__all__ = ["FeatureExtractor", "LIGHT_CURVE_AVAILABLE"]
+__all__ = [
+    "FeatureExtractor",
+    "LIGHT_CURVE_AVAILABLE",
+    "PythonFeatureEvaluator",
+    "PyAmplitude",
+    "PyMean",
+    "PyStandardDeviation",
+    "PyMedian",
+    "PyExtractor",
+]
+
+
+class PythonFeatureEvaluator:
+    """Pure-python stand-in for a ``light_curve`` feature evaluator.
+
+    Implements the same contract the Rust evaluators expose — a ``names``
+    sequence naming the output columns and ``__call__(t, m, sigma,
+    **kwargs)`` returning one float per name — so the
+    :class:`FeatureExtractor` dispatch path (``batch`` → per-curve call →
+    per-name columns) is exercised end-to-end even where the optional
+    ``light-curve`` wheel is not installed. Feature definitions follow the
+    package's public docs (e.g. amplitude = half the magnitude range).
+    """
+
+    names: tuple = ()
+
+    def __call__(self, t, m, sigma=None, **kwargs) -> np.ndarray:
+        raise NotImplementedError
+
+
+class PyAmplitude(PythonFeatureEvaluator):
+    names = ("amplitude",)
+
+    def __call__(self, t, m, sigma=None, **kwargs):
+        return np.array([(np.max(m) - np.min(m)) / 2.0])
+
+
+class PyMean(PythonFeatureEvaluator):
+    names = ("mean",)
+
+    def __call__(self, t, m, sigma=None, **kwargs):
+        return np.array([np.mean(m)])
+
+
+class PyStandardDeviation(PythonFeatureEvaluator):
+    names = ("standard_deviation",)
+
+    def __call__(self, t, m, sigma=None, **kwargs):
+        return np.array([np.std(m, ddof=1)])
+
+
+class PyMedian(PythonFeatureEvaluator):
+    names = ("median",)
+
+    def __call__(self, t, m, sigma=None, **kwargs):
+        return np.array([np.median(m)])
+
+
+class PyExtractor(PythonFeatureEvaluator):
+    """Bundle of evaluators, mirroring ``licu.Extractor``: concatenated
+    ``names`` and concatenated results in declaration order."""
+
+    def __init__(self, *features: PythonFeatureEvaluator):
+        self._features = features
+        self.names = tuple(n for f in features for n in f.names)
+
+    def __call__(self, t, m, sigma=None, **kwargs):
+        return np.concatenate([np.atleast_1d(f(t, m, sigma, **kwargs)) for f in self._features])
 
 
 class FeatureExtractor(AnalysisFunction):
@@ -40,10 +107,14 @@ class FeatureExtractor(AnalysisFunction):
     """
 
     def __init__(self, feature):
+        if isinstance(feature, PythonFeatureEvaluator):
+            self.feature = feature
+            return
         if not LIGHT_CURVE_AVAILABLE:
             raise ImportError(
-                "The 'light-curve' package is required for FeatureExtractor; "
-                "install it (pip install light-curve) to use Rust feature evaluators."
+                "The 'light-curve' package is required for Rust feature "
+                "evaluators; install it (pip install light-curve) or pass a "
+                "PythonFeatureEvaluator fallback (PyAmplitude, PyMean, ...)."
             )
         if not isinstance(feature, BaseLightCurveFeature):
             raise TypeError("feature must be a light-curve feature evaluator")

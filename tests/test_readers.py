@@ -91,3 +91,37 @@ def test_feature_extractor_gated():
         pytest.skip("light-curve installed; gating not applicable")
     with pytest.raises(ImportError, match="light-curve"):
         FeatureExtractor(object())
+
+
+def test_feature_extractor_python_fallback_batch(ramp_ensemble, ramp_rows):
+    """The FeatureExtractor dispatch path (batch → per-curve __call__ →
+    per-name columns) runs end-to-end on the pure-python evaluators, and
+    the values match direct numpy per-curve computation."""
+    import numpy as np
+
+    from tape_spark.analysis import PyAmplitude, PyExtractor, PyMean
+
+    feat = FeatureExtractor(PyExtractor(PyAmplitude(), PyMean()))
+    res = (
+        ramp_ensemble.batch(feat, band_to_calc="g")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert list(res.columns) == ["id", "amplitude", "mean"]
+
+    flux = np.asarray(ramp_rows["flux"], dtype=float)
+    ids = np.asarray(ramp_rows["id"])
+    bands = np.asarray(ramp_rows["band"])
+    for _, row in res.iterrows():
+        m = flux[(ids == row["id"]) & (bands == "g")]
+        assert row["amplitude"] == pytest.approx((m.max() - m.min()) / 2.0)
+        assert row["mean"] == pytest.approx(m.mean())
+
+
+def test_feature_extractor_single_evaluator(ramp_ensemble):
+    from tape_spark.analysis import PyMedian
+
+    res = ramp_ensemble.batch(FeatureExtractor(PyMedian()), band_to_calc=None).toPandas()
+    assert list(res.columns) == ["id", "median"]
+    assert len(res) == 5
