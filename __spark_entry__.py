@@ -463,8 +463,11 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    """mapInPandas decode plumbing with the deterministic stub decoder
-    (no SQL equivalent)."""
+    """mapInPandas decode plumbing with the deterministic stub decoder.
+
+    The stub's width/height/channels are pure byte arithmetic over the
+    payload, which DuckDB can replay via hex() byte extraction — so the
+    whole Arrow-batched decode path is value-hash-checked, not rows-only."""
     from tape_spark.operators.multimodal import attach_binary_payload, decode_media
 
     media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
@@ -578,7 +581,7 @@ def q_events_session_window(spark, sf_dir):
 
 def q_multimodal_resize(spark, sf_dir):
     """mapInPandas resize plumbing with the deterministic fake resampler
-    (no SQL equivalent)."""
+    (output geometry is deterministic, so the plumbing is hash-checked)."""
     from tape_spark.operators.multimodal import attach_binary_payload, resize_media
 
     media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
@@ -587,8 +590,8 @@ def q_multimodal_resize(spark, sf_dir):
 
 
 def q_multimodal_embedding(spark, sf_dir):
-    """Binary → fixed-dim embedding feature extraction (stub encoder; no
-    SQL equivalent)."""
+    """Binary → fixed-dim embedding feature extraction (stub encoder whose
+    first component is byte arithmetic DuckDB replays via hex())."""
     from tape_spark.operators.multimodal import attach_binary_payload, media_embedding
 
     media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
@@ -938,6 +941,31 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": (
             "SELECT doc_id AS media_id, 'text/plain' AS media_type, "
             "CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS checksum FROM documents"
+        ),
+        # replays the deterministic stub decoder's byte arithmetic: width
+        # from payload length, height from the sum of the first 64 bytes
+        # (extracted via hex pairs), channels constant
+        "multimodal_decode": (
+            "WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h, "
+            "octet_length(encode(text)) AS n FROM documents), "
+            "b AS (SELECT media_id, n, list_transform(range(1, least(n, 64) + 1), "
+            "i -> ('0x' || substr(h, 2*i-1, 2))::INTEGER) AS head FROM m) "
+            "SELECT media_id, 1 + (n % 1024) AS width, "
+            "1 + (CASE WHEN len(head) = 0 THEN 0 ELSE list_sum(head) % 1024 END) AS height, "
+            "3 AS channels FROM b"
+        ),
+        # the fake resampler always emits min(width*height, 65536) bytes,
+        # so the output geometry is exact
+        "multimodal_resize": (
+            "SELECT doc_id AS media_id, 16 AS width, 8 AS height, "
+            "128 AS n_bytes FROM documents"
+        ),
+        # stub encoder feature[0] = (first payload byte % 13) / 13
+        "multimodal_embedding": (
+            "SELECT doc_id AS media_id, "
+            "round(CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 "
+            "ELSE (('0x' || substr(hex(encode(text)), 1, 2))::INTEGER % 13) / 13.0 END, 6) AS e0 "
+            "FROM documents"
         ),
         "text_stopword_ratio": (
             "SELECT doc_id, round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE "

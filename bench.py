@@ -3,6 +3,11 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+Each workload runs $SPARK_GRAFT_REPS times (default 3), interleaved in
+suite order; "queries" holds the per-query MEDIAN and "spread" the
+[min, max] so a single host-load spike (this machine swings 2-3x under
+load) cannot masquerade as a regression. "value" is the sum of medians.
+
 Workloads mirror the reference's asv suite (benchmarks/benchmarks.py:27-40)
 plus the scale-path pipeline operators:
   q1 batch_mean   — groupBy(id).applyInPandas(np.mean) throughput
@@ -26,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
 
 
 def main():
@@ -44,12 +50,10 @@ def main():
 
     import __spark_entry__ as em
 
-    timings = {}
+    workloads = []
 
     def run(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        workloads.append((name, fn))
 
     ens = em._ensemble(spark, SF_DIR)
     ens.frames["source"] = ens.frames["source"].persist()
@@ -135,6 +139,19 @@ def main():
 
     run("q9_stetson_j", stetson)
 
+    # interleave repetitions in suite order: a load spike hits one rep of
+    # several queries instead of all reps of one, and the median shrugs it off
+    samples = {name: [] for name, _ in workloads}
+    for _ in range(REPS):
+        for name, fn in workloads:
+            t0 = time.time()
+            fn()
+            samples[name].append(time.time() - t0)
+
+    timings = {name: round(float(np.median(ts)), 3) for name, ts in samples.items()}
+    spread = {
+        name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -145,6 +162,8 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "reps": REPS,
+                "spread": spread,
             }
         )
     )
