@@ -579,6 +579,16 @@ def q_events_session_window(spark, sf_dir):
     )
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: evenly spaced byte windows via built-in
+    binary substring — the byte geometry replays exactly in SQL."""
+    from tape_spark.operators.multimodal import attach_binary_payload, frame_sample
+
+    media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
+    out = frame_sample(media, every_n_bytes=64, max_frames=4)
+    return out.select("media_id", "frame_index", "frame_bytes")
+
+
 def q_multimodal_resize(spark, sf_dir):
     """mapInPandas resize plumbing with the deterministic fake resampler
     (output geometry is deterministic, so the plumbing is hash-checked)."""
@@ -690,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_embedding": q_multimodal_embedding,
         "events_running_stats": q_events_running_stats,
@@ -899,6 +910,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(CAST(floor(epoch(l_shipdate) / 3600) AS BIGINT) % 24 AS INT) AS hour, "
             "count(*) AS n FROM lineitem GROUP BY 1"
         ),
+        # replays find_day_gap_offset: occupancy per hour-of-day, then the
+        # longest run of empty hours over a doubled (wraparound) 48-slot
+        # scan with start < 24; ties keep the earliest start, midpoint
+        # becomes a day fraction, -1 when every hour is occupied
+        "day_gap_offset": (
+            "WITH src AS (SELECT epoch(l_shipdate) AS t FROM lineitem), "
+            "occupied AS (SELECT DISTINCT CAST(CAST(floor(t * 24) AS BIGINT) % 24 AS INT) AS hour FROM src), "
+            "flags AS (SELECT i AS h, ((i % 24) IN (SELECT hour FROM occupied)) AS occ "
+            "FROM range(0, 48) t(i)), "
+            "runs AS (SELECT h, occ, h - ROW_NUMBER() OVER (PARTITION BY occ ORDER BY h) AS grp FROM flags), "
+            "free_runs AS (SELECT min(h) AS s, max(h) + 1 AS e, count(*) AS len "
+            "FROM runs WHERE NOT occ GROUP BY grp), "
+            "best AS (SELECT * FROM free_runs WHERE s < 24 ORDER BY len DESC, s ASC LIMIT 1) "
+            "SELECT COALESCE((SELECT (((s + e) / 2.0) % 24.0) / 24.0 FROM best), -1.0) AS offset"
+        ),
         "select_project": (
             "SELECT l_orderkey, l_extendedprice, l_returnflag FROM lineitem"
         ),
@@ -953,6 +979,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT media_id, 1 + (n % 1024) AS width, "
             "1 + (CASE WHEN len(head) = 0 THEN 0 ELSE list_sum(head) % 1024 END) AS height, "
             "3 AS channels FROM b"
+        ),
+        # frame i covers bytes [i*64, i*64+64); the last frame is clipped to
+        # the payload end (Spark's binary substring past-the-end is empty)
+        "multimodal_frame_sample": (
+            "SELECT doc_id AS media_id, CAST(i AS INT) AS frame_index, "
+            "least(64, greatest(n - i * 64, 0)) AS frame_bytes "
+            "FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), "
+            "UNNEST(range(0, least(n // 64, 3) + 1)) AS t(i)"
         ),
         # the fake resampler always emits min(width*height, 65536) bytes,
         # so the output geometry is exact

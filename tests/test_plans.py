@@ -149,6 +149,49 @@ def test_bucketed_table_elides_all_shuffles(spark, li_ensemble, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketed_src_test")
 
 
+@pytest.fixture
+def docs_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_exact_dedup_exchange_keys_on_hash(docs_df):
+    """The scale-default exact dedup must shuffle on the 16-byte
+    (xxhash64, length) key, with map-side partial aggregation before the
+    exchange — the raw text column must never be a shuffle key (Spark
+    aliases grouping expressions, so assert no exchange keys on text#)."""
+    from tape_spark.operators import exact_dedup
+
+    plan = plan_of(exact_dedup(docs_df))
+    assert "xxhash64" in plan
+    assert "partial_min" in plan  # map-side combine precedes the shuffle
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex and not any("text#" in l for l in ex)
+
+
+def test_dedup_keep_first_window_keys_on_hash(docs_df):
+    from tape_spark.operators import dedup_keep_first
+
+    plan = plan_of(dedup_keep_first(docs_df))
+    assert "xxhash64" in plan and "Window" in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex and not any("text#" in l for l in ex)
+
+
+def test_cosine_topk_no_cartesian(spark):
+    """Brute-force top-k must stream the corpus once through MapInPandas
+    with a broadcast query matrix — never a cartesian/nested-loop join."""
+    from tape_spark.operators import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(cosine_topk(emb, q, k=5))
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_object_table_roundtrip(spark, li_ensemble):
     li_ensemble.calc_nobs(temporary=False)
     li_ensemble.save_bucketed("b_src2", object_table="b_obj2", num_buckets=4)
