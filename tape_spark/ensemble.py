@@ -1115,7 +1115,13 @@ class Ensemble:
                     for k, ka in zip(group_keys, key_arrays):
                         if k not in out.columns:
                             out[k] = ka[s]
-                    frames.append(out[group_keys + result_names])
+                    # Spark assigns pandas-UDF output columns BY NAME, so a
+                    # per-group [cols] reorder is pure indexer overhead —
+                    # only select when extra columns must be dropped
+                    want = group_keys + result_names
+                    if len(out.columns) != len(want) or set(out.columns) != set(want):
+                        out = out[want]
+                    frames.append(out)
             if simple_rows:
                 frames.append(pd.DataFrame(simple_rows, columns=group_keys + result_names))
             if not frames:
