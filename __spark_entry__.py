@@ -23,6 +23,7 @@ import os
 from collections.abc import Callable
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -476,6 +477,30 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_timeseries_extract(spark, sf_dir):
+    """to_timeseries: one object's light curve materialized locally (filter
+    pushes to the scan), then re-exposed as rows for the oracle compare."""
+    ens = _ensemble(spark, sf_dir)
+    ts = ens.to_timeseries(1)
+    pdf = pd.DataFrame(
+        {
+            "band": ts.band.to_numpy(),
+            "t": np.round(ts.time.to_numpy().astype(float), 6),
+            "flux": np.round(ts.flux.to_numpy().astype(float), 6),
+            "err": np.round(ts.flux_err.to_numpy().astype(float), 6),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def q_sample_objects(spark, sf_dir):
+    """Seeded object-level sample propagated to sources (engine-specific
+    RNG → rows-only; statistical properties are pytest-checked)."""
+    ens = _ensemble(spark, sf_dir)
+    sampled = ens.sample(frac=0.3, random_state=42)
+    return sampled.source.select("l_orderkey", "t", "l_extendedprice")
+
+
 def q_select_project(spark, sf_dir):
     """Ensemble.select column projection (SURVEY §2.2) — the id column is
     always retained."""
@@ -676,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "save_load_roundtrip": q_save_load_roundtrip,
         "hour_histogram": q_hour_histogram,
         "select_project": q_select_project,
+        "timeseries_extract": q_timeseries_extract,
+        "sample_objects": q_sample_objects,
         "filter_from_series": q_filter_from_series,
         "insert_sources": q_insert_sources,
         "day_gap_offset": q_day_gap_offset,
@@ -927,6 +954,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "select_project": (
             "SELECT l_orderkey, l_extendedprice, l_returnflag FROM lineitem"
+        ),
+        "timeseries_extract": (
+            "SELECT l_returnflag AS band, round(epoch(l_shipdate), 6) AS t, "
+            "round(l_extendedprice, 6) AS flux, round(l_quantity, 6) AS err "
+            "FROM lineitem WHERE l_orderkey = 1"
         ),
         "filter_from_series": (
             _CRITICAL_SELECT + " WHERE l_quantity >= 10 AND l_quantity <= 20"
