@@ -564,6 +564,14 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_text_repetition(spark, sf_dir):
+    """Within-document bigram repetition ratio (boilerplate/spam signal)."""
+    from tape_spark.operators import repetition_ratio
+
+    out = repetition_ratio(_docs(spark, sf_dir), n=2)
+    return out.select("doc_id", F.round("rep_ratio", 6).alias("rep_ratio"))
+
+
 def q_events_sliding(spark, sf_dir):
     """Sliding 15-minute windows every 5 minutes over events
     (tape_spark.streaming.sliding_window_agg; each event lands in 3
@@ -724,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_stopword_ratio": q_text_stopword_ratio,
         "token_count": q_token_count,
+        "text_repetition": q_text_repetition,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -995,6 +1004,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_fingerprint": (
             "SELECT doc_id, sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_sha FROM documents"
+        ),
+        # 1 - distinct/total word bigrams; 0 for documents under n tokens
+        "text_repetition": (
+            "WITH g AS ("
+            "  SELECT doc_id, CASE WHEN len(w) >= 2 THEN"
+            "    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])"
+            "    ELSE [] END AS grams"
+            "  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)"
+            ") "
+            "SELECT doc_id, round(CASE WHEN len(grams) > 0 "
+            "THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) ELSE 0.0 END, 6) AS rep_ratio FROM g"
         ),
         "multimodal_meta": (
             "SELECT doc_id AS media_id, 'text/plain' AS media_type, "

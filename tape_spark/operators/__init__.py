@@ -18,7 +18,14 @@ from .dedup import (
 )
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
-from .text import language_id, stopword_ratio, text_quality, token_count, document_fingerprint
+from .text import (
+    document_fingerprint,
+    language_id,
+    repetition_ratio,
+    stopword_ratio,
+    text_quality,
+    token_count,
+)
 
 __all__ = [
     "exact_dedup",
@@ -36,6 +43,7 @@ __all__ = [
     "lightcurve_embeddings",
     "similar_lightcurves",
     "language_id",
+    "repetition_ratio",
     "text_quality",
     "token_count",
     "document_fingerprint",

@@ -101,6 +101,42 @@ def stopword_ratio(
     )
 
 
+def repetition_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Within-document n-gram repetition: the fraction of word n-grams that
+    are duplicates of an earlier n-gram in the same document
+    (``1 - distinct/total``). High values flag boilerplate/spam — one of
+    the standard repetition signals in large-scale corpus quality filters
+    (cf. the Gopher/MassiveText rules). Pure built-in expressions
+    (``transform`` + ``array_distinct``): whole-stage codegen, no Python,
+    no shuffle."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # tokens are materialized as a column first: referencing the split
+    # inside the transform lambda would re-evaluate it per element
+    grams = F.when(
+        F.size(F.col("__toks")) >= n,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {n - 1}), "
+            f"i -> array_join(slice(__toks, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array())
+    with_toks = df.withColumn("__toks", toks).withColumn("__grams", grams)
+    total = F.size("__grams")
+    return with_toks.select(
+        F.col(id_col),
+        F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct("__grams")) / total,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
 def token_count(
     df: DataFrame,
     text_col: str = "text",

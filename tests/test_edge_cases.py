@@ -120,6 +120,18 @@ def test_skewed_object_correctness(spark, ramp_cm):
     assert ens.source.count() == n_heavy
 
 
+def test_sf2_combine_bootstrap_on_empty_source(ramp_ensemble):
+    from tape_spark.analysis import StructureFunctionArgumentContainer
+
+    ramp_ensemble.query("flux < -1")  # nothing survives
+    container = StructureFunctionArgumentContainer()
+    container.combine = True
+    container.estimate_err = True
+    container.calculation_repetitions = 3
+    container.random_seed = 5
+    assert ramp_ensemble.sf2(argument_container=container, combine=True).count() == 0
+
+
 def test_sf2_combine_on_empty_source(ramp_ensemble):
     ramp_ensemble.query("flux > 1e12")
     assert ramp_ensemble.sf2(sf_method="basic", combine=True).count() == 0

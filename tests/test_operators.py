@@ -249,6 +249,25 @@ def test_dedup_keep_first_hash_variant_agrees(docs):
     pd.testing.assert_frame_equal(full, hashed)
 
 
+def test_repetition_ratio(spark):
+    from tape_spark.operators import repetition_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (1, "all words unique here"),
+            (2, ""),                 # no tokens -> 0
+            (3, "single"),           # under n tokens -> 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["rep_ratio"] for r in repetition_ratio(docs, n=2).collect()}
+    assert out[0] == pytest.approx(1.0 - 2.0 / 5.0)
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
 def test_ngram_jaccard_doc_frequency_cap(docs):
     """Capping shingle document frequency drops only stop-shingles; the
     identical pair (sharing rare shingles too) survives with jaccard <= 1."""
