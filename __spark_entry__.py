@@ -477,6 +477,32 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_sf2_fixed_bins(spark, sf_dir):
+    """Per-curve SF² (basic estimator) with explicit bin edges — the one
+    SF configuration whose full pairwise-difference + binned-mean pipeline
+    is replayable in SQL (self-join on (id, band) with t2 > t1, CASE
+    bucketing), so the flagship kernel gets a value-hash check. Empty bins
+    (NaN) are dropped on both sides."""
+    from tape_spark.analysis import StructureFunctionArgumentContainer
+
+    ens = _ensemble(spark, sf_dir)
+    container = StructureFunctionArgumentContainer()
+    container.sf_method = "basic"
+    container.bins = [0.0, 1e7, 5e7, 1e8, 2e8, 3e8]
+    res = ens.sf2(argument_container=container)
+    # empty bins surface as NULL (Arrow maps the kernel's NaN to null) —
+    # and isnan(NULL) is false, so both predicates are needed. sf2 is
+    # emitted in millions: raw values are ~1e9-1e11, where rounding to 6
+    # decimals would demand more significant digits than double arithmetic
+    # guarantees across different summation orders.
+    return res.filter(F.col("sf2").isNotNull() & ~F.isnan("sf2")).select(
+        "lc_id",
+        "band",
+        F.round("dt", 6).alias("dt"),
+        F.round(F.col("sf2") / 1e6, 6).alias("sf2_m"),
+    )
+
+
 def q_timeseries_extract(spark, sf_dir):
     """to_timeseries: one object's light curve materialized locally (filter
     pushes to the scan), then re-exposed as rows for the oracle compare."""
@@ -717,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stetson_j": q_stetson_j,
         "sf2_basic": q_sf2_basic,
         "sf2_combine": q_sf2_combine,
+        "sf2_fixed_bins": q_sf2_fixed_bins,
         "lc_similarity": q_lc_similarity,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
@@ -963,6 +990,43 @@ def oracle_sql() -> dict[str, str]:
         ),
         "select_project": (
             "SELECT l_orderkey, l_extendedprice, l_returnflag FROM lineitem"
+        ),
+        # SF² basic with explicit bins: all ordered pairs with positive dt
+        # within (id, band) — curves need >= 3 observations and > 1 pair
+        # (n>=3 with >=2 distinct times implies both) — bucketed
+        # left-closed/right-open with the last edge inclusive, then
+        # sf2 = mean(d_flux² − Σerr²), dt = mean(dt) per bucket
+        "sf2_fixed_bins": (
+            "WITH src AS ("
+            "  SELECT l_orderkey AS id, l_returnflag AS band, epoch(l_shipdate) AS t,"
+            "         l_extendedprice AS f, l_quantity AS e FROM lineitem"
+            "), "
+            "pairs AS ("
+            "  SELECT a.id, a.band, b.t - a.t AS dt, b.f - a.f AS df,"
+            "         a.e * a.e + b.e * b.e AS e2"
+            "  FROM src a JOIN src b ON a.id = b.id AND a.band = b.band AND b.t > a.t"
+            "), "
+            "eligible AS ("
+            "  SELECT s.id, s.band FROM src s GROUP BY s.id, s.band HAVING count(*) >= 3"
+            "), "
+            "pair_ok AS ("
+            "  SELECT p.id, p.band FROM pairs p JOIN eligible e ON e.id = p.id AND e.band = p.band"
+            "  GROUP BY p.id, p.band HAVING count(*) > 1"
+            "), "
+            "bucketed AS ("
+            "  SELECT p.id, p.band, p.dt, p.df, p.e2,"
+            "    CASE WHEN p.dt = 3e8 THEN 4"
+            "         WHEN p.dt >= 0 AND p.dt < 1e7 THEN 0"
+            "         WHEN p.dt < 5e7 THEN 1"
+            "         WHEN p.dt < 1e8 THEN 2"
+            "         WHEN p.dt < 2e8 THEN 3"
+            "         WHEN p.dt < 3e8 THEN 4"
+            "         ELSE -1 END AS bucket"
+            "  FROM pairs p JOIN pair_ok k ON k.id = p.id AND k.band = p.band"
+            ") "
+            "SELECT CAST(id AS VARCHAR) AS lc_id, band, "
+            "round(avg(dt), 6) AS dt, round(avg(df * df - e2) / 1e6, 6) AS sf2_m "
+            "FROM bucketed WHERE bucket >= 0 GROUP BY id, band, bucket"
         ),
         "timeseries_extract": (
             "SELECT l_returnflag AS band, round(epoch(l_shipdate), 6) AS t, "
