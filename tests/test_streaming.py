@@ -123,6 +123,41 @@ def test_streaming_matches_batch(spark, events_pdf, events_df, tmp_path):
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
 
 
+def test_session_window_stream_matches_batch(spark, events_pdf, events_df, tmp_path):
+    """Session windows are the stateful-merge case: the same
+    session_window_agg body over an availableNow file stream must converge
+    to the batch sessions even when a session's events arrive across
+    different micro-batches."""
+    src_dir = str(tmp_path / "sess_src")
+    events_df.repartition(4).write.parquet(src_dir)
+
+    stream = read_event_stream(spark, src_dir, SCHEMA, max_files_per_trigger=1)
+    agg = session_window_agg(stream, gap="30 minutes", keys=["user_id"])
+
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = (
+        spark.table("session_test")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        session_window_agg(events_df, gap="30 minutes", keys=["user_id"])
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
 def test_stateful_running_stats_stream_matches_batch(spark, events_pdf, events_df, tmp_path):
     """applyInPandasWithState running stats across multiple micro-batches
     must converge to the batch aggregation."""
