@@ -47,11 +47,17 @@ def _stetson_mean(
     n = len(values)
     bias_factor = np.sqrt(n / (n - 1))
     inv_var = 1.0 / errors**2
+
+    def wavg(w):
+        # same multiply-sum-divide sequence as np.average, without its
+        # generic weight validation — ~3x per-call overhead on tiny arrays
+        return (values * w).sum() / w.sum()
+
     if mean is None:
-        mean = np.average(values, weights=inv_var)
+        mean = wavg(inv_var)
     for _ in range(n_iter):
         chi = np.abs(bias_factor * (values - mean) / errors)
-        new_mean = np.average(values, weights=inv_var / (1.0 + (chi / alpha) ** beta))
+        new_mean = wavg(inv_var / (1.0 + (chi / alpha) ** beta))
         delta = np.abs(new_mean - mean)
         mean = new_mean
         if mean == 0:
