@@ -56,6 +56,39 @@ def binned_statistic(x, values, statistic="mean", bins=10):
     return stat, edges, idx + 1
 
 
+def _binned_pair(x, values, statistic, edges):
+    """One digitize pass returning (mean-of-x, statistic-of-values) per bin.
+
+    Performs the exact operation sequence of two :func:`binned_statistic`
+    calls sharing the same ``x`` and ``edges`` (the hot shape in
+    ``_binned_statistics``) while classifying samples only once — on tiny
+    per-curve arrays the digitize/validity masks are half the cost.
+    """
+    x = np.asarray(x, dtype=float)
+    values = np.asarray(values, dtype=float)
+    edges = np.asarray(edges, dtype=float)
+    n_bins = edges.size - 1
+    idx = np.digitize(x, edges) - 1
+    idx[x == edges[-1]] = n_bins - 1
+    valid = (idx >= 0) & (idx < n_bins)
+    vi = idx[valid]
+    counts = np.bincount(vi, minlength=n_bins)
+    nz = counts > 0
+    mean_x = np.full(n_bins, np.nan)
+    mean_x[nz] = np.bincount(vi, weights=x[valid], minlength=n_bins)[nz] / counts[nz]
+    stat = np.full(n_bins, np.nan)
+    if statistic == "mean":
+        stat[nz] = np.bincount(vi, weights=values[valid], minlength=n_bins)[nz] / counts[nz]
+    elif callable(statistic):
+        for b in range(n_bins):
+            mask = valid & (idx == b)
+            if mask.any():
+                stat[b] = statistic(values[mask])
+    else:
+        raise ValueError(f"Unsupported statistic: {statistic!r}")
+    return mean_x, stat
+
+
 def compute_dt_bins(dts: np.ndarray, method: str, count_target: int) -> np.ndarray:
     """Derive bin edges for an array of time differences.
 
@@ -157,8 +190,7 @@ class StructureFunctionCalculator(ABC):
                     self._argument_container.bin_method,
                     self._argument_container.bin_count_target,
                 )
-            stat, _, _ = binned_statistic(sample_dts, values, statistic=statistic, bins=self._bins)
-            mean_dt, _, _ = binned_statistic(sample_dts, sample_dts, statistic="mean", bins=self._bins)
+            mean_dt, stat = _binned_pair(sample_dts, values, statistic, self._bins)
             return [mean_dt], [stat]
 
         dt_out, stat_out = [], []
@@ -170,11 +202,8 @@ class StructureFunctionCalculator(ABC):
                         self._argument_container.bin_method,
                         self._argument_container.bin_count_target,
                     )
-                stat, _, _ = binned_statistic(
-                    lc.sample_d_times, values, statistic=statistic, bins=self._bins
-                )
-                mean_dt, _, _ = binned_statistic(
-                    lc.sample_d_times, lc.sample_d_times, statistic="mean", bins=self._bins
+                mean_dt, stat = _binned_pair(
+                    lc.sample_d_times, values, statistic, self._bins
                 )
                 dt_out.append(mean_dt)
                 stat_out.append(stat)
