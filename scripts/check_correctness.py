@@ -49,8 +49,9 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
     for c in s_cols:
         sv, ov = s[c], o[c]
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
-            sa = sv.astype(float).round(6).to_numpy()
-            oa = ov.astype(float).round(6).to_numpy()
+            # already rounded to 6dp by _normalize — exact equality here
+            sa = sv.astype(float).to_numpy()
+            oa = ov.astype(float).to_numpy()
             ok = (sa == oa) | (np.isnan(sa) & np.isnan(oa))
             if not ok.all():
                 i = int(np.argmin(ok))

@@ -50,39 +50,53 @@ class PythonFeatureEvaluator:
     per-name columns) is exercised end-to-end even where the optional
     ``light-curve`` wheel is not installed. Feature definitions follow the
     package's public docs (e.g. amplitude = half the magnitude range).
+
+    Deviation from the Rust evaluators: a curve whose band mask leaves too
+    few observations yields NaN instead of raising — a raise inside a
+    pandas-UDF worker aborts the whole Spark job, which is never the right
+    outcome for one thin curve at scale.
     """
 
     names: tuple = ()
+    #: minimum observations for a defined value; NaN below this
+    min_observations: int = 1
 
     def __call__(self, t, m, sigma=None, **kwargs) -> np.ndarray:
+        m = np.asarray(m, dtype=float)
+        if m.size < self.min_observations:
+            return np.full(len(self.names), np.nan)
+        return self._evaluate(t, m, sigma, **kwargs)
+
+    def _evaluate(self, t, m, sigma, **kwargs) -> np.ndarray:
         raise NotImplementedError
 
 
 class PyAmplitude(PythonFeatureEvaluator):
     names = ("amplitude",)
 
-    def __call__(self, t, m, sigma=None, **kwargs):
+    def _evaluate(self, t, m, sigma, **kwargs):
         return np.array([(np.max(m) - np.min(m)) / 2.0])
 
 
 class PyMean(PythonFeatureEvaluator):
     names = ("mean",)
 
-    def __call__(self, t, m, sigma=None, **kwargs):
+    def _evaluate(self, t, m, sigma, **kwargs):
         return np.array([np.mean(m)])
 
 
 class PyStandardDeviation(PythonFeatureEvaluator):
     names = ("standard_deviation",)
+    min_observations = 2  # ddof=1 needs at least two points
 
-    def __call__(self, t, m, sigma=None, **kwargs):
+    def _evaluate(self, t, m, sigma, **kwargs):
         return np.array([np.std(m, ddof=1)])
 
 
 class PyMedian(PythonFeatureEvaluator):
     names = ("median",)
 
-    def __call__(self, t, m, sigma=None, **kwargs):
+    def _evaluate(self, t, m, sigma, **kwargs):
         return np.array([np.median(m)])
 
 

@@ -20,26 +20,22 @@ from .argument_container import StructureFunctionArgumentContainer
 from ..light_curve import StructureFunctionLightCurve
 
 
-def binned_statistic(x, values, statistic="mean", bins=10):
-    """Numpy-only stand-in for ``scipy.stats.binned_statistic``.
-
-    Supports the subset the SF estimators use: ``statistic`` is ``'mean'``
-    or a callable applied to the values falling in each bin. Bin intervals
-    are left-closed/right-open except the last bin, which includes its
-    right edge (scipy convention). Empty bins yield NaN. Returns
-    ``(statistic_per_bin, bin_edges, bin_index_per_sample)``.
-
-    The sandbox has no scipy, so this keeps the estimators importable in
-    Spark Python workers with only numpy on the path.
-    """
-    x = np.asarray(x, dtype=float)
-    values = np.asarray(values, dtype=float)
-    edges = np.asarray(bins, dtype=float)
+def _classify(x, edges):
+    """Digitize ``x`` into 0-based bin indices with scipy's convention:
+    left-closed/right-open bins, last bin right-inclusive. The single home
+    of the edge convention — both binning entry points share it. Returns
+    (idx, valid)."""
     n_bins = edges.size - 1
-    # digitize: index of the right edge; shift to 0-based bin index.
     idx = np.digitize(x, edges) - 1
-    idx[x == edges[-1]] = n_bins - 1  # last bin right-inclusive
+    idx[x == edges[-1]] = n_bins - 1
     valid = (idx >= 0) & (idx < n_bins)
+    return idx, valid
+
+
+def _stat_per_bin(x, values, statistic, edges, idx, valid):
+    """Apply ``statistic`` ('mean' or a callable) to the values in each
+    bin; empty bins yield NaN."""
+    n_bins = edges.size - 1
     stat = np.full(n_bins, np.nan)
     if statistic == "mean":
         counts = np.bincount(idx[valid], minlength=n_bins)
@@ -53,6 +49,25 @@ def binned_statistic(x, values, statistic="mean", bins=10):
                 stat[b] = statistic(values[mask])
     else:
         raise ValueError(f"Unsupported statistic: {statistic!r}")
+    return stat
+
+
+def binned_statistic(x, values, statistic="mean", bins=10):
+    """Numpy-only stand-in for ``scipy.stats.binned_statistic``.
+
+    Supports the subset the SF estimators use: ``statistic`` is ``'mean'``
+    or a callable applied to the values falling in each bin. Empty bins
+    yield NaN. Returns ``(statistic_per_bin, bin_edges,
+    bin_index_per_sample)``.
+
+    The sandbox has no scipy, so this keeps the estimators importable in
+    Spark Python workers with only numpy on the path.
+    """
+    x = np.asarray(x, dtype=float)
+    values = np.asarray(values, dtype=float)
+    edges = np.asarray(bins, dtype=float)
+    idx, valid = _classify(x, edges)
+    stat = _stat_per_bin(x, values, statistic, edges, idx, valid)
     return stat, edges, idx + 1
 
 
@@ -67,25 +82,9 @@ def _binned_pair(x, values, statistic, edges):
     x = np.asarray(x, dtype=float)
     values = np.asarray(values, dtype=float)
     edges = np.asarray(edges, dtype=float)
-    n_bins = edges.size - 1
-    idx = np.digitize(x, edges) - 1
-    idx[x == edges[-1]] = n_bins - 1
-    valid = (idx >= 0) & (idx < n_bins)
-    vi = idx[valid]
-    counts = np.bincount(vi, minlength=n_bins)
-    nz = counts > 0
-    mean_x = np.full(n_bins, np.nan)
-    mean_x[nz] = np.bincount(vi, weights=x[valid], minlength=n_bins)[nz] / counts[nz]
-    stat = np.full(n_bins, np.nan)
-    if statistic == "mean":
-        stat[nz] = np.bincount(vi, weights=values[valid], minlength=n_bins)[nz] / counts[nz]
-    elif callable(statistic):
-        for b in range(n_bins):
-            mask = valid & (idx == b)
-            if mask.any():
-                stat[b] = statistic(values[mask])
-    else:
-        raise ValueError(f"Unsupported statistic: {statistic!r}")
+    idx, valid = _classify(x, edges)
+    mean_x = _stat_per_bin(x, x, "mean", edges, idx, valid)
+    stat = _stat_per_bin(x, values, statistic, edges, idx, valid)
     return mean_x, stat
 
 

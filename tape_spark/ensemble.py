@@ -1236,9 +1236,10 @@ class Ensemble:
             argument_container=argument_container,
         )
 
-    # above this many pairwise differences, 'size' bin edges switch from the
+    # above this many DISTINCT dt values, 'size' bin edges switch from the
     # exact single-group `percentile` (whole distinct-dt set in one reducer's
-    # sort buffer) to the mergeable `approx_percentile` sketch
+    # sort buffer — the distinct count is exactly what that buffer holds) to
+    # the mergeable `approx_percentile` sketch
     _SF2_EXACT_QUANTILE_MAX = 2_000_000
     # approx_percentile accuracy: rank error <= 1/accuracy of the distinct-dt
     # count, i.e. edges land within 0.01% of the exact quantile rank
@@ -1267,6 +1268,10 @@ class Ensemble:
           pass and the spread is exactly zero — computed in one pass.
         - Bin edges always come from the full (unsampled) dt set, as in
           ``_binned_statistics``.
+        - A band whose differences come from a single curve keeps that
+          curve's id as ``lc_id`` (kernel ``entry_ids`` behavior); only
+          multi-curve bands collapse to ``'combined'``. (Curves counted
+          are those contributing at least one difference.)
 
         ``exact_quantiles`` picks the 'size' bin-edge strategy: exact
         ``percentile`` (single-group; numpy-identical, small data) vs
@@ -1340,14 +1345,41 @@ class Ensemble:
         # per-band quantile/range branches. `percentile` uses linear
         # interpolation, matching numpy's quantile in compute_dt_bins.
         per_band_edges: Dict[str, np.ndarray] = {}
-        counts = {r[0]: r[1] for r in diff_df.groupBy("band").count().collect()}
-        if exact_quantiles is None:
-            exact_quantiles = sum(counts.values()) <= self._SF2_EXACT_QUANTILE_MAX
+        band_stats = diff_df.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("lc").alias("n_curves"),
+            F.max("lc").alias("only_lc"),
+        ).collect()
+        counts = {r["band"]: r["n"] for r in band_stats}
+        # kernel parity (structurefunction2.py entry_ids): a band whose
+        # differences come from a single curve keeps that curve's id, only
+        # multi-curve bands collapse to 'combined'
+        band_label = {
+            r["band"]: ("combined" if r["n_curves"] > 1 else str(r["only_lc"]))
+            for r in band_stats
+        }
+        if band_label:
+            lc_id_col = F.element_at(
+                F.create_map(
+                    *[x for b, lab in band_label.items() for x in (F.lit(b), F.lit(lab))]
+                ),
+                F.col("band"),
+            )
+        else:
+            lc_id_col = F.lit("combined")
         if ac.bins is not None:
             for b in counts:
                 per_band_edges[b] = np.asarray(ac.bins, dtype=float)
         else:
             uniq = diff_df.select("band", "dt").distinct()
+            if exact_quantiles is None and ac.bin_method == "size":
+                # the exact percentile's sort buffer holds the DISTINCT dt
+                # set (quantiles are over unique values), so that is the
+                # number that decides exact vs sketch — total pair count
+                # overstates it badly when times are coarse (e.g. dates)
+                exact_quantiles = uniq.count() <= self._SF2_EXACT_QUANTILE_MAX
+            elif exact_quantiles is None:
+                exact_quantiles = True  # min/max only — no quantile stage
             branches = []
             for b, total in counts.items():
                 num_bins = int(np.ceil(total / ac.bin_count_target))
@@ -1441,7 +1473,7 @@ class Ensemble:
             result = (
                 bucketed.groupBy("band", "bucket")
                 .agg(F.mean("dt").alias("dt"), sf2_expr.alias("sf2"))
-                .withColumn("lc_id", F.lit("combined"))
+                .withColumn("lc_id", lc_id_col)
                 .withColumn("1_sigma", F.lit(0.0))
             )
             if want_bounds:
@@ -1545,7 +1577,7 @@ class Ensemble:
         result = (
             per_rep.groupBy("band", "bucket")
             .agg(*agg_cols)
-            .withColumn("lc_id", F.lit("combined"))
+            .withColumn("lc_id", lc_id_col)
             .select(*out_cols, "bucket")
             .orderBy("band", "bucket")
             .drop("bucket")

@@ -70,17 +70,26 @@ def cosine_topk(
             sims = c_mat @ q_mat.T  # (batch, n_queries)
             n_local = min(k, sims.shape[0])
             cid = pdf[id_col].to_numpy()
-            # local top-k per query, tie-complete: keep EVERY row whose
-            # cosine >= the k-th largest, so candidates tied at the k-th
-            # value all reach the global window and its deterministic
-            # (cosine DESC, corpus_id ASC) order resolves them — a bare
-            # argpartition keeps an arbitrary subset of the tie class.
+            # local top-k per query, tie-aware AND bounded: rows strictly
+            # above the k-th cosine always advance; within the tie class at
+            # the k-th value, the globally-winning rows are exactly the
+            # smallest corpus_ids (the global window orders by cosine DESC,
+            # corpus_id ASC), so keeping the n_local smallest tied ids is
+            # lossless while restoring the O(k·|queries|) per-batch output
+            # bound — a bare `col >= kth` could ship a whole batch of
+            # duplicate/zero vectors.
             frames = []
             for j in range(sims.shape[1]):
                 col = sims[:, j]
                 if n_local < len(col):
                     kth = -np.partition(-col, n_local - 1)[n_local - 1]
                     idx = np.nonzero(col >= kth)[0]
+                    if len(idx) > n_local:
+                        strict = idx[col[idx] > kth]
+                        tie = idx[col[idx] == kth]
+                        fill = n_local - len(strict)
+                        tie = tie[np.argsort(cid[tie], kind="stable")][:fill]
+                        idx = np.concatenate([strict, tie])
                 else:
                     idx = np.arange(len(col))
                 frames.append(

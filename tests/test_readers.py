@@ -119,6 +119,32 @@ def test_feature_extractor_python_fallback_batch(ramp_ensemble, ramp_rows):
         assert row["mean"] == pytest.approx(m.mean())
 
 
+def test_feature_extractor_empty_band_yields_nan(spark):
+    """A curve with no observations in the requested band produces NaN
+    features instead of crashing the pandas-UDF worker."""
+    import numpy as np
+
+    from tape_spark import ColumnMapper, Ensemble
+    from tape_spark.analysis import PyAmplitude
+
+    rows = {
+        "id": [1, 1, 1, 2, 2, 2],
+        "time": [0.0, 1.0, 2.0, 0.0, 1.0, 2.0],
+        "flux": [1.0, 3.0, 2.0, 5.0, 6.0, 7.0],
+        "err": [0.1] * 6,
+        "band": ["g", "g", "g", "r", "r", "r"],  # curve 2 has no 'g'
+    }
+    cm = ColumnMapper(id_col="id", time_col="time", flux_col="flux", err_col="err", band_col="band")
+    ens = Ensemble(spark).from_source_dict(rows, column_mapper=cm, npartitions=2)
+    res = (
+        ens.batch(FeatureExtractor(PyAmplitude()), band_to_calc="g")
+        .toPandas()
+        .set_index("id")["amplitude"]
+    )
+    assert res[1] == pytest.approx(1.0)
+    assert np.isnan(res[2])
+
+
 def test_feature_extractor_single_evaluator(ramp_ensemble):
     from tape_spark.analysis import PyMedian
 

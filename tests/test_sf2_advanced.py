@@ -168,6 +168,29 @@ def test_sf2_combine_bootstrap_error_bars(ramp_ensemble):
     pd.testing.assert_frame_equal(res, run())
 
 
+def test_sf2_combine_single_curve_band_keeps_id(spark):
+    """Kernel parity: combine mode labels a band 'combined' only when more
+    than one curve contributes; a single-curve band keeps the curve id."""
+    from tape_spark import ColumnMapper, Ensemble
+
+    rng = np.random.default_rng(8)
+    rows = {"id": [], "time": [], "flux": [], "err": [], "band": []}
+    for lc, bands in ((1, ["g", "u"]), (2, ["g"])):
+        for b in bands:
+            for i in range(12):
+                rows["id"].append(lc)
+                rows["time"].append(float(i) + (0.1 if b == "u" else 0.0))
+                rows["flux"].append(float(rng.normal(10, 1)))
+                rows["err"].append(0.1)
+                rows["band"].append(b)
+    cm = ColumnMapper(id_col="id", time_col="time", flux_col="flux", err_col="err", band_col="band")
+    ens = Ensemble(spark).from_source_dict(rows, column_mapper=cm, npartitions=2)
+    res = ens.sf2(combine=True).toPandas()
+    labels = {b: set(g["lc_id"]) for b, g in res.groupby("band")}
+    assert labels["g"] == {"combined"}
+    assert labels["u"] == {"1"}
+
+
 def test_sf2_combine_bounds_and_band_filter(ramp_ensemble):
     container = StructureFunctionArgumentContainer()
     container.combine = True
