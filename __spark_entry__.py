@@ -503,6 +503,27 @@ def q_sf2_fixed_bins(spark, sf_dir):
     )
 
 
+def q_sf2_combine_fixed_bins(spark, sf_dir):
+    """Combine-mode SF² with explicit bins: all curves' differences binned
+    together per band — a pure global aggregation (no quantile stage), so
+    the distributed combine plan itself gets a value-hash check. Same
+    magnitude scaling as sf2_fixed_bins."""
+    from tape_spark.analysis import StructureFunctionArgumentContainer
+
+    ens = _ensemble(spark, sf_dir)
+    container = StructureFunctionArgumentContainer()
+    container.sf_method = "basic"
+    container.bins = [0.0, 1e7, 5e7, 1e8, 2e8, 3e8]
+    container.combine = True
+    res = ens.sf2(argument_container=container, combine=True)
+    return res.select(
+        "lc_id",
+        "band",
+        F.round("dt", 6).alias("dt"),
+        F.round(F.col("sf2") / 1e6, 6).alias("sf2_m"),
+    )
+
+
 def q_timeseries_extract(spark, sf_dir):
     """to_timeseries: one object's light curve materialized locally (filter
     pushes to the scan), then re-exposed as rows for the oracle compare."""
@@ -744,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sf2_basic": q_sf2_basic,
         "sf2_combine": q_sf2_combine,
         "sf2_fixed_bins": q_sf2_fixed_bins,
+        "sf2_combine_fixed_bins": q_sf2_combine_fixed_bins,
         "lc_similarity": q_lc_similarity,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
@@ -1027,6 +1049,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(id AS VARCHAR) AS lc_id, band, "
             "round(avg(dt), 6) AS dt, round(avg(df * df - e2) / 1e6, 6) AS sf2_m "
             "FROM bucketed WHERE bucket >= 0 GROUP BY id, band, bucket"
+        ),
+        # combine mode: same pair/bucket construction, aggregated per
+        # (band, bucket) across all curves; a band keeps its single curve's
+        # id when only one curve contributes differences
+        "sf2_combine_fixed_bins": (
+            "WITH src AS ("
+            "  SELECT l_orderkey AS id, l_returnflag AS band, epoch(l_shipdate) AS t,"
+            "         l_extendedprice AS f, l_quantity AS e FROM lineitem"
+            "), "
+            "eligible AS ("
+            "  SELECT id, band FROM src GROUP BY id, band HAVING count(*) >= 3"
+            "), "
+            "pairs AS ("
+            "  SELECT a.id, a.band, b.t - a.t AS dt, b.f - a.f AS df,"
+            "         a.e * a.e + b.e * b.e AS e2"
+            "  FROM src a JOIN src b ON a.id = b.id AND a.band = b.band AND b.t > a.t"
+            "  JOIN eligible el ON el.id = a.id AND el.band = a.band"
+            "), "
+            "bl AS ("
+            "  SELECT band, count(DISTINCT id) AS nc, CAST(max(id) AS VARCHAR) AS only_lc"
+            "  FROM pairs GROUP BY band"
+            "), "
+            "bucketed AS ("
+            "  SELECT p.band, p.dt, p.df, p.e2,"
+            "    CASE WHEN p.dt = 3e8 THEN 4"
+            "         WHEN p.dt >= 0 AND p.dt < 1e7 THEN 0"
+            "         WHEN p.dt < 5e7 THEN 1"
+            "         WHEN p.dt < 1e8 THEN 2"
+            "         WHEN p.dt < 2e8 THEN 3"
+            "         WHEN p.dt < 3e8 THEN 4"
+            "         ELSE -1 END AS bucket"
+            "  FROM pairs p"
+            ") "
+            "SELECT CASE WHEN bl.nc > 1 THEN 'combined' ELSE bl.only_lc END AS lc_id, "
+            "b.band, round(avg(b.dt), 6) AS dt, round(avg(b.df * b.df - b.e2) / 1e6, 6) AS sf2_m "
+            "FROM bucketed b JOIN bl ON bl.band = b.band WHERE b.bucket >= 0 "
+            "GROUP BY b.band, b.bucket, bl.nc, bl.only_lc"
         ),
         "timeseries_extract": (
             "SELECT l_returnflag AS band, round(epoch(l_shipdate), 6) AS t, "
