@@ -1371,7 +1371,9 @@ class Ensemble:
             for b in counts:
                 per_band_edges[b] = np.asarray(ac.bins, dtype=float)
         else:
-            uniq = diff_df.select("band", "dt").distinct()
+            # persisted: the auto-switch count plus every per-band quantile
+            # branch reuses one distinct shuffle instead of recomputing it
+            uniq = diff_df.select("band", "dt").distinct().persist()
             if exact_quantiles is None and ac.bin_method == "size":
                 # the exact percentile's sort buffer holds the DISTINCT dt
                 # set (quantiles are over unique values), so that is the
@@ -1400,6 +1402,7 @@ class Ensemble:
             from functools import reduce
 
             rows = reduce(lambda a, c: a.unionByName(c), branches).collect() if branches else []
+            uniq.unpersist()
             for row in rows:
                 b, qs = row["band"], np.asarray(row["qs"], dtype=float)
                 if ac.bin_method == "size":
