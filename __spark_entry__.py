@@ -98,6 +98,23 @@ def q_ingest_source(spark, sf_dir):
     return _ensemble(spark, sf_dir).source
 
 
+def q_ingest_pandas(spark, sf_dir):
+    """from_pandas ingestion (createDataFrame + the same repartition/object
+    generation core) — validated against the identical critical select."""
+    from tape_spark import ColumnMapper, Ensemble
+
+    pdf = _lineitem_source(spark, sf_dir).toPandas()
+    cm = ColumnMapper(
+        id_col="l_orderkey",
+        time_col="t",
+        flux_col="l_extendedprice",
+        err_col="l_quantity",
+        band_col="l_returnflag",
+    )
+    ens = Ensemble(spark).from_pandas(pdf, column_mapper=cm, npartitions=8)
+    return ens.source
+
+
 def q_calc_nobs(spark, sf_dir):
     """groupBy(id).count() → object.nobs_total (SURVEY §2.5)."""
     ens = _ensemble(spark, sf_dir)
@@ -736,6 +753,7 @@ def q_events_json(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ingest_source": q_ingest_source,
+        "ingest_pandas": q_ingest_pandas,
         "calc_nobs": q_calc_nobs,
         "calc_nobs_by_band": q_calc_nobs_by_band,
         "prune": q_prune,
@@ -912,6 +930,7 @@ FROM sess GROUP BY user_id, sid
 def oracle_sql() -> dict[str, str]:
     return {
         "ingest_source": _CRITICAL_SELECT,
+        "ingest_pandas": _CRITICAL_SELECT,
         "calc_nobs": (
             "SELECT l_orderkey, count(*) AS nobs_total FROM lineitem GROUP BY l_orderkey"
         ),
