@@ -379,12 +379,22 @@ class Ensemble:
     ) -> "Ensemble":
         """Ingest LSDB ``Catalog`` objects (parity: ``ensemble.py:1667-1758``).
 
-        LSDB is an optional dependency; catalogs are materialized through
-        their Dask collection (``.compute()``) and re-distributed by Spark.
-        For large HiPSCat catalogs prefer :meth:`from_hipscat`, which reads
-        the ``Norder=/Dir=/Npix=`` parquet layout directly with Spark's
-        partition discovery and never routes data through the driver.
+        Scale path: when the catalog carries its on-disk HiPSCat location
+        (``catalog.hc_structure.catalog_path`` / ``catalog_base_dir``),
+        Spark reads the ``Norder=/Dir=/Npix=`` parquet layout directly via
+        :meth:`from_hipscat` — partition discovery, no driver round-trip.
+        Only catalogs without a usable path (in-memory/derived) fall back
+        to materializing the Dask collection (``.compute()``) and
+        re-distributing through Spark.
         """
+        src_path = _lsdb_catalog_path(source_catalog)
+        if src_path is not None:
+            return self.from_hipscat(
+                src_path,
+                object_path=_lsdb_catalog_path(object_catalog),
+                column_mapper=column_mapper,
+                **kwargs,
+            )
         try:
             import lsdb  # noqa: F401
         except ImportError as exc:  # pragma: no cover - lsdb not in sandbox
@@ -1661,6 +1671,25 @@ class Ensemble:
             err_label=err_col or self._err_col,
             band_label=band_col or self._band_col,
         )
+
+
+def _lsdb_catalog_path(catalog) -> Optional[str]:
+    """Best-effort extraction of an LSDB catalog's on-disk HiPSCat root.
+
+    LSDB catalogs wrap a hipscat structure whose location is exposed as
+    ``hc_structure.catalog_path`` (str) or ``catalog_base_dir``
+    (path-like) depending on version; duck-typed so the scale path works
+    without importing lsdb. Returns None when the catalog is in-memory or
+    carries no usable path.
+    """
+    hc = getattr(catalog, "hc_structure", None)
+    if hc is None:
+        return None
+    for attr in ("catalog_path", "catalog_base_dir"):
+        path = getattr(hc, attr, None)
+        if path:
+            return str(path)
+    return None
 
 
 def _standardize_result(res, result_names: List[str], first_is_map: bool) -> pd.DataFrame:

@@ -64,6 +64,28 @@ def test_read_hipscat_partition_discovery(spark, tmp_path, ramp_rows, ramp_cm):
     assert "Norder" in ens.source.columns
 
 
+def test_from_lsdb_uses_native_hipscat_path(spark, tmp_path, ramp_rows, ramp_cm):
+    """An LSDB-shaped catalog that exposes its on-disk HiPSCat root must be
+    read natively by Spark (no lsdb import, no driver compute())."""
+    from types import SimpleNamespace
+
+    from tape_spark import Ensemble
+
+    pdf = pd.DataFrame(ramp_rows)
+    df = spark.createDataFrame(pdf)
+    path = str(tmp_path / "lsdb_cat")
+    df.withColumn("Norder", (df.id % 2).cast("int")).write.partitionBy("Norder").parquet(path)
+
+    class _FakeCatalog:
+        hc_structure = SimpleNamespace(catalog_path=path)
+
+        def compute(self):  # would require lsdb+dask; must never be called
+            raise AssertionError("native path should not materialize via compute()")
+
+    ens = Ensemble(spark).from_lsdb(_FakeCatalog(), column_mapper=ramp_cm, npartitions=2)
+    assert ens.source.count() == 1000
+
+
 def test_read_dataset_local_registry(spark, tmp_path, monkeypatch):
     registry = {
         "tiny_lineitem": {
