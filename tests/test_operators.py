@@ -249,6 +249,39 @@ def test_dedup_keep_first_hash_variant_agrees(docs):
     pd.testing.assert_frame_equal(full, hashed)
 
 
+def test_cosine_topk_duplicate_vectors_bounded_and_deterministic(spark):
+    """Many corpus vectors tied at the k-th cosine: the result must be the
+    k smallest corpus_ids (global tie-break order) and identical across
+    runs — and the local stage must not ship the whole tie class."""
+    from tape_spark.operators import cosine_topk
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(i, v) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame([(0, v)], "query_id long, embedding array<double>")
+    out = cosine_topk(corpus, queries, k=5).toPandas().sort_values("rank")
+    assert list(out["corpus_id"]) == [0, 1, 2, 3, 4]
+    assert (out["cosine"] == 1.0).all()
+    out2 = cosine_topk(corpus, queries, k=5).toPandas().sort_values("rank")
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), out2.reset_index(drop=True))
+
+
+def test_cosine_topk_zero_query_vector(spark):
+    """An all-zero query yields cosine 0 everywhere (zero-norm guard), not
+    NaN — the query still returns its k rows."""
+    from tape_spark.operators import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    queries = spark.createDataFrame([(0, [0.0, 0.0])], "query_id long, embedding array<double>")
+    out = cosine_topk(corpus, queries, k=3).toPandas()
+    assert len(out) == 3
+    assert (out["cosine"] == 0.0).all()
+    assert sorted(out["corpus_id"]) == [0, 1, 2]  # ties resolve by id
+
+
 def test_repetition_ratio(spark):
     from tape_spark.operators import repetition_ratio
 
