@@ -359,6 +359,13 @@ class Ensemble:
             self._load_column_mapper(column_mapper)
         if self.column_mapper is None:
             raise ValueError("A ColumnMapper is required on first ingestion")
+        # The cohesion contract REQUIRES the bucketed scan: with
+        # autoBucketedScan enabled (default since Spark 3.1) a plan with no
+        # bucketing-aware operator (e.g. batch()'s mapInPandas fast path)
+        # silently falls back to split file scans, and a bucket file larger
+        # than maxPartitionBytes would straddle tasks — duplicate partial
+        # per-object results. Pin the scan to one-bucket-per-task.
+        self.spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         src = self.spark.table(source_table)
         self.frames[SOURCE_FRAME_LABEL] = src
         if object_table:
@@ -1227,20 +1234,42 @@ class Ensemble:
         :meth:`_sf2_combine` instead of collecting to the driver.
         Parity: ``ensemble.py:2429-2475``.
         """
+        import copy
+
         from .analysis.structure_function import StructureFunctionArgumentContainer
         from .analysis.structurefunction2 import calc_sf2
 
         if argument_container is None:
             argument_container = StructureFunctionArgumentContainer()
             argument_container.sf_method = sf_method
+        else:
+            # never mutate the caller's container: combine/band_to_calc set
+            # here must not leak into the caller's later sf2() calls
+            argument_container = copy.copy(argument_container)
         if band_to_calc is not None:
             argument_container.band_to_calc = band_to_calc
 
         if combine or argument_container.combine:
             argument_container.combine = True
-            return self._sf2_combine(argument_container, exact_quantiles=exact_quantiles)
+            return self._sf2_combine(
+                argument_container, exact_quantiles=exact_quantiles, label=label
+            )
+        meta = None
+        if argument_container.report_upper_lower_error_separately:
+            # the kernel emits two extra columns in this mode; the default
+            # AnalysisFunction meta (5 columns) would silently drop them
+            meta = {
+                "lc_id": str,
+                "band": str,
+                "dt": float,
+                "sf2": float,
+                "1_sigma": float,
+                "lower_error": float,
+                "upper_error": float,
+            }
         return self.batch(
             calc_sf2,
+            meta=meta,
             label=label,
             sf_method=sf_method,
             argument_container=argument_container,
@@ -1255,7 +1284,12 @@ class Ensemble:
     # count, i.e. edges land within 0.01% of the exact quantile rank
     _SF2_APPROX_QUANTILE_ACCURACY = 10_000
 
-    def _sf2_combine(self, argument_container, exact_quantiles: Optional[bool] = None) -> DataFrame:
+    def _sf2_combine(
+        self,
+        argument_container,
+        exact_quantiles: Optional[bool] = None,
+        label: Optional[str] = None,
+    ) -> DataFrame:
         """Distributed combine-mode SF²: (1) per-curve pairwise differences
         via ``applyInPandas`` (O(nᵢ²) per curve, embarrassingly parallel),
         (2) per-band bin edges from distributed quantiles over the *unique*
@@ -1494,7 +1528,8 @@ class Ensemble:
                     "upper_error", F.lit(0.0)
                 )
             result = result.select(*out_cols, "bucket").orderBy("band", "bucket").drop("bucket")
-            self.add_frame(result, self._generate_label())
+            result = self._materialize_and_release(result, diff_df)
+            self.add_frame(result, label or self._generate_label())
             return result
 
         # --- bootstrap path: per-(band, curve) resample with replacement,
@@ -1595,7 +1630,24 @@ class Ensemble:
             .orderBy("band", "bucket")
             .drop("bucket")
         )
-        self.add_frame(result, self._generate_label())
+        result = self._materialize_and_release(result, diff_df)
+        self.add_frame(result, label or self._generate_label())
+        return result
+
+    @staticmethod
+    def _materialize_and_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
+        """Persist and eagerly compute a (small) result, then unpersist the
+        given upstream caches.
+
+        Combine-mode SF² persists an O(Σnᵢ²) difference table that the lazy
+        result plan keeps alive; on a long-lived session, leaking one such
+        cache per call exhausts executor storage. The binned output is tiny,
+        so materializing it to free the big cache is the right trade.
+        """
+        result = result.persist()
+        result.count()
+        for c in caches:
+            c.unpersist()
         return result
 
     # ------------------------------------------------------------------ #
@@ -1642,6 +1694,10 @@ class Ensemble:
             self.frames[label] = self.spark.read.parquet(os.path.join(dirpath, label))
         self._source_dirty = False
         self._object_dirty = False
+        # a plain parquet read gives no cohesion guarantee (file splits can
+        # slice an object across read partitions), so batch() must use the
+        # shuffle path until the caller re-establishes cohesion
+        self._source_cohesive = False
         return self
 
     # ------------------------------------------------------------------ #

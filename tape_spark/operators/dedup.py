@@ -295,7 +295,7 @@ def minhash_near_duplicates(
     candidates = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    return (
+    result = (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -310,6 +310,13 @@ def minhash_near_duplicates(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    # materialize the (small: pairs above threshold) output, then release
+    # the signature cache — on a long-lived session, leaking one persisted
+    # signature table per dedup sweep is how executors run out of storage
+    result = result.persist()
+    result.count()
+    sigs.unpersist()
+    return result
 
 
 def simhash_signatures(
@@ -339,6 +346,8 @@ def simhash_signatures(
     def sig(th: pd.Series) -> pd.Series:
         out = np.zeros(len(th), dtype=np.int64)
         for i, arr in enumerate(th):
+            if arr is None or len(arr) == 0:
+                continue  # NULL text → null token array → signature 0
             h = np.asarray(arr, dtype=np.int64).view(np.uint64)
             bit_votes = (2 * ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) - 1).sum(axis=0)
             out[i] = int(((bit_votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))

@@ -85,4 +85,10 @@ def similar_lightcurves(
         F.col(id_col).alias("query_id"), "embedding"
     )
     search = {"brute": cosine_topk, "ivf": ivf_cosine_topk, "lsh": lsh_cosine_topk}[method]
-    return search(emb, queries, k=k, id_col=id_col, vec_col="embedding")
+    result = search(emb, queries, k=k, id_col=id_col, vec_col="embedding")
+    # materialize the (O(k·|queries|)) result, then release the embedding
+    # cache so repeated sweeps don't accumulate persisted tables
+    result = result.persist()
+    result.count()
+    emb.unpersist()
+    return result

@@ -110,12 +110,14 @@ def decode_media(df: DataFrame, decoder: str = "fake", batch_limit: int = 256) -
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                meta = decode(bytes(row["payload"]) if row["payload"] is not None else b"")
+            # column-wise zip, not iterrows — per-row Series construction
+            # dominates otherwise
+            for mid, mtype, payload in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                meta = decode(bytes(payload) if payload is not None else b"")
                 rows.append(
                     {
-                        "media_id": row["media_id"],
-                        "media_type": row["media_type"],
+                        "media_id": mid,
+                        "media_type": mtype,
                         "width": meta["width"],
                         "height": meta["height"],
                         "channels": meta["channels"],

@@ -24,7 +24,13 @@ def _dot(a, b):
 
 
 def _norm(col):
-    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x))
+    # zero-norm guard: an all-zero vector scores cosine 0 everywhere
+    # instead of NaN (Spark sorts NaN above every double, so an unguarded
+    # zero vector would take rank 1 in every bucket it lands in)
+    return F.greatest(
+        F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)),
+        F.lit(1e-300),
+    )
 
 
 def cosine_topk(
@@ -47,11 +53,6 @@ def cosine_topk(
     Ties break on corpus id for determinism.
     """
     q_rows = queries.select(query_id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows])
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    # same zero-norm guard as the corpus side: an all-zero query yields
-    # cosine 0 everywhere instead of NaN (which would silently drop it)
-    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
 
     out_schema = T.StructType(
         [
@@ -60,6 +61,17 @@ def cosine_topk(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
+    if not q_rows:
+        # an empty query set is a valid input (e.g. a filter matched no
+        # ids); norm over a 0-d matrix would raise on the driver
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], out_schema).withColumn("rank", F.lit(1)).limit(0)
+
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    # same zero-norm guard as the corpus side: an all-zero query yields
+    # cosine 0 everywhere instead of NaN (which would silently drop it)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-300)
 
     def score(batches):
         for pdf in batches:

@@ -189,6 +189,9 @@ def document_fingerprint(
 
         out = []
         for t in texts:
+            if t is None:
+                out.append([])  # NULL text, not the string "None"
+                continue
             s = " ".join(str(t).lower().split())
             data = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
             if data.size < k:

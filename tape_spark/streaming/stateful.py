@@ -58,11 +58,16 @@ def running_stats(
     )
 
     if not df.isStreaming:
-        n = F.count(value_col)
+        # NaN handling must mirror the streaming state update, which drops
+        # NaN samples: conditional aggregation over the finite values only
+        # (an unguarded avg would propagate NaN and count would include it,
+        # breaking the batch-backfill == stream contract)
+        v = F.col(value_col).cast("double")
+        valid = F.when(v.isNotNull() & ~F.isnan(v), v)
         return df.groupBy(*keys).agg(
-            n.alias("n"),
-            F.avg(value_col).alias("mean"),
-            F.coalesce(F.stddev_samp(value_col), F.lit(0.0)).alias("std"),
+            F.count(valid).alias("n"),
+            F.coalesce(F.avg(valid), F.lit(0.0)).alias("mean"),
+            F.coalesce(F.stddev_samp(valid), F.lit(0.0)).alias("std"),
         )
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -282,6 +282,49 @@ def test_cosine_topk_zero_query_vector(spark):
     assert sorted(out["corpus_id"]) == [0, 1, 2]  # ties resolve by id
 
 
+def test_cosine_topk_empty_queries(spark):
+    from tape_spark.operators import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter("vec_id < 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert cosine_topk(corpus, queries, k=3).count() == 0
+
+
+def test_lsh_ivf_zero_vector_no_nan(spark):
+    """A zero-norm corpus vector must not surface as a NaN-cosine rank-1
+    hit in the approximate search paths (Spark sorts NaN above all)."""
+    import numpy as np
+
+    from tape_spark.operators import ivf_cosine_topk, lsh_cosine_topk
+
+    rows = [(0, [0.0, 0.0, 0.0, 0.0])] + [
+        (i, [float(i), 1.0, 0.0, 0.0]) for i in range(1, 8)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(1, [1.0, 1.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    for fn in (lsh_cosine_topk, ivf_cosine_topk):
+        out = fn(corpus, queries, k=3).toPandas()
+        assert not out["cosine"].isna().any()
+        top = out.sort_values("rank").iloc[0]
+        assert top["corpus_id"] != 0  # the zero vector scores 0, not NaN-first
+
+
+def test_simhash_null_text(spark):
+    from tape_spark.operators import simhash_signatures
+
+    docs = spark.createDataFrame(
+        [(0, "some text here"), (1, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert out[1] == 0  # NULL text → zero signature, not a crashed job
+
+
 def test_repetition_ratio(spark):
     from tape_spark.operators import repetition_ratio
 

@@ -145,6 +145,9 @@ def test_bucketed_table_elides_all_shuffles(spark, li_ensemble, tmp_path):
             li_ensemble.frames["source"].groupBy("l_orderkey").count().count()
         )
         assert counts.count() == expected
+        # the map fast path must emit exactly one row per object — a split
+        # bucket file (autoBucketedScan fallback) would duplicate objects
+        assert map_batch.count() == expected
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_src_test")
 

@@ -168,6 +168,32 @@ def test_sf2_combine_bootstrap_error_bars(ramp_ensemble):
     pd.testing.assert_frame_equal(res, run())
 
 
+def test_sf2_does_not_mutate_callers_container(ramp_ensemble):
+    container = StructureFunctionArgumentContainer()
+    ramp_ensemble.sf2(argument_container=container, combine=True, band_to_calc="g")
+    assert container.combine is False
+    assert container.band_to_calc is None
+
+
+def test_sf2_combine_honors_label(ramp_ensemble):
+    ramp_ensemble.sf2(combine=True, label="my_sf2")
+    assert "my_sf2" in ramp_ensemble.frames
+
+
+def test_sf2_distributed_bounds_columns(ramp_ensemble):
+    """report_upper_lower_error_separately must survive the batch schema
+    (the default 5-column meta would silently drop the two bounds)."""
+    container = StructureFunctionArgumentContainer()
+    container.estimate_err = True
+    container.calculation_repetitions = 5
+    container.random_seed = 2
+    container.report_upper_lower_error_separately = True
+    res = ramp_ensemble.sf2(argument_container=container).toPandas()
+    assert {"lower_error", "upper_error"} <= set(res.columns)
+    finite = res.dropna(subset=["lower_error", "upper_error"])
+    assert ((finite["lower_error"] >= 0) & (finite["upper_error"] >= 0)).all()
+
+
 def test_sf2_combine_single_curve_band_keeps_id(spark):
     """Kernel parity: combine mode labels a band 'combined' only when more
     than one curve contributes; a single-curve band keeps the curve id."""

@@ -123,6 +123,21 @@ def test_streaming_matches_batch(spark, events_pdf, events_df, tmp_path):
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
 
 
+def test_running_stats_batch_drops_nan_like_stream(spark):
+    """Batch backfill must mirror the streaming state update's NaN policy:
+    NaN samples are dropped from n/mean/std, not propagated."""
+    from tape_spark.streaming import running_stats
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, float("nan")), (1, 3.0), (2, float("nan"))],
+        "user_id long, value double",
+    )
+    out = {r["user_id"]: r for r in running_stats(df, keys=["user_id"]).collect()}
+    assert out[1]["n"] == 2
+    assert out[1]["mean"] == pytest.approx(2.0)
+    assert out[2]["n"] == 0 and out[2]["mean"] == 0.0 and out[2]["std"] == 0.0
+
+
 def test_session_window_stream_matches_batch(spark, events_pdf, events_df, tmp_path):
     """Session windows are the stateful-merge case: the same
     session_window_agg body over an availableNow file stream must converge
