@@ -294,7 +294,9 @@ def q_save_load_roundtrip(spark, sf_dir):
     from tape_spark import Ensemble
 
     ens = _ensemble(spark, sf_dir)
-    root = ens.save_ensemble(os.path.join(_REPO_DIR, ".tmp"), f"ens_rt_{os.getpid()}")
+    # fixed dirname: save_ensemble overwrites, so repeated gate runs reuse
+    # one bounded directory instead of littering one copy per pid
+    root = ens.save_ensemble(os.path.join(_REPO_DIR, ".tmp"), "ens_rt")
     return Ensemble(spark).from_ensemble(root).source
 
 
@@ -911,13 +913,13 @@ FROM x GROUP BY 1, 2
 _SESSION_WINDOW_SQL = """
 WITH o AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id FROM events),
 flagged AS (
-  SELECT user_id, t_us,
+  SELECT user_id, t_us, event_id,
     CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
 ),
 sess AS (
   SELECT user_id, t_us,
-    sum(ns) OVER (PARTITION BY user_id ORDER BY t_us ROWS UNBOUNDED PRECEDING) AS sid
+    sum(ns) OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
 )
 SELECT user_id, round(min(t_us) / 1000000.0, 6) AS session_start,

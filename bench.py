@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -32,6 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 REPS = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+# numeric core count for partition sizing; CPUS may be non-numeric
+# (local[*] is a valid master) so fall back to the machine's count
+try:
+    N_CPUS = int(CPUS)
+except ValueError:
+    N_CPUS = os.cpu_count() or 8
 
 
 def main():
@@ -39,7 +46,7 @@ def main():
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
-        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.shuffle.partitions", str(N_CPUS))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -59,17 +66,16 @@ def main():
     ens.frames["source"] = ens.frames["source"].persist()
     ens.frames["source"].count()  # warm the cache so workloads measure compute
 
-    # Spin up the Python UDF worker pool (one pandas+numpy import per core)
-    # before timing, so queries measure steady-state compute — the signal
-    # that extrapolates to a long-lived cluster — not one-time JVM/worker
+    # Spin up the Python UDF worker pool before timing (the no-op
+    # mapInPandas job forces one pandas+numpy import per worker process),
+    # so queries measure steady-state compute — the signal that
+    # extrapolates to a long-lived cluster — not one-time JVM/worker
     # start-up.
-    import pandas as _pd
-
     def _noop(batches):
         for b in batches:
             yield b
 
-    spark.range(int(CPUS) * 4, numPartitions=int(CPUS)).mapInPandas(
+    spark.range(N_CPUS * 4, numPartitions=N_CPUS).mapInPandas(
         _noop, "id long"
     ).count()
 
@@ -153,7 +159,13 @@ def main():
         name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in samples.items()
     }
     total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # defensive: a custom data dir without an sf<N> suffix must not crash
+    # the run after all workloads already completed
+    m = re.search(r"sf([0-9.]+)/?$", SF_DIR)
+    try:
+        sf = float(m.group(1)) if m else -1.0
+    except ValueError:
+        sf = -1.0
     print(
         json.dumps(
             {
@@ -161,7 +173,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf),
+                "sf": sf,
                 "reps": REPS,
                 "spread": spread,
             }

@@ -87,6 +87,11 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(qs)
+    if unknown:
+        # a typo must not read as a green gate ("0 pass / 0 fail", exit 0)
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -108,7 +113,10 @@ def main():
             print(f"FAIL {name}: ORACLE ERROR\n{traceback.format_exc()}")
             n_fail += 1
             continue
-        verdict = compare(sdf, odf)
+        try:
+            verdict = compare(sdf, odf)
+        except Exception as exc:  # e.g. astype(float) on a mistyped oracle column
+            verdict = f"COMPARE ERROR {type(exc).__name__}: {exc}"
         status = "PASS" if verdict == "OK" else "FAIL"
         if status == "PASS":
             n_pass += 1
