@@ -373,6 +373,16 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: Jaccard pairs → large-star/small-star connected
+    components → (doc_id, component, cluster_size). The oracle replays the
+    same pairs and resolves components with a recursive transitive-closure
+    CTE — tractable at sf0.01 scale, exact."""
+    from tape_spark.operators import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), n=2, threshold=0.2)
+
+
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs (engine-specific hashes → rows-only check)."""
     from tape_spark.operators import minhash_near_duplicates
@@ -790,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_keep_first": q_dedup_keep_first,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -841,6 +852,42 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+"""
+
+_DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p0 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM p0
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.u AS node, reach.r FROM edges e JOIN reach ON e.v = reach.node
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT node AS doc_id, component,
+       count(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp
 """
 
 _LANGID_SQL = """
@@ -1128,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY text ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
         ),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "text_langid": _LANGID_SQL,

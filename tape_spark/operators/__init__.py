@@ -15,6 +15,8 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
     embedding_near_duplicates,
+    connected_components,
+    dedup_clusters,
 )
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
@@ -37,6 +39,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "embedding_near_duplicates",
+    "connected_components",
+    "dedup_clusters",
     "cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",

@@ -440,3 +440,136 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve duplicate-pair edges into clusters: ``(node, component)``
+    where ``component`` is the smallest node id reachable from ``node``.
+
+    Near-dup candidate generators (:func:`ngram_jaccard_pairs`,
+    :func:`minhash_near_duplicates`, :func:`embedding_near_duplicates`)
+    emit *pairs*; a cleaning pipeline needs *clusters* so it can keep one
+    canonical document per group even when A~B and B~C but A≁C.
+
+    Algorithm — alternating **large-star / small-star** (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), the standard
+    shuffle-based CC used at web scale (also what GraphFrames ships):
+
+    - large-star: every node points its *larger* neighbors at the minimum
+      of its closed neighborhood;
+    - small-star: every node points its smaller-or-equal neighbors (and
+      itself) at that minimum.
+
+    Each half-round is one ``groupBy(min)`` + one equi-join — ordinary
+    shuffles Catalyst/AQE handle — and the edge list only shrinks
+    (toward a forest of stars), so the iteration converges in
+    O(log n) rounds even for path-shaped graphs, where naive min-label
+    propagation needs O(diameter). Per-round results are
+    ``localCheckpoint``-ed to truncate the growing logical plan (on a
+    real cluster, point ``spark.sparkContext.setCheckpointDir`` at
+    reliable storage and swap in ``checkpoint``); convergence is detected
+    by an (edge-count, xxhash64-sum) fingerprint — one cheap aggregate
+    instead of a set-difference join, with a ≪2⁻⁶⁴ false-converge risk.
+
+    Output has one row per node that appears in ≥1 pair. Isolated
+    documents (no duplicate pair) are by definition their own singleton
+    cluster and are left out; callers wanting them can left-join this
+    result and coalesce to the doc's own id.
+    """
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("u").alias("node")).union(
+        edges.select(F.col("v").alias("node"))
+    ).distinct()
+
+    def fingerprint(e: DataFrame):
+        # bit_xor is order-independent and overflow-free (a sum of 64-bit
+        # hashes would trip ANSI-mode overflow); edges are distinct so no
+        # pair can self-cancel.
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(F.least("u", "v"), F.greatest("u", "v"))).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_fp = fingerprint(edges)
+    for _ in range(max_iterations):
+        # large-star: group the symmetric edge list by u; m = min of the
+        # closed neighborhood; larger neighbors re-point at m.
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        edges = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: direct each edge larger→smaller, group by the larger
+        # endpoint; all smaller neighbors plus the node itself point at m.
+        directed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            directed.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fp = fingerprint(edges)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # Converged edges form stars (node → component min). Roots appear only
+    # on the v side; they label themselves.
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.5,
+    max_doc_frequency: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate clusters over a corpus: n-gram Jaccard pairs →
+    connected components → ``(doc_id, component, cluster_size)``.
+
+    ``component`` (the smallest doc id in the cluster) is the canonical
+    survivor a cleaning pipeline keeps; every other row in the cluster is
+    the drop list. Only documents that belong to a ≥2-document cluster
+    are returned — the complement of this result's non-canonical rows is
+    the cleaned corpus.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold,
+        max_doc_frequency=max_doc_frequency,
+    )
+    comp = connected_components(pairs)
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(F.col("node").alias(id_col), "component", "cluster_size")
+    )

@@ -351,3 +351,46 @@ def test_ngram_jaccard_doc_frequency_cap(docs):
     keys = {tuple(sorted((a, b))) for a, b in zip(capped["id_a"], capped["id_b"])}
     assert (0, 1) in keys
     assert (capped["jaccard"] <= 1.0).all()
+
+
+def test_connected_components_path_and_star(spark):
+    """A 6-node path (worst case for min-propagation: needs O(log n)
+    star rounds), a separate triangle, and a self-loop-only pair."""
+    from tape_spark.operators import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            # path 10-11-12-13-14-15 presented in "bad" order
+            (15, 14), (10, 11), (12, 13), (13, 14), (11, 12),
+            # triangle 20-21-22
+            (21, 20), (20, 22), (21, 22),
+            # self-loop must be ignored entirely
+            (30, 30),
+        ],
+        "id_a long, id_b long",
+    )
+    out = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert {out[n] for n in (10, 11, 12, 13, 14, 15)} == {10}
+    assert {out[n] for n in (20, 21, 22)} == {20}
+    assert 30 not in out  # self-loop-only node has no real edge
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C but A and C share less: the cluster must still unite
+    all three via transitivity, labeled with the smallest doc_id."""
+    from tape_spark.operators import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon eta"),
+            (2, "gamma delta epsilon eta theta iota"),
+            (3, "totally different words in this document here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_clusters(docs, n=2, threshold=0.3).toPandas()
+    grouped = out.set_index("doc_id")
+    assert set(grouped.index) == {0, 1, 2}  # doc 3 is a singleton -> excluded
+    assert (grouped["component"] == 0).all()
+    assert (grouped["cluster_size"] == 3).all()
