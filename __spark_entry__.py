@@ -620,6 +620,31 @@ def q_text_stopword_ratio(spark, sf_dir):
     return q.select("doc_id", F.round("stop_ratio", 6).alias("stop_ratio"))
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Gopher/C4-style quality gate: keep/drop + failure reasons per doc,
+    one narrow projection (no joins of per-signal frames)."""
+    from tape_spark.operators import corpus_filter
+
+    return corpus_filter(
+        _docs(spark, sf_dir),
+        min_tokens=10,
+        max_tokens=100_000,
+        max_rep_ratio=0.5,
+        min_stop_ratio=0.02,
+        min_avg_token_len=2.0,
+        max_avg_token_len=12.0,
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary heavy hitters (top-50 whitespace tokens);
+    global top-k planned as TakeOrderedAndProject, not a 1-partition
+    window sort."""
+    from tape_spark.operators import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=50)
+
+
 def q_day_gap_offset(spark, sf_dir):
     """find_day_gap_offset scalar wrapped as a 1-row frame (driver-side
     24-element scan; no SQL equivalent for the gap-run loop)."""
@@ -811,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_stopword_ratio": q_text_stopword_ratio,
+        "corpus_filter": q_corpus_filter,
+        "vocab_topk": q_vocab_topk,
         "token_count": q_token_count,
         "text_repetition": q_text_repetition,
         "doc_fingerprint": q_doc_fingerprint,
@@ -888,6 +915,44 @@ comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
 SELECT node AS doc_id, component,
        count(*) OVER (PARTITION BY component) AS cluster_size
 FROM comp
+"""
+
+_CORPUS_FILTER_SQL = """
+WITH f AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    CASE WHEN length(trim(text)) = 0 THEN 0.0
+         ELSE length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0
+              / len(regexp_split_to_array(trim(text), '\\s+')) END AS avg_len,
+    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it)\\b')) AS hits,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n_tokens, avg_len,
+    CASE WHEN n_tokens > 0 THEN hits * 1.0 / n_tokens ELSE 0.0 END AS stop_ratio,
+    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         ELSE [] END AS grams
+  FROM f
+),
+r AS (
+  SELECT doc_id, n_tokens, avg_len, stop_ratio,
+    CASE WHEN len(grams) > 0 THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+         ELSE 0.0 END AS rep_ratio
+  FROM g
+),
+j AS (
+  SELECT doc_id, concat_ws(',',
+    CASE WHEN n_tokens < 10 THEN 'too_short' END,
+    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+    CASE WHEN rep_ratio > 0.5 THEN 'repetitive' END,
+    CASE WHEN stop_ratio < 0.02 THEN 'low_stopword' END,
+    CASE WHEN avg_len < 2.0 OR avg_len > 12.0 THEN 'odd_token_len' END
+  ) AS reasons
+  FROM r
+)
+SELECT doc_id, reasons = '' AS keep, reasons FROM j
 """
 
 _LANGID_SQL = """
@@ -1250,6 +1315,13 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it)\\b')) * 1.0 "
             "/ len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS stop_ratio "
             "FROM documents"
+        ),
+        "corpus_filter": _CORPUS_FILTER_SQL,
+        "vocab_topk": (
+            "WITH w AS (SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word FROM documents), "
+            "c AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word) "
+            "SELECT word, freq, CAST(row_number() OVER (ORDER BY freq DESC, word ASC) AS BIGINT) AS rank "
+            "FROM c QUALIFY rank <= 50"
         ),
         "events_running_stats": (
             "SELECT user_id, count(value) AS n, round(avg(value), 6) AS mean, "

@@ -21,12 +21,14 @@ from .dedup import (
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
+    corpus_filter,
     document_fingerprint,
     language_id,
     repetition_ratio,
     stopword_ratio,
     text_quality,
     token_count,
+    vocab_topk,
 )
 
 __all__ = [
@@ -51,4 +53,6 @@ __all__ = [
     "text_quality",
     "token_count",
     "document_fingerprint",
+    "corpus_filter",
+    "vocab_topk",
 ]

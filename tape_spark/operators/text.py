@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -211,3 +211,96 @@ def document_fingerprint(
         F.sha2(normalized, 256).alias("content_sha"),
         winnow(F.col(text_col)).alias("winnow"),
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_rep_ratio: float = 0.5,
+    min_stop_ratio: float = 0.02,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    stopwords: "list[str] | None" = None,
+    rep_n: int = 2,
+) -> DataFrame:
+    """Corpus quality gate in the Gopher/C4 rule style: per document,
+    ``(id, keep, reasons)`` where ``reasons`` is a comma-joined list of the
+    rules the document failed (empty string = keep).
+
+    Rules (all thresholds are caller policy; defaults follow the published
+    Gopher ranges loosely): token-count bounds, within-document
+    ``rep_n``-gram repetition (boilerplate), minimum stopword ratio
+    (word-salad / non-linguistic detector), mean-token-length bounds.
+
+    The whole gate is ONE narrow projection — every signal is a built-in
+    expression over the same row, so there is no join of per-signal
+    frames, no shuffle, and the filter composes with predicate pushdown
+    when callers do ``corpus_filter(df).filter("keep")``.
+    """
+    words = stopwords or LANG_STOPWORDS["en"]
+    text = F.col(text_col)
+    ws = F.split(F.trim(text), r"\s+")
+    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(ws))
+    avg_len = F.when(
+        n_tokens > 0, F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / n_tokens
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, _stopword_hits(text, words) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    grams = F.when(
+        F.size(F.col("__toks")) >= rep_n,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {rep_n - 1}), "
+            f"i -> array_join(slice(__toks, i, {rep_n}), ' '))"
+        ),
+    ).otherwise(F.array())
+    total = F.size(F.col("__grams"))
+    rep_ratio = F.when(
+        total > 0, 1.0 - F.size(F.array_distinct(F.col("__grams"))) / total
+    ).otherwise(F.lit(0.0))
+    staged = df.withColumn(
+        "__toks", F.split(F.trim(F.lower(text)), r"\s+")
+    ).withColumn("__grams", grams)
+    reasons = F.concat_ws(
+        ",",
+        F.when(n_tokens < min_tokens, F.lit("too_short")),
+        F.when(n_tokens > max_tokens, F.lit("too_long")),
+        F.when(rep_ratio > max_rep_ratio, F.lit("repetitive")),
+        F.when(stop_ratio < min_stop_ratio, F.lit("low_stopword")),
+        F.when(
+            (avg_len < min_avg_token_len) | (avg_len > max_avg_token_len),
+            F.lit("odd_token_len"),
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus-wide vocabulary heavy hitters: the ``k`` most frequent
+    whitespace tokens as ``(word, freq, rank)``.
+
+    Scale shape: explode → two-phase hash aggregation (map-side partial
+    combine keeps the shuffle at one row per (partition, word)), then the
+    global top-k runs as ``orderBy(...).limit(k)`` — Spark plans
+    ``TakeOrderedAndProject`` (per-partition heap + driver merge of k rows
+    per partition), NOT a single-partition window sort over the whole
+    vocabulary. Rank is attached after the limit, over k rows only.
+    Ties break lexicographically so results are deterministic.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    counts = (
+        df.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("word")).limit(k)
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -394,3 +394,47 @@ def test_dedup_clusters_transitive(spark):
     assert set(grouped.index) == {0, 1, 2}  # doc 3 is a singleton -> excluded
     assert (grouped["component"] == 0).all()
     assert (grouped["cluster_size"] == 3).all()
+
+
+def test_corpus_filter_rules(spark):
+    from tape_spark.operators import corpus_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and it is that very fine today indeed"),  # keeps
+            (1, "short text"),                                      # too_short
+            (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),  # repetitive + low_stopword
+            (3, ""),                                                # everything fails
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus_filter(docs, min_tokens=5).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"])
+    assert out.loc[0, "reasons"] == ""
+    assert not out.loc[1, "keep"] and "too_short" in out.loc[1, "reasons"]
+    assert "repetitive" in out.loc[2, "reasons"]
+    assert "low_stopword" in out.loc[2, "reasons"]
+    assert "too_short" in out.loc[3, "reasons"] and "odd_token_len" in out.loc[3, "reasons"]
+
+
+def test_vocab_topk_counts_and_ties(spark):
+    from tape_spark.operators import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(0, "b a b c"), (1, "a b  a"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = vocab_topk(docs, k=2).toPandas()
+    # a and b both appear 3 times -> tie broken lexicographically
+    assert list(out["word"]) == ["a", "b"]
+    assert list(out["freq"]) == [3, 3]
+    assert list(out["rank"]) == [1, 2]
+
+
+def test_vocab_topk_plan_uses_take_ordered(spark):
+    """The global top-k must not be a single-partition window sort."""
+    from tape_spark.operators import vocab_topk
+
+    docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
