@@ -71,11 +71,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS) which Spark only reads as a
-    # raw long; ns/1e9 gives epoch seconds matching DuckDB's epoch(ts).
+    """Load events with canonical time columns regardless of how the parquet
+    stores ``ts``: ``t`` = epoch seconds (double), ``ts_us`` = epoch
+    microseconds (long).  Handles TIMESTAMP(NANOS) (readable only as a raw
+    long via the legacy flag), TIMESTAMP_NTZ(µs), and tz-adjusted TIMESTAMP —
+    all timezone-free so they match DuckDB's ``epoch(ts)`` exactly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("t", (F.col("ts").cast("double") / F.lit(1e9)))
+    kind = ev.schema["ts"].dataType.simpleString()
+    if kind == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+        ts_us = F.expr("ts div 1000")
+    elif kind == "timestamp_ntz":
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:  # tz-adjusted timestamp: unix_micros is epoch-based already
+        ts_us = F.unix_micros(F.col("ts"))
+    ev = ev.withColumn("ts_us", ts_us)
+    return ev.withColumn("t", F.col("ts_us").cast("double") / F.lit(1e6))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -694,16 +707,13 @@ def q_events_sliding(spark, sf_dir):
 def q_events_session_window(spark, sf_dir):
     """Built-in stateful session windows (F.session_window) per user.
 
-    The events parquet is TIMESTAMP(NANOS); Spark timestamps are µs. Both
-    sides truncate to exact integer microseconds (``ts div 1000`` here,
-    ``epoch_ns(ts) // 1000`` in the oracle) so the emitted epoch-second
-    doubles are bit-identical — ns-vs-µs rounding at the 6th decimal was
-    the round-2 hash mismatch."""
+    Both sides truncate the event time to exact integer microseconds
+    (``ts_us`` here, ``epoch_ns(ts) // 1000`` in the oracle) so the emitted
+    epoch-second doubles are bit-identical — ns-vs-µs rounding at the 6th
+    decimal was the round-2 hash mismatch."""
     from tape_spark.streaming import session_window_agg
 
-    ev = _events(spark, sf_dir).withColumn(
-        "ts2", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _events(spark, sf_dir).withColumn("ts2", F.timestamp_micros(F.col("ts_us")))
     out = session_window_agg(ev, ts_col="ts2", gap="30 minutes", keys=["user_id"])
     return out.select(
         "user_id",
