@@ -77,10 +77,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     long via the legacy flag), TIMESTAMP_NTZ(µs), and tz-adjusted TIMESTAMP —
     all timezone-free so they match DuckDB's ``epoch(ts)`` exactly."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin the configs the µs math relies on: NTZ-stored parquet must load as
+    # timestamp_ntz (not session-tz-adjusted TimestampType), and any
+    # tz-adjusted branch must evaluate in UTC — otherwise a config drift
+    # would silently skew ts_us against DuckDB's epoch(ts)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     kind = ev.schema["ts"].dataType.simpleString()
     if kind == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
-        ts_us = F.expr("ts div 1000")
+        # floor division (div truncates toward zero) so pre-1970 negative
+        # ns values agree with the oracle's epoch_ns(ts) // 1000
+        ts_us = F.expr("ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
     elif kind == "timestamp_ntz":
         ts_us = F.expr(
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
@@ -128,25 +136,12 @@ def q_ingest_pandas(spark, sf_dir):
     return ens.source
 
 
-def q_calc_nobs(spark, sf_dir):
-    """groupBy(id).count() → object.nobs_total (SURVEY §2.5)."""
-    ens = _ensemble(spark, sf_dir)
-    ens.calc_nobs()
-    return ens.object.select("l_orderkey", "nobs_total")
-
-
 def q_calc_nobs_by_band(spark, sf_dir):
-    """Per-band pivot counts (SURVEY §2.5)."""
+    """Per-band pivot counts + total (SURVEY §2.5; covers calc_nobs too —
+    ``nobs_total`` is the plain groupBy(id).count() path)."""
     ens = _ensemble(spark, sf_dir)
     ens.calc_nobs(by_band=True, band_values=["A", "N", "R"])
     return ens.object.select("l_orderkey", "nobs_A", "nobs_N", "nobs_R", "nobs_total")
-
-
-def q_prune(spark, sf_dir):
-    """prune(threshold): objects with ≥5 observations (SURVEY §2.5)."""
-    ens = _ensemble(spark, sf_dir)
-    ens.prune(threshold=5)
-    return ens.frames["object"].select("l_orderkey", "nobs_total")
 
 
 def q_prune_sync(spark, sf_dir):
@@ -205,17 +200,18 @@ def q_bin_sources(spark, sf_dir):
     )
 
 
-def q_head_sorted(spark, sf_dir):
-    """Deterministic top-100 (orderBy + limit) (SURVEY §2.6)."""
-    src = _ensemble(spark, sf_dir).source
-    return src.orderBy("l_orderkey", "t", "l_returnflag", "l_extendedprice", "l_quantity").limit(100)
-
-
-def q_batch_mean_flux(spark, sf_dir):
-    """batch(np.mean) — the grouped applyInPandas engine (SURVEY §2.7)."""
+def q_select_head(spark, sf_dir):
+    """Ensemble.select projection (id always retained) composed with a
+    deterministic top-100 (orderBy + limit → TakeOrderedAndProject)
+    (SURVEY §2.2 + §2.6). Ordering by every output column makes the
+    returned multiset tie-proof."""
     ens = _ensemble(spark, sf_dir)
-    result = ens.batch(np.mean, "l_extendedprice", meta=("result", float))
-    return result.select("l_orderkey", F.round("result", 6).alias("result"))
+    ens.select(["l_extendedprice", "l_returnflag"])
+    return (
+        ens.frames["source"]
+        .orderBy("l_orderkey", "l_extendedprice", "l_returnflag")
+        .limit(100)
+    )
 
 
 def q_batch_amplitude(spark, sf_dir):
@@ -313,16 +309,6 @@ def q_save_load_roundtrip(spark, sf_dir):
     return Ensemble(spark).from_ensemble(root).source
 
 
-def q_hour_histogram(spark, sf_dir):
-    """Hour-of-day observation histogram (find_day_gap_offset core, §2.5)."""
-    src = _ensemble(spark, sf_dir).source
-    return (
-        src.select((F.floor(F.col("t") / 3600) % 24).cast("int").alias("hour"))
-        .groupBy("hour")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
 def q_stetson_j(spark, sf_dir):
     """Stetson J per band via batch(); no SQL equivalent (SURVEY §2.8)."""
     from tape_spark.analysis import calc_stetson_J
@@ -338,13 +324,6 @@ def q_sf2_basic(spark, sf_dir):
     ens = _ensemble(spark, sf_dir)
     ens.prune(threshold=5)
     return ens.sf2(sf_method="basic")
-
-
-def q_sf2_combine(spark, sf_dir):
-    """SF² combine mode: global binned aggregation; no SQL equivalent (§2.8)."""
-    ens = _ensemble(spark, sf_dir)
-    ens.prune(threshold=5)
-    return ens.sf2(sf_method="basic", combine=True)
 
 
 # --------------------------------------------------------------------- #
@@ -405,10 +384,13 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash signatures (engine-specific hashes → rows-only check)."""
+    """SimHash signatures with the md5-derived 60-bit token hash — both
+    engines can compute md5, so the full bit-vote is replayed in SQL and
+    the signature column is value-hash-checked (the xxhash64 default stays
+    the scale path; the vote kernel is identical)."""
     from tape_spark.operators import simhash_signatures
 
-    return simhash_signatures(_docs(spark, sf_dir), bits=32)
+    return simhash_signatures(_docs(spark, sf_dir), bits=32, token_hash="md5_60")
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -433,60 +415,86 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k (approximate → rows-only check)."""
-    from tape_spark.operators import lsh_cosine_topk
+def _ann_recall(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
+    """Per-query recall of an approximate top-k against exact brute force.
 
+    The approximate neighbor lists are seed/engine-specific, but the
+    semantic contract — recall ≥ a documented floor — is deterministic
+    (both algorithms are fully seeded) and holds at any SF, so the oracle
+    can assert it without replaying the index."""
+    from tape_spark.operators import cosine_topk
+
+    k = 10
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    tk = lsh_cosine_topk(emb, queries_df, k=10)
-    return tk.select(
-        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank")
+    approx = approx_fn(emb, queries_df, k)
+    brute = cosine_topk(emb, queries_df, k=k)
+    hits = approx.select("query_id", "corpus_id").join(
+        brute.select("query_id", "corpus_id"), ["query_id", "corpus_id"]
+    )
+    per_q = (
+        brute.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_eff"))
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")), "query_id", "left")
+    )
+    return per_q.select(
+        "query_id",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k_eff") >= floor).alias("recall_ok"),
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k, checked by its recall contract
+    against exact brute force (neighbor lists are seed-specific; the
+    recall floor is the deterministic, SF-independent property)."""
+    from tape_spark.operators import lsh_cosine_topk
+
+    return _ann_recall(
+        spark,
+        sf_dir,
+        lambda c, q, k: lsh_cosine_topk(c, q, k=k, num_planes=4, num_tables=8),
+        floor=0.4,
     )
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF (k-means inverted-file) approximate top-k (rows-only check)."""
+    """IVF approximate top-k, checked by its recall contract against exact
+    brute force. The k-means training sample is drawn by
+    ``orderBy(xxhash64(id))`` so the index — and hence the recall — is
+    fully deterministic."""
     from tape_spark.operators import ivf_cosine_topk
 
-    emb = _emb(spark, sf_dir)
-    queries_df = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    tk = ivf_cosine_topk(emb, queries_df, k=10, num_clusters=16, nprobe=4)
-    return tk.select(
-        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank")
+    return _ann_recall(
+        spark,
+        sf_dir,
+        lambda c, q, k: ivf_cosine_topk(c, q, k=k, num_clusters=16, nprobe=8),
+        floor=0.6,
     )
 
 
-def q_text_langid(spark, sf_dir):
-    """Stopword-vote language ID heuristic."""
-    from tape_spark.operators import language_id
+def q_text_signals(spark, sf_dir):
+    """One-pass text signal extraction: language ID, length/token/punct
+    quality features, stopword ratio, repetition ratio, and the BPE-ish
+    token count — fused into a single narrow projection
+    (tape_spark.operators.text_signals). The à-la-carte operators
+    (language_id, text_quality, stopword_ratio, repetition_ratio,
+    token_count) compute identical expressions and stay pytest-covered."""
+    from tape_spark.operators import text_signals
 
-    return language_id(_docs(spark, sf_dir))
-
-
-def q_text_quality(spark, sf_dir):
-    """Quality-scoring features (lengths, token stats, punctuation)."""
-    from tape_spark.operators import text_quality
-
-    q = text_quality(_docs(spark, sf_dir))
-    return q.select(
+    s = text_signals(_docs(spark, sf_dir))
+    return s.select(
         "doc_id",
+        "pred_lang",
         "n_chars",
         "n_tokens",
         F.round("avg_token_len", 6).alias("avg_token_len"),
         F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("rep_ratio", 6).alias("rep_ratio"),
+        "n_bpe_tokens",
     )
-
-
-def q_token_count(spark, sf_dir):
-    """BPE-ish regex + whitespace token counts."""
-    from tape_spark.operators import token_count
-
-    return token_count(_docs(spark, sf_dir))
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -505,18 +513,36 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
-def q_multimodal_decode(spark, sf_dir):
-    """mapInPandas decode plumbing with the deterministic stub decoder.
+def q_multimodal_pipeline(spark, sf_dir):
+    """The full media chain — decode (width/height/channels), resize
+    (geometry + bounded payload size), embedding (first component) — each
+    an Arrow-batched mapInPandas over the same payloads, joined on
+    media_id for one hash-checked row per document.
 
-    The stub's width/height/channels are pure byte arithmetic over the
-    payload, which DuckDB can replay via hex() byte extraction — so the
-    whole Arrow-batched decode path is value-hash-checked, not rows-only."""
-    from tape_spark.operators.multimodal import attach_binary_payload, decode_media
+    The stub kernels are pure byte arithmetic, which DuckDB replays via
+    hex() byte extraction — so all three plumbing paths are
+    value-hash-checked. (The 3-way join re-reads the 500-row payload table
+    per branch; this is a verification query, production chains pipe one
+    branch.)"""
+    from tape_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_media,
+        media_embedding,
+        resize_media,
+    )
 
     media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
-    return decode_media(media, decoder="fake").select(
-        "media_id", "width", "height", "channels"
+    d = decode_media(media, decoder="fake").select("media_id", "width", "height", "channels")
+    r = resize_media(media, width=16, height=8).select(
+        "media_id",
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+        F.length("payload").alias("rs_bytes"),
     )
+    e = media_embedding(media, dim=16).select(
+        "media_id", F.round(F.element_at("embedding", 1), 6).alias("e0")
+    )
+    return d.join(r, "media_id").join(e, "media_id")
 
 
 def q_sf2_fixed_bins(spark, sf_dir):
@@ -583,19 +609,14 @@ def q_timeseries_extract(spark, sf_dir):
 
 
 def q_sample_objects(spark, sf_dir):
-    """Seeded object-level sample propagated to sources (engine-specific
-    RNG → rows-only; statistical properties are pytest-checked)."""
+    """Deterministic content-addressed object sample propagated to sources
+    via sync. ``method='hash'`` maps md5(id) to [0,1) — reproducible
+    across runs AND engines, so the sample is value-hash-checked (the
+    seeded-RNG mode the reference uses stays available and
+    pytest-checked)."""
     ens = _ensemble(spark, sf_dir)
-    sampled = ens.sample(frac=0.3, random_state=42)
+    sampled = ens.sample(frac=0.3, method="hash")
     return sampled.source.select("l_orderkey", "t", "l_extendedprice")
-
-
-def q_select_project(spark, sf_dir):
-    """Ensemble.select column projection (SURVEY §2.2) — the id column is
-    always retained."""
-    ens = _ensemble(spark, sf_dir)
-    ens.select(["l_extendedprice", "l_returnflag"])
-    return ens.frames["source"]
 
 
 def q_filter_from_series(spark, sf_dir):
@@ -616,21 +637,6 @@ def q_insert_sources(spark, sf_dir):
         flux_errs=[1.0, 2.0],
     )
     return ens.frames["source"]
-
-
-def q_dedup_keep_first(spark, sf_dir):
-    """Exact dedup materializing the surviving corpus rows."""
-    from tape_spark.operators import dedup_keep_first
-
-    return dedup_keep_first(_docs(spark, sf_dir)).select("doc_id", "text")
-
-
-def q_text_stopword_ratio(spark, sf_dir):
-    """English stopword-ratio quality feature."""
-    from tape_spark.operators import stopword_ratio
-
-    q = stopword_ratio(_docs(spark, sf_dir))
-    return q.select("doc_id", F.round("stop_ratio", 6).alias("stop_ratio"))
 
 
 def q_corpus_filter(spark, sf_dir):
@@ -676,14 +682,6 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
         _emb(spark, sf_dir), threshold=0.5, num_planes=4, num_tables=16, brute_force=False
     )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-
-
-def q_text_repetition(spark, sf_dir):
-    """Within-document bigram repetition ratio (boilerplate/spam signal)."""
-    from tape_spark.operators import repetition_ratio
-
-    out = repetition_ratio(_docs(spark, sf_dir), n=2)
-    return out.select("doc_id", F.round("rep_ratio", 6).alias("rep_ratio"))
 
 
 def q_events_sliding(spark, sf_dir):
@@ -733,26 +731,6 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return out.select("media_id", "frame_index", "frame_bytes")
 
 
-def q_multimodal_resize(spark, sf_dir):
-    """mapInPandas resize plumbing with the deterministic fake resampler
-    (output geometry is deterministic, so the plumbing is hash-checked)."""
-    from tape_spark.operators.multimodal import attach_binary_payload, resize_media
-
-    media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
-    out = resize_media(media, width=16, height=8)
-    return out.select("media_id", "width", "height", F.length("payload").alias("n_bytes"))
-
-
-def q_multimodal_embedding(spark, sf_dir):
-    """Binary → fixed-dim embedding feature extraction (stub encoder whose
-    first component is byte arithmetic DuckDB replays via hex())."""
-    from tape_spark.operators.multimodal import attach_binary_payload, media_embedding
-
-    media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
-    emb = media_embedding(media, dim=16)
-    return emb.select("media_id", F.round(F.element_at("embedding", 1), 6).alias("e0"))
-
-
 def q_events_running_stats(spark, sf_dir):
     """Per-user running statistics (batch form of the
     applyInPandasWithState streaming operator)."""
@@ -798,20 +776,23 @@ def q_events_json(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver's correctness harness evaluates the
+    first 50 registry entries, so the registry IS the coverage surface.
+    Near-duplicate queries from earlier rounds were consolidated
+    (text signals fused into text_signals, the three multimodal kernel
+    stages into multimodal_pipeline, select+head into select_head) so
+    every declared query gets a driver row every round."""
     return {
         "ingest_source": q_ingest_source,
         "ingest_pandas": q_ingest_pandas,
-        "calc_nobs": q_calc_nobs,
         "calc_nobs_by_band": q_calc_nobs_by_band,
-        "prune": q_prune,
         "prune_sync": q_prune_sync,
         "query_filter": q_query_filter,
         "assign_dropna": q_assign_dropna,
         "flux_to_mag": q_flux_to_mag,
         "coalesce": q_coalesce,
         "bin_sources": q_bin_sources,
-        "head_sorted": q_head_sorted,
-        "batch_mean_flux": q_batch_mean_flux,
+        "select_head": q_select_head,
         "batch_amplitude": q_batch_amplitude,
         "batch_features": q_batch_features,
         "batch_by_band": q_batch_by_band,
@@ -819,8 +800,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_rollup_nation": q_merge_rollup_nation,
         "sort_lightcurves": q_sort_lightcurves,
         "save_load_roundtrip": q_save_load_roundtrip,
-        "hour_histogram": q_hour_histogram,
-        "select_project": q_select_project,
         "timeseries_extract": q_timeseries_extract,
         "sample_objects": q_sample_objects,
         "filter_from_series": q_filter_from_series,
@@ -828,12 +807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "day_gap_offset": q_day_gap_offset,
         "stetson_j": q_stetson_j,
         "sf2_basic": q_sf2_basic,
-        "sf2_combine": q_sf2_combine,
         "sf2_fixed_bins": q_sf2_fixed_bins,
         "sf2_combine_fixed_bins": q_sf2_combine_fixed_bins,
         "lc_similarity": q_lc_similarity,
         "dedup_exact": q_dedup_exact,
-        "dedup_keep_first": q_dedup_keep_first,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -843,19 +820,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_stopword_ratio": q_text_stopword_ratio,
+        "text_signals": q_text_signals,
         "corpus_filter": q_corpus_filter,
         "vocab_topk": q_vocab_topk,
-        "token_count": q_token_count,
-        "text_repetition": q_text_repetition,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
-        "multimodal_decode": q_multimodal_decode,
+        "multimodal_pipeline": q_multimodal_pipeline,
         "multimodal_frame_sample": q_multimodal_frame_sample,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_embedding": q_multimodal_embedding,
         "events_running_stats": q_events_running_stats,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -965,15 +936,26 @@ j AS (
 SELECT doc_id, reasons = '' AS keep, reasons FROM j
 """
 
-_LANGID_SQL = """
-WITH scored AS (
-  SELECT doc_id,
+# One-pass signal extraction: language vote + quality features + stopword /
+# repetition ratios + BPE-ish count, mirroring tape_spark.operators.text_signals
+_TEXT_SIGNALS_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
     len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it)\\b')) AS s_en,
     len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|zu)\\b')) AS s_de,
     len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|que|dans)\\b')) AS s_fr,
     len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que|por|con)\\b')) AS s_es,
-    len(regexp_extract_all(text, '[一-鿿]')) > 0 AS has_cjk
+    len(regexp_extract_all(text, '[一-鿿]')) > 0 AS has_cjk,
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
   FROM documents
+),
+g AS (
+  SELECT *, CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                 ELSE [] END AS grams
+  FROM f
 )
 SELECT doc_id,
   CASE WHEN has_cjk THEN 'zh'
@@ -981,8 +963,62 @@ SELECT doc_id,
        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-       ELSE 'es' END AS pred_lang
-FROM scored
+       ELSE 'es' END AS pred_lang,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / n_tokens END, 6) AS avg_token_len,
+  round(CASE WHEN n_chars = 0 THEN 0.0
+             ELSE (n_chars - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / n_chars END, 6) AS punct_ratio,
+  round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE s_en * 1.0 / n_tokens END, 6) AS stop_ratio,
+  round(CASE WHEN len(grams) > 0 THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+             ELSE 0.0 END, 6) AS rep_ratio,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+FROM g
+"""
+
+# Replays the SimHash bit-vote with the md5-derived 60-bit token hash
+# (bits=32 → vote positions 0..30; bit 31 stays clear). Empty docs tokenize
+# to the single empty token on both engines.
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
+votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, UNNEST(range(0, 31)) AS t(b) GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+# The approximate-ANN queries emit their recall contract vs exact brute
+# force (the neighbor lists are seed-specific but the floor is
+# deterministic and SF-independent), so the oracle asserts it per query.
+_ANN_RECALL_SQL = (
+    "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5"
+)
+
+# Replays all three stub media kernels' byte arithmetic: decode geometry
+# from payload bytes, the fixed resize geometry (min(16*8, 65536) = 128
+# bytes always), and embedding component 0 = (first byte % 13) / 13.
+_MM_PIPELINE_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents
+),
+b AS (
+  SELECT media_id, n, h, list_transform(range(1, least(n, 64) + 1),
+         i -> ('0x' || substr(h, 2*i-1, 2))::INTEGER) AS head
+  FROM m
+)
+SELECT media_id,
+  1 + (n % 1024) AS width,
+  1 + (CASE WHEN len(head) = 0 THEN 0 ELSE list_sum(head) % 1024 END) AS height,
+  3 AS channels,
+  16 AS rs_width, 8 AS rs_height, CAST(128 AS BIGINT) AS rs_bytes,
+  round(CASE WHEN n = 0 THEN 0.0 ELSE (('0x' || substr(h, 1, 2))::INTEGER % 13) / 13.0 END, 6) AS e0
+FROM b
 """
 
 _ANN_TOPK_SQL = """
@@ -1055,19 +1091,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ingest_source": _CRITICAL_SELECT,
         "ingest_pandas": _CRITICAL_SELECT,
-        "calc_nobs": (
-            "SELECT l_orderkey, count(*) AS nobs_total FROM lineitem GROUP BY l_orderkey"
-        ),
         "calc_nobs_by_band": (
             "SELECT l_orderkey, "
             "count(*) FILTER (WHERE l_returnflag = 'A') AS nobs_A, "
             "count(*) FILTER (WHERE l_returnflag = 'N') AS nobs_N, "
             "count(*) FILTER (WHERE l_returnflag = 'R') AS nobs_R, "
             "count(*) AS nobs_total FROM lineitem GROUP BY l_orderkey"
-        ),
-        "prune": (
-            "SELECT l_orderkey, count(*) AS nobs_total FROM lineitem "
-            "GROUP BY l_orderkey HAVING count(*) >= 5"
         ),
         "prune_sync": (
             _CRITICAL_SELECT
@@ -1097,12 +1126,9 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS bin_count "
             "FROM lineitem GROUP BY l_orderkey, l_returnflag, floor(epoch(l_shipdate) / 604800)"
         ),
-        "head_sorted": (
-            _CRITICAL_SELECT
-            + " ORDER BY l_orderkey, t, l_returnflag, l_extendedprice, l_quantity LIMIT 100"
-        ),
-        "batch_mean_flux": (
-            "SELECT l_orderkey, round(avg(l_extendedprice), 6) AS result FROM lineitem GROUP BY l_orderkey"
+        "select_head": (
+            "SELECT l_orderkey, l_extendedprice, l_returnflag FROM lineitem "
+            "ORDER BY l_orderkey, l_extendedprice, l_returnflag LIMIT 100"
         ),
         "batch_amplitude": (
             "SELECT l_orderkey, round((max(l_extendedprice) - min(l_extendedprice)) / 2, 6) AS amplitude "
@@ -1134,10 +1160,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sort_lightcurves": _CRITICAL_SELECT,
         "save_load_roundtrip": _CRITICAL_SELECT,
-        "hour_histogram": (
-            "SELECT CAST(CAST(floor(epoch(l_shipdate) / 3600) AS BIGINT) % 24 AS INT) AS hour, "
-            "count(*) AS n FROM lineitem GROUP BY 1"
-        ),
         # replays find_day_gap_offset: occupancy per hour-of-day, then the
         # longest run of empty hours over a doubled (wraparound) 48-slot
         # scan with start < 24; ties keep the earliest start, midpoint
@@ -1153,8 +1175,12 @@ def oracle_sql() -> dict[str, str]:
             "best AS (SELECT * FROM free_runs WHERE s < 24 ORDER BY len DESC, s ASC LIMIT 1) "
             "SELECT COALESCE((SELECT (((s + e) / 2.0) % 24.0) / 24.0 FROM best), -1.0) AS offset"
         ),
-        "select_project": (
-            "SELECT l_orderkey, l_extendedprice, l_returnflag FROM lineitem"
+        # deterministic hash sample: md5(id) → [0,1) < frac, identical on
+        # both engines, then the object sample semi-joins down to sources
+        "sample_objects": (
+            "SELECT l_orderkey, epoch(l_shipdate) AS t, l_extendedprice FROM lineitem "
+            "WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT "
+            "/ 1152921504606846976.0 < 0.3"
         ),
         # SF² basic with explicit bins: all ordered pairs with positive dt
         # within (id, band) — curves need >= 3 observations and > 1 pair
@@ -1245,60 +1271,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"
         ),
-        "dedup_keep_first": (
-            "SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER "
-            "(PARTITION BY text ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
-        ),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
-        "text_langid": _LANGID_SQL,
-        "text_quality": (
-            "SELECT doc_id, length(text) AS n_chars, "
-            "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens, "
-            "round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE "
-            "length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS avg_token_len, "
-            "round(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
-            "(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio "
-            "FROM documents"
-        ),
-        "token_count": (
-            "SELECT doc_id, "
-            "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens, "
-            "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_ws_tokens "
-            "FROM documents"
-        ),
+        "ann_lsh_topk": _ANN_RECALL_SQL,
+        "ann_ivf_topk": _ANN_RECALL_SQL,
+        "text_signals": _TEXT_SIGNALS_SQL,
         "doc_fingerprint": (
             "SELECT doc_id, sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_sha FROM documents"
-        ),
-        # 1 - distinct/total word bigrams; 0 for documents under n tokens
-        "text_repetition": (
-            "WITH g AS ("
-            "  SELECT doc_id, CASE WHEN len(w) >= 2 THEN"
-            "    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])"
-            "    ELSE [] END AS grams"
-            "  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)"
-            ") "
-            "SELECT doc_id, round(CASE WHEN len(grams) > 0 "
-            "THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) ELSE 0.0 END, 6) AS rep_ratio FROM g"
         ),
         "multimodal_meta": (
             "SELECT doc_id AS media_id, 'text/plain' AS media_type, "
             "CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS checksum FROM documents"
         ),
-        # replays the deterministic stub decoder's byte arithmetic: width
-        # from payload length, height from the sum of the first 64 bytes
-        # (extracted via hex pairs), channels constant
-        "multimodal_decode": (
-            "WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h, "
-            "octet_length(encode(text)) AS n FROM documents), "
-            "b AS (SELECT media_id, n, list_transform(range(1, least(n, 64) + 1), "
-            "i -> ('0x' || substr(h, 2*i-1, 2))::INTEGER) AS head FROM m) "
-            "SELECT media_id, 1 + (n % 1024) AS width, "
-            "1 + (CASE WHEN len(head) = 0 THEN 0 ELSE list_sum(head) % 1024 END) AS height, "
-            "3 AS channels FROM b"
-        ),
+        "multimodal_pipeline": _MM_PIPELINE_SQL,
         # frame i covers bytes [i*64, i*64+64); the last frame is clipped to
         # the payload end (Spark's binary substring past-the-end is empty)
         "multimodal_frame_sample": (
@@ -1306,25 +1294,6 @@ def oracle_sql() -> dict[str, str]:
             "least(64, greatest(n - i * 64, 0)) AS frame_bytes "
             "FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), "
             "UNNEST(range(0, least(n // 64, 3) + 1)) AS t(i)"
-        ),
-        # the fake resampler always emits min(width*height, 65536) bytes,
-        # so the output geometry is exact
-        "multimodal_resize": (
-            "SELECT doc_id AS media_id, 16 AS width, 8 AS height, "
-            "128 AS n_bytes FROM documents"
-        ),
-        # stub encoder feature[0] = (first payload byte % 13) / 13
-        "multimodal_embedding": (
-            "SELECT doc_id AS media_id, "
-            "round(CASE WHEN octet_length(encode(text)) = 0 THEN 0.0 "
-            "ELSE (('0x' || substr(hex(encode(text)), 1, 2))::INTEGER % 13) / 13.0 END, 6) AS e0 "
-            "FROM documents"
-        ),
-        "text_stopword_ratio": (
-            "SELECT doc_id, round(CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE "
-            "len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|it)\\b')) * 1.0 "
-            "/ len(regexp_split_to_array(trim(text), '\\s+')) END, 6) AS stop_ratio "
-            "FROM documents"
         ),
         "corpus_filter": _CORPUS_FILTER_SQL,
         "vocab_topk": (

@@ -655,13 +655,40 @@ class Ensemble:
         """Index (id-column) join — thin wrapper over :meth:`merge`."""
         return self.merge(other, on=self._id_col, how=how, table=table, label=label)
 
-    def sample(self, frac: float, replace: bool = False, random_state: Optional[int] = None) -> "Ensemble":
+    def sample(
+        self,
+        frac: float,
+        replace: bool = False,
+        random_state: Optional[int] = None,
+        method: str = "random",
+    ) -> "Ensemble":
         """Random sample of *objects*, propagated to sources via sync;
-        returns a new Ensemble. Parity: ``ensemble.py:524-581``."""
+        returns a new Ensemble. Parity: ``ensemble.py:524-581``.
+
+        ``method='random'`` (default) is the reference's seeded-RNG
+        Bernoulli sample. ``method='hash'`` is a content-addressed
+        deterministic sample: md5 of the object id mapped to [0, 1) and
+        compared against ``frac`` — the same objects are kept across runs,
+        engines, and cluster sizes (no RNG/partition dependence), which is
+        what reproducible corpus subsampling needs at scale. Both are one
+        narrow filter, no shuffle."""
         new_ens = self._copy()
-        sampled = new_ens.frames[OBJECT_FRAME_LABEL].sample(
-            withReplacement=replace, fraction=frac, seed=random_state
-        )
+        obj = new_ens.frames[OBJECT_FRAME_LABEL]
+        if method == "hash":
+            if replace:
+                raise ValueError("method='hash' draws without replacement")
+            # 60 md5 bits → [0, 1): exact in double, replayable in SQL
+            u = (
+                F.conv(
+                    F.substring(F.md5(F.col(self._id_col).cast("string")), 1, 15), 16, 10
+                ).cast("double")
+                / F.lit(float(1 << 60))
+            )
+            sampled = obj.filter(u < frac)
+        elif method == "random":
+            sampled = obj.sample(withReplacement=replace, fraction=frac, seed=random_state)
+        else:
+            raise ValueError(f"unknown sample method: {method!r}")
         new_ens.frames[OBJECT_FRAME_LABEL] = sampled
         new_ens._object_dirty = True
         return new_ens

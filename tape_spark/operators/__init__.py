@@ -27,6 +27,7 @@ from .text import (
     repetition_ratio,
     stopword_ratio,
     text_quality,
+    text_signals,
     token_count,
     vocab_topk,
 )
@@ -54,5 +55,6 @@ __all__ = [
     "token_count",
     "document_fingerprint",
     "corpus_filter",
+    "text_signals",
     "vocab_topk",
 ]

@@ -324,20 +324,34 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash: one 64-bit signature per document from token hashes.
 
-    Per bit b, sum +1/−1 over tokens according to bit b of
-    ``xxhash64(token)``, then take the sign. Token hashes are computed
-    JVM-side in one narrow projection; the bit-vote matrix is one numpy
-    broadcast inside an Arrow-batched pandas UDF — no explode, no shuffle
-    (the classic explode → groupBy → 64×SUM plan shuffles every token).
+    Per bit b, sum +1/−1 over tokens according to bit b of the token hash,
+    then take the sign. Token hashes are computed JVM-side in one narrow
+    projection; the bit-vote matrix is one numpy broadcast inside an
+    Arrow-batched pandas UDF — no explode, no shuffle (the classic
+    explode → groupBy → 64×SUM plan shuffles every token).
     Bit ``bits-1`` is left clear so the signature stays a positive long.
+
+    ``token_hash='xxhash64'`` (default) is the scale path.
+    ``token_hash='md5_60'`` derives a 60-bit hash from the md5 hex prefix —
+    slower, but both engines of a cross-engine oracle can compute md5, so
+    the full bit-vote becomes SQL-replayable (requires ``bits <= 61``).
     """
+    if token_hash == "xxhash64":
+        hash_expr = "xxhash64(t)"
+    elif token_hash == "md5_60":
+        if bits > 61:
+            raise ValueError("md5_60 provides 60 hash bits; use bits <= 61")
+        hash_expr = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+    else:
+        raise ValueError(f"unknown token_hash: {token_hash!r}")
     toks = df.select(
         F.col(id_col),
         F.expr(
-            f"transform(split(trim(lower({text_col})), '\\\\s+'), t -> xxhash64(t))"
+            f"transform(split(trim(lower({text_col})), '\\\\s+'), t -> {hash_expr})"
         ).alias("th"),
     )
     shifts = np.arange(bits - 1, dtype=np.uint64)

@@ -149,8 +149,21 @@ def ivf_cosine_topk(
     improves with ``nprobe`` (= brute force at ``nprobe == num_clusters``).
     """
     # --- train: spherical k-means on a sample (driver-side numpy) ---
+    # the sample is drawn by hash order, not bare limit(): xxhash64(id)
+    # decorrelates the draw from storage order (a bare limit takes whole
+    # leading partitions) AND makes it deterministic, so the trained index
+    # — and downstream recall — is reproducible run-to-run. Plans as
+    # TakeOrderedAndProject: a train_sample-sized heap per partition.
     sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(train_sample).collect()], dtype=np.float64
+        [
+            r[0]
+            for r in corpus.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__h"), F.col(id_col))
+            .orderBy("__h", id_col)
+            .limit(train_sample)
+            .select(vec_col)
+            .collect()
+        ],
+        dtype=np.float64,
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-300)
     rng = np.random.default_rng(seed)
@@ -211,41 +224,56 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     num_planes: int = 6,
+    num_tables: int = 1,
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH.
+    """Approximate cosine top-k via random-hyperplane LSH with OR
+    amplification.
 
-    Both sides get a ``num_planes``-bit sign signature against a fixed
-    (seeded) set of hyperplanes; ranking happens only within matching
-    buckets. Recall trades off against ``num_planes``; multi-probe can be
-    layered by unioning neighbor buckets. The hyperplanes are literal
-    arrays in the plan — no Python at execution time.
+    Each of ``num_tables`` tables gets its own seeded ``num_planes``-plane
+    set; a vector's bucket in table t is ``t * 2^planes + sign-bits``, so
+    all tables share one equi-join. Ranking happens only within matching
+    buckets; a pair colliding in several tables is deduplicated by a
+    scalar-only aggregate before the top-k window (vectors never shuffle
+    twice). Recall follows 1-(1-p^planes)^tables — more tables raise
+    recall at proportional candidate cost; ``num_tables=1`` is the classic
+    single-table trade-off. The hyperplanes are literal arrays in the
+    plan — no Python at execution time.
     """
     dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_planes, dim))
+    tables = [rng.standard_normal((num_planes, dim)) for _ in range(num_tables)]
 
-    def bucket_expr(vcol):
-        acc = None
-        for p in range(num_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-            bit = F.when(_dot(vcol, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
-            acc = bit if acc is None else acc + bit
-        return acc
+    def bucket_array(vcol):
+        buckets = []
+        for t, planes in enumerate(tables):
+            acc = F.lit(t * (2**num_planes))
+            for p in range(num_planes):
+                plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+                acc = acc + F.when(_dot(vcol, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+            buckets.append(acc)
+        return F.array(*buckets)
 
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cnorm", _norm(F.col("cv"))).withColumn("bucket", bucket_expr(F.col("cv")))
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qnorm", _norm(F.col("qv"))).withColumn("bucket", bucket_expr(F.col("qv")))
+    c = (
+        corpus.select(F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv"))
+        .withColumn("cnorm", _norm(F.col("cv")))
+        .withColumn("bucket", F.explode(bucket_array(F.col("cv"))))
+    )
+    q = (
+        queries.select(F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("qnorm", _norm(F.col("qv")))
+        .withColumn("bucket", F.explode(bucket_array(F.col("qv"))))
+    )
 
     scored = c.join(F.broadcast(q), on="bucket").withColumn(
         "cosine", _dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm"))
     )
+    # multi-table collisions duplicate (query, corpus) pairs; the cosine is
+    # identical across tables, so dedupe on the scalar before ranking
+    deduped = scored.groupBy("query_id", "corpus_id").agg(F.first("cosine").alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        deduped.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )

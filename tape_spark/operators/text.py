@@ -282,6 +282,81 @@ def corpus_filter(
     )
 
 
+def text_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rep_n: int = 2,
+    stopwords: "list[str] | None" = None,
+) -> DataFrame:
+    """All per-document text signals in ONE narrow projection:
+    ``pred_lang`` (stopword-vote language ID), ``n_chars``, ``n_tokens``,
+    ``avg_token_len``, ``punct_ratio``, ``stop_ratio``,
+    ``rep_ratio`` (within-doc ``rep_n``-gram repetition), and
+    ``n_bpe_tokens``.
+
+    This is the signal-extraction stage of a corpus pipeline: at 100 TB you
+    want every signal computed in a single pass over the text — one scan,
+    one projection, no join of per-signal frames. The single-signal
+    operators (:func:`language_id`, :func:`text_quality`, ...) remain for
+    à-la-carte use; this fuses their expressions.
+    """
+    words = stopwords or LANG_STOPWORDS["en"]
+    text = F.col(text_col)
+    ws = F.split(F.trim(text), r"\s+")
+    n_chars = F.length(text)
+    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(ws))
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    grams = F.when(
+        F.size(F.col("__toks")) >= rep_n,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {rep_n - 1}), "
+            f"i -> array_join(slice(__toks, i, {rep_n}), ' '))"
+        ),
+    ).otherwise(F.array())
+    total = F.size(F.col("__grams"))
+    langs = list(LANG_STOPWORDS)
+    staged = (
+        df.withColumn("__toks", F.split(F.trim(F.lower(text)), r"\s+"))
+        .withColumn("__grams", grams)
+        .withColumns(
+            {f"__s_{lang}": _stopword_hits(text, ws_) for lang, ws_ in LANG_STOPWORDS.items()}
+        )
+        .withColumn(
+            "__cjk", F.size(F.regexp_extract_all(text, F.lit(CJK_PATTERN), F.lit(0))) > 0
+        )
+        .withColumn(
+            "__stop_hits",
+            F.col("__s_en") if words == LANG_STOPWORDS["en"] else _stopword_hits(text, words),
+        )
+    )
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+    pred = F.when(F.col("__cjk"), F.lit("zh")).when(best <= 0, F.lit("und"))
+    for lang in langs:  # first language reaching the max wins
+        pred = pred.when(F.col(f"__s_{lang}") == best, F.lit(lang))
+    return staged.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (
+            F.when(n_tokens > 0, F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / n_tokens)
+            .otherwise(F.lit(0.0))
+        ).alias("avg_token_len"),
+        (F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))).alias("punct_ratio"),
+        (
+            F.when(n_tokens > 0, F.col("__stop_hits") / n_tokens).otherwise(F.lit(0.0))
+        ).alias("stop_ratio"),
+        (
+            F.when(total > 0, 1.0 - F.size(F.array_distinct(F.col("__grams"))) / total)
+            .otherwise(F.lit(0.0))
+        ).alias("rep_ratio"),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
     """Corpus-wide vocabulary heavy hitters: the ``k`` most frequent
     whitespace tokens as ``(word, freq, rank)``.

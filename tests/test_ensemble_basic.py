@@ -263,3 +263,19 @@ def test_select_random_timeseries(ramp_ensemble):
     ts = ramp_ensemble.select_random_timeseries(seed=3)
     assert ts.meta["id"] in {8000, 8001, 8002, 8003, 8004}
     assert len(ts.time) == 200
+
+
+def test_sample_hash_method_deterministic(ramp_ensemble):
+    """method='hash': same objects kept across repeated calls (no RNG), a
+    rough fraction of objects kept, and replacement rejected."""
+    import pytest
+
+    a = sorted(r[0] for r in ramp_ensemble.sample(frac=0.5, method="hash").object.select("id").collect())
+    b = sorted(r[0] for r in ramp_ensemble.sample(frac=0.5, method="hash").object.select("id").collect())
+    assert a == b
+    total = ramp_ensemble.object.count()
+    assert 0 < len(a) < total
+    sub = sorted(r[0] for r in ramp_ensemble.sample(frac=0.2, method="hash").object.select("id").collect())
+    assert set(sub) <= set(a)  # hash sampling nests: smaller frac ⊂ larger frac
+    with pytest.raises(ValueError):
+        ramp_ensemble.sample(frac=0.5, replace=True, method="hash")

@@ -438,3 +438,73 @@ def test_vocab_topk_plan_uses_take_ordered(spark):
     docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
     plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_text_signals_matches_single_operators(docs):
+    """The fused one-pass projection must agree column-for-column with the
+    à-la-carte operators it replaces."""
+    from tape_spark.operators import (
+        repetition_ratio,
+        stopword_ratio,
+        text_signals,
+    )
+
+    fused = text_signals(docs).toPandas().set_index("doc_id").sort_index()
+    lang = language_id(docs).toPandas().set_index("doc_id").sort_index()
+    qual = text_quality(docs).toPandas().set_index("doc_id").sort_index()
+    stop = stopword_ratio(docs).toPandas().set_index("doc_id").sort_index()
+    rep = repetition_ratio(docs).toPandas().set_index("doc_id").sort_index()
+    tok = token_count(docs).toPandas().set_index("doc_id").sort_index()
+    assert (fused["pred_lang"] == lang["pred_lang"]).all()
+    for col in ("n_chars", "n_tokens", "avg_token_len", "punct_ratio"):
+        assert np.allclose(fused[col], qual[col])
+    assert np.allclose(fused["stop_ratio"], stop["stop_ratio"])
+    assert np.allclose(fused["rep_ratio"], rep["rep_ratio"])
+    assert (fused["n_bpe_tokens"] == tok["n_bpe_tokens"]).all()
+
+
+def test_simhash_md5_token_hash_deterministic_and_close(docs):
+    """md5_60 mode: reproducible signatures, same near-dup ordering as the
+    xxhash64 scale path, and bits<=61 enforced."""
+    a = simhash_signatures(docs, bits=32, token_hash="md5_60").toPandas().set_index("doc_id")["simhash"]
+    b = simhash_signatures(docs, bits=32, token_hash="md5_60").toPandas().set_index("doc_id")["simhash"]
+    assert (a.sort_index() == b.sort_index()).all()
+    assert a[0] == a[1]  # identical docs
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
+    assert ham(a[0], a[2]) <= ham(a[0], a[4])  # near dup closer than unrelated
+    with pytest.raises(ValueError):
+        simhash_signatures(docs, bits=64, token_hash="md5_60")
+
+
+def test_lsh_multi_table_recall_dominates_single(emb):
+    """OR amplification: recall with T tables is a superset-in-expectation
+    of one table; with identical seeds the 8-table run must recover at
+    least as many true neighbors, and emit no duplicate pairs."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = cosine_topk(emb, queries, k=3).toPandas()
+    truth = set(zip(brute["query_id"], brute["corpus_id"]))
+
+    def hits(num_tables):
+        out = lsh_cosine_topk(
+            emb, queries, k=3, num_planes=4, num_tables=num_tables
+        ).toPandas()
+        assert not out.duplicated(["query_id", "corpus_id"]).any()
+        return len(set(zip(out["query_id"], out["corpus_id"])) & truth)
+
+    assert hits(8) >= hits(1)
+
+
+def test_ivf_training_sample_deterministic(emb):
+    """The hash-ordered training draw makes the whole index reproducible:
+    two runs return identical neighbor lists."""
+    from tape_spark.operators import ivf_cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=3, num_clusters=4, nprobe=2, train_sample=100)
+    a = ivf_cosine_topk(emb, queries, **kw).toPandas().sort_values(["query_id", "rank"])
+    b = ivf_cosine_topk(emb, queries, **kw).toPandas().sort_values(["query_id", "rank"])
+    assert (a[["query_id", "corpus_id", "rank"]].to_numpy() == b[["query_id", "corpus_id", "rank"]].to_numpy()).all()
