@@ -158,6 +158,10 @@ def main():
     spread = {
         name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in samples.items()
     }
+    # per-query minimum: the best-observed run is the least host-load-
+    # contaminated sample, so min vs median separates machine noise from
+    # real regressions across rounds
+    minimums = {name: round(min(ts), 3) for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     # defensive: a custom data dir without an sf<N> suffix must not crash
     # the run after all workloads already completed
@@ -176,6 +180,8 @@ def main():
                 "sf": sf,
                 "reps": REPS,
                 "spread": spread,
+                "min": minimums,
+                "min_total": round(sum(minimums.values()), 3),
             }
         )
     )

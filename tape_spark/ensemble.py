@@ -402,21 +402,63 @@ class Ensemble:
                 column_mapper=column_mapper,
                 **kwargs,
             )
-        try:
-            import lsdb  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - lsdb not in sandbox
-            raise ImportError(
-                "from_lsdb requires the optional 'lsdb' package; "
-                "use from_hipscat to read HiPSCat directories directly"
-            ) from exc
-        src_pdf = source_catalog.compute()
-        obj_pdf = object_catalog.compute() if object_catalog is not None else None
-        return self.from_pandas(
-            src_pdf.reset_index(),
-            object_frame=obj_pdf.reset_index() if obj_pdf is not None else None,
-            column_mapper=column_mapper,
-            **kwargs,
+        # In-memory/derived catalog: spill the underlying Dask collection to
+        # a temp parquet partition-by-partition (worker-side writes — the
+        # driver never holds the table) and ingest through the native
+        # parquet reader. Only a catalog exposing no Dask collection falls
+        # back to compute() → createDataFrame, and that fallback refuses
+        # tables above a size threshold rather than silently materializing
+        # them on the driver.
+        src_df = self._spill_lsdb_catalog(source_catalog, "source")
+        obj_df = (
+            self._spill_lsdb_catalog(object_catalog, "object")
+            if object_catalog is not None
+            else None
         )
+        return self.from_spark(
+            src_df, object_frame=obj_df, column_mapper=column_mapper, **kwargs
+        )
+
+    # driver-side materialization guard for the no-Dask-collection fallback
+    _LSDB_COMPUTE_MAX_ROWS = 1_000_000
+
+    def _spill_lsdb_catalog(self, catalog, label: str) -> DataFrame:
+        """Turn one in-memory LSDB catalog into a Spark DataFrame without a
+        driver round-trip when possible.
+
+        Preferred path: the catalog's Dask collection (``_ddf``) writes
+        itself to a temp parquet directory — each Dask partition becomes a
+        file, written where the partition lives — and Spark reads the
+        directory back (distributed end to end). Fallback (no reachable
+        Dask collection): ``compute()`` with a hard row cap, because an
+        unbounded driver materialization is exactly the failure mode the
+        spill exists to avoid. Reference behavior: ``ensemble.py:1667-1758``.
+        """
+        import tempfile
+
+        ddf = getattr(catalog, "_ddf", None)
+        if ddf is not None and hasattr(ddf, "to_parquet"):
+            out_dir = os.path.join(
+                tempfile.mkdtemp(prefix="tape_spark_lsdb_"), label
+            )
+            # reset_index first: Spark has no index concept, the reference
+            # likewise surfaces the hipscat index as a column
+            ddf.reset_index().to_parquet(out_dir, write_index=False)
+            return self.spark.read.parquet(out_dir)
+        n_rows = None
+        try:
+            n_rows = int(len(catalog))
+        except Exception:
+            pass
+        if n_rows is not None and n_rows > self._LSDB_COMPUTE_MAX_ROWS:
+            raise ValueError(
+                f"in-memory catalog has {n_rows} rows; driver-side compute() "
+                "is capped at "
+                f"{self._LSDB_COMPUTE_MAX_ROWS} — persist the catalog "
+                "(to_hipscat) and use from_hipscat, or expose a Dask "
+                "collection for the parquet spill path"
+            )
+        return self.spark.createDataFrame(catalog.compute().reset_index())
 
     def insert_sources(
         self,

@@ -173,3 +173,62 @@ def test_feature_extractor_single_evaluator(ramp_ensemble):
     res = ramp_ensemble.batch(FeatureExtractor(PyMedian()), band_to_calc=None).toPandas()
     assert list(res.columns) == ["id", "median"]
     assert len(res) == 5
+
+
+def test_from_lsdb_in_memory_spills_to_parquet(spark, ramp_rows, ramp_cm):
+    """An in-memory catalog (no on-disk HiPSCat root) must ingest through
+    the Dask-collection → temp-parquet spill, never via driver-side
+    compute()."""
+    from tape_spark import Ensemble
+
+    pdf = pd.DataFrame(ramp_rows)
+
+    class _FakeDdf:
+        """Dask-DataFrame-shaped: partition-wise parquet writer."""
+
+        def __init__(self, frame):
+            self._frame = frame
+
+        def reset_index(self):
+            return _FakeDdf(self._frame.reset_index(drop=True))
+
+        def to_parquet(self, path, write_index=False):
+            import os
+
+            os.makedirs(path, exist_ok=True)
+            half = len(self._frame) // 2
+            self._frame.iloc[:half].to_parquet(os.path.join(path, "part.0.parquet"))
+            self._frame.iloc[half:].to_parquet(os.path.join(path, "part.1.parquet"))
+
+    class _FakeCatalog:
+        _ddf = _FakeDdf(pdf)
+
+        def compute(self):
+            raise AssertionError("spill path should not materialize via compute()")
+
+    ens = Ensemble(spark).from_lsdb(_FakeCatalog(), column_mapper=ramp_cm, npartitions=2)
+    assert ens.source.count() == len(pdf)
+
+
+def test_from_lsdb_compute_fallback_is_size_capped(spark, ramp_rows, ramp_cm, monkeypatch):
+    """A catalog with no reachable Dask collection may compute() only below
+    the driver-materialization cap; above it, from_lsdb must refuse."""
+    import pytest
+
+    from tape_spark import Ensemble
+
+    pdf = pd.DataFrame(ramp_rows)
+
+    class _FakeCatalog:
+        def __len__(self):
+            return len(pdf)
+
+        def compute(self):
+            return pdf.copy()
+
+    ens = Ensemble(spark).from_lsdb(_FakeCatalog(), column_mapper=ramp_cm, npartitions=2)
+    assert ens.source.count() == len(pdf)
+
+    monkeypatch.setattr(Ensemble, "_LSDB_COMPUTE_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="capped"):
+        Ensemble(spark).from_lsdb(_FakeCatalog(), column_mapper=ramp_cm, npartitions=2)
