@@ -32,7 +32,22 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 EPOCH_EXPR = "cast(timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) as double)"
 
 
+def _pin_time_configs(spark: SparkSession) -> None:
+    """Pin the session time configs every query relies on.
+
+    Called from EVERY table loader (not just the events one) so the session
+    state is identical no matter which query runs first — otherwise a
+    timestamp-dependent query evaluated after an events query would see
+    different configs than one evaluated before, making correctness
+    evaluation-order-dependent. Idempotent; the driver owns the session, so
+    construction-time config is not available to us."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _lineitem_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_time_configs(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.select(
         "l_orderkey",
@@ -61,12 +76,14 @@ def _ensemble(spark: SparkSession, sf_dir: str):
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file corpora load as one partition; spread across cores (a real
     # 100 TB corpus arrives pre-split, so this shuffle exists only at toy SF)
+    _pin_time_configs(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism
     )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_time_configs(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
@@ -75,14 +92,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores ``ts``: ``t`` = epoch seconds (double), ``ts_us`` = epoch
     microseconds (long).  Handles TIMESTAMP(NANOS) (readable only as a raw
     long via the legacy flag), TIMESTAMP_NTZ(µs), and tz-adjusted TIMESTAMP —
-    all timezone-free so they match DuckDB's ``epoch(ts)`` exactly."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # pin the configs the µs math relies on: NTZ-stored parquet must load as
-    # timestamp_ntz (not session-tz-adjusted TimestampType), and any
-    # tz-adjusted branch must evaluate in UTC — otherwise a config drift
-    # would silently skew ts_us against DuckDB's epoch(ts)
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    all timezone-free so they match DuckDB's ``epoch(ts)`` exactly.
+
+    The µs math relies on the pinned configs: NTZ-stored parquet must load
+    as timestamp_ntz (not session-tz-adjusted TimestampType), and any
+    tz-adjusted branch must evaluate in UTC — otherwise a config drift
+    would silently skew ts_us against DuckDB's ``epoch(ts)``."""
+    _pin_time_configs(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     kind = ev.schema["ts"].dataType.simpleString()
     if kind == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
@@ -420,8 +436,13 @@ def _ann_recall(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
 
     The approximate neighbor lists are seed/engine-specific, but the
     semantic contract — recall ≥ a documented floor — is deterministic
-    (both algorithms are fully seeded) and holds at any SF, so the oracle
-    can assert it without replaying the index."""
+    (both algorithms are fully seeded) for a given corpus, so the oracle
+    can assert it without replaying the index. The floors hold with
+    measured margin at the tested SFs (min per-query recall at
+    sf0.001/sf0.01: LSH 0.6/0.5 vs floor 0.4, IVF 0.8/0.7 vs floor 0.6
+    with the parameters used below); recall is data-dependent, so at a
+    much larger SF scale num_tables/nprobe with corpus size rather than
+    trusting the floor to transfer."""
     from tape_spark.operators import cosine_topk
 
     k = 10
@@ -448,7 +469,8 @@ def _ann_recall(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k, checked by its recall contract
     against exact brute force (neighbor lists are seed-specific; the
-    recall floor is the deterministic, SF-independent property)."""
+    recall floor is the deterministic property at the tested SFs — see
+    ``_ann_recall`` for the measured margins)."""
     from tape_spark.operators import lsh_cosine_topk
 
     return _ann_recall(
@@ -1013,10 +1035,10 @@ b AS (
   FROM m
 )
 SELECT media_id,
-  1 + (n % 1024) AS width,
-  1 + (CASE WHEN len(head) = 0 THEN 0 ELSE list_sum(head) % 1024 END) AS height,
+  CAST(1 + (n % 1024) AS INTEGER) AS width,
+  CAST(1 + (CASE WHEN len(head) = 0 THEN 0 ELSE list_sum(head) % 1024 END) AS INTEGER) AS height,
   3 AS channels,
-  16 AS rs_width, 8 AS rs_height, CAST(128 AS BIGINT) AS rs_bytes,
+  16 AS rs_width, 8 AS rs_height, 128 AS rs_bytes,
   round(CASE WHEN n = 0 THEN 0.0 ELSE (('0x' || substr(h, 1, 2))::INTEGER % 13) / 13.0 END, 6) AS e0
 FROM b
 """
@@ -1179,8 +1201,8 @@ def oracle_sql() -> dict[str, str]:
         # both engines, then the object sample semi-joins down to sources
         "sample_objects": (
             "SELECT l_orderkey, epoch(l_shipdate) AS t, l_extendedprice FROM lineitem "
-            "WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT "
-            "/ 1152921504606846976.0 < 0.3"
+            "WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 13))::BIGINT "
+            "/ 4503599627370496.0 < 0.3"
         ),
         # SF² basic with explicit bins: all ordered pairs with positive dt
         # within (id, band) — curves need >= 3 observations and > 1 pair

@@ -44,6 +44,22 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if s_cols != o_cols:
         return f"SCHEMA {s_cols} vs {o_cols}"
+    # The driver hashes TYPED values, so an oracle emitting float64 where
+    # Spark emits an integer (or int64 vs int32) hash-mismatches even when
+    # the values print identically. Mirror that: numeric columns must agree
+    # on dtype kind AND width before any value comparison.
+    for c in s_cols:
+        sk, ok_ = spark_pdf[c].dtype, oracle_pdf[c].dtype
+        skind = getattr(sk, "kind", "O")
+        okind = getattr(ok_, "kind", "O")
+        numeric = "iufb"
+        if (skind in numeric) != (okind in numeric):
+            return f"DTYPE col={c}: {sk} vs {ok_} (numeric vs non-numeric)"
+        if skind in numeric and okind in numeric:
+            if (skind in "iub") != (okind in "iub"):
+                return f"DTYPE col={c}: {sk} vs {ok_} (integer vs float kind)"
+            if skind in "iu" and okind in "iu" and sk.itemsize != ok_.itemsize:
+                return f"DTYPE col={c}: {sk} vs {ok_} (integer width)"
     s = _normalize(spark_pdf, s_cols)
     o = _normalize(oracle_pdf, o_cols)
     for c in s_cols:

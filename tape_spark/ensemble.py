@@ -422,6 +422,17 @@ class Ensemble:
     # driver-side materialization guard for the no-Dask-collection fallback
     _LSDB_COMPUTE_MAX_ROWS = 1_000_000
 
+    # temp parquet dirs written by _spill_lsdb_catalog, reaped at exit
+    _lsdb_spill_dirs: List[str] = []
+
+    @staticmethod
+    def _reap_lsdb_spills() -> None:
+        import shutil
+
+        for d in Ensemble._lsdb_spill_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        Ensemble._lsdb_spill_dirs.clear()
+
     def _spill_lsdb_catalog(self, catalog, label: str) -> DataFrame:
         """Turn one in-memory LSDB catalog into a Spark DataFrame without a
         driver round-trip when possible.
@@ -433,14 +444,22 @@ class Ensemble:
         Dask collection): ``compute()`` with a hard row cap, because an
         unbounded driver materialization is exactly the failure mode the
         spill exists to avoid. Reference behavior: ``ensemble.py:1667-1758``.
+
+        Spark reads the spill lazily, so the directory can't be deleted
+        eagerly; every spill dir is recorded in ``_lsdb_spill_dirs`` and
+        reaped at interpreter exit (callers that outlive the process should
+        persist via ``to_hipscat``/``save_ensemble`` instead of spilling).
         """
+        import atexit
         import tempfile
 
         ddf = getattr(catalog, "_ddf", None)
         if ddf is not None and hasattr(ddf, "to_parquet"):
-            out_dir = os.path.join(
-                tempfile.mkdtemp(prefix="tape_spark_lsdb_"), label
-            )
+            spill_root = tempfile.mkdtemp(prefix="tape_spark_lsdb_")
+            if not Ensemble._lsdb_spill_dirs:
+                atexit.register(Ensemble._reap_lsdb_spills)
+            Ensemble._lsdb_spill_dirs.append(spill_root)
+            out_dir = os.path.join(spill_root, label)
             # reset_index first: Spark has no index concept, the reference
             # likewise surfaces the hipscat index as a column
             ddf.reset_index().to_parquet(out_dir, write_index=False)
@@ -719,12 +738,14 @@ class Ensemble:
         if method == "hash":
             if replace:
                 raise ValueError("method='hash' draws without replacement")
-            # 60 md5 bits → [0, 1): exact in double, replayable in SQL
+            # 52 md5 bits → [0, 1): 52 ≤ the double mantissa, so the
+            # int→double conversion is exact (no rounding) and the SQL
+            # replay is bit-identical on any engine
             u = (
                 F.conv(
-                    F.substring(F.md5(F.col(self._id_col).cast("string")), 1, 15), 16, 10
+                    F.substring(F.md5(F.col(self._id_col).cast("string")), 1, 13), 16, 10
                 ).cast("double")
-                / F.lit(float(1 << 60))
+                / F.lit(float(1 << 52))
             )
             sampled = obj.filter(u < frac)
         elif method == "random":
