@@ -24,7 +24,7 @@ from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
@@ -335,6 +335,49 @@ def q_stetson_j(spark, sf_dir):
     return result.select("l_orderkey", F.explode("stetsonJ").alias("band", "stetson_j"))
 
 
+_GOLDEN_SOURCE = "/root/reference/tests/tape_tests/data/source/test_source.parquet"
+_GOLDEN_OBJECT = "/root/reference/tests/tape_tests/data/object/test_object.parquet"
+
+
+def q_stetson_j_golden(spark, sf_dir):
+    """The flagship kernel pinned to the reference's golden constants as a
+    driver-checked row: prune(10) → dropna → batch(StetsonJ) on the
+    reference's 2000-row golden parquet must reproduce the published
+    per-band values for the first object (reference
+    ``test_ensemble.py:1934-1963``: g ≈ -0.04174282, r ≈ 0.6075282; this
+    engine computes -0.041745 / 0.607527 at 6 dp, within the reference
+    test's 1e-3 relative tolerance — the literal-VALUES oracle pins OUR
+    exact values so any kernel drift turns the row red).
+
+    Sources are sorted (id, time) first so per-group summation order — and
+    hence the last-ulp float result — is partition-count-independent.
+    Ignores ``sf_dir``: the input is the fixed golden fixture."""
+    from tape_spark import ColumnMapper, Ensemble
+    from tape_spark.analysis import calc_stetson_J
+
+    src = pd.read_parquet(_GOLDEN_SOURCE).reset_index()
+    obj = pd.read_parquet(_GOLDEN_OBJECT).reset_index()
+    cm = ColumnMapper(
+        id_col="ps1_objid",
+        time_col="midPointTai",
+        flux_col="psFlux",
+        err_col="psFluxErr",
+        band_col="filterName",
+    )
+    ens = Ensemble(spark).from_pandas(src, object_frame=obj, column_mapper=cm, npartitions=4)
+    ens.prune(10)
+    ens.dropna(table="source")
+    ens.sort_lightcurves()
+    result = ens.batch(calc_stetson_J)
+    first = result.agg(F.min("ps1_objid").alias("ps1_objid"))
+    return (
+        result.join(first, "ps1_objid")
+        .select(F.explode("stetsonJ").alias("band", "stetson_j"))
+        .filter(F.col("band").isin("g", "r"))
+        .select("band", F.round("stetson_j", 6).alias("stetson_j"))
+    )
+
+
 def q_sf2_basic(spark, sf_dir):
     """Structure function squared, per curve; no SQL equivalent (§2.8)."""
     ens = _ensemble(spark, sf_dir)
@@ -348,16 +391,74 @@ def q_sf2_basic(spark, sf_dir):
 
 
 def q_lc_similarity(spark, sf_dir):
-    """Light-curve similarity search: PAA embedding per curve through
-    batch(), cosine top-5 (no SQL equivalent for the procedural PAA)."""
-    from tape_spark.operators import similar_lightcurves
+    """Light-curve similarity search contract: PAA embedding per curve
+    through batch(), then the ``cosine_topk`` operator checked against an
+    independent in-Spark replay (explicit zip_with dot product + window
+    rank) over the same embeddings.
+
+    The procedural PAA values aren't SQL-expressible (they're pinned by
+    golden pytest), but the oracle independently recomputes what IS: the
+    pruned query-id set (count(*) >= 5, lowest 3 ids) and the top-k
+    cardinality. The overlap floor is 4/5 — both paths are exact, so only
+    last-ulp float ties at the k boundary can differ."""
+    from tape_spark.operators import cosine_topk
+    from tape_spark.operators.lightcurve_sim import lightcurve_embeddings
 
     ens = _ensemble(spark, sf_dir)
     ens.prune(threshold=5)
     ids = [r[0] for r in ens.object.select("l_orderkey").orderBy("l_orderkey").limit(3).collect()]
-    out = similar_lightcurves(ens, query_ids=ids, k=5, num_bins=16)
-    return out.select(
-        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank")
+    emb = lightcurve_embeddings(ens, num_bins=16).persist()
+    queries_df = emb.filter(F.col("l_orderkey").isin(ids)).select(
+        F.col("l_orderkey").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries_df, k=5, id_col="l_orderkey").select(
+        "query_id", "corpus_id"
+    )
+
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.greatest(  # noqa: E731
+        F.sqrt(F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+        F.lit(1e-300),
+    )
+    replay = (
+        emb.crossJoin(
+            F.broadcast(
+                queries_df.select(
+                    "query_id", F.col("embedding").alias("qv"), norm(F.col("embedding")).alias("qn")
+                )
+            )
+        )
+        .select(
+            "query_id",
+            F.col("l_orderkey").alias("corpus_id"),
+            (dot / (norm(F.col("embedding")) * F.col("qn"))).alias("cosine"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("corpus_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "corpus_id")
+    )
+    n_topk = out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_topk"))
+    n_hit = (
+        out.join(replay, ["query_id", "corpus_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_topk.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_topk",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) >= 4).alias("overlap_ok"),
+        )
     )
 
 
@@ -392,11 +493,32 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (engine-specific hashes → rows-only check)."""
-    from tape_spark.operators import minhash_near_duplicates
+    """MinHash-LSH near-dup recall contract vs the exact bigram-Jaccard
+    pair set (the MinHash hashes are engine-specific, so the pair list
+    itself is not SQL-replayable; its semantic contract is).
 
-    pairs = minhash_near_duplicates(_docs(spark, sf_dir), num_hashes=64, bands=16, threshold=0.3)
-    return pairs.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    Exact side: word-bigram Jaccard ≥ 0.7 — at 16 bands × 4 rows the
+    per-pair candidate probability is 1−(1−0.7⁴)¹⁶ ≈ 0.988, and the
+    64-hash est_jaccard ≥ 0.3 verify keeps essentially all of them
+    (measured recall 1.0 at sf0.001 and sf0.01), so the 0.8 floor has
+    wide margin. The oracle recomputes n_exact independently in SQL."""
+    from tape_spark.operators import minhash_near_duplicates, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    lsh = minhash_near_duplicates(
+        docs, num_hashes=64, bands=16, threshold=0.3
+    ).select("id_a", "id_b")
+    exact = ngram_jaccard_pairs(docs, n=2, threshold=0.7).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return n_exact.crossJoin(n_hit).select(
+        "n_exact",
+        ((F.col("n_exact") == 0) | (F.col("n_hit") / F.col("n_exact") >= 0.8)).alias(
+            "recall_ok"
+        ),
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -526,26 +648,17 @@ def q_doc_fingerprint(spark, sf_dir):
     return document_fingerprint(_docs(spark, sf_dir)).select("doc_id", "content_sha")
 
 
-def q_multimodal_meta(spark, sf_dir):
-    """Binary-payload packaging: byte length + checksum metadata."""
-    from tape_spark.operators.multimodal import attach_binary_payload
-
-    return attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain").select(
-        "media_id", "media_type", "n_bytes", "checksum"
-    )
-
-
 def q_multimodal_pipeline(spark, sf_dir):
-    """The full media chain — decode (width/height/channels), resize
-    (geometry + bounded payload size), embedding (first component) — each
-    an Arrow-batched mapInPandas over the same payloads, joined on
-    media_id for one hash-checked row per document.
+    """The full media chain — payload packaging (byte length + checksum
+    metadata), decode (width/height/channels), resize (geometry + bounded
+    payload size), embedding (first component) — each an Arrow-batched
+    mapInPandas over the same payloads, joined on media_id for one
+    hash-checked row per document.
 
     The stub kernels are pure byte arithmetic, which DuckDB replays via
-    hex() byte extraction — so all three plumbing paths are
-    value-hash-checked. (The 3-way join re-reads the 500-row payload table
-    per branch; this is a verification query, production chains pipe one
-    branch.)"""
+    hex() byte extraction — so all plumbing paths are value-hash-checked.
+    (The 3-way join re-reads the 500-row payload table per branch; this is
+    a verification query, production chains pipe one branch.)"""
     from tape_spark.operators.multimodal import (
         attach_binary_payload,
         decode_media,
@@ -554,6 +667,7 @@ def q_multimodal_pipeline(spark, sf_dir):
     )
 
     media = attach_binary_payload(_docs(spark, sf_dir), "text", "doc_id", "text/plain")
+    meta = media.select("media_id", "media_type", "n_bytes", "checksum")
     d = decode_media(media, decoder="fake").select("media_id", "width", "height", "channels")
     r = resize_media(media, width=16, height=8).select(
         "media_id",
@@ -564,7 +678,7 @@ def q_multimodal_pipeline(spark, sf_dir):
     e = media_embedding(media, dim=16).select(
         "media_id", F.round(F.element_at("embedding", 1), 6).alias("e0")
     )
-    return d.join(r, "media_id").join(e, "media_id")
+    return meta.join(d, "media_id").join(r, "media_id").join(e, "media_id")
 
 
 def q_sf2_fixed_bins(spark, sf_dir):
@@ -695,15 +809,39 @@ def q_day_gap_offset(spark, sf_dir):
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
-    """Hyperplane-LSH near-dup scale path (approximate → rows-only)."""
+    """Hyperplane-LSH near-dup scale path, checked by its recall AND
+    precision contract against the brute-force pair set (which IS
+    SQL-replayable — the oracle recomputes it).
+
+    The LSH path exact-verifies every candidate's cosine, so its pairs
+    are a subset of the brute set: n_false_positive is exactly 0. Recall
+    at threshold 0.35 with 4-plane × 16-table OR-amplification measured
+    0.91/0.93 at sf0.001/sf0.01 (257/271 true pairs) vs the 0.8 floor."""
     from tape_spark.operators import embedding_near_duplicates
 
-    # a 0.5-cosine threshold is a wide net (θ≈60°): short bucket keys with
-    # many OR-amplification tables keep recall high (1-(1-(2/3)^4)^16 ≈ .97)
-    pairs = embedding_near_duplicates(
-        _emb(spark, sf_dir), threshold=0.5, num_planes=4, num_tables=16, brute_force=False
+    emb = _emb(spark, sf_dir)
+    lsh = embedding_near_duplicates(
+        emb, threshold=0.35, num_planes=4, num_tables=16, brute_force=False
+    ).select("id_a", "id_b")
+    brute = embedding_near_duplicates(emb, threshold=0.35, brute_force=True).select(
+        "id_a", "id_b"
     )
-    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    n_brute = brute.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = brute.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (
+        n_brute.crossJoin(n_hit)
+        .crossJoin(n_lsh)
+        .select(
+            "n_exact",
+            (F.col("n_lsh") - F.col("n_hit")).alias("n_false_positive"),
+            (
+                (F.col("n_exact") == 0) | (F.col("n_hit") / F.col("n_exact") >= 0.8)
+            ).alias("recall_ok"),
+        )
+    )
 
 
 def q_events_sliding(spark, sf_dir):
@@ -828,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insert_sources": q_insert_sources,
         "day_gap_offset": q_day_gap_offset,
         "stetson_j": q_stetson_j,
+        "stetson_j_golden": q_stetson_j_golden,
         "sf2_basic": q_sf2_basic,
         "sf2_fixed_bins": q_sf2_fixed_bins,
         "sf2_combine_fixed_bins": q_sf2_combine_fixed_bins,
@@ -846,7 +985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "vocab_topk": q_vocab_topk,
         "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
         "multimodal_pipeline": q_multimodal_pipeline,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "events_running_stats": q_events_running_stats,
@@ -1022,19 +1160,23 @@ _ANN_RECALL_SQL = (
     "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5"
 )
 
-# Replays all three stub media kernels' byte arithmetic: decode geometry
-# from payload bytes, the fixed resize geometry (min(16*8, 65536) = 128
-# bytes always), and embedding component 0 = (first byte % 13) / 13.
+# Replays the payload packaging (length + sha256 checksum) and all three
+# stub media kernels' byte arithmetic: decode geometry from payload bytes,
+# the fixed resize geometry (min(16*8, 65536) = 128 bytes always), and
+# embedding component 0 = (first byte % 13) / 13.
 _MM_PIPELINE_SQL = """
 WITH m AS (
-  SELECT doc_id AS media_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents
+  SELECT doc_id AS media_id, text, hex(encode(text)) AS h, octet_length(encode(text)) AS n FROM documents
 ),
 b AS (
-  SELECT media_id, n, h, list_transform(range(1, least(n, 64) + 1),
+  SELECT media_id, text, n, h, list_transform(range(1, least(n, 64) + 1),
          i -> ('0x' || substr(h, 2*i-1, 2))::INTEGER) AS head
   FROM m
 )
 SELECT media_id,
+  'text/plain' AS media_type,
+  CAST(n AS BIGINT) AS n_bytes,
+  sha256(text) AS checksum,
   CAST(1 + (n % 1024) AS INTEGER) AS width,
   CAST(1 + (CASE WHEN len(head) = 0 THEN 0 ELSE list_sum(head) % 1024 END) AS INTEGER) AS height,
   3 AS channels,
@@ -1294,6 +1436,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"
         ),
         "dedup_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        # the LSH pair lists are engine-hash-specific; their CONTRACT
+        # (recall vs an exact pair set the oracle recomputes, zero false
+        # positives for the exact-verified embedding path) is deterministic
+        "dedup_minhash_lsh": (
+            f"SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok "
+            f"FROM ({_NGRAM_JACCARD_SQL.replace('>= 0.2', '>= 0.7')})"
+        ),
+        "embedding_near_dup_lsh": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_exact, "
+            "CAST(0 AS BIGINT) AS n_false_positive, true AS recall_ok "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.35"
+        ),
+        # the golden fixture's per-band Stetson J, pinned as literals (the
+        # iterative kernel has no SQL form; the constants match the
+        # reference's published values within its own 1e-3 tolerance)
+        "stetson_j_golden": (
+            "SELECT 'g' AS band, CAST(-0.041745 AS DOUBLE) AS stetson_j "
+            "UNION ALL SELECT 'r' AS band, CAST(0.607527 AS DOUBLE) AS stetson_j"
+        ),
+        # the PAA values are procedural (golden-pytest-pinned); the oracle
+        # recomputes the pruned query-id set and the top-k cardinality
+        "lc_similarity": (
+            "SELECT l_orderkey AS query_id, CAST(5 AS BIGINT) AS n_topk, "
+            "true AS overlap_ok FROM (SELECT l_orderkey FROM lineitem "
+            "GROUP BY l_orderkey HAVING count(*) >= 5 ORDER BY l_orderkey LIMIT 3)"
+        ),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_simhash": _SIMHASH_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
@@ -1303,10 +1473,6 @@ def oracle_sql() -> dict[str, str]:
         "text_signals": _TEXT_SIGNALS_SQL,
         "doc_fingerprint": (
             "SELECT doc_id, sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_sha FROM documents"
-        ),
-        "multimodal_meta": (
-            "SELECT doc_id AS media_id, 'text/plain' AS media_type, "
-            "CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS checksum FROM documents"
         ),
         "multimodal_pipeline": _MM_PIPELINE_SQL,
         # frame i covers bytes [i*64, i*64+64); the last frame is clipped to
