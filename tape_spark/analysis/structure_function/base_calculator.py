@@ -102,7 +102,22 @@ def compute_dt_bins(dts: np.ndarray, method: str, count_target: int) -> np.ndarr
     num_bins = int(np.ceil(len(dts) / count_target))
     uniq = np.unique(dts)
     if method == "size":
-        return np.quantile(uniq, np.linspace(0.0, 1.0, num_bins + 1))
+        # inline linear-interpolation quantiles over the already-sorted
+        # uniq: np.quantile's generic machinery is ~10% of the whole SF²
+        # kernel on tiny per-curve arrays. Replicates numpy's _lerp
+        # (including the t >= 0.5 symmetric form) so edges are
+        # bit-identical to the np.quantile(uniq, linspace(0, 1, ...)) they
+        # replace.
+        pos = np.linspace(0.0, 1.0, num_bins + 1) * (uniq.size - 1)
+        lo = pos.astype(np.int64)
+        hi = np.minimum(lo + 1, uniq.size - 1)
+        t = pos - lo
+        a, b = uniq[lo], uniq[hi]
+        diff = b - a
+        edges = a + t * diff
+        high = t >= 0.5
+        edges[high] = b[high] - diff[high] * (1.0 - t[high])
+        return edges
     if method == "length":
         lo, hi = uniq.min(), uniq.max()
         edges = np.linspace(lo, hi, num_bins + 1)

@@ -1192,6 +1192,15 @@ class Ensemble:
         first_is_map = isinstance(result_fields[0].dataType, T.MapType) if result_fields else False
         func_cols = list(cols)
         group_keys = list(on)
+        # opt-in columnar protocol: the kernel returns {result_name: ndarray}
+        # and the engine builds ONE DataFrame per partition instead of one
+        # per group (pandas construction dominates on tiny light curves)
+        use_columnar = isinstance(func, AnalysisFunction) and getattr(
+            func, "supports_columnar", False
+        )
+        if use_columnar:
+            kwargs = dict(kwargs)
+            kwargs["_columnar"] = True
 
         def process_groups(pdf: pd.DataFrame) -> Optional[pd.DataFrame]:
             """Run ``func`` over every group in a frame already sorted by the
@@ -1211,9 +1220,14 @@ class Ensemble:
             map_ok = one_result and first_is_map
             simple_rows: list = []
             frames: list = []
+            columnar: list = []  # (key_values_tuple, {name: ndarray}, n_rows)
             for s, e in zip(starts, ends):
                 res = func(*[a[s:e] for a in col_arrays], **kwargs)
-                if (scalar_ok and isinstance(res, (int, float, np.integer, np.floating))) or (
+                if use_columnar and isinstance(res, dict):
+                    sz = len(res[result_names[0]])
+                    if sz:
+                        columnar.append((tuple(ka[s] for ka in key_arrays), res, sz))
+                elif (scalar_ok and isinstance(res, (int, float, np.integer, np.floating))) or (
                     map_ok and isinstance(res, dict)
                 ):
                     simple_rows.append(tuple(ka[s] for ka in key_arrays) + (res,))
@@ -1231,6 +1245,14 @@ class Ensemble:
                     frames.append(out)
             if simple_rows:
                 frames.append(pd.DataFrame(simple_rows, columns=group_keys + result_names))
+            if columnar:
+                sizes = np.array([sz for _, _, sz in columnar])
+                data = {}
+                for j, k in enumerate(group_keys):
+                    data[k] = np.repeat(np.array([kv[j] for kv, _, _ in columnar]), sizes)
+                for name in result_names:
+                    data[name] = np.concatenate([r[name] for _, r, _ in columnar])
+                frames.append(pd.DataFrame(data, copy=False))
             if not frames:
                 return None
             return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
