@@ -55,9 +55,21 @@ def _stetson_mean(
 
     if mean is None:
         mean = wavg(inv_var)
+    # the default alpha=2/beta=2 weight 1/(1+(|chi|/2)^2) is chi-sign-free,
+    # so the abs/divide/power chain collapses to one fused chi² expression —
+    # fewer tiny-array ufunc dispatches in the 20-iteration hot loop (the
+    # kernel's dominant cost on short curves). Differences vs the generic
+    # form are last-ulp only; the golden 6-dp constants are unaffected.
+    fast = alpha == 2.0 and beta == 2.0
+    if fast:
+        chi2_scale = (bias_factor / errors) ** 2 * 0.25
     for _ in range(n_iter):
-        chi = np.abs(bias_factor * (values - mean) / errors)
-        new_mean = wavg(inv_var / (1.0 + (chi / alpha) ** beta))
+        resid = values - mean
+        if fast:
+            new_mean = wavg(inv_var / (1.0 + resid * resid * chi2_scale))
+        else:
+            chi = np.abs(bias_factor * resid / errors)
+            new_mean = wavg(inv_var / (1.0 + (chi / alpha) ** beta))
         delta = np.abs(new_mean - mean)
         mean = new_mean
         if mean == 0:
