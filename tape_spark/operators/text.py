@@ -31,8 +31,10 @@ PUNCT_CLASS = r"[.,!?;:]"
 
 
 def _stopword_hits(text_col, words) -> "F.Column":
+    # regexp_count: same match count as size(regexp_extract_all(...)) but
+    # without materializing the match array per row
     pattern = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pattern), F.lit(1)))
+    return F.regexp_count(F.lower(text_col), F.lit(pattern))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,7 +48,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     scored = df.select(
         F.col(id_col),
         *[_stopword_hits(F.col(text_col), ws).alias(f"score_{lang}") for lang, ws in LANG_STOPWORDS.items()],
-        (F.size(F.regexp_extract_all(F.col(text_col), F.lit(CJK_PATTERN), F.lit(0))) > 0).alias("has_cjk"),
+        F.col(text_col).rlike(CJK_PATTERN).alias("has_cjk"),  # stops at first match
     )
     langs = list(LANG_STOPWORDS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
@@ -149,7 +151,7 @@ def token_count(
     ws = F.split(F.trim(F.col(text_col)), r"\s+")
     return df.select(
         F.col(id_col),
-        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long").alias("n_bpe_tokens"),
+        F.regexp_count(text, F.lit(pattern)).cast("long").alias("n_bpe_tokens"),
         F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
         .otherwise(F.size(ws))
         .cast("long")
@@ -323,7 +325,7 @@ def text_signals(
             {f"__s_{lang}": _stopword_hits(text, ws_) for lang, ws_ in LANG_STOPWORDS.items()}
         )
         .withColumn(
-            "__cjk", F.size(F.regexp_extract_all(text, F.lit(CJK_PATTERN), F.lit(0))) > 0
+            "__cjk", text.rlike(CJK_PATTERN)  # stops at first match
         )
         .withColumn(
             "__stop_hits",
@@ -351,7 +353,7 @@ def text_signals(
             F.when(total > 0, 1.0 - F.size(F.array_distinct(F.col("__grams"))) / total)
             .otherwise(F.lit(0.0))
         ).alias("rep_ratio"),
-        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+        F.regexp_count(F.lower(text), F.lit(BPE_ISH_PATTERN))
         .cast("long")
         .alias("n_bpe_tokens"),
     )
