@@ -379,10 +379,25 @@ def q_stetson_j_golden(spark, sf_dir):
 
 
 def q_sf2_basic(spark, sf_dir):
-    """Structure function squared, per curve; no SQL equivalent (§2.8)."""
+    """Structure function squared per curve with the ENGINE-DERIVED 'size'
+    bins (the default config), value-hash-checked.
+
+    The binning is SQL-replayable for this dataset because it degenerates:
+    lineitem holds ≤ 7 rows per order (TPC-H property), so every (id,
+    band) curve has ≤ 21 pairs ≤ bin_count_target=100 → ceil(pairs/100) =
+    exactly ONE quantile bin spanning [min dt, max dt] — every pair lands
+    in it (last-edge-inclusive convention), making the result the plain
+    per-curve pair means the oracle computes. sf2 is emitted in millions
+    and both floats rounded at 6 dp, as in ``sf2_fixed_bins``."""
     ens = _ensemble(spark, sf_dir)
     ens.prune(threshold=5)
-    return ens.sf2(sf_method="basic")
+    res = ens.sf2(sf_method="basic")
+    return res.filter(F.col("sf2").isNotNull() & ~F.isnan("sf2")).select(
+        "lc_id",
+        "band",
+        F.round("dt", 6).alias("dt"),
+        F.round(F.col("sf2") / 1e6, 6).alias("sf2_m"),
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -1351,6 +1366,33 @@ def oracle_sql() -> dict[str, str]:
         # (n>=3 with >=2 distinct times implies both) — bucketed
         # left-closed/right-open with the last edge inclusive, then
         # sf2 = mean(d_flux² − Σerr²), dt = mean(dt) per bucket
+        # default 'size' binning degenerates to ONE bin per curve here
+        # (<= 21 pairs <= bin_count_target=100; see q_sf2_basic), so the
+        # engine-binned result is the plain per-curve pair means; prune(5)
+        # filters on TOTAL observations per id before the per-band checks
+        "sf2_basic": (
+            "WITH src AS ("
+            "  SELECT l_orderkey AS id, l_returnflag AS band, epoch(l_shipdate) AS t,"
+            "         l_extendedprice AS f, l_quantity AS e FROM lineitem"
+            "  WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 5)"
+            "), "
+            "pairs AS ("
+            "  SELECT a.id, a.band, b.t - a.t AS dt, b.f - a.f AS df,"
+            "         a.e * a.e + b.e * b.e AS e2"
+            "  FROM src a JOIN src b ON a.id = b.id AND a.band = b.band AND b.t > a.t"
+            "), "
+            "eligible AS ("
+            "  SELECT s.id, s.band FROM src s GROUP BY s.id, s.band HAVING count(*) >= 3"
+            "), "
+            "pair_ok AS ("
+            "  SELECT p.id, p.band FROM pairs p JOIN eligible e ON e.id = p.id AND e.band = p.band"
+            "  GROUP BY p.id, p.band HAVING count(*) > 1"
+            ") "
+            "SELECT CAST(p.id AS VARCHAR) AS lc_id, p.band, "
+            "round(avg(p.dt), 6) AS dt, round(avg(p.df * p.df - p.e2) / 1e6, 6) AS sf2_m "
+            "FROM pairs p JOIN pair_ok k ON k.id = p.id AND k.band = p.band "
+            "GROUP BY p.id, p.band"
+        ),
         "sf2_fixed_bins": (
             "WITH src AS ("
             "  SELECT l_orderkey AS id, l_returnflag AS band, epoch(l_shipdate) AS t,"
