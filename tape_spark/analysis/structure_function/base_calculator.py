@@ -26,6 +26,10 @@ def _classify(x, edges):
     of the edge convention — both binning entry points share it. Returns
     (idx, valid)."""
     n_bins = edges.size - 1
+    if n_bins == 1:
+        # same convention, no digitize: everything inside [e0, e1] is bin 0
+        # (last-edge inclusive), outside is invalid
+        return np.zeros(x.size, dtype=np.int64), (x >= edges[0]) & (x <= edges[1])
     idx = np.digitize(x, edges) - 1
     idx[x == edges[-1]] = n_bins - 1
     valid = (idx >= 0) & (idx < n_bins)
@@ -100,6 +104,12 @@ def compute_dt_bins(dts: np.ndarray, method: str, count_target: int) -> np.ndarr
     - ``'loglength'``: equal width in log space, same first-edge nudge.
     """
     num_bins = int(np.ceil(len(dts) / count_target))
+    if num_bins == 1 and method == "size":
+        # the single-bin case (short curves — the dominant shape in survey
+        # data) needs only the endpoints, and min/max over the raw values
+        # equal min/max over the uniques: skip the per-curve unique sort,
+        # linspace, and interpolation entirely
+        return np.array([dts.min(), dts.max()], dtype=float)
     uniq = np.unique(dts)
     if method == "size":
         # inline linear-interpolation quantiles over the already-sorted

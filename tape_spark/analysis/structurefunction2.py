@@ -61,9 +61,11 @@ def _band_times(time, band_mask, argument_container) -> np.ndarray:
     """Times for one band: masked user times, or 0..N-1 when absent/ignored."""
     if time is None or argument_container.ignore_timestamps:
         return np.arange(int(np.sum(band_mask)), dtype=int)
-    times = np.array(time)[band_mask]
-    if np.all(np.equal(times, None)):
-        return np.arange(int(np.sum(band_mask)), dtype=int)
+    times = np.asarray(time)[band_mask]
+    # the all-None check only applies to object arrays; numeric times
+    # (the batch-engine shape) can never hold None
+    if times.dtype == object and np.all(np.equal(times, None)):
+        return np.arange(times.size, dtype=int)
     return times
 
 
