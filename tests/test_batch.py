@@ -180,3 +180,26 @@ def test_batch_map_and_shuffle_paths_agree(ramp_ensemble):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_batch_columnar_map_and_shuffle_paths_agree(ramp_ensemble):
+    """The columnar protocol (supports_columnar kernels returning
+    dict-of-ndarrays on the map path) must produce exactly the per-group
+    DataFrame result the shuffle path builds."""
+    from tape_spark.analysis import calc_sf2
+
+    key = ["id", "band", "dt"]
+    fast = (
+        ramp_ensemble.batch(calc_sf2, use_map=True)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    slow = (
+        ramp_ensemble.batch(calc_sf2, use_map=False)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, slow)
