@@ -21,6 +21,7 @@ from .dedup import (
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
+    chunk_documents,
     corpus_filter,
     document_fingerprint,
     language_id,
@@ -55,6 +56,7 @@ __all__ = [
     "token_count",
     "document_fingerprint",
     "corpus_filter",
+    "chunk_documents",
     "text_signals",
     "vocab_topk",
 ]

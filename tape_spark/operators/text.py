@@ -381,3 +381,60 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame
     top = counts.orderBy(F.desc("freq"), F.asc("word")).limit(k)
     w = Window.orderBy(F.desc("freq"), F.asc("word"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with optional overlap
+    — the standard shaping step between a filtered corpus and tokenizer
+    sharding in an LLM training pipeline.
+
+    Tokens are whitespace tokens (the cheap proxy; swap the splitter for a
+    real tokenizer UDF when token-exact budgets matter). Windows advance by
+    ``stride = chunk_tokens - overlap_tokens`` and stop at the first window
+    that reaches the last token: every token lands in at least one chunk,
+    the final window may be shorter (no padding), and no chunk is fully
+    contained in another. A document shorter than one window (or empty)
+    yields a single chunk. Output: ``(id, chunk_index, n_chunk_tokens,
+    chunk, chunk_id)`` with deterministic
+    ``chunk_id = sha2(id || ':' || chunk_index)``.
+
+    Pure built-in expressions (split / sequence / slice / array_join /
+    posexplode): whole-stage codegen, no shuffle, no Python — at 100 TB
+    this is a narrow map whose output feeds straight into a bucketed write
+    or a tokenizer ``mapInPandas``.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap_tokens
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array()
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    # windows = 1 + ceil((n - chunk)/stride), clamped to >= 1: the last
+    # window start is <= n - chunk + stride <= n (stride <= chunk), so
+    # every generated slice is non-empty and the last one reaches token n
+    chunks = F.expr(
+        f"transform(sequence(0, int(greatest(1, ceil((size(__toks) - {chunk_tokens}) / {stride}) + 1)) - 1), "
+        f"i -> slice(__toks, i * {stride} + 1, {chunk_tokens}))"
+    )
+    out = staged.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_index", "__chunk")
+    )
+    return out.select(
+        F.col(id_col),
+        "chunk_index",
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("__chunk", " ").alias("chunk"),
+        F.sha2(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("chunk_index").cast("string")),
+            256,
+        ).alias("chunk_id"),
+    )

@@ -508,3 +508,70 @@ def test_ivf_training_sample_deterministic(emb):
     a = ivf_cosine_topk(emb, queries, **kw).toPandas().sort_values(["query_id", "rank"])
     b = ivf_cosine_topk(emb, queries, **kw).toPandas().sort_values(["query_id", "rank"])
     assert (a[["query_id", "corpus_id", "rank"]].to_numpy() == b[["query_id", "corpus_id", "rank"]].to_numpy()).all()
+
+
+# ------------------------------------------------------------------ #
+# chunk_documents                                                     #
+# ------------------------------------------------------------------ #
+
+
+def test_chunk_documents_no_overlap(docs):
+    from tape_spark.operators import chunk_documents
+
+    out = chunk_documents(docs, chunk_tokens=4).toPandas()
+    d0 = out[out["doc_id"] == 0].sort_values("chunk_index")
+    # 9 tokens, windows of 4, stride 4 -> 3 chunks of 4/4/1 tokens
+    assert d0["chunk_index"].tolist() == [0, 1, 2]
+    assert d0["n_chunk_tokens"].tolist() == [4, 4, 1]
+    assert d0["chunk"].tolist() == [
+        "the quick brown fox",
+        "jumps over the lazy",
+        "dog",
+    ]
+    # reassembly: concatenating non-overlapping chunks restores the text
+    assert " ".join(d0["chunk"]) == "the quick brown fox jumps over the lazy dog"
+    # deterministic ids, unique across (doc, chunk)
+    assert out["chunk_id"].is_unique
+
+
+def test_chunk_documents_overlap(docs):
+    from tape_spark.operators import chunk_documents
+
+    out = chunk_documents(docs, chunk_tokens=4, overlap_tokens=2).toPandas()
+    d0 = out[out["doc_id"] == 0].sort_values("chunk_index")
+    # 9 tokens, stride 2: windows start at 0,2,4,6 - the first to reach
+    # the end wins; no chunk fully contained in another
+    assert d0["chunk"].tolist() == [
+        "the quick brown fox",
+        "brown fox jumps over",
+        "jumps over the lazy",
+        "the lazy dog",
+    ]
+
+
+def test_chunk_documents_short_and_empty(docs):
+    from tape_spark.operators import chunk_documents
+
+    out = chunk_documents(docs, chunk_tokens=100).toPandas()
+    # every non-null doc yields exactly one chunk at this window size
+    assert out.groupby("doc_id").size().eq(1).all()
+    empty = out[out["doc_id"] == 5].iloc[0]
+    assert empty["n_chunk_tokens"] == 0 and empty["chunk"] == ""
+
+
+def test_chunk_documents_every_token_covered(docs):
+    import pytest
+
+    from tape_spark.operators import chunk_documents
+
+    out = chunk_documents(docs, chunk_tokens=3, overlap_tokens=1).toPandas()
+    d4 = out[out["doc_id"] == 4].sort_values("chunk_index")
+    toks = "completely unrelated text about spark engines and data".split()
+    covered = set()
+    for i, row in zip(d4["chunk_index"], d4["chunk"]):
+        start = i * 2
+        assert row.split() == toks[start : start + 3]
+        covered.update(range(start, start + len(row.split())))
+    assert covered == set(range(len(toks)))
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
