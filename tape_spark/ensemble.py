@@ -1201,6 +1201,12 @@ class Ensemble:
         if use_columnar:
             kwargs = dict(kwargs)
             kwargs["_columnar"] = True
+        # opt-in whole-block protocol: the kernel vectorizes across every
+        # group in an Arrow block at once (returns one result per group, or
+        # None to decline and fall back to per-group calls)
+        block_fn = (
+            getattr(func, "process_block", None) if isinstance(func, AnalysisFunction) else None
+        )
 
         def process_groups(pdf: pd.DataFrame) -> Optional[pd.DataFrame]:
             """Run ``func`` over every group in a frame already sorted by the
@@ -1221,8 +1227,15 @@ class Ensemble:
             simple_rows: list = []
             frames: list = []
             columnar: list = []  # (key_values_tuple, {name: ndarray}, n_rows)
-            for s, e in zip(starts, ends):
-                res = func(*[a[s:e] for a in col_arrays], **kwargs)
+            block_results = (
+                block_fn(col_arrays, starts, ends, **kwargs) if block_fn is not None else None
+            )
+            for gi, (s, e) in enumerate(zip(starts, ends)):
+                res = (
+                    block_results[gi]
+                    if block_results is not None
+                    else func(*[a[s:e] for a in col_arrays], **kwargs)
+                )
                 if use_columnar and isinstance(res, dict):
                     sz = len(res[result_names[0]])
                     if sz:
