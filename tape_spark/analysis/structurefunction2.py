@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 
 from .base import AnalysisFunction
-from .light_curve import StructureFunctionLightCurve
+from .light_curve import MIN_OBSERVATIONS_REQUIRED_FOR_SF, StructureFunctionLightCurve
 from .structure_function import SF_METHODS, StructureFunctionArgumentContainer
 
 __all__ = ["StructureFunction2", "calc_sf2"]
@@ -250,6 +250,138 @@ class StructureFunction2(AnalysisFunction):
         if _columnar:
             return data
         return pd.DataFrame(data, copy=False)
+
+    def process_block(
+        self,
+        col_arrays,
+        starts,
+        ends,
+        *,
+        sf_method: str = "basic",
+        argument_container: Optional[StructureFunctionArgumentContainer] = None,
+        _columnar: bool = False,
+        **kwargs,
+    ):
+        """Whole-block vectorized evaluation of the hot SF² shape: basic
+        estimator, single repetition, engine-derived 'size' bins where every
+        curve's pair count fits one bin.
+
+        Pair differences for EVERY (group, band) segment are built with one
+        pass of integer index arithmetic (i-major, ascending j — the exact
+        order the per-curve ``nonzero`` scan produces, so the bincount sums
+        are bit-identical to the per-group path), then dt/sf² reduce per
+        segment. Declines (returns None → per-group fallback) for any other
+        configuration, or when a segment's pair count exceeds
+        ``bin_count_target`` (multi-bin curves need the per-curve quantile
+        binning)."""
+        if not _columnar or kwargs:
+            return None
+        sf_method, ac = _resolve_arg_container(sf_method, argument_container)
+        if (
+            sf_method != "basic"
+            or ac.combine
+            or ac.estimate_err
+            or ac.calculation_repetitions != 1
+            or ac.bins is not None
+            or ac.bin_method != "size"
+            or ac.band_to_calc is not None
+            or ac.report_upper_lower_error_separately
+            or ac.ignore_timestamps
+        ):
+            return None
+        time, flux, err, band, lc_id = col_arrays
+        if time is None or band is None or err is None or np.isscalar(err):
+            return None
+        t = np.asarray(time, dtype=float)
+        f = np.asarray(flux, dtype=float)
+        e = np.asarray(err, dtype=float)
+        band = np.asarray(band)
+        if t.dtype == object or band.dtype.kind not in "USO":
+            return None
+        starts = np.asarray(starts)
+        counts = np.asarray(ends) - starts
+        n_groups = len(starts)
+        group_idx = np.repeat(np.arange(n_groups), counts)
+        id_str = [str(v) for v in np.asarray(lc_id)[starts].tolist()]
+
+        keep = ~(np.isnan(t) | np.isnan(f) | np.isnan(e))
+        t, f, e = t[keep], f[keep], e[keep]
+        band, group_idx = band[keep], group_idx[keep]
+
+        columns = ("lc_id", "band", "dt", "sf2", "1_sigma")
+        empty = {c: np.empty(0) for c in columns}
+        bands_uniq, bcode = np.unique(band, return_inverse=True)
+        nb = bands_uniq.size
+        if nb == 0:
+            return [empty] * n_groups
+        seg_uniq, seg_c = np.unique(group_idx * nb + bcode, return_inverse=True)
+        n_per_seg = np.bincount(seg_c)
+        eligible = n_per_seg >= MIN_OBSERVATIONS_REQUIRED_FOR_SF
+        if not eligible.any():
+            return [empty] * n_groups
+        rm = eligible[seg_c]
+        seg_m = (np.cumsum(eligible) - 1)[seg_c[rm]]
+        t_rm = t[rm]
+        # (segment, time) sort: the upper-triangle pair construction below
+        # requires ascending time per segment. The map path already delivers
+        # time-sorted groups (lexsort is stable → order unchanged, keeping
+        # bincount sums bit-identical to the per-group scan); the shuffle
+        # path may not, and sorting makes the pair SET correct there too.
+        order = np.lexsort((t_rm, seg_m))
+        seg_s = seg_m[order]
+        ts, fs, es = t_rm[order], f[rm][order], e[rm][order]
+        m = int(eligible.sum())
+        L = np.bincount(seg_s, minlength=m)
+
+        # all i<j index pairs per contiguous segment, i-major
+        seg_start_row = np.repeat(np.cumsum(L) - L, L)
+        local_i = np.arange(seg_s.size) - seg_start_row
+        reps = L[seg_s] - 1 - local_i
+        i_glob = np.repeat(np.arange(seg_s.size), reps)
+        off = np.cumsum(reps) - reps
+        within = np.arange(int(reps.sum())) - np.repeat(off, reps)
+        j_glob = i_glob + within + 1
+
+        dt = ts[j_glob] - ts[i_glob]
+        pos = dt > 0  # rows are time-ascending, so ties are the only non-positives
+        i_glob, j_glob, dt = i_glob[pos], j_glob[pos], dt[pos]
+        pseg = seg_s[i_glob]
+        pcnt = np.bincount(pseg, minlength=m)
+        if pcnt.size and pcnt.max() > ac.bin_count_target:
+            return None  # multi-bin curve present → per-curve binning applies
+
+        emit = pcnt > 1  # mirrors _binned_statistics' `size > 1` gate
+        d_flux = fs[j_glob] - fs[i_glob]
+        sf_vals = d_flux * d_flux - (es[i_glob] ** 2 + es[j_glob] ** 2)
+        sums_dt = np.bincount(pseg, dt, minlength=m)
+        sums_sf = np.bincount(pseg, sf_vals, minlength=m)
+
+        sel = np.flatnonzero(emit)
+        dt_mean = sums_dt[sel] / pcnt[sel]
+        sf_mean = sums_sf[sel] / pcnt[sel]
+        seg_ids = seg_uniq[eligible][sel]
+        g_sel = seg_ids // nb
+        band_sel = bands_uniq.astype(str)[seg_ids % nb]
+
+        per_g = np.bincount(g_sel, minlength=n_groups)
+        pos0 = np.cumsum(per_g) - per_g
+        results: list = []
+        for g in range(n_groups):
+            k = int(per_g[g])
+            if k == 0:
+                results.append(empty)
+                continue
+            sl = slice(int(pos0[g]), int(pos0[g]) + k)
+            results.append(
+                {
+                    "lc_id": np.full(k, id_str[g], dtype=object),
+                    "band": band_sel[sl],
+                    "dt": dt_mean[sl],
+                    "sf2": sf_mean[sl],
+                    "1_sigma": np.zeros(k),
+                }
+            )
+        return results
 
 
 calc_sf2 = StructureFunction2()
