@@ -9,6 +9,7 @@ over batch DataFrames and streams (`readStream` + watermark), for the
 from .stateful import running_stats
 from .windows import (
     read_event_stream,
+    stream_dedup,
     sessionize,
     session_window_agg,
     sliding_window_agg,
@@ -21,5 +22,6 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "sessionize",
+    "stream_dedup",
     "running_stats",
 ]

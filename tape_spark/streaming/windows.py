@@ -132,3 +132,37 @@ def sessionize(
     return flagged.groupBy(user_col).agg(
         F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: Optional[List[str]] = None,
+    ts_col: str = "ts",
+    watermark: Optional[str] = None,
+    within_watermark: bool = False,
+) -> DataFrame:
+    """Exact deduplication that runs identically on batch and stream — the
+    ingest-time guard of a training-data pipeline (drop replayed events /
+    re-crawled documents before they reach storage).
+
+    ``keys`` defaults to all columns. On a stream, pass ``watermark`` so the
+    dedup state store is bounded: with ``within_watermark=False`` the keys
+    must be globally unique per watermark window (``dropDuplicates`` keyed
+    state, dropped once the event-time column ages out — the key set must
+    then include ``ts_col``); with ``within_watermark=True`` two events with
+    the same keys are considered duplicates only when they arrive within
+    the watermark delay of each other (``dropDuplicatesWithinWatermark``,
+    Spark 3.5+), which is the contract replay/retry traffic wants.
+
+    At scale this is one hash shuffle on the key columns (batch) or
+    key-partitioned state-store lookups (stream); use hashed content keys
+    (``xxhash64(text)``) rather than raw payloads for 8-byte exchange keys,
+    as in :mod:`tape_spark.operators.dedup`.
+    """
+    cols = keys or df.columns
+    streaming = df.isStreaming
+    if streaming and watermark:
+        df = df.withWatermark(ts_col, watermark)
+    if streaming and within_watermark:
+        return df.dropDuplicatesWithinWatermark(cols)
+    return df.dropDuplicates(cols)

@@ -207,3 +207,53 @@ def test_stateful_running_stats_stream_matches_batch(spark, events_pdf, events_d
     assert (final["n"] == expected["n"]).all()
     assert np.allclose(final["mean"], expected["mean"])
     assert np.allclose(final["std"], expected["std"])
+
+
+def test_stream_dedup_batch(spark, events_df):
+    from tape_spark.streaming import stream_dedup
+
+    dup = events_df.union(events_df)  # every row twice
+    out = stream_dedup(dup, keys=["user_id", "ts"])
+    assert out.count() == events_df.count()
+    # keys=None dedups on all columns
+    assert stream_dedup(dup).count() == events_df.count()
+
+
+def test_stream_dedup_stream_matches_batch(spark, events_pdf, events_df, tmp_path):
+    """Replayed events through a watermarked streaming dedup must converge
+    to the batch-dedup result."""
+    from tape_spark.streaming import stream_dedup
+
+    src_dir = str(tmp_path / "dedup_src")
+    # write the data twice: the second copy simulates a replay
+    events_df.repartition(2).write.parquet(src_dir)
+    events_df.repartition(3).write.mode("append").parquet(src_dir)
+
+    stream = read_event_stream(spark, src_dir, SCHEMA, max_files_per_trigger=2)
+    deduped = stream_dedup(
+        stream, keys=["user_id", "ts"], watermark="10 minutes"
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = (
+        spark.table("dedup_test")
+        .select("user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        stream_dedup(events_df.union(events_df), keys=["user_id", "ts"])
+        .select("user_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
