@@ -575,3 +575,32 @@ def test_chunk_documents_every_token_covered(docs):
     assert covered == set(range(len(toks)))
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_chunk_documents_property(spark):
+    """Property sweep over sizes/overlaps: full token coverage, window
+    bounds respected, deterministic unique chunk ids."""
+    import itertools
+
+    from tape_spark.operators import chunk_documents
+
+    texts = [
+        (i, " ".join(f"w{j}" for j in range(n)))
+        for i, n in enumerate([1, 2, 3, 5, 7, 12, 31, 64, 65, 100])
+    ]
+    df = spark.createDataFrame(pd.DataFrame(texts, columns=["doc_id", "text"]))
+    for chunk, ov in [(1, 0), (4, 0), (4, 3), (16, 8), (64, 63), (100, 0)]:
+        out = chunk_documents(df, chunk_tokens=chunk, overlap_tokens=ov).toPandas()
+        stride = chunk - ov
+        assert out["chunk_id"].is_unique, (chunk, ov)
+        for i, text in texts:
+            n = len(text.split())
+            d = out[out["doc_id"] == i].sort_values("chunk_index")
+            assert (d["n_chunk_tokens"] <= chunk).all(), (chunk, ov, i)
+            covered = set()
+            for ci, c in zip(d["chunk_index"], d["chunk"]):
+                start = ci * stride
+                toks = c.split()
+                assert toks == text.split()[start : start + len(toks)], (chunk, ov, i)
+                covered.update(range(start, start + len(toks)))
+            assert covered == set(range(n)), (chunk, ov, i, n)
