@@ -135,23 +135,6 @@ def q_ingest_source(spark, sf_dir):
     return _ensemble(spark, sf_dir).source
 
 
-def q_ingest_pandas(spark, sf_dir):
-    """from_pandas ingestion (createDataFrame + the same repartition/object
-    generation core) — validated against the identical critical select."""
-    from tape_spark import ColumnMapper, Ensemble
-
-    pdf = _lineitem_source(spark, sf_dir).toPandas()
-    cm = ColumnMapper(
-        id_col="l_orderkey",
-        time_col="t",
-        flux_col="l_extendedprice",
-        err_col="l_quantity",
-        band_col="l_returnflag",
-    )
-    ens = Ensemble(spark).from_pandas(pdf, column_mapper=cm, npartitions=8)
-    return ens.source
-
-
 def q_calc_nobs_by_band(spark, sf_dir):
     """Per-band pivot counts + total (SURVEY §2.5; covers calc_nobs too —
     ``nobs_total`` is the plain groupBy(id).count() path)."""
@@ -326,13 +309,47 @@ def q_save_load_roundtrip(spark, sf_dir):
 
 
 def q_stetson_j(spark, sf_dir):
-    """Stetson J per band via batch(); no SQL equivalent (SURVEY §2.8)."""
+    """Full-table Stetson J as a driver-checked contract (the iterative
+    robust mean itself isn't SQL-expressible; its values are pinned by the
+    green ``stetson_j_golden`` row and golden pytest).
+
+    Runs the kernel over BOTH physical paths — the whole-block vectorized
+    ``process_block`` (default) and the per-group scalar path (forced via
+    ``band_to_calc``, which makes ``process_block`` decline) — and emits,
+    per band: ``n_curves`` (how many light curves have that band after
+    prune(5), which the oracle recomputes exactly from lineitem) and
+    ``agree_ok`` (every per-curve J matches across the two paths at 6 dp,
+    NaN==NaN; the oracle asserts TRUE). A kernel regression in either path
+    turns the row red on values, not just rows."""
     from tape_spark.analysis import calc_stetson_J
 
     ens = _ensemble(spark, sf_dir)
     ens.prune(threshold=5)
-    result = ens.batch(calc_stetson_J)
-    return result.select("l_orderkey", F.explode("stetsonJ").alias("band", "stetson_j"))
+    block = (
+        ens.batch(calc_stetson_J)
+        .select("l_orderkey", F.explode("stetsonJ").alias("band", "j_block"))
+    )
+    scalar = (
+        ens.batch(calc_stetson_J, band_to_calc=["A", "N", "R"])
+        .select("l_orderkey", F.explode("stetsonJ").alias("band", "j_scalar"))
+    )
+    # scalar emits rows for bands absent from a curve; the block path emits
+    # only present bands, so joining on the block keyset discards exactly
+    # the absent-band rows. A <2-point band is NaN in both kernels, which
+    # the pandas→Arrow map conversion surfaces as NULL — so NULL==NULL is
+    # agreement, and Spark's NaN=NaN-is-true covers any literal NaNs.
+    joined = block.join(scalar, ["l_orderkey", "band"], "left")
+    same = (
+        (F.col("j_block").isNull() & F.col("j_scalar").isNull())
+        | (F.round("j_block", 6) == F.round("j_scalar", 6))
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_curves"),
+            F.min(F.coalesce(same, F.lit(False))).alias("agree_ok"),
+        )
+    )
 
 
 _GOLDEN_SOURCE = "/root/reference/tests/tape_tests/data/source/test_source.parquet"
@@ -467,7 +484,7 @@ def q_lc_similarity(spark, sf_dir):
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    return (
+    contract = (
         n_topk.join(n_hit, "query_id", "left")
         .select(
             "query_id",
@@ -475,6 +492,11 @@ def q_lc_similarity(spark, sf_dir):
             (F.coalesce(F.col("n_hit"), F.lit(0)) >= 4).alias("overlap_ok"),
         )
     )
+    # materialize the 3-row contract so the cached embeddings can be
+    # released before the driver moves on to the next query
+    rows = contract.collect()
+    emb.unpersist()
+    return spark.createDataFrame(rows, contract.schema)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -661,6 +683,26 @@ def q_doc_fingerprint(spark, sf_dir):
     from tape_spark.operators import document_fingerprint
 
     return document_fingerprint(_docs(spark, sf_dir)).select("doc_id", "content_sha")
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Token-window chunking with overlap (chunk_tokens=16, overlap=4 →
+    stride 12): every token lands in ≥1 chunk, deterministic sha2 chunk
+    ids. Pure built-in string/array expressions, so the whole output —
+    window geometry, token counts, reassembled chunk text, chunk ids — is
+    value-hash-checked against a DuckDB list-slicing replay."""
+    from tape_spark.operators.text import chunk_documents
+
+    out = chunk_documents(
+        _docs(spark, sf_dir), text_col="text", id_col="doc_id", chunk_tokens=16, overlap_tokens=4
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "n_chunk_tokens",
+        "chunk",
+        "chunk_id",
+    )
 
 
 def q_multimodal_pipeline(spark, sf_dir):
@@ -918,19 +960,6 @@ def q_events_running_stats(spark, sf_dir):
     )
 
 
-def q_events_tumbling(spark, sf_dir):
-    """Tumbling 15-minute window aggregation over the events stream table
-    (batch equivalent of the Structured Streaming path)."""
-    ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy(
-            (F.floor(F.col("t") / 900)).cast("long").alias("window_id"),
-            "event_type",
-        )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
-    )
-
-
 def q_events_sessionize(spark, sf_dir):
     """Sessionization: 30-minute inactivity gap splits sessions per user
     (tape_spark.streaming.sessionize — the batch analog of the
@@ -950,16 +979,36 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Ingest-time replay dedup (tape_spark.streaming.stream_dedup, batch
+    form): the events table unioned with a replayed subset (every 7th
+    event — the retry/replay traffic a real ingest sees) must dedup back
+    to exactly the original rows. Full-row keys, so any survivor of a
+    duplicate group is byte-identical and the output is deterministic.
+    The streaming form of the same function (dropDuplicates[WithinWatermark]
+    + watermark-bounded state) is locked to this batch path by
+    stream=batch parity pytest."""
+    from tape_spark.streaming import stream_dedup
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value", "t")
+    replay = ev.filter(F.col("event_id") % 7 == 0)
+    return stream_dedup(ev.unionAll(replay))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver's correctness harness evaluates the
     first 50 registry entries, so the registry IS the coverage surface.
     Near-duplicate queries from earlier rounds were consolidated
     (text signals fused into text_signals, the three multimodal kernel
-    stages into multimodal_pipeline, select+head into select_head) so
-    every declared query gets a driver row every round."""
+    stages into multimodal_pipeline, select+head into select_head;
+    round 6: ingest_pandas retired — its hash was identical to
+    ingest_source's and from_pandas stays driver-exercised via
+    stetson_j_golden — and the tumbling-window row folded into
+    events_sliding's F.window coverage, making room for chunk_documents
+    and stream_dedup) so every declared query gets a driver row every
+    round."""
     return {
         "ingest_source": q_ingest_source,
-        "ingest_pandas": q_ingest_pandas,
         "calc_nobs_by_band": q_calc_nobs_by_band,
         "prune_sync": q_prune_sync,
         "query_filter": q_query_filter,
@@ -1000,10 +1049,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "vocab_topk": q_vocab_topk,
         "doc_fingerprint": q_doc_fingerprint,
+        "chunk_documents": q_chunk_documents,
         "multimodal_pipeline": q_multimodal_pipeline,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "events_running_stats": q_events_running_stats,
-        "events_tumbling": q_events_tumbling,
+        "stream_dedup": q_stream_dedup,
         "events_sliding": q_events_sliding,
         "events_session_window": q_events_session_window,
         "events_sessionize": q_events_sessionize,
@@ -1220,6 +1270,33 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
 """
 
+# replays chunk_documents' window geometry exactly: DuckDB 1-based inclusive
+# list slices == Spark slice(arr, start, len); same greatest/ceil window count
+_CHUNK_DOCUMENTS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+), win AS (
+  SELECT doc_id, w, CAST(t.i AS BIGINT) AS chunk_index
+  FROM toks, UNNEST(range(0, greatest(1, CAST(ceil((len(w) - 16) / 12.0) AS BIGINT) + 1))) AS t(i)
+)
+SELECT doc_id, chunk_index,
+       CAST(len(w[chunk_index*12 + 1 : chunk_index*12 + 16]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(w[chunk_index*12 + 1 : chunk_index*12 + 16], ' ') AS chunk,
+       sha256(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_index AS VARCHAR)) AS chunk_id
+FROM win
+"""
+
+
+_STREAM_DEDUP_SQL = """
+WITH ev AS (SELECT event_id, user_id, event_type, value, epoch(ts) AS t FROM events),
+uni AS (SELECT * FROM ev UNION ALL SELECT * FROM ev WHERE event_id % 7 = 0)
+SELECT DISTINCT event_id, user_id, event_type, value, t FROM uni
+"""
+
+
 _SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id,
@@ -1269,7 +1346,6 @@ FROM sess GROUP BY user_id, sid
 def oracle_sql() -> dict[str, str]:
     return {
         "ingest_source": _CRITICAL_SELECT,
-        "ingest_pandas": _CRITICAL_SELECT,
         "calc_nobs_by_band": (
             "SELECT l_orderkey, "
             "count(*) FILTER (WHERE l_returnflag = 'A') AS nobs_A, "
@@ -1538,9 +1614,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_sliding": _SLIDING_SQL,
         "events_session_window": _SESSION_WINDOW_SQL,
-        "events_tumbling": (
-            "SELECT CAST(floor(epoch(ts) / 900) AS BIGINT) AS window_id, event_type, "
-            "count(*) AS n, round(avg(value), 6) AS avg_value FROM events GROUP BY 1, 2"
+        "stream_dedup": _STREAM_DEDUP_SQL,
+        "chunk_documents": _CHUNK_DOCUMENTS_SQL,
+        "stetson_j": (
+            # values aren't SQL-expressible (iterative robust mean) — the
+            # contract checks per-band curve counts exactly and asserts the
+            # in-Spark block-vs-scalar agreement boolean
+            "SELECT l_returnflag AS band, count(DISTINCT l_orderkey) AS n_curves, TRUE AS agree_ok "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 5) "
+            "GROUP BY l_returnflag"
         ),
         "events_sessionize": _SESSIONIZE_SQL,
         "events_json": (

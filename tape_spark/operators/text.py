@@ -414,9 +414,9 @@ def chunk_documents(
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
     stride = chunk_tokens - overlap_tokens
-    toks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.array()
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # NULL text behaves like the documented empty-document case (one empty chunk)
+    text = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(F.length(text) == 0, F.array()).otherwise(F.split(text, r"\s+"))
     staged = df.select(F.col(id_col), toks.alias("__toks"))
     # windows = 1 + ceil((n - chunk)/stride), clamped to >= 1: the last
     # window start is <= n - chunk + stride <= n (stride <= chunk), so

@@ -159,10 +159,14 @@ def stream_dedup(
     (``xxhash64(text)``) rather than raw payloads for 8-byte exchange keys,
     as in :mod:`tape_spark.operators.dedup`.
     """
-    cols = keys or df.columns
+    cols = list(keys) if keys else df.columns
     streaming = df.isStreaming
     if streaming and watermark:
         df = df.withWatermark(ts_col, watermark)
+        if not within_watermark and ts_col not in cols:
+            # dropDuplicates state is only evicted when the event-time column
+            # is part of the key set — append it so the store stays bounded
+            cols = cols + [ts_col]
     if streaming and within_watermark:
         return df.dropDuplicatesWithinWatermark(cols)
     return df.dropDuplicates(cols)
