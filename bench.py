@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-REPS = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "5")))
 # numeric core count for partition sizing; CPUS may be non-numeric
 # (local[*] is a valid master) so fall back to the machine's count
 try:
@@ -145,15 +145,36 @@ def main():
 
     run("q9_stetson_j", stetson)
 
+    # fixed-cost calibration probe: a pure-JVM sum over a constant range.
+    # Its wall time has no dependence on this repo's code, so drift in the
+    # calibration medians ACROSS ROUNDS measures ambient host load — the
+    # denominator that separates "the machine was busy" from "the code got
+    # slower". Interleaved like a workload, reported separately (not part
+    # of the headline total, which stays comparable across rounds).
+    def calibration():
+        spark.range(50_000_000, numPartitions=N_CPUS).agg(F.sum("id")).collect()
+
+    probes = [("calibration", calibration)]
+
     # interleave repetitions in suite order: a load spike hits one rep of
     # several queries instead of all reps of one, and the median shrugs it off
-    samples = {name: [] for name, _ in workloads}
+    samples = {name: [] for name, _ in workloads + probes}
     for _ in range(REPS):
-        for name, fn in workloads:
+        for name, fn in workloads + probes:
             t0 = time.time()
             fn()
             samples[name].append(time.time() - t0)
 
+    calib = {
+        name: {
+            "median": round(float(np.median(ts)), 3),
+            "min": round(min(ts), 3),
+            "max": round(max(ts), 3),
+        }
+        for name, ts in samples.items()
+        if any(name == p for p, _ in probes)
+    }
+    samples = {name: ts for name, ts in samples.items() if name not in calib}
     timings = {name: round(float(np.median(ts)), 3) for name, ts in samples.items()}
     spread = {
         name: [round(min(ts), 3), round(max(ts), 3)] for name, ts in samples.items()
@@ -182,6 +203,7 @@ def main():
                 "spread": spread,
                 "min": minimums,
                 "min_total": round(sum(minimums.values()), 3),
+                "calibration": calib,
             }
         )
     )
