@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Deterministically scale the sf0.1 test tables ~10x to measure scaling
+exponents empirically (SCALING.md's claims are design arguments; this
+produces the data to check them on one host).
+
+Replication strategy per table (all pure SQL, no RNG state — `hash()` on
+(id, replica, position) makes every byte reproducible):
+
+- lineitem: 10 replicas with shifted ``l_orderkey`` — 10x the light
+  curves, identical per-curve shapes, so per-curve kernels (SF2, Stetson)
+  should scale linearly in row count.
+- documents: 10 replicas with shifted ``doc_id`` and a per-replica
+  deterministic word shuffle (order by hash) — a cyclic rotation would
+  preserve bigram shingles and make every replica a near-duplicate of its
+  source, quadratically inflating LSH candidate pairs; a shuffle keeps
+  the corpus' duplicate structure comparable to the original.
+- events: 10 replicas, ids/user_ids offset, timestamps shifted 30 days
+  per replica so window/session cardinalities scale ~linearly.
+- embeddings: 10 replicas with shifted ``vec_id`` (ANN cost is
+  value-independent).
+
+Output: $OUT_DIR (default /root/repo/.benchdata/sf1)/{table}.parquet.
+Run bench.py against it with SPARK_GRAFT_SF_DIR=$OUT_DIR.
+"""
+
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+con.sql(f"""
+COPY (
+  SELECT * REPLACE (l_orderkey + r.k * 150000 AS l_orderkey)
+  FROM '{SRC}/lineitem.parquet', UNNEST(range(0, {REPLICAS})) r(k)
+) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
+""")
+print("lineitem done")
+
+con.sql(f"""
+COPY (
+  WITH tok AS (
+    SELECT doc_id, lang, source, n_chars,
+           regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w
+    FROM '{SRC}/documents.parquet'
+  ),
+  expl AS (
+    SELECT doc_id, r.k, lang, source, n_chars,
+           w[CAST(t.i AS BIGINT) + 1] AS tok_w,
+           hash(doc_id * 1000003 + r.k * 7919 + t.i) AS h
+    FROM tok, UNNEST(range(0, {REPLICAS})) r(k), UNNEST(range(0, len(w))) t(i)
+  )
+  SELECT doc_id + k * 5000 AS doc_id,
+         string_agg(tok_w, ' ' ORDER BY h, tok_w) AS text,
+         any_value(lang) AS lang,
+         any_value(source) AS source,
+         any_value(n_chars) AS n_chars
+  FROM expl GROUP BY doc_id + k * 5000
+) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
+""")
+print("documents done")
+
+con.sql(f"""
+COPY (
+  SELECT event_id + r.k * 100000 AS event_id,
+         ts + to_days(CAST(r.k * 30 AS INTEGER)) AS ts,
+         user_id + r.k * 1500 AS user_id,
+         event_type, value, props
+  FROM '{SRC}/events.parquet', UNNEST(range(0, {REPLICAS})) r(k)
+) TO '{OUT}/events.parquet' (FORMAT PARQUET)
+""")
+print("events done")
+
+con.sql(f"""
+COPY (
+  SELECT * REPLACE (vec_id + r.k * 2000 AS vec_id)
+  FROM '{SRC}/embeddings.parquet', UNNEST(range(0, {REPLICAS})) r(k)
+) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+""")
+print("embeddings done")
+
+for t in ("lineitem", "documents", "events", "embeddings"):
+    n = con.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    print(t, n)
