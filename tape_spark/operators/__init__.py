@@ -30,6 +30,7 @@ from .text import (
     text_quality,
     text_signals,
     token_count,
+    tokenize_chunks,
     vocab_topk,
 )
 
@@ -58,5 +59,6 @@ __all__ = [
     "corpus_filter",
     "chunk_documents",
     "text_signals",
+    "tokenize_chunks",
     "vocab_topk",
 ]

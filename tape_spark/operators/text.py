@@ -438,3 +438,53 @@ def chunk_documents(
             256,
         ).alias("chunk_id"),
     )
+
+
+def tokenize_chunks(
+    df: DataFrame,
+    tokenizer=None,
+    text_col: str = "chunk",
+    id_col: str = "chunk_id",
+) -> DataFrame:
+    """The tokenizer hook point of the ingest pipeline: map each chunk to
+    ``(id, input_ids, n_input_ids)`` via an Arrow-batched ``mapInPandas``.
+
+    ``tokenizer`` is any picklable ``str -> list[int]`` callable — plug in
+    a real BPE here (e.g. a ``tokenizers``/``tiktoken`` encode, constructed
+    lazily per executor). The default is a deterministic stand-in
+    (whitespace split, crc32 of each token mod 2**31) so the plumbing —
+    batch shape, schema, partition inheritance — is testable without
+    tokenizer libs in the environment.
+
+    At 100 TB this is the canonical Python stage: a narrow per-row map
+    with no shuffle, inheriting whatever partitioning/bucketing the chunk
+    table already has; Arrow carries the string batches out and the int
+    arrays back. Keep the tokenizer object per-partition (closure state),
+    never per-row.
+    """
+    if tokenizer is None:
+        from zlib import crc32
+
+        def tokenizer(s: str) -> list:
+            return [crc32(t.encode()) % 2**31 for t in s.split()]
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("input_ids", T.ArrayType(T.LongType())),
+            T.StructField("n_input_ids", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids = [tokenizer(s) for s in pdf[text_col].astype(str)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "input_ids": ids,
+                    "n_input_ids": [len(x) for x in ids],
+                }
+            )
+
+    return df.mapInPandas(run, schema)

@@ -1,0 +1,80 @@
+"""End-to-end pretraining-ingest pipeline: corpus_filter → chunk_documents
+→ stream_dedup → tokenize_chunks — the shape a real training-data job
+chains, with row-count invariants at every boundary.
+
+Each stage is individually oracle- or pytest-checked elsewhere; this file
+locks the COMPOSITION: the gate's keep-set drives the chunker, chunk ids
+survive a replayed-ingest dedup, and the tokenizer hook consumes the chunk
+table unchanged.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tape_spark.operators import chunk_documents, corpus_filter, tokenize_chunks
+from tape_spark.streaming import stream_dedup
+
+
+@pytest.fixture
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and then it naps in the sun all day"),
+        (1, "data pipelines shuffle and sort and the tokens flow to the trainer in order"),
+        (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),  # repetitive
+        (3, "a b"),  # too short
+        (4, "the engine reads the parquet and it keeps the partitions narrow for the scan"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_filter_chunk_dedup_tokenize_chain(spark, corpus):
+    # stage 1: quality gate — repetitive + too-short docs drop
+    gate = corpus_filter(corpus, min_tokens=5, max_rep_ratio=0.5, min_stop_ratio=0.0)
+    kept = corpus.join(gate.filter("keep").select("doc_id"), "doc_id")
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids == {0, 1, 4}
+
+    # stage 2: chunk the surviving docs (window 6, overlap 2 → stride 4)
+    chunks = chunk_documents(kept, chunk_tokens=6, overlap_tokens=2)
+    cp = chunks.toPandas()
+    # every kept doc produced chunks; no dropped doc leaked through
+    assert set(cp["doc_id"]) == kept_ids
+    # chunk ids are globally unique and token coverage is exact: with
+    # stride 4 and window 6, token counts sum to n + 2 * (n_chunks - 1)
+    assert cp["chunk_id"].is_unique
+    for doc_id, grp in cp.groupby("doc_id"):
+        n_tokens = len(
+            kept.filter(F.col("doc_id") == doc_id).collect()[0].text.split()
+        )
+        assert grp["n_chunk_tokens"].sum() == n_tokens + 2 * (len(grp) - 1)
+
+    # stage 3: replayed ingest — a re-crawled batch of chunks arrives
+    # again; content-keyed stream_dedup restores exactly one row per chunk
+    replay = chunks.filter(F.col("chunk_index") == 0)
+    deduped = stream_dedup(chunks.unionAll(replay), keys=["chunk_id"])
+    assert deduped.count() == len(cp)
+    # survivors are byte-identical to the originals (full-row set equality)
+    orig = {tuple(r) for r in cp.itertuples(index=False)}
+    got = {tuple(r) for r in deduped.toPandas().itertuples(index=False)}
+    assert got == orig
+
+    # stage 4: tokenizer hook — default deterministic tokenizer preserves
+    # the whitespace token count, one id list per chunk
+    toks = tokenize_chunks(deduped).toPandas()
+    assert len(toks) == len(cp)
+    merged = toks.merge(cp[["chunk_id", "n_chunk_tokens"]], on="chunk_id")
+    assert (merged["n_input_ids"] == merged["n_chunk_tokens"]).all()
+    assert merged["input_ids"].map(len).equals(merged["n_input_ids"].map(int))
+
+
+def test_tokenize_chunks_custom_tokenizer(spark, corpus):
+    chunks = chunk_documents(corpus, chunk_tokens=8)
+
+    def char_pairs(s):
+        return [ord(c) for c in s.replace(" ", "")][:4]
+
+    out = tokenize_chunks(chunks, tokenizer=char_pairs).toPandas()
+    assert (out["n_input_ids"] <= 4).all()
+    row = out.merge(chunks.toPandas()[["chunk_id", "chunk"]], on="chunk_id").iloc[0]
+    assert row["input_ids"] == [ord(c) for c in row["chunk"].replace(" ", "")][:4]
