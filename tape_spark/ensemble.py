@@ -39,6 +39,23 @@ from .utils.expr import translate_query_expr
 
 SOURCE_FRAME_LABEL = "source"
 OBJECT_FRAME_LABEL = "object"
+
+# Reductions batch() recognizes and rewrites to built-in Catalyst
+# aggregates (see the fast path in batch()): the numpy callable users pass
+# per the reference's API, mapped to the JVM-side equivalent with
+# identical semantics on clean data (NaN/NULL groups are forced to NaN to
+# match what the callable would see through the pandas conversion).
+# np.std/np.var default to ddof=0, hence the _pop variants; Spark's
+# median is the exact interpolating median, same as np.median.
+_BUILTIN_REDUCERS: Dict[Callable, Callable] = {
+    np.mean: F.avg,
+    np.sum: F.sum,
+    np.min: F.min,
+    np.max: F.max,
+    np.median: F.median,
+    np.std: F.stddev_pop,
+    np.var: F.var_pop,
+}
 METADATA_FILENAME = "ensemble_metadata.json"
 
 
@@ -1192,6 +1209,43 @@ class Ensemble:
         first_is_map = isinstance(result_fields[0].dataType, T.MapType) if result_fields else False
         func_cols = list(cols)
         group_keys = list(on)
+
+        # Recognized-reducer fast path: batch(np.mean, col) and friends are
+        # the reference's canonical workflows (benchmarks.py:27-40), but a
+        # plain commutative reduction needs no Python at all — translate it
+        # to a built-in Catalyst aggregate (whole-stage codegen, map-side
+        # partial combine, no Arrow transfer). NULL/NaN semantics are
+        # emulated exactly: the UDF path surfaces NULL as NaN through the
+        # pandas conversion and every reducer here propagates NaN, so any
+        # NULL-or-NaN in the group forces a NaN result. Only taken when the
+        # caller left the physical path to the engine (use_map is None) so
+        # parity tests can still force either pandas path explicitly.
+        builtin = (
+            _BUILTIN_REDUCERS.get(func)
+            if not isinstance(func, AnalysisFunction) and getattr(func, "__hash__", None)
+            else None
+        )
+        if (
+            builtin is not None
+            and use_map is None
+            and not kwargs
+            and len(func_cols) == 1
+            and len(result_names) == 1
+            and isinstance(result_fields[0].dataType, T.DoubleType)
+        ):
+            c = F.col(func_cols[0])
+            dirty = (F.count(F.lit(1)) != F.count(c)) | (
+                F.count(F.when(F.isnan(c), F.lit(1))) > 0
+            )
+            result = src.groupBy(*on).agg(
+                F.when(dirty, F.lit(float("nan")))
+                .otherwise(builtin(c))
+                .alias(result_names[0])
+            )
+            if by_band:
+                result = self._pivot_by_band(result, on, band_values, result_names, src)
+            self.add_frame(result, label or self._generate_label())
+            return result
         # opt-in columnar protocol: the kernel returns {result_name: ndarray}
         # and the engine builds ONE DataFrame per partition instead of one
         # per group (pandas construction dominates on tiny light curves)
@@ -1316,27 +1370,40 @@ class Ensemble:
             result = src.groupBy(*on).applyInPandas(apply_wrapper, schema)
 
         if by_band:
-            id_keys = [k for k in on if k != band_col]
-            if band_values is None:
-                band_values = sorted(
-                    r[0] for r in src.select(band_col).distinct().collect()
-                )
-            aggs = [F.first(F.col(c)).alias(c) for c in result_names]
-            result = result.groupBy(*id_keys).pivot(band_col, band_values).agg(*aggs)
-            # normalize pivot names to the reference's {col}_{band} convention
-            renames = {}
-            for b in band_values:
-                if len(result_names) == 1:
-                    renames[str(b)] = f"{result_names[0]}_{b}"
-                else:
-                    for c in result_names:
-                        renames[f"{b}_{c}"] = f"{c}_{b}"
-            result = result.select(
-                *id_keys, *[F.col(old).alias(new) for old, new in renames.items()]
-            )
+            result = self._pivot_by_band(result, on, band_values, result_names, src)
 
         self.add_frame(result, label or self._generate_label())
         return result
+
+    def _pivot_by_band(
+        self,
+        result: DataFrame,
+        on: List[str],
+        band_values: Optional[List[str]],
+        result_names: List[str],
+        src: DataFrame,
+    ) -> DataFrame:
+        """Pivot a per-(id, band) batch result to the reference's
+        ``{col}_{band}`` wide convention (``_standardize_batch``)."""
+        band_col = self._band_col
+        id_keys = [k for k in on if k != band_col]
+        if band_values is None:
+            band_values = sorted(
+                r[0] for r in src.select(band_col).distinct().collect()
+            )
+        aggs = [F.first(F.col(c)).alias(c) for c in result_names]
+        result = result.groupBy(*id_keys).pivot(band_col, band_values).agg(*aggs)
+        # normalize pivot names to the reference's {col}_{band} convention
+        renames = {}
+        for b in band_values:
+            if len(result_names) == 1:
+                renames[str(b)] = f"{result_names[0]}_{b}"
+            else:
+                for c in result_names:
+                    renames[f"{b}_{c}"] = f"{c}_{b}"
+        return result.select(
+            *id_keys, *[F.col(old).alias(new) for old, new in renames.items()]
+        )
 
     # ------------------------------------------------------------------ #
     # sf2 convenience                                                    #

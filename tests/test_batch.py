@@ -203,3 +203,69 @@ def test_batch_columnar_map_and_shuffle_paths_agree(ramp_ensemble):
     )
     assert len(fast) > 0
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_builtin_reducer_fast_path_parity(ramp_ensemble):
+    """Every recognized reducer: the engine-chosen built-in-aggregate path
+    must match the forced pandas shuffle path at float tolerance."""
+    for fn in (np.mean, np.sum, np.min, np.max, np.median, np.std, np.var):
+        fast = ramp_ensemble.batch(fn, "flux", meta=("result", float)).toPandas()
+        slow = ramp_ensemble.batch(
+            fn, "flux", meta=("result", float), use_map=False
+        ).toPandas()
+        m = fast.merge(slow, on="id", suffixes=("_f", "_s"))
+        assert len(m) == 5, fn
+        assert np.allclose(
+            m["result_f"], m["result_s"], rtol=1e-9, equal_nan=True
+        ), fn
+
+
+def test_builtin_reducer_uses_no_python(ramp_ensemble):
+    """batch(np.mean) with the physical path left to the engine must plan
+    as a pure JVM aggregate — no Arrow/pandas evaluation anywhere."""
+    result = ramp_ensemble.batch(np.mean, "flux", meta=("result", float))
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_builtin_reducer_nan_null_forces_nan(spark):
+    """A group containing NULL or NaN yields NaN — exactly what the numpy
+    callable sees through the pandas conversion on the UDF path."""
+    from tape_spark import ColumnMapper, Ensemble
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 1, 2, 2, 3, 3],
+            "t": [0.0, 1.0, 0.0, 1.0, 0.0, 1.0],
+            "flux": [1.0, None, 2.0, float("nan"), 3.0, 5.0],
+            "err": [0.1] * 6,
+            "band": ["g"] * 6,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    cm = ColumnMapper(id_col="id", time_col="t", flux_col="flux", err_col="err", band_col="band")
+    ens = Ensemble(spark).from_spark(sdf, column_mapper=cm, npartitions=2)
+    fast = ens.batch(np.mean, "flux", meta=("result", float)).toPandas().set_index("id")["result"]
+    slow = (
+        ens.batch(np.mean, "flux", meta=("result", float), use_map=False)
+        .toPandas()
+        .set_index("id")["result"]
+    )
+    for series in (fast, slow):
+        assert np.isnan(series[1]) and np.isnan(series[2])
+        assert series[3] == 4.0
+
+
+def test_builtin_reducer_by_band_pivot(ramp_ensemble):
+    """Fast path composes with the by_band pivot identically to the
+    pandas path."""
+    fast = ramp_ensemble.batch(np.mean, "flux", meta=("result", float), by_band=True).toPandas()
+    slow = ramp_ensemble.batch(
+        np.mean, "flux", meta=("result", float), by_band=True, use_map=False
+    ).toPandas()
+    cols = sorted(c for c in fast.columns if c.startswith("result_"))
+    assert cols == sorted(c for c in slow.columns if c.startswith("result_"))
+    m = fast.merge(slow, on="id", suffixes=("_f", "_s"))
+    for c in cols:
+        assert np.allclose(m[f"{c}_f"], m[f"{c}_s"], rtol=1e-9, equal_nan=True)
