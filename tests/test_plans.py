@@ -47,8 +47,12 @@ def test_filter_pushdown_reaches_scan(spark, li_ensemble):
 
 def test_batch_map_path_single_exchange(li_ensemble):
     """The cohesive fast path: exactly one Exchange (the ingest
-    repartition), then MapInPandas — no per-group shuffle."""
-    result = li_ensemble.batch(np.mean, "l_extendedprice", meta=("result", float))
+    repartition), then MapInPandas — no per-group shuffle. Uses a custom
+    kernel: recognized reducers like np.mean now rewrite to a built-in
+    aggregate before path selection (plan shape pinned in
+    test_batch.py::test_builtin_reducer_uses_no_python)."""
+    kernel = lambda f: float(np.mean(f))  # noqa: E731 — opaque to the rewriter
+    result = li_ensemble.batch(kernel, "l_extendedprice", meta=("result", float))
     plan = plan_of(result)
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" not in plan
@@ -65,7 +69,8 @@ def test_batch_shuffle_path_when_forced(li_ensemble):
 def test_batch_falls_back_without_cohesion(li_ensemble):
     li_ensemble.frames["source"] = li_ensemble.frames["source"].repartition(8)
     li_ensemble._source_cohesive = False
-    result = li_ensemble.batch(np.mean, "l_extendedprice", meta=("result", float))
+    kernel = lambda f: float(np.mean(f))  # noqa: E731 — opaque to the rewriter
+    result = li_ensemble.batch(kernel, "l_extendedprice", meta=("result", float))
     assert "FlatMapGroupsInPandas" in plan_of(result)
 
 
@@ -136,7 +141,15 @@ def test_bucketed_table_elides_all_shuffles(spark, li_ensemble, tmp_path):
         )
         assert "Exchange" not in plan_of(shuffle_batch)
 
-        map_batch = ens.batch(np.mean, "l_extendedprice", meta=("result", float))
+        # recognized reducer: rewritten to a built-in aggregate that rides
+        # the bucketing — still zero exchanges, and no Python at all
+        agg_batch = ens.batch(np.mean, "l_extendedprice", meta=("result", float))
+        agg_plan = plan_of(agg_batch)
+        assert "HashAggregate" in agg_plan and "Exchange" not in agg_plan
+        assert "InPandas" not in agg_plan
+
+        kernel = lambda f: float(np.mean(f))  # noqa: E731 — opaque to the rewriter
+        map_batch = ens.batch(kernel, "l_extendedprice", meta=("result", float))
         plan = plan_of(map_batch)
         assert "MapInPandas" in plan and "Exchange" not in plan
 
