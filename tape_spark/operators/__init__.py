@@ -18,6 +18,7 @@ from .dedup import (
     connected_components,
     dedup_clusters,
 )
+from .curation import corpus_mix, decontaminate, mix_fractions, stratified_sample
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
@@ -61,4 +62,8 @@ __all__ = [
     "text_signals",
     "tokenize_chunks",
     "vocab_topk",
+    "decontaminate",
+    "stratified_sample",
+    "mix_fractions",
+    "corpus_mix",
 ]

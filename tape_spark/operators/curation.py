@@ -1,0 +1,239 @@
+"""Corpus-curation operators: benchmark decontamination and deterministic
+stratified sampling / mixture construction.
+
+These extend the engine beyond the reference's surface (the reference,
+``/root/reference/src/tape/ensemble.py``, has no corpus operators) with the
+two curation steps every large-scale training-data pipeline runs between
+dedup and tokenization:
+
+- :func:`decontaminate` — flag training documents that share word n-grams
+  with an evaluation/benchmark set (the published 13-gram-overlap
+  decontamination recipe, parameterized).
+- :func:`stratified_sample` / :func:`corpus_mix` — content-addressed
+  per-stratum sampling that hits a target mixture (by language, source
+  domain, quality bucket, ...) reproducibly across runs, engines, and
+  cluster sizes.
+
+Scale shape (100 TB corpus, ~MB-scale benchmark set):
+
+- decontaminate: the benchmark n-gram set is tiny by construction, so it
+  is ``broadcast()``; the corpus side is one narrow projection (split →
+  n-grams → distinct → explode) feeding a broadcast hash join and a
+  partial-aggregated ``groupBy(doc)``. Because each document's n-grams are
+  produced contiguously inside its input partition, the map-side combine
+  collapses them to one row per document before the (tiny) final shuffle.
+  No all-pairs work anywhere.
+- stratified_sample: a pure narrow filter — md5 of the document id mapped
+  to [0, 1) and compared to the stratum's rate. Zero shuffles, trivially
+  linear, and the kept set is a deterministic function of content (stable
+  under repartitioning, retries, and cluster-size changes).
+- corpus_mix: one O(#strata) aggregate to size the rates (bounded
+  driver-side collect), then the same narrow filter.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "decontaminate",
+    "stratified_sample",
+    "mix_fractions",
+    "corpus_mix",
+]
+
+
+def _ngram_array(text_col: str, n: int):
+    """Distinct word ``n``-grams of a text column as an array<string>.
+
+    Tokens are lowercased whitespace tokens; a document with fewer than
+    ``n`` tokens (including empty/NULL text) yields an empty array. Pure
+    built-in expressions (split / sequence / slice / array_join /
+    array_distinct) — whole-stage codegen, no Python.
+    """
+    toks_sql = (
+        f"CASE WHEN length(trim(lower(coalesce({text_col}, '')))) = 0 THEN array() "
+        f"ELSE split(trim(lower(coalesce({text_col}, ''))), '\\\\s+') END"
+    )
+    grams = F.expr(
+        f"CASE WHEN size({toks_sql}) >= {n} THEN "
+        f"transform(sequence(0, size({toks_sql}) - {n}), "
+        f"i -> array_join(slice({toks_sql}, i + 1, {n}), ' ')) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: Optional[str] = None,
+    n: int = 3,
+    min_hits: int = 1,
+    hashed: bool = True,
+) -> DataFrame:
+    """Per-document benchmark-overlap statistics for eval decontamination.
+
+    For every row of ``docs``, counts how many of its distinct word
+    ``n``-grams occur anywhere in ``benchmark``'s text. Returns one row per
+    document: ``(id_col, n_ngrams, n_contaminated, contamination,
+    is_contaminated)`` where ``contamination`` is the contaminated
+    fraction of the document's distinct n-grams (0.0 for documents with
+    fewer than ``n`` tokens) and ``is_contaminated`` is
+    ``n_contaminated >= min_hits``. Published pipelines use n = 13 and
+    drop (or split around) contaminated documents; the default n = 3 suits
+    the short synthetic test corpus.
+
+    ``hashed=True`` (default) joins on ``xxhash64`` of the n-gram — 8-byte
+    join keys instead of arbitrary-length strings, the right shape when
+    the corpus side is 100 TB. The benchmark side is distinct-reduced and
+    **broadcast**, so the only shuffle is the final partial-aggregated
+    count per document id.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    bench_text = bench_text_col or text_col
+    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+
+    bench_grams = (
+        benchmark.select(F.explode(_ngram_array(bench_text, n)).alias("__gram"))
+        .select(key(F.col("__gram")).alias("__bg"))
+        .distinct()
+    )
+    # explode_outer keeps 0-ngram documents (one NULL placeholder row);
+    # guard the key derivation because xxhash64(NULL) is the seed value,
+    # not NULL, which would miscount the placeholder as a real n-gram
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(_ngram_array(text_col, n)).alias("__gram"),
+    ).select(
+        F.col(id_col),
+        F.when(F.col("__gram").isNotNull(), key(F.col("__gram"))).alias("__dg"),
+    )
+
+    flagged = doc_grams.join(
+        F.broadcast(bench_grams), doc_grams["__dg"] == bench_grams["__bg"], "left"
+    )
+    out = flagged.groupBy(id_col).agg(
+        F.count("__dg").cast("long").alias("n_ngrams"),
+        F.count("__bg").cast("long").alias("n_contaminated"),
+    )
+    return out.select(
+        F.col(id_col),
+        "n_ngrams",
+        "n_contaminated",
+        (
+            F.col("n_contaminated") / F.greatest(F.col("n_ngrams"), F.lit(1))
+        ).alias("contamination"),
+        (F.col("n_contaminated") >= min_hits).alias("is_contaminated"),
+    )
+
+
+def _hash_unit(id_col: str, salt: str):
+    """md5(id [+ ':' + salt]) mapped to [0, 1).
+
+    Uses the top 52 md5 bits so the int→double conversion is exact (52 ≤
+    the double mantissa) and the draw replays bit-identically on any
+    engine (same construction as ``Ensemble.sample(method='hash')``,
+    ``tape_spark/ensemble.py``)."""
+    seed = F.col(id_col).cast("string")
+    if salt:
+        seed = F.concat(seed, F.lit(":" + salt))
+    return F.conv(F.substring(F.md5(seed), 1, 13), 16, 10).cast("double") / F.lit(
+        float(1 << 52)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff md5(id) mapped to
+    [0, 1) falls below its stratum's fraction.
+
+    Unlike ``DataFrame.sampleBy`` (partition-seeded RNG), the kept set is
+    a pure function of row content — identical across runs, engines,
+    repartitionings, and cluster sizes, which is what reproducible corpus
+    construction requires. Strata absent from ``fractions`` get
+    ``default_fraction``; ``salt`` decorrelates independent draws over the
+    same ids. One narrow codegen filter, zero shuffles.
+    """
+    for s, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    rate = F.lit(float(default_fraction))
+    expr = None
+    for s, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(s)
+        expr = F.when(cond, F.lit(float(frac))) if expr is None else expr.when(cond, F.lit(float(frac)))
+    rate = expr.otherwise(rate) if expr is not None else rate
+    return df.filter(_hash_unit(id_col, salt) < rate)
+
+
+def mix_fractions(
+    df: DataFrame,
+    strata_col: str,
+    weights: Dict[str, float],
+    total_rows: int,
+) -> Dict[str, float]:
+    """Per-stratum keep rates that realize a target mixture.
+
+    Normalizes ``weights`` to proportions, targets
+    ``proportion * total_rows`` rows per stratum, and converts to a rate
+    against the stratum's actual count (clamped to 1.0 — an
+    under-represented stratum contributes everything it has; upsampling
+    with replacement is out of scope). The count aggregate collects
+    O(#strata) rows — bounded by contract, the one driver-side step.
+    """
+    if total_rows < 0:
+        raise ValueError("total_rows must be >= 0")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fracs: Dict[str, float] = {}
+    for s, w in weights.items():
+        have = counts.get(s, 0)
+        if have <= 0:
+            fracs[s] = 0.0
+        else:
+            fracs[s] = min(1.0, (w / wsum) * total_rows / have)
+    return fracs
+
+
+def corpus_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: Dict[str, float],
+    total_rows: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Build a target corpus mixture: size per-stratum rates with
+    :func:`mix_fractions`, then draw with :func:`stratified_sample`.
+
+    Strata not named in ``weights`` are excluded (rate 0). The draw is
+    Bernoulli per row, so realized counts concentrate around the target
+    (exact-k reservoir selection would need a per-stratum top-k on the
+    hash — available via ``Window.partitionBy(strata).orderBy(hash)`` if
+    exact sizes ever matter more than a single narrow filter).
+    """
+    fracs = mix_fractions(df, strata_col, weights, total_rows)
+    return stratified_sample(
+        df, strata_col, fracs, id_col=id_col, default_fraction=0.0, salt=salt
+    )

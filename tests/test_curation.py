@@ -1,0 +1,177 @@
+"""Corpus-curation operators: decontamination + stratified mixture
+sampling (tape_spark/operators/curation.py — beyond the reference's
+surface, no counterpart in /root/reference)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from tape_spark.operators import (
+    corpus_mix,
+    decontaminate,
+    mix_fractions,
+    stratified_sample,
+)
+
+
+@pytest.fixture
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "a completely different sentence about spark engines", "en"),
+        (2, "der schnelle braune fuchs springt sehr hoch", "de"),
+        (3, "short", "en"),
+        (4, "", "de"),
+        (5, None, "fr"),
+        (6, "the quick brown fox appears in this eval question", "en"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+
+
+@pytest.fixture
+def bench(spark):
+    rows = [
+        (100, "what does the quick brown fox do"),
+        (101, "unrelated benchmark prompt entirely"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _py_ngrams(text, n):
+    toks = (text or "").strip().lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_decontaminate_matches_python_reference(corpus, bench):
+    n = 3
+    bench_rows = [(100, "what does the quick brown fox do"), (101, "unrelated benchmark prompt entirely")]
+    bset = set()
+    for _, t in bench_rows:
+        bset |= _py_ngrams(t, n)
+    got = {r["doc_id"]: r.asDict() for r in decontaminate(corpus, bench, n=n).collect()}
+    corpus_rows = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "a completely different sentence about spark engines",
+        2: "der schnelle braune fuchs springt sehr hoch",
+        3: "short",
+        4: "",
+        5: None,
+        6: "the quick brown fox appears in this eval question",
+    }
+    assert set(got) == set(corpus_rows)  # every doc appears, even 0-ngram ones
+    for doc_id, text in corpus_rows.items():
+        grams = _py_ngrams(text, n)
+        hits = grams & bset
+        row = got[doc_id]
+        assert row["n_ngrams"] == len(grams), doc_id
+        assert row["n_contaminated"] == len(hits), doc_id
+        expect_frac = len(hits) / max(len(grams), 1)
+        assert abs(row["contamination"] - expect_frac) < 1e-12
+        assert row["is_contaminated"] == (len(hits) >= 1)
+    # docs 0 and 6 share "the quick brown fox" 3-grams with the benchmark
+    assert got[0]["is_contaminated"] and got[6]["is_contaminated"]
+    assert not got[1]["is_contaminated"]
+    assert got[3]["n_ngrams"] == 0 and got[4]["n_ngrams"] == 0 and got[5]["n_ngrams"] == 0
+
+
+def test_decontaminate_hashed_and_string_paths_agree(corpus, bench):
+    a = decontaminate(corpus, bench, n=2, hashed=True).orderBy("doc_id").collect()
+    b = decontaminate(corpus, bench, n=2, hashed=False).orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_decontaminate_min_hits(corpus, bench):
+    out = {
+        r["doc_id"]: r["is_contaminated"]
+        for r in decontaminate(corpus, bench, n=3, min_hits=3).collect()
+    }
+    # doc 0 shares exactly two 3-grams ("the quick brown", "quick brown fox");
+    # with min_hits=3 nothing qualifies
+    assert not any(out.values())
+
+
+def test_decontaminate_no_python_in_plan(corpus, bench):
+    plan = decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def _expected_keep(doc_id, frac, salt=""):
+    seed = str(doc_id) + (":" + salt if salt else "")
+    u = int(hashlib.md5(seed.encode()).hexdigest()[:13], 16) / float(1 << 52)
+    return u < frac
+
+
+def test_stratified_sample_deterministic_and_exact(corpus):
+    fracs = {"en": 0.5, "de": 1.0}
+    out = stratified_sample(corpus, "lang", fracs, id_col="doc_id")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    lang = {0: "en", 1: "en", 2: "de", 3: "en", 4: "de", 5: "fr", 6: "en"}
+    expect = sorted(
+        d for d, l in lang.items() if _expected_keep(d, fracs.get(l, 0.0))
+    )
+    assert kept == expect
+    # default_fraction=0 excludes the fr stratum entirely
+    assert 5 not in kept
+    # de stratum at rate 1.0 keeps everything
+    assert {2, 4} <= set(kept)
+    # repeat run identical (content-addressed, no RNG)
+    again = sorted(r["doc_id"] for r in stratified_sample(corpus, "lang", fracs).collect())
+    assert again == kept
+
+
+def test_stratified_sample_salt_decorrelates(corpus):
+    base = {r["doc_id"] for r in stratified_sample(corpus, "lang", {"en": 0.5, "de": 0.5, "fr": 0.5}).collect()}
+    salted = {
+        r["doc_id"]
+        for r in stratified_sample(corpus, "lang", {"en": 0.5, "de": 0.5, "fr": 0.5}, salt="v2").collect()
+    }
+    lang = {0: "en", 1: "en", 2: "de", 3: "en", 4: "de", 5: "fr", 6: "en"}
+    assert base == {d for d in lang if _expected_keep(d, 0.5)}
+    assert salted == {d for d in lang if _expected_keep(d, 0.5, salt="v2")}
+
+
+def test_stratified_sample_validates_fractions(corpus):
+    with pytest.raises(ValueError):
+        stratified_sample(corpus, "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(corpus, "lang", {}, default_fraction=-0.1)
+
+
+def test_stratified_sample_no_shuffle(corpus):
+    plan = (
+        stratified_sample(corpus, "lang", {"en": 0.5})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+def test_mix_fractions_targets_and_clamps(corpus):
+    # en has 4 rows, de 2, fr 1. Target 4 rows at weights en:1, de:1 →
+    # 2 rows each → rate 0.5 for en, 1.0 for de; fr unnamed → absent.
+    fr = mix_fractions(corpus, "lang", {"en": 1.0, "de": 1.0}, total_rows=4)
+    assert fr == {"en": 0.5, "de": 1.0}
+    # an impossible target clamps at 1.0
+    fr2 = mix_fractions(corpus, "lang", {"de": 1.0}, total_rows=100)
+    assert fr2 == {"de": 1.0}
+    # unknown stratum → rate 0
+    fr3 = mix_fractions(corpus, "lang", {"xx": 1.0}, total_rows=10)
+    assert fr3 == {"xx": 0.0}
+    with pytest.raises(ValueError):
+        mix_fractions(corpus, "lang", {"en": 0.0}, total_rows=5)
+
+
+def test_corpus_mix_end_to_end(corpus):
+    out = corpus_mix(corpus, "lang", {"en": 1.0, "de": 1.0}, total_rows=4)
+    rows = {r["doc_id"]: r["lang"] for r in out.collect()}
+    # fr excluded (no weight); de kept fully (rate clamps to 1.0)
+    assert all(l != "fr" for l in rows.values())
+    assert {2, 4} <= set(rows)
+    # en drawn at rate 0.5 with the md5 hash — replay expectation
+    en_expected = {d for d in (0, 1, 3, 6) if _expected_keep(d, 0.5)}
+    assert {d for d, l in rows.items() if l == "en"} == en_expected
