@@ -568,12 +568,42 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_signatures(_docs(spark, sf_dir), bits=32, token_hash="md5_60")
 
 
-def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (brute-force oracle path)."""
-    from tape_spark.operators import embedding_near_duplicates
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: per-document count of distinct word
+    3-grams shared with an eval set (every 23rd document stands in as the
+    benchmark; the rest are the training corpus). Runs the hashed scale
+    path — xxhash64 8-byte join keys against the broadcast benchmark
+    n-gram set — while the oracle replays the same counts with string
+    n-grams, so the row also proves the two key domains agree."""
+    from tape_spark.operators import decontaminate
 
-    pairs = embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.5, brute_force=True)
-    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    out = decontaminate(train, bench, n=3)
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        "n_contaminated",
+        F.round("contamination", 6).alias("contamination"),
+        "is_contaminated",
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling: per-language keep rates
+    drawn from the top 52 md5 bits of the doc id — the kept set is a pure
+    function of content, so the oracle replays it row-exactly."""
+    from tape_spark.operators import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.6, "de": 0.35, "fr": 0.2, "es": 0.5},
+        id_col="doc_id",
+    )
+    return out.select("doc_id", "lang", "source")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -970,15 +1000,6 @@ def q_events_sessionize(spark, sf_dir):
     return sessionize(ev, user_col="user_id", ts_col="t", gap_seconds=1800.0, order_cols=["event_id"])
 
 
-def q_events_json(spark, sf_dir):
-    """JSON property extraction from the events props column."""
-    ev = _events(spark, sf_dir)
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-    )
-
-
 def q_stream_dedup(spark, sf_dir):
     """Ingest-time replay dedup (tape_spark.streaming.stream_dedup, batch
     form): the events table unioned with a replayed subset (every 7th
@@ -1005,8 +1026,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ingest_source's and from_pandas stays driver-exercised via
     stetson_j_golden — and the tumbling-window row folded into
     events_sliding's F.window coverage, making room for chunk_documents
-    and stream_dedup) so every declared query gets a driver row every
-    round."""
+    and stream_dedup; later in round 6, embedding_near_dup folded into
+    embedding_near_dup_lsh — whose query runs the same brute path
+    in-Spark and whose oracle recomputes the exact pair count — and
+    events_json retired (a bare get_json_object projection exercising no
+    engine code), making room for decontaminate and stratified_sample)
+    so every declared query gets a driver row every round."""
     return {
         "ingest_source": q_ingest_source,
         "calc_nobs_by_band": q_calc_nobs_by_band,
@@ -1040,7 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
-        "embedding_near_dup": q_embedding_near_dup,
+        "decontaminate": q_decontaminate,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1057,7 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding": q_events_sliding,
         "events_session_window": q_events_session_window,
         "events_sessionize": q_events_sessionize,
-        "events_json": q_events_json,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1263,11 +1288,46 @@ FROM scored
 QUALIFY rank <= 10
 """
 
-_EMB_NEAR_DUP_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.5
+# Replays decontaminate() with string n-grams (the Spark side joins on
+# xxhash64 keys — count equality across the two key domains is part of
+# what this row checks). Same tokenization as _NGRAM_JACCARD_SQL; n = 3;
+# every 23rd doc is the benchmark, the rest the training corpus.
+_DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(coalesce(text, '')))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') END AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0),
+counts AS (
+  SELECT gr.doc_id, count(*) AS n_ngrams, count(b.g) AS n_contaminated
+  FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 23 <> 0
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CAST(coalesce(c.n_contaminated, 0) AS DOUBLE)
+             / greatest(coalesce(c.n_ngrams, 0), 1), 6) AS contamination,
+       coalesce(c.n_contaminated, 0) >= 1 AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
+LEFT JOIN counts c USING (doc_id)
+"""
+
+# Replays stratified_sample()'s md5-52-bit draw exactly (the same
+# construction sample_objects already locks in) with per-language rates.
+_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT / 4503599627370496.0
+  < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.35 WHEN 'fr' THEN 0.2
+              WHEN 'es' THEN 0.5 ELSE 0.0 END
 """
 
 # replays chunk_documents' window geometry exactly: DuckDB 1-based inclusive
@@ -1584,7 +1644,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "dedup_simhash": _SIMHASH_SQL,
-        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ANN_RECALL_SQL,
         "ann_ivf_topk": _ANN_RECALL_SQL,
@@ -1626,7 +1687,4 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag"
         ),
         "events_sessionize": _SESSIONIZE_SQL,
-        "events_json": (
-            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
-        ),
     }
