@@ -34,6 +34,11 @@ REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
+# the documents shuffle explodes every token of every replica before
+# re-aggregating; bound DuckDB's footprint and let it spill so 100x
+# generations survive alongside a running Spark JVM
+con.sql(f"SET temp_directory = '{OUT}/.duckdb_tmp'")
+con.sql("SET memory_limit = '24GB'")
 
 con.sql(f"""
 COPY (
@@ -43,27 +48,38 @@ COPY (
 """)
 print("lineitem done")
 
-con.sql(f"""
-COPY (
-  WITH tok AS (
-    SELECT doc_id, lang, source, n_chars,
-           regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w
-    FROM '{SRC}/documents.parquet'
-  ),
-  expl AS (
-    SELECT doc_id, r.k, lang, source, n_chars,
-           w[CAST(t.i AS BIGINT) + 1] AS tok_w,
-           hash(doc_id * 1000003 + r.k * 7919 + t.i) AS h
-    FROM tok, UNNEST(range(0, {REPLICAS})) r(k), UNNEST(range(0, len(w))) t(i)
-  )
-  SELECT doc_id + k * 5000 AS doc_id,
-         string_agg(tok_w, ' ' ORDER BY h, tok_w) AS text,
-         any_value(lang) AS lang,
-         any_value(source) AS source,
-         any_value(n_chars) AS n_chars
-  FROM expl GROUP BY doc_id + k * 5000
-) TO '{OUT}/documents.parquet' (FORMAT PARQUET)
-""")
+# the per-token explode is REPLICAS x corpus-tokens rows; generate in
+# replica batches so 100x runs stay in bounded memory. The output is a
+# directory of parquet parts — both Spark and DuckDB glob it natively.
+DOC_BATCH = 10
+doc_out = f"{OUT}/documents.parquet"
+if os.path.isfile(doc_out):
+    os.remove(doc_out)
+os.makedirs(doc_out, exist_ok=True)
+for lo in range(0, REPLICAS, DOC_BATCH):
+    hi = min(lo + DOC_BATCH, REPLICAS)
+    con.sql(f"""
+    COPY (
+      WITH tok AS (
+        SELECT doc_id, lang, source, n_chars,
+               regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w
+        FROM '{SRC}/documents.parquet'
+      ),
+      expl AS (
+        SELECT doc_id, r.k, lang, source, n_chars,
+               w[CAST(t.i AS BIGINT) + 1] AS tok_w,
+               hash(doc_id * 1000003 + r.k * 7919 + t.i) AS h
+        FROM tok, UNNEST(range({lo}, {hi})) r(k), UNNEST(range(0, len(w))) t(i)
+      )
+      SELECT doc_id + k * 5000 AS doc_id,
+             string_agg(tok_w, ' ' ORDER BY h, tok_w) AS text,
+             any_value(lang) AS lang,
+             any_value(source) AS source,
+             any_value(n_chars) AS n_chars
+      FROM expl GROUP BY doc_id + k * 5000
+    ) TO '{doc_out}/part-{lo:05d}.parquet' (FORMAT PARQUET)
+    """)
+    print(f"documents replicas [{lo}, {hi}) done")
 print("documents done")
 
 con.sql(f"""
@@ -86,5 +102,7 @@ COPY (
 print("embeddings done")
 
 for t in ("lineitem", "documents", "events", "embeddings"):
-    n = con.sql(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+    p = f"{OUT}/{t}.parquet"
+    glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+    n = con.sql(f"SELECT count(*) FROM '{glob}'").fetchone()[0]
     print(t, n)
