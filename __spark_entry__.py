@@ -621,17 +621,22 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def _ann_recall(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
-    """Per-query recall of an approximate top-k against exact brute force.
+    """Exact brute-force top-k rows joined with the approximate index's
+    per-query recall contract.
 
     The approximate neighbor lists are seed/engine-specific, but the
     semantic contract — recall ≥ a documented floor — is deterministic
-    (both algorithms are fully seeded) for a given corpus, so the oracle
-    can assert it without replaying the index. The floors hold with
-    measured margin at the tested SFs (min per-query recall at
-    sf0.001/sf0.01: LSH 0.6/0.5 vs floor 0.4, IVF 0.8/0.7 vs floor 0.6
-    with the parameters used below); recall is data-dependent, so at a
-    much larger SF scale num_tables/nprobe with corpus size rather than
-    trusting the floor to transfer."""
+    (both algorithms are fully seeded) for a given corpus. Rather than
+    emitting only the contract booleans (which would leave the oracle a
+    tautology), the row carries the full exact top-k (query_id,
+    corpus_id, cosine, rank — all recomputed independently by the DuckDB
+    oracle and value-hash-checked) with ``recall_ok`` attached per query:
+    a recall regression flips booleans on otherwise-hash-identical rows.
+    The floors hold with measured margin at the tested SFs (min per-query
+    recall at sf0.001/sf0.01: LSH 0.6/0.5 vs floor 0.4, IVF 0.8/0.7 vs
+    floor 0.6 with the parameters used below); recall is data-dependent,
+    so at much larger SF scale num_tables/nprobe with corpus size rather
+    than trusting the floor to transfer."""
     from tape_spark.operators import cosine_topk
 
     k = 10
@@ -649,10 +654,16 @@ def _ann_recall(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k_eff"))
         .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")), "query_id", "left")
     )
-    return per_q.select(
+    recall = per_q.select(
         "query_id",
         (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k_eff") >= floor).alias("recall_ok"),
     )
+    return brute.select(
+        "query_id",
+        "corpus_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    ).join(recall, "query_id")
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1246,9 +1257,22 @@ FROM votes GROUP BY doc_id
 # The approximate-ANN queries emit their recall contract vs exact brute
 # force (the neighbor lists are seed-specific but the floor is
 # deterministic and SF-independent), so the oracle asserts it per query.
-_ANN_RECALL_SQL = (
-    "SELECT vec_id AS query_id, true AS recall_ok FROM embeddings WHERE vec_id < 5"
+# The exact top-k columns are recomputed and value-hash-checked; only
+# the recall boolean is asserted (the approximate neighbor lists
+# themselves are index-specific — see _ann_recall).
+_ANN_RECALL_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS corpus_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
+  FROM embeddings c, q
 )
+SELECT query_id, corpus_id, round(sim, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank,
+       true AS recall_ok
+FROM scored
+QUALIFY rank <= 10
+"""
 
 # Replays the payload packaging (length + sha256 checksum) and all three
 # stub media kernels' byte arithmetic: decode geometry from payload bytes,
