@@ -10,12 +10,16 @@ load) cannot masquerade as a regression. "value" is the sum of medians.
 
 Workloads mirror the reference's asv suite (benchmarks/benchmarks.py:27-40)
 plus the scale-path pipeline operators:
-  q1 batch_mean   — groupBy(id).applyInPandas(np.mean) throughput
+  q1 batch_mean   — batch(np.mean) (rewritten to a built-in aggregate)
   q2 prune_sync   — count-filter + implicit left-semi sync + head
   q3 sf2_basic    — SF² kernel over all curves (UDF-bound)
   q4 minhash_lsh  — MinHash+LSH near-dup over documents
   q5 ann_topk     — brute-force cosine top-k over embeddings
   q6 bin_sources  — time-bucket partial aggregation
+  q7 text_pipeline — language ID + quality + exact dedup over documents
+  q8 events_windows — tumbling-window agg + sessionize over events
+  q9 stetson_j    — block-vectorized Stetson J over all curves
+  q10 curation_pipeline — decontaminate → stratified_sample → chunk
 """
 
 from __future__ import annotations
@@ -144,6 +148,21 @@ def main():
         e.batch(calc_stetson_J).count()
 
     run("q9_stetson_j", stetson)
+
+    def curation_pipeline():
+        from tape_spark.operators import chunk_documents, decontaminate, stratified_sample
+
+        bench_set = docs.filter(F.col("doc_id") % 23 == 0)
+        train = docs.filter(F.col("doc_id") % 23 != 0)
+        clean = decontaminate(train, bench_set, n=3).filter(~F.col("is_contaminated"))
+        kept = stratified_sample(
+            train.join(clean.select("doc_id"), "doc_id", "left_semi"),
+            "lang",
+            {"en": 0.8, "de": 0.8, "fr": 0.8, "es": 0.8, "zh": 0.8},
+        )
+        chunk_documents(kept, chunk_tokens=64, overlap_tokens=8).count()
+
+    run("q10_curation_pipeline", curation_pipeline)
 
     # fixed-cost calibration probe: a pure-JVM sum over a constant range.
     # Its wall time has no dependence on this repo's code, so drift in the
