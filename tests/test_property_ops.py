@@ -118,3 +118,65 @@ def test_sessionize_matches_reference_property(spark, events):
         by_user.setdefault(u, []).append(t)
     for u, times in by_user.items():
         assert out[u] == (_sessions_reference(times, gap), len(times))
+
+
+# --------------------------------------------------------------------- #
+# curation: decontaminate vs a python set reference; stratified_sample   #
+# vs a hashlib md5 replay (random corpora)                               #
+# --------------------------------------------------------------------- #
+
+_words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+_texts = st.lists(
+    st.one_of(st.none(), st.lists(_words, max_size=12).map(" ".join)),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _ngram_set(text, n):
+    toks = (text or "").strip().lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(train=_texts, bench=_texts, n=st.integers(min_value=1, max_value=4))
+@settings(max_examples=10, deadline=None)
+def test_decontaminate_matches_set_reference_property(spark, train, bench, n):
+    from tape_spark.operators import decontaminate
+
+    tdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(train)), "text": train}),
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(bench)), "text": bench}),
+        "doc_id long, text string",
+    )
+    bset = set()
+    for t in bench:
+        bset |= _ngram_set(t, n)
+    got = {r["doc_id"]: r.asDict() for r in decontaminate(tdf, bdf, n=n).collect()}
+    assert set(got) == set(range(len(train)))
+    for i, t in enumerate(train):
+        grams = _ngram_set(t, n)
+        assert got[i]["n_ngrams"] == len(grams)
+        assert got[i]["n_contaminated"] == len(grams & bset)
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=25, unique=True),
+    frac=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(max_examples=10, deadline=None)
+def test_stratified_sample_matches_md5_replay_property(spark, ids, frac):
+    import hashlib
+
+    from tape_spark.operators import stratified_sample
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ids, "lang": ["x"] * len(ids)}))
+    kept = {r["doc_id"] for r in stratified_sample(df, "lang", {"x": frac}, id_col="doc_id").collect()}
+    expect = {
+        i
+        for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / float(1 << 52) < frac
+    }
+    assert kept == expect
