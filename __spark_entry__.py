@@ -728,21 +728,32 @@ def q_doc_fingerprint(spark, sf_dir):
 
 def q_chunk_documents(spark, sf_dir):
     """Token-window chunking with overlap (chunk_tokens=16, overlap=4 →
-    stride 12): every token lands in ≥1 chunk, deterministic sha2 chunk
-    ids. Pure built-in string/array expressions, so the whole output —
-    window geometry, token counts, reassembled chunk text, chunk ids — is
-    value-hash-checked against a DuckDB list-slicing replay."""
-    from tape_spark.operators.text import chunk_documents
+    stride 12) composed with concat-and-cut sequence packing
+    (budget=64, 8 md5 buckets): every token lands in ≥1 chunk,
+    deterministic sha2 chunk ids, and every chunk gains its packed
+    stream position. Both stages are pure built-in expressions, so the
+    whole output — window geometry, token counts, reassembled chunk
+    text, chunk ids, bucket assignment, stream offsets, sequence ids,
+    boundary flags — is value-hash-checked against a DuckDB
+    list-slicing + window-cumsum replay."""
+    from tape_spark.operators.text import chunk_documents, pack_sequences
 
     out = chunk_documents(
         _docs(spark, sf_dir), text_col="text", id_col="doc_id", chunk_tokens=16, overlap_tokens=4
     )
-    return out.select(
+    packed = pack_sequences(out, budget=64, num_buckets=8)
+    return packed.select(
         "doc_id",
         F.col("chunk_index").cast("long").alias("chunk_index"),
         "n_chunk_tokens",
         "chunk",
         "chunk_id",
+        "bucket",
+        "start_offset",
+        "seq_index",
+        "seq_id",
+        "offset_in_seq",
+        "crosses_boundary",
     )
 
 
@@ -1365,12 +1376,28 @@ WITH toks AS (
 ), win AS (
   SELECT doc_id, w, CAST(t.i AS BIGINT) AS chunk_index
   FROM toks, UNNEST(range(0, greatest(1, CAST(ceil((len(w) - 16) / 12.0) AS BIGINT) + 1))) AS t(i)
+), chunks AS (
+  SELECT doc_id, chunk_index,
+         CAST(len(w[chunk_index*12 + 1 : chunk_index*12 + 16]) AS BIGINT) AS n_chunk_tokens,
+         array_to_string(w[chunk_index*12 + 1 : chunk_index*12 + 16], ' ') AS chunk,
+         sha256(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_index AS VARCHAR)) AS chunk_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT % 8 AS bucket
+  FROM win
+), packed AS (
+  SELECT *,
+         CAST(sum(n_chunk_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id, chunk_index
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_chunk_tokens AS BIGINT) AS start_offset
+  FROM chunks
 )
-SELECT doc_id, chunk_index,
-       CAST(len(w[chunk_index*12 + 1 : chunk_index*12 + 16]) AS BIGINT) AS n_chunk_tokens,
-       array_to_string(w[chunk_index*12 + 1 : chunk_index*12 + 16], ' ') AS chunk,
-       sha256(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_index AS VARCHAR)) AS chunk_id
-FROM win
+SELECT doc_id, chunk_index, n_chunk_tokens, chunk, chunk_id, bucket,
+       start_offset,
+       CAST(start_offset // 64 AS BIGINT) AS seq_index,
+       CAST(bucket * 1099511627776 + start_offset // 64 AS BIGINT) AS seq_id,
+       CAST(start_offset % 64 AS BIGINT) AS offset_in_seq,
+       (start_offset % 64 + n_chunk_tokens) > 64 AS crosses_boundary
+FROM packed
 """
 
 

@@ -23,6 +23,7 @@ from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
     chunk_documents,
+    pack_sequences,
     corpus_filter,
     document_fingerprint,
     language_id,
@@ -61,6 +62,7 @@ __all__ = [
     "chunk_documents",
     "text_signals",
     "tokenize_chunks",
+    "pack_sequences",
     "vocab_topk",
     "decontaminate",
     "stratified_sample",

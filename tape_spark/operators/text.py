@@ -488,3 +488,65 @@ def tokenize_chunks(
             )
 
     return df.mapInPandas(run, schema)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_chunk_tokens",
+    doc_col: str = "doc_id",
+    index_col: str = "chunk_index",
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Concat-and-cut sequence packing: lay the chunk token stream end to
+    end and cut a training sequence every ``budget`` tokens — the standard
+    packing step between chunking/tokenization and batch assembly in an
+    LLM pretraining pipeline (documents are concatenated and split at
+    exact token boundaries; nothing is padded and nothing is wasted).
+
+    Chunks are first assigned to ``num_buckets`` independent streams by
+    the top 52 md5 bits of the document id (content-addressed, so the
+    layout is reproducible across runs, engines, and cluster sizes —
+    and replayable in plain SQL, unlike engine-specific hash functions).
+    Within a bucket the stream orders by ``(doc_col, index_col)``. Each
+    chunk row gains:
+
+    - ``bucket`` — its stream
+    - ``start_offset`` — its first token's position in the bucket stream
+    - ``seq_index`` — the sequence that position falls in
+      (``start_offset // budget``)
+    - ``seq_id`` — globally unique ``bucket * 2**40 + seq_index``
+    - ``offset_in_seq`` — position within that sequence
+    - ``crosses_boundary`` — whether the chunk straddles a cut (the
+      downstream tokenizer splits it across the two sequences, exactly
+      like document boundaries in GPT-style packing)
+
+    At 100 TB this is one hash shuffle on ``bucket`` (size ``num_buckets``
+    to the cluster's parallelism) followed by a codegen running-sum
+    window — no Python, no skew (buckets are md5-uniform), and each
+    bucket's packing is independent so the window never sees more than
+    one stream. The only cut waste is one partial sequence per bucket.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if num_buckets <= 0:
+        raise ValueError("num_buckets must be positive")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(doc_col).cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        % num_buckets
+    ).alias("bucket")
+    staged = df.withColumn("bucket", bucket)
+    w = Window.partitionBy("bucket").orderBy(doc_col, index_col)
+    start = (F.sum(token_col).over(w) - F.col(token_col)).alias("start_offset")
+    staged = staged.withColumn("start_offset", start)
+    seq_index = (F.col("start_offset") / budget).cast("long")
+    return (
+        staged.withColumn("seq_index", seq_index)
+        .withColumn("seq_id", F.col("bucket") * F.lit(1 << 40) + F.col("seq_index"))
+        .withColumn("offset_in_seq", F.col("start_offset") % budget)
+        .withColumn(
+            "crosses_boundary",
+            (F.col("offset_in_seq") + F.col(token_col)) > budget,
+        )
+    )

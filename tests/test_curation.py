@@ -8,6 +8,7 @@ import hashlib
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from tape_spark.operators import (
     corpus_mix,
@@ -175,3 +176,98 @@ def test_corpus_mix_end_to_end(corpus):
     # en drawn at rate 0.5 with the md5 hash — replay expectation
     en_expected = {d for d in (0, 1, 3, 6) if _expected_keep(d, 0.5)}
     assert {d for d, l in rows.items() if l == "en"} == en_expected
+
+
+# --------------------------------------------------------------------- #
+# pack_sequences (concat-and-cut packing over chunk streams)             #
+# --------------------------------------------------------------------- #
+
+
+def _md5_bucket(doc_id, num_buckets):
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16) % num_buckets
+
+
+def test_pack_sequences_matches_stream_replay(spark):
+    from tape_spark.operators import pack_sequences
+
+    rows = [
+        # (doc_id, chunk_index, n_chunk_tokens)
+        (1, 0, 6), (1, 1, 6), (1, 2, 3),
+        (2, 0, 10), (2, 1, 2),
+        (3, 0, 1),
+        (4, 0, 8), (4, 1, 8),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "chunk_index", "n_chunk_tokens"])
+    )
+    budget, nb = 8, 4
+    out = {
+        (r["doc_id"], r["chunk_index"]): r.asDict()
+        for r in pack_sequences(df, budget=budget, num_buckets=nb).collect()
+    }
+    # python replay: per-bucket token stream in (doc_id, chunk_index) order
+    streams = {}
+    for doc_id, idx, n in sorted(rows):
+        b = _md5_bucket(doc_id, nb)
+        start = streams.get(b, 0)
+        streams[b] = start + n
+        got = out[(doc_id, idx)]
+        assert got["bucket"] == b
+        assert got["start_offset"] == start
+        assert got["seq_index"] == start // budget
+        assert got["seq_id"] == b * (1 << 40) + start // budget
+        assert got["offset_in_seq"] == start % budget
+        assert got["crosses_boundary"] == (start % budget + n > budget)
+    # every token is assigned exactly once: per-bucket stream length equals
+    # the sum of chunk tokens in that bucket
+    for b, total in streams.items():
+        covered = sum(
+            r["n_chunk_tokens"]
+            for r in pack_sequences(df, budget=budget, num_buckets=nb)
+            .filter(F.col("bucket") == b)
+            .collect()
+        )
+        assert covered == total
+
+
+def test_pack_sequences_single_bucket_dense_cut(spark):
+    from tape_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [7] * 5, "chunk_index": range(5), "n_chunk_tokens": [4] * 5}
+        )
+    )
+    out = pack_sequences(df, budget=8, num_buckets=1).orderBy("chunk_index").collect()
+    assert [r["seq_index"] for r in out] == [0, 0, 1, 1, 2]
+    assert [r["offset_in_seq"] for r in out] == [0, 4, 0, 4, 0]
+    assert not any(r["crosses_boundary"] for r in out)  # 4+4 = budget exactly
+
+
+def test_pack_sequences_validates_args(spark):
+    from tape_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "chunk_index": [0], "n_chunk_tokens": [1]})
+    )
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, budget=8, num_buckets=0)
+
+
+def test_pack_sequences_plan_one_exchange_no_python(spark):
+    from tape_spark.operators import chunk_documents, pack_sequences
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "text": ["tok " * 40] * 20})
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap_tokens=0)
+    plan = (
+        pack_sequences(chunks, budget=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # the bucket shuffle, nothing else
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan

@@ -67,6 +67,18 @@ def test_filter_chunk_dedup_tokenize_chain(spark, corpus):
     assert (merged["n_input_ids"] == merged["n_chunk_tokens"]).all()
     assert merged["input_ids"].map(len).equals(merged["n_input_ids"].map(int))
 
+    # stage 5: sequence packing — every chunk lands in exactly one stream
+    # position; per-bucket offsets tile the stream with no gaps/overlaps
+    from tape_spark.operators import pack_sequences
+
+    packed = pack_sequences(deduped, budget=10, num_buckets=2).toPandas()
+    assert len(packed) == len(cp)
+    for _, grp in packed.groupby("bucket"):
+        g = grp.sort_values(["doc_id", "chunk_index"])
+        expect_start = g["n_chunk_tokens"].cumsum().shift(fill_value=0)
+        assert (g["start_offset"].values == expect_start.values).all()
+        assert (g["seq_index"] == g["start_offset"] // 10).all()
+
 
 def test_tokenize_chunks_custom_tokenizer(spark, corpus):
     chunks = chunk_documents(corpus, chunk_tokens=8)
