@@ -700,22 +700,59 @@ def q_text_signals(spark, sf_dir):
     """One-pass text signal extraction: language ID, length/token/punct
     quality features, stopword ratio, repetition ratio, and the BPE-ish
     token count — fused into a single narrow projection
-    (tape_spark.operators.text_signals). The à-la-carte operators
-    (language_id, text_quality, stopword_ratio, repetition_ratio,
-    token_count) compute identical expressions and stay pytest-covered."""
-    from tape_spark.operators import text_signals
+    (tape_spark.operators.text_signals) — joined with per-document PII
+    detection counts. The synthetic corpus carries no PII, so the query
+    deterministically plants an email + phone + IPv4 on every 11th
+    document (the oracle replays the augmentation), making the detection
+    check non-trivial; ``n_pii_after_redact`` asserts in-Spark that
+    ``redact_pii`` with the same patterns removes every detected match.
+    The à-la-carte operators (language_id, text_quality, stopword_ratio,
+    repetition_ratio, token_count) compute identical expressions and stay
+    pytest-covered."""
+    from tape_spark.operators import detect_pii, redact_pii, text_signals
 
-    s = text_signals(_docs(spark, sf_dir))
-    return s.select(
-        "doc_id",
-        "pred_lang",
-        "n_chars",
-        "n_tokens",
-        F.round("avg_token_len", 6).alias("avg_token_len"),
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("stop_ratio", 6).alias("stop_ratio"),
-        F.round("rep_ratio", 6).alias("rep_ratio"),
-        "n_bpe_tokens",
+    docs = _docs(spark, sf_dir)
+    s = text_signals(docs)
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" contact"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com call +1202555"),
+                (F.col("doc_id") % 10000).cast("string"),
+                F.lit(" ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    pii = detect_pii(aug)
+    clean = detect_pii(redact_pii(aug)).select(
+        "doc_id", F.col("n_pii").alias("n_pii_after_redact")
+    )
+    return (
+        s.join(pii, "doc_id")
+        .join(clean, "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "n_chars",
+            "n_tokens",
+            F.round("avg_token_len", 6).alias("avg_token_len"),
+            F.round("punct_ratio", 6).alias("punct_ratio"),
+            F.round("stop_ratio", 6).alias("stop_ratio"),
+            F.round("rep_ratio", 6).alias("rep_ratio"),
+            "n_bpe_tokens",
+            "n_email",
+            "n_phone",
+            "n_ssn",
+            "n_ipv4",
+            "n_pii",
+            "n_pii_after_redact",
+        )
     )
 
 
@@ -1221,7 +1258,12 @@ WITH f AS (
     len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|une|que|dans)\\b')) AS s_fr,
     len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que|por|con)\\b')) AS s_es,
     len(regexp_extract_all(text, '[一-鿿]')) > 0 AS has_cjk,
-    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+    CASE WHEN doc_id % 11 = 0 THEN coalesce(text, '')
+           || ' contact' || CAST(doc_id AS VARCHAR)
+           || '@example.com call +1202555' || CAST(doc_id % 10000 AS VARCHAR)
+           || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+         ELSE coalesce(text, '') END AS atext
   FROM documents
 ),
 g AS (
@@ -1245,7 +1287,16 @@ SELECT doc_id,
   round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE s_en * 1.0 / n_tokens END, 6) AS stop_ratio,
   round(CASE WHEN len(grams) > 0 THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
              ELSE 0.0 END, 6) AS rep_ratio,
-  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(atext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(atext, '\\+\\d{8,15}\\b|\\(\\d{3}\\)\\s?\\d{3}-\\d{4}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(atext, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(atext, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(atext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+     + len(regexp_extract_all(atext, '\\+\\d{8,15}\\b|\\(\\d{3}\\)\\s?\\d{3}-\\d{4}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b'))
+     + len(regexp_extract_all(atext, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))
+     + len(regexp_extract_all(atext, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_pii,
+  CAST(0 AS BIGINT) AS n_pii_after_redact
 FROM g
 """
 

@@ -24,6 +24,8 @@ from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
     chunk_documents,
     pack_sequences,
+    detect_pii,
+    redact_pii,
     corpus_filter,
     document_fingerprint,
     language_id,
@@ -63,6 +65,8 @@ __all__ = [
     "text_signals",
     "tokenize_chunks",
     "pack_sequences",
+    "detect_pii",
+    "redact_pii",
     "vocab_topk",
     "decontaminate",
     "stratified_sample",

@@ -271,3 +271,58 @@ def test_pack_sequences_plan_one_exchange_no_python(spark):
     )
     assert plan.count("Exchange") == 1  # the bucket shuffle, nothing else
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+# --------------------------------------------------------------------- #
+# PII detection + redaction                                              #
+# --------------------------------------------------------------------- #
+
+
+@pytest.fixture
+def pii_docs(spark):
+    rows = [
+        (0, "reach me at jane.doe+spam@example.co.uk or +12025550123 thanks"),
+        (1, "server at 10.0.0.1 and backup at 192.168.1.255 ok"),
+        (2, "ssn 123-45-6789 and phone 555-123-4567 and (202) 555-0123"),
+        (3, "no sensitive content here at all"),
+        (4, None),
+        (5, "two mails a@b.io c@d.org"),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), "doc_id long, text string"
+    )
+
+
+def test_detect_pii_counts(pii_docs):
+    from tape_spark.operators import detect_pii
+
+    got = {r["doc_id"]: r.asDict() for r in detect_pii(pii_docs).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 1 and got[0]["n_pii"] == 2
+    assert got[1]["n_ipv4"] == 2 and got[1]["n_pii"] == 2
+    assert got[2]["n_ssn"] == 1 and got[2]["n_phone"] == 2 and got[2]["n_pii"] == 3
+    assert got[3]["n_pii"] == 0
+    assert got[4]["n_pii"] == 0  # NULL text is empty, not an error
+    assert got[5]["n_email"] == 2
+
+
+def test_redact_pii_rewrites_exactly_the_matches(pii_docs):
+    from tape_spark.operators import detect_pii, redact_pii
+
+    red = {r["doc_id"]: r["text"] for r in redact_pii(pii_docs).collect()}
+    assert red[0] == "reach me at [EMAIL] or [PHONE] thanks"
+    assert red[1] == "server at [IPV4] and backup at [IPV4] ok"
+    assert red[2] == "ssn [SSN] and phone [PHONE] and [PHONE]"
+    assert red[3] == "no sensitive content here at all"
+    assert red[4] == ""
+    assert red[5] == "two mails [EMAIL] [EMAIL]"
+    # redacted text carries no further detections
+    redf = redact_pii(pii_docs)
+    assert all(r["n_pii"] == 0 for r in detect_pii(redf).collect())
+
+
+def test_pii_plan_no_shuffle_no_python(pii_docs):
+    from tape_spark.operators import detect_pii, redact_pii
+
+    for frame in (detect_pii(pii_docs), redact_pii(pii_docs)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "PythonUDF" not in plan
