@@ -17,6 +17,7 @@ from typing import Iterable, List, Optional, Union
 import numpy as np
 
 from .base import AnalysisFunction
+from .kernel_util import sorted_factorize
 
 __all__ = ["calc_stetson_J", "StetsonJ"]
 
@@ -162,9 +163,9 @@ class StetsonJ(AnalysisFunction):
             keep = ~(np.isnan(flux) | np.isnan(err))
             flux, err, band, group_idx = flux[keep], err[keep], band[keep], group_idx[keep]
 
-        bands_uniq, bcode = np.unique(band, return_inverse=True)
+        bands_uniq, bcode = sorted_factorize(band)
         nb = bands_uniq.size
-        seg_uniq, seg_c = np.unique(group_idx * nb + bcode, return_inverse=True)
+        seg_uniq, seg_c = sorted_factorize(group_idx * nb + bcode)
         nseg = seg_uniq.size
         n = np.bincount(seg_c, minlength=nseg)
 

@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 
 from .base import AnalysisFunction
+from .kernel_util import sorted_factorize
 from .light_curve import MIN_OBSERVATIONS_REQUIRED_FOR_SF, StructureFunctionLightCurve
 from .structure_function import SF_METHODS, StructureFunctionArgumentContainer
 
@@ -310,11 +311,11 @@ class StructureFunction2(AnalysisFunction):
 
         columns = ("lc_id", "band", "dt", "sf2", "1_sigma")
         empty = {c: np.empty(0) for c in columns}
-        bands_uniq, bcode = np.unique(band, return_inverse=True)
+        bands_uniq, bcode = sorted_factorize(band)
         nb = bands_uniq.size
         if nb == 0:
             return [empty] * n_groups
-        seg_uniq, seg_c = np.unique(group_idx * nb + bcode, return_inverse=True)
+        seg_uniq, seg_c = sorted_factorize(group_idx * nb + bcode)
         n_per_seg = np.bincount(seg_c)
         eligible = n_per_seg >= MIN_OBSERVATIONS_REQUIRED_FOR_SF
         if not eligible.any():

@@ -1365,7 +1365,17 @@ class Ensemble:
             sort_keys = list(on)
             if self._time_col in src.columns and self._time_col not in sort_keys:
                 sort_keys.append(self._time_col)
-            result = src.sortWithinPartitions(*sort_keys).mapInPandas(map_wrapper, schema)
+            # ship ONLY the columns the kernel reads through the Python
+            # boundary: Catalyst cannot prune through an opaque mapInPandas,
+            # and the Arrow round-trip is the map path's dominant cost at
+            # scale — a wide source table must not pay transfer for columns
+            # the kernel never touches. select() after the sort is a narrow
+            # projection, so per-partition row order is preserved.
+            ship = list(dict.fromkeys(group_keys + func_cols))
+            sorted_src = src.sortWithinPartitions(*sort_keys)
+            if set(ship) != set(src.columns):
+                sorted_src = sorted_src.select(*ship)
+            result = sorted_src.mapInPandas(map_wrapper, schema)
         else:
             result = src.groupBy(*on).applyInPandas(apply_wrapper, schema)
 

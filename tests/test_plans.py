@@ -226,3 +226,31 @@ def test_bucketed_object_table_roundtrip(spark, li_ensemble):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_src2")
         spark.sql("DROP TABLE IF EXISTS b_obj2")
+
+
+def test_batch_map_path_prunes_columns_at_python_boundary(spark):
+    """The map path must ship only kernel-read columns through Arrow:
+    Catalyst cannot prune through an opaque mapInPandas, and at scale the
+    Python-boundary transfer dominates the batch stage (measured: a no-op
+    round trip of 34M rows costs ~16 s wall on local[32] while the kernel
+    itself is ~1 s — see SCALING.md)."""
+    cm = ColumnMapper(
+        id_col="l_orderkey",
+        time_col="l_linenumber",
+        flux_col="l_extendedprice",
+        err_col="l_quantity",
+        band_col="l_returnflag",
+    )
+    ens = Ensemble(spark).from_parquet(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        column_mapper=cm,
+        additional_cols=True,  # wide source: carries every lineitem column
+        npartitions=4,
+    )
+    result = ens.batch(np.mean, "l_extendedprice", meta=("result", float), use_map=True)
+    plan = plan_of(result)
+    map_line = next(l for l in plan.splitlines() if "MapInPandas" in l)
+    # only the group key + the one kernel column cross the boundary
+    assert "l_orderkey" in map_line and "l_extendedprice" in map_line
+    for unused in ("l_comment", "l_shipmode", "l_partkey", "l_tax"):
+        assert unused not in map_line, unused
