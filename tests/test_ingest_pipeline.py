@@ -90,3 +90,35 @@ def test_tokenize_chunks_custom_tokenizer(spark, corpus):
     assert (out["n_input_ids"] <= 4).all()
     row = out.merge(chunks.toPandas()[["chunk_id", "chunk"]], on="chunk_id").iloc[0]
     assert row["input_ids"] == [ord(c) for c in row["chunk"].replace(" ", "")][:4]
+
+
+def test_chunk_pipeline_runs_on_a_stream(spark, corpus, tmp_path):
+    """The chunk → dedup-keyed ingest shape is stream-capable: the same
+    chunk_documents projection applied to a file stream (availableNow)
+    reproduces the batch chunk table exactly — chunking is stateless, so
+    streaming corpus ingest reuses the identical operator."""
+    src_dir = str(tmp_path / "docs_stream")
+    corpus.repartition(2).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    assert stream.isStreaming
+    chunks = chunk_documents(stream, chunk_tokens=6, overlap_tokens=2)
+    query = (
+        chunks.writeStream.format("memory")
+        .queryName("chunk_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM chunk_stream_test").toPandas()
+    want = chunk_documents(corpus, chunk_tokens=6, overlap_tokens=2).toPandas()
+    key = ["doc_id", "chunk_index"]
+    got = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want = want.sort_values(key).reset_index(drop=True)
+    assert got.equals(want)
