@@ -18,7 +18,13 @@ from .dedup import (
     connected_components,
     dedup_clusters,
 )
-from .curation import corpus_mix, decontaminate, mix_fractions, stratified_sample
+from .curation import (
+    corpus_mix,
+    decontaminate,
+    mix_fractions,
+    stratified_sample,
+    stratified_sample_exact,
+)
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
@@ -70,6 +76,7 @@ __all__ = [
     "vocab_topk",
     "decontaminate",
     "stratified_sample",
+    "stratified_sample_exact",
     "mix_fractions",
     "corpus_mix",
 ]

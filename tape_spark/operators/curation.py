@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "decontaminate",
     "stratified_sample",
+    "stratified_sample_exact",
     "mix_fractions",
     "corpus_mix",
 ]
@@ -236,4 +237,78 @@ def corpus_mix(
     fracs = mix_fractions(df, strata_col, weights, total_rows)
     return stratified_sample(
         df, strata_col, fracs, id_col=id_col, default_fraction=0.0, salt=salt
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    counts: Dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "",
+    margin: float = 1.5,
+) -> DataFrame:
+    """Exactly ``counts[stratum]`` rows per stratum: the k rows with the
+    smallest md5 draw — still content-addressed (the kept set is a pure
+    function of the ids present), for when a mixture must hit exact sizes
+    rather than Bernoulli-concentrated ones.
+
+    A naive per-stratum ``row_number`` window would funnel the full table
+    through one task per stratum — a skew cliff with a handful of
+    languages at 100 TB. Instead: since the draw is uniform, the k-th
+    smallest hash sits near ``k/n``, so a narrow filter at
+    ``margin * k/n`` first cuts the table to ~``margin * k`` candidate
+    rows per stratum, and only that small set pays the per-stratum
+    window. Strata whose candidate count comes up short (margin too tight
+    — binomially unlikely but possible) are deterministically re-pulled
+    at threshold 1.0, so the result never depends on ``margin``. Two
+    O(#strata) driver-side aggregates, one narrow filter, one small
+    shuffle.
+    """
+    if margin <= 1.0:
+        raise ValueError("margin must be > 1.0")
+    for s, k in counts.items():
+        if k < 0:
+            raise ValueError(f"count for stratum {s!r} must be >= 0")
+    from pyspark.sql import Window
+
+    u = _hash_unit(id_col, salt).alias("__u")
+    have = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    thresholds = {
+        s: (1.0 if have.get(s, 0) <= k else min(1.0, margin * k / have[s]))
+        for s, k in counts.items()
+    }
+    thr = None
+    for s, t in thresholds.items():
+        cond = F.col(strata_col) == F.lit(s)
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    thr = thr.otherwise(F.lit(-1.0)) if thr is not None else F.lit(-1.0)
+    staged = df.withColumn("__u", _hash_unit(id_col, salt))
+    cand = staged.filter(F.col("__u") < thr)
+    got = {
+        r[0]: r[1]
+        for r in cand.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    short = [
+        s
+        for s, k in counts.items()
+        if thresholds[s] < 1.0 and got.get(s, 0) < k
+    ]
+    if short:  # margin missed: deterministically re-pull those strata whole
+        cand = cand.filter(~F.col(strata_col).isin(short)).unionByName(
+            staged.filter(F.col(strata_col).isin(short))
+        )
+    w = Window.partitionBy(strata_col).orderBy(F.col("__u"), F.col(id_col))
+    kcol = None
+    for s, k in counts.items():
+        cond = F.col(strata_col) == F.lit(s)
+        kcol = F.when(cond, F.lit(k)) if kcol is None else kcol.when(cond, F.lit(k))
+    kcol = kcol.otherwise(F.lit(0)) if kcol is not None else F.lit(0)
+    return (
+        cand.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= kcol)
+        .drop("__u", "__rank")
     )

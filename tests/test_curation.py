@@ -326,3 +326,58 @@ def test_pii_plan_no_shuffle_no_python(pii_docs):
     for frame in (detect_pii(pii_docs), redact_pii(pii_docs)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+# --------------------------------------------------------------------- #
+# stratified_sample_exact                                                #
+# --------------------------------------------------------------------- #
+
+
+def _md5_u(doc_id, salt=""):
+    seed = str(doc_id) + (":" + salt if salt else "")
+    return int(hashlib.md5(seed.encode()).hexdigest()[:13], 16) / float(1 << 52)
+
+
+def test_stratified_sample_exact_takes_k_smallest_hashes(spark):
+    from tape_spark.operators import stratified_sample_exact
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    counts = {"en": 5, "de": 3}
+    out = stratified_sample_exact(df, "lang", counts, id_col="doc_id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang, k in counts.items():
+        ids = [i for i, l in rows if l == lang]
+        expect = set(sorted(ids, key=lambda i: (_md5_u(i), i))[:k])
+        assert got[lang] == expect, lang
+    assert set(out.columns) == {"doc_id", "lang"}  # helper columns dropped
+
+
+def test_stratified_sample_exact_margin_independent(spark):
+    from tape_spark.operators import stratified_sample_exact
+
+    rows = [(i, "x") for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    # margin barely above 1 forces the short-stratum re-pull path on some
+    # draws; the kept set must not depend on it
+    a = {r["doc_id"] for r in stratified_sample_exact(df, "lang", {"x": 10}, margin=1.01).collect()}
+    b = {r["doc_id"] for r in stratified_sample_exact(df, "lang", {"x": 10}, margin=3.0).collect()}
+    expect = set(sorted(range(50), key=lambda i: (_md5_u(i), i))[:10])
+    assert a == b == expect
+
+
+def test_stratified_sample_exact_oversized_and_missing_strata(spark):
+    from tape_spark.operators import stratified_sample_exact
+
+    rows = [(0, "en"), (1, "en"), (2, "de")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    out = stratified_sample_exact(df, "lang", {"en": 10, "fr": 5}, id_col="doc_id")
+    got = {(r["doc_id"], r["lang"]) for r in out.collect()}
+    # k > n keeps the whole stratum; absent/unnamed strata contribute nothing
+    assert got == {(0, "en"), (1, "en")}
+    with pytest.raises(ValueError):
+        stratified_sample_exact(df, "lang", {"en": -1})
+    with pytest.raises(ValueError):
+        stratified_sample_exact(df, "lang", {"en": 1}, margin=1.0)
