@@ -591,19 +591,26 @@ def q_decontaminate(spark, sf_dir):
 
 
 def q_stratified_sample(spark, sf_dir):
-    """Deterministic stratified corpus sampling: per-language keep rates
-    drawn from the top 52 md5 bits of the doc id — the kept set is a pure
-    function of content, so the oracle replays it row-exactly."""
-    from tape_spark.operators import stratified_sample
+    """Deterministic stratified corpus sampling, both modes: the
+    Bernoulli per-language rate draw (stratified_sample) and the exact-k
+    smallest-hash draw (stratified_sample_exact, the skew-safe two-pass
+    plan). Both kept sets are pure functions of the ids present — the
+    top 52 md5 bits of the doc id — so the oracle replays each
+    row-exactly (the exact mode via a window row_number over the same
+    draw)."""
+    from tape_spark.operators import stratified_sample, stratified_sample_exact
 
     docs = _docs(spark, sf_dir)
-    out = stratified_sample(
+    bern = stratified_sample(
         docs,
         "lang",
         {"en": 0.6, "de": 0.35, "fr": 0.2, "es": 0.5},
         id_col="doc_id",
-    )
-    return out.select("doc_id", "lang", "source")
+    ).select("doc_id", "lang", "source", F.lit("bernoulli").alias("mode"))
+    exact = stratified_sample_exact(
+        docs, "lang", {"en": 30, "zh": 10}, id_col="doc_id"
+    ).select("doc_id", "lang", "source", F.lit("exact_k").alias("mode"))
+    return bern.unionByName(exact)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1408,12 +1415,22 @@ LEFT JOIN counts c USING (doc_id)
 """
 
 # Replays stratified_sample()'s md5-52-bit draw exactly (the same
-# construction sample_objects already locks in) with per-language rates.
+# construction sample_objects already locks in) with per-language rates,
+# and stratified_sample_exact()'s k-smallest-hash draw via a window
+# row_number over the identical draw.
 _STRATIFIED_SAMPLE_SQL = """
-SELECT doc_id, lang, source FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT / 4503599627370496.0
-  < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.35 WHEN 'fr' THEN 0.2
-              WHEN 'es' THEN 0.5 ELSE 0.0 END
+WITH u AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT / 4503599627370496.0 AS draw
+  FROM documents
+)
+SELECT doc_id, lang, source, 'bernoulli' AS mode FROM u
+WHERE draw < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.35 WHEN 'fr' THEN 0.2
+                       WHEN 'es' THEN 0.5 ELSE 0.0 END
+UNION ALL
+SELECT doc_id, lang, source, 'exact_k' AS mode FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk FROM u
+) WHERE rk <= CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 10 ELSE 0 END
 """
 
 # replays chunk_documents' window geometry exactly: DuckDB 1-based inclusive
