@@ -3,7 +3,7 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each workload runs $SPARK_GRAFT_REPS times (default 3), interleaved in
+Each workload runs $SPARK_GRAFT_REPS times (default 5), interleaved in
 suite order; "queries" holds the per-query MEDIAN and "spread" the
 [min, max] so a single host-load spike (this machine swings 2-3x under
 load) cannot masquerade as a regression. "value" is the sum of medians.

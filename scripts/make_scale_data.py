@@ -53,8 +53,14 @@ print("lineitem done")
 # directory of parquet parts — both Spark and DuckDB glob it natively.
 DOC_BATCH = 10
 doc_out = f"{OUT}/documents.parquet"
+# clear ANY previous output (file or part directory): a re-run with fewer
+# replicas must not leave stale parts behind for the glob-read to pick up
 if os.path.isfile(doc_out):
     os.remove(doc_out)
+elif os.path.isdir(doc_out):
+    import shutil
+
+    shutil.rmtree(doc_out)
 os.makedirs(doc_out, exist_ok=True)
 for lo in range(0, REPLICAS, DOC_BATCH):
     hi = min(lo + DOC_BATCH, REPLICAS)

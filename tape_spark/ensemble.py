@@ -758,13 +758,9 @@ class Ensemble:
             # 52 md5 bits → [0, 1): 52 ≤ the double mantissa, so the
             # int→double conversion is exact (no rounding) and the SQL
             # replay is bit-identical on any engine
-            u = (
-                F.conv(
-                    F.substring(F.md5(F.col(self._id_col).cast("string")), 1, 13), 16, 10
-                ).cast("double")
-                / F.lit(float(1 << 52))
-            )
-            sampled = obj.filter(u < frac)
+            from .utils.hashing import md5_unit
+
+            sampled = obj.filter(md5_unit(F.col(self._id_col)) < frac)
         elif method == "random":
             sampled = obj.sample(withReplacement=replace, fraction=frac, seed=random_state)
         else:

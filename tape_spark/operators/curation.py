@@ -135,18 +135,10 @@ def decontaminate(
 
 
 def _hash_unit(id_col: str, salt: str):
-    """md5(id [+ ':' + salt]) mapped to [0, 1).
+    """The shared content-addressed draw (see tape_spark.utils.hashing)."""
+    from ..utils.hashing import md5_unit
 
-    Uses the top 52 md5 bits so the int→double conversion is exact (52 ≤
-    the double mantissa) and the draw replays bit-identically on any
-    engine (same construction as ``Ensemble.sample(method='hash')``,
-    ``tape_spark/ensemble.py``)."""
-    seed = F.col(id_col).cast("string")
-    if salt:
-        seed = F.concat(seed, F.lit(":" + salt))
-    return F.conv(F.substring(F.md5(seed), 1, 13), 16, 10).cast("double") / F.lit(
-        float(1 << 52)
-    )
+    return md5_unit(F.col(id_col), salt)
 
 
 def stratified_sample(

@@ -478,7 +478,8 @@ def tokenize_chunks(
 
     def run(batches):
         for pdf in batches:
-            ids = [tokenizer(s) for s in pdf[text_col].astype(str)]
+            # NULL chunk text tokenizes as empty, not as the string "None"
+            ids = [tokenizer(s) for s in pdf[text_col].fillna("").astype(str)]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -531,13 +532,17 @@ def pack_sequences(
         raise ValueError("budget must be positive")
     if num_buckets <= 0:
         raise ValueError("num_buckets must be positive")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col(doc_col).cast("string")), 1, 13), 16, 10)
-        .cast("long")
-        % num_buckets
-    ).alias("bucket")
-    staged = df.withColumn("bucket", bucket)
-    w = Window.partitionBy("bucket").orderBy(doc_col, index_col)
+    from ..utils.hashing import md5_bucket
+
+    staged = df.withColumn("bucket", md5_bucket(F.col(doc_col), num_buckets))
+    # explicit ROWS frame: the default RANGE frame sums over ORDER-BY
+    # peers, so duplicated (doc, index) rows would each absorb the other's
+    # tokens into start_offset and break the exactly-once stream tiling
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(doc_col, index_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = (F.sum(token_col).over(w) - F.col(token_col)).alias("start_offset")
     staged = staged.withColumn("start_offset", start)
     seq_index = (F.col("start_offset") / budget).cast("long")

@@ -164,9 +164,17 @@ def stream_dedup(
     if streaming and watermark:
         df = df.withWatermark(ts_col, watermark)
         if not within_watermark and ts_col not in cols:
-            # dropDuplicates state is only evicted when the event-time column
-            # is part of the key set — append it so the store stays bounded
-            cols = cols + [ts_col]
+            # dropDuplicates state is only evicted when the event-time
+            # column is part of the key set. Silently appending it would
+            # change the dedup contract (same-key events with different
+            # event times would pass through), so make the caller choose.
+            raise ValueError(
+                f"stream_dedup with a watermark and within_watermark=False "
+                f"requires the event-time column {ts_col!r} in keys (state "
+                f"eviction is keyed on it); either add it, or use "
+                f"within_watermark=True to deduplicate same-key events "
+                f"arriving within the watermark delay."
+            )
     if streaming and within_watermark:
         return df.dropDuplicatesWithinWatermark(cols)
     return df.dropDuplicates(cols)

@@ -381,3 +381,32 @@ def test_stratified_sample_exact_oversized_and_missing_strata(spark):
         stratified_sample_exact(df, "lang", {"en": -1})
     with pytest.raises(ValueError):
         stratified_sample_exact(df, "lang", {"en": 1}, margin=1.0)
+
+
+def test_pack_sequences_rows_frame_on_duplicate_rows(spark):
+    # duplicated (doc, index) rows (e.g. a replayed ingest packed before
+    # dedup) must still tile the stream exactly once per row — the default
+    # RANGE window frame would give both peers the same inflated offset
+    from tape_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 1], "chunk_index": [0, 0], "n_chunk_tokens": [5, 5]}
+        )
+    )
+    out = sorted(
+        r["start_offset"] for r in pack_sequences(df, budget=8, num_buckets=1).collect()
+    )
+    assert out == [0, 5]
+
+
+def test_tokenize_chunks_null_text_yields_no_tokens(spark):
+    from tape_spark.operators import tokenize_chunks
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"chunk_id": ["a", "b"], "chunk": [None, "two words"]}),
+        "chunk_id string, chunk string",
+    )
+    got = {r["chunk_id"]: r.asDict() for r in tokenize_chunks(df).collect()}
+    assert got["a"]["n_input_ids"] == 0 and got["a"]["input_ids"] == []
+    assert got["b"]["n_input_ids"] == 2

@@ -257,3 +257,25 @@ def test_stream_dedup_stream_matches_batch(spark, events_pdf, events_df, tmp_pat
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_stream_dedup_requires_event_time_key_with_watermark(spark, events_df, tmp_path):
+    from tape_spark.streaming import stream_dedup
+
+    src_dir = str(tmp_path / "dedup_raise_src")
+    events_df.write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(events_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    # keys omit the event-time column: dropDuplicates state would grow
+    # unboundedly, so the operator must refuse rather than silently widen
+    # the key set (which would change the dedup contract)
+    with pytest.raises(ValueError, match="event-time column"):
+        stream_dedup(stream, keys=["user_id"], ts_col="ts", watermark="10 minutes")
+    # within_watermark=True is the sanctioned way to dedup on keys alone
+    out = stream_dedup(
+        stream, keys=["user_id"], ts_col="ts", watermark="10 minutes", within_watermark=True
+    )
+    assert out.isStreaming
