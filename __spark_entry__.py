@@ -598,7 +598,11 @@ def q_stratified_sample(spark, sf_dir):
     top 52 md5 bits of the doc id — so the oracle replays each
     row-exactly (the exact mode via a window row_number over the same
     draw)."""
-    from tape_spark.operators import stratified_sample, stratified_sample_exact
+    from tape_spark.operators import (
+        corpus_mix,
+        stratified_sample,
+        stratified_sample_exact,
+    )
 
     docs = _docs(spark, sf_dir)
     bern = stratified_sample(
@@ -610,7 +614,13 @@ def q_stratified_sample(spark, sf_dir):
     exact = stratified_sample_exact(
         docs, "lang", {"en": 30, "zh": 10}, id_col="doc_id"
     ).select("doc_id", "lang", "source", F.lit("exact_k").alias("mode"))
-    return bern.unionByName(exact)
+    # mixture mode: rates are data-dependent (per-stratum counts), but the
+    # sizing arithmetic is plain SQL, so the oracle recomputes the exact
+    # rates AND the exact kept set
+    mixed = corpus_mix(
+        docs, "lang", {"en": 2.0, "de": 1.0}, total_rows=120, id_col="doc_id"
+    ).select("doc_id", "lang", "source", F.lit("mix").alias("mode"))
+    return bern.unionByName(exact).unionByName(mixed)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1431,6 +1441,11 @@ UNION ALL
 SELECT doc_id, lang, source, 'exact_k' AS mode FROM (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk FROM u
 ) WHERE rk <= CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 10 ELSE 0 END
+UNION ALL
+SELECT doc_id, lang, source, 'mix' AS mode FROM (
+  SELECT u.*, count(*) OVER (PARTITION BY lang) AS n FROM u
+) WHERE (lang = 'en' AND draw < least(1.0, ((2.0 / 3.0) * 120.0) / n))
+   OR  (lang = 'de' AND draw < least(1.0, ((1.0 / 3.0) * 120.0) / n))
 """
 
 # replays chunk_documents' window geometry exactly: DuckDB 1-based inclusive
