@@ -520,13 +520,26 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clusters: Jaccard pairs → large-star/small-star connected
-    components → (doc_id, component, cluster_size). The oracle replays the
-    same pairs and resolves components with a recursive transitive-closure
-    CTE — tractable at sf0.01 scale, exact."""
-    from tape_spark.operators import dedup_clusters
+    """Near-dup clusters with canonical selection: Jaccard pairs →
+    large-star/small-star connected components → (doc_id, component,
+    cluster_size, is_canonical), where the canonical member is the one
+    resolve_duplicates keeps (highest n_chars, ties → smallest id). The
+    oracle replays the pairs, resolves components with a recursive
+    transitive-closure CTE — tractable at sf0.01 scale, exact — and
+    re-ranks the survivors with the same window."""
+    from tape_spark.operators import dedup_clusters, resolve_duplicates
 
-    return dedup_clusters(_docs(spark, sf_dir), n=2, threshold=0.2)
+    docs = _docs(spark, sf_dir)
+    clusters = dedup_clusters(docs, n=2, threshold=0.2)
+    kept = resolve_duplicates(docs, clusters, quality_col="n_chars").select(
+        "doc_id", F.lit(True).alias("is_canonical")
+    )
+    return clusters.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1220,8 +1233,12 @@ reach AS (
 ),
 comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
 SELECT node AS doc_id, component,
-       count(*) OVER (PARTITION BY component) AS cluster_size
-FROM comp
+       count(*) OVER (PARTITION BY component) AS cluster_size,
+       row_number() OVER (
+         PARTITION BY component
+         ORDER BY d.n_chars DESC NULLS LAST, node ASC
+       ) = 1 AS is_canonical
+FROM comp JOIN documents d ON d.doc_id = comp.node
 """
 
 _CORPUS_FILTER_SQL = """

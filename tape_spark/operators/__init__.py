@@ -17,6 +17,7 @@ from .dedup import (
     embedding_near_duplicates,
     connected_components,
     dedup_clusters,
+    resolve_duplicates,
 )
 from .curation import (
     corpus_mix,
@@ -56,6 +57,7 @@ __all__ = [
     "embedding_near_duplicates",
     "connected_components",
     "dedup_clusters",
+    "resolve_duplicates",
     "cosine_topk",
     "lsh_cosine_topk",
     "ivf_cosine_topk",

@@ -587,3 +587,39 @@ def dedup_clusters(
         comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .select(F.col("node").alias(id_col), "component", "cluster_size")
     )
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    clusters: DataFrame,
+    quality_col: Optional[str] = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The cleaned corpus: every document except the non-canonical members
+    of each duplicate cluster.
+
+    ``clusters`` is :func:`dedup_clusters` output (or any
+    ``(id, component)`` assignment). The survivor per cluster is the
+    highest-``quality_col`` member (ties → smallest id; NULL quality
+    sorts last), or the smallest id when no quality column is given —
+    i.e. "keep the best copy, drop the rest", the selection step between
+    near-dup clustering and corpus assembly.
+
+    At scale the cluster table only holds documents that ARE in a ≥2
+    cluster — a small fraction of the corpus — so the drop list is small
+    and the final ``left_anti`` join broadcasts; the only shuffle over
+    cluster members is one window by component.
+    """
+    member = clusters.select(F.col(id_col), "component")
+    if quality_col is not None:
+        member = member.join(df.select(id_col, quality_col), id_col, "left")
+        order = [F.desc_nulls_last(quality_col), F.asc(id_col)]
+    else:
+        order = [F.asc(id_col)]
+    w = Window.partitionBy("component").orderBy(*order)
+    drops = (
+        member.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(id_col)
+    )
+    return df.join(drops, id_col, "left_anti")

@@ -604,3 +604,45 @@ def test_chunk_documents_property(spark):
                 assert toks == text.split()[start : start + len(toks)], (chunk, ov, i)
                 covered.update(range(start, start + len(toks)))
             assert covered == set(range(n)), (chunk, ov, i, n)
+
+
+def test_resolve_duplicates_keeps_best_per_cluster(spark):
+    from tape_spark.operators import resolve_duplicates
+
+    docs_rows = [
+        (0, "dup a", 10), (1, "dup a", 30), (2, "dup a", 30),  # cluster 100
+        (3, "dup b", 5), (4, "dup b", 7),                      # cluster 200
+        (5, "unique", 99),                                     # no cluster
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(docs_rows, columns=["doc_id", "text", "n_chars"])
+    )
+    clusters = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1, 2, 3, 4], "component": [100, 100, 100, 200, 200]}
+        )
+    )
+    # quality-aware: cluster 100 keeps doc 1 (n_chars 30, tie vs 2 -> smaller id);
+    # cluster 200 keeps doc 4 (n_chars 7); doc 5 untouched
+    kept = {r["doc_id"] for r in resolve_duplicates(docs, clusters, quality_col="n_chars").collect()}
+    assert kept == {1, 4, 5}
+    # id-only: smallest id survives each cluster
+    kept_id = {r["doc_id"] for r in resolve_duplicates(docs, clusters).collect()}
+    assert kept_id == {0, 3, 5}
+    # all original columns survive the anti-join
+    out = resolve_duplicates(docs, clusters, quality_col="n_chars")
+    assert set(out.columns) == {"doc_id", "text", "n_chars"}
+
+
+def test_resolve_duplicates_end_to_end_with_dedup_clusters(docs):
+    from tape_spark.operators import dedup_clusters, resolve_duplicates
+    from pyspark.sql import functions as SF
+
+    with_quality = docs.withColumn("n_chars", SF.length(SF.coalesce("text", SF.lit(""))))
+    clusters = dedup_clusters(with_quality, n=2, threshold=0.5)
+    resolved = resolve_duplicates(with_quality, clusters, quality_col="n_chars")
+    n_docs = with_quality.count()
+    n_members = clusters.count()
+    n_clusters = clusters.select("component").distinct().count()
+    # exactly one survivor per cluster; non-cluster docs all survive
+    assert resolved.count() == n_docs - n_members + n_clusters
