@@ -122,3 +122,69 @@ def test_chunk_pipeline_runs_on_a_stream(spark, corpus, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)[want.columns]
     want = want.sort_values(key).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_full_corpus_curation_chain(spark):
+    """The complete pretraining corpus pipeline, every stage an engine
+    operator: signals → quality gate → near-dup clusters → best-copy
+    resolution → benchmark decontamination → mixture sampling → chunking
+    → packing. Row-count/containment invariants at every boundary."""
+    from tape_spark.operators import (
+        chunk_documents,
+        corpus_filter,
+        decontaminate,
+        dedup_clusters,
+        pack_sequences,
+        resolve_duplicates,
+        stratified_sample,
+        text_signals,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank", "en"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend", "en"),  # near-dup of 0
+        (2, "ein ganz anderer text über daten und die verarbeitung von daten", "de"),
+        (3, "spam spam spam spam spam spam spam spam spam spam", "en"),  # repetitive
+        (4, "the engine reads the parquet and keeps all the partitions narrow", "en"),
+        (5, "what does the quick brown fox do", "en"),  # benchmark doc
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "lang"]))
+    bench_set = docs.filter(F.col("doc_id") == 5)
+    train = docs.filter(F.col("doc_id") != 5)
+
+    # quality gate
+    sig = text_signals(train)
+    gate = corpus_filter(train, min_tokens=5, max_rep_ratio=0.5, min_stop_ratio=0.0)
+    kept = train.join(gate.filter("keep").select("doc_id"), "doc_id")
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert kept_ids == {0, 1, 2, 4}
+    assert {r.doc_id for r in sig.collect()} == {0, 1, 2, 3, 4}
+
+    # near-dup resolution: 0 and 1 cluster together; longer text survives
+    qual = kept.withColumn("n_chars", F.length("text"))
+    clusters = dedup_clusters(qual, n=2, threshold=0.5)
+    comp = {r["doc_id"]: r["component"] for r in clusters.collect()}
+    assert comp.keys() == {0, 1} and len(set(comp.values())) == 1
+    resolved = resolve_duplicates(qual, clusters, quality_col="n_chars")
+    resolved_ids = {r.doc_id for r in resolved.collect()}
+    assert resolved_ids == {0, 2, 4}  # equal length → smaller id wins
+
+    # decontamination vs the benchmark doc: doc 0 shares 'the quick brown
+    # fox' n-grams; 2 and 4 are clean
+    deco = decontaminate(resolved, bench_set, n=3)
+    flags = {r["doc_id"]: r["is_contaminated"] for r in deco.collect()}
+    assert flags[0] and not flags[2] and not flags[4]
+    clean = resolved.join(
+        deco.filter(~F.col("is_contaminated")).select("doc_id"), "doc_id"
+    )
+
+    # mixture draw at rate 1.0 (keep the tiny corpus whole), then chunk+pack
+    sampled = stratified_sample(clean, "lang", {"en": 1.0, "de": 1.0}, id_col="doc_id")
+    assert {r.doc_id for r in sampled.collect()} == {2, 4}
+    chunks = chunk_documents(sampled, chunk_tokens=5, overlap_tokens=0)
+    packed = pack_sequences(chunks, budget=8, num_buckets=1).toPandas()
+    # exact tiling: total stream length == total chunk tokens
+    assert packed["n_chunk_tokens"].sum() == (
+        packed.sort_values(["doc_id", "chunk_index"])["n_chunk_tokens"].cumsum().iloc[-1]
+    )
+    assert (packed["offset_in_seq"] == packed["start_offset"] % 8).all()
