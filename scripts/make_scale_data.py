@@ -33,19 +33,56 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
 REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
 
 os.makedirs(OUT, exist_ok=True)
-con = duckdb.connect()
-# the documents shuffle explodes every token of every replica before
-# re-aggregating; bound DuckDB's footprint and let it spill so 100x
-# generations survive alongside a running Spark JVM
-con.sql(f"SET temp_directory = '{OUT}/.duckdb_tmp'")
-con.sql("SET memory_limit = '24GB'")
 
-con.sql(f"""
-COPY (
-  SELECT * REPLACE (l_orderkey + r.k * 150000 AS l_orderkey)
-  FROM '{SRC}/lineitem.parquet', UNNEST(range(0, {REPLICAS})) r(k)
-) TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)
-""")
+
+def fresh_con():
+    """One connection per COPY: DuckDB's buffer pool fragments over many
+    large COPYs in a single process (observed OOM after ~50 batches of a
+    1000x run with plenty of host memory left); a fresh connection per
+    batch keeps every batch's footprint independent. Spill stays bounded
+    via the temp dir + memory cap."""
+    c = duckdb.connect()
+    c.sql(f"SET temp_directory = '{OUT}/.duckdb_tmp'")
+    c.sql("SET memory_limit = '24GB'")
+    return c
+
+
+con = fresh_con()
+
+# batch the big row-replication tables too: one COPY per replica batch
+# keeps DuckDB's working set (and its spill) bounded at any REPLICAS —
+# a 1000x single-COPY run otherwise spills tens of GB to temp. Output is
+# a directory of parts (Spark and DuckDB both glob it).
+import shutil
+
+
+def copy_batched(select_fmt: str, out_name: str, batch: int = 100) -> None:
+    out_path = f"{OUT}/{out_name}"
+    if os.path.isfile(out_path):
+        os.remove(out_path)
+    os.makedirs(out_path, exist_ok=True)
+    # drop parts outside this run's batch grid (a prior larger/smaller
+    # run); in-range parts are kept so an interrupted run resumes
+    keep = {f"part-{lo:06d}.parquet" for lo in range(0, REPLICAS, batch)}
+    for stale in set(os.listdir(out_path)) - keep:
+        os.remove(os.path.join(out_path, stale))
+    for lo in range(0, REPLICAS, batch):
+        hi = min(lo + batch, REPLICAS)
+        part = f"{out_path}/part-{lo:06d}.parquet"
+        if os.path.exists(part):
+            continue  # resumable: a prior interrupted run's parts are kept
+        fresh_con().sql(
+            f"COPY ({select_fmt.format(LO=lo, HI=hi)}) "
+            f"TO '{part}' (FORMAT PARQUET)"
+        )
+    print(out_name, "done")
+
+
+copy_batched(
+    f"""SELECT * REPLACE (l_orderkey + r.k * 150000 AS l_orderkey)
+        FROM '{SRC}/lineitem.parquet', UNNEST(range({{LO}}, {{HI}})) r(k)""",
+    "lineitem.parquet",
+)
 print("lineitem done")
 
 # the per-token explode is REPLICAS x corpus-tokens rows; generate in
@@ -53,18 +90,19 @@ print("lineitem done")
 # directory of parquet parts — both Spark and DuckDB glob it natively.
 DOC_BATCH = 10
 doc_out = f"{OUT}/documents.parquet"
-# clear ANY previous output (file or part directory): a re-run with fewer
-# replicas must not leave stale parts behind for the glob-read to pick up
+# clear a single-file previous output; stale EXTRA parts from a larger
+# prior run are removed below (parts within range are kept for resume)
 if os.path.isfile(doc_out):
     os.remove(doc_out)
-elif os.path.isdir(doc_out):
-    import shutil
-
-    shutil.rmtree(doc_out)
 os.makedirs(doc_out, exist_ok=True)
+expected = {f"part-{lo:05d}.parquet" for lo in range(0, REPLICAS, DOC_BATCH)}
+for stale in set(os.listdir(doc_out)) - expected:
+    os.remove(os.path.join(doc_out, stale))
 for lo in range(0, REPLICAS, DOC_BATCH):
     hi = min(lo + DOC_BATCH, REPLICAS)
-    con.sql(f"""
+    if os.path.exists(f"{doc_out}/part-{lo:05d}.parquet"):
+        continue
+    fresh_con().sql(f"""
     COPY (
       WITH tok AS (
         SELECT doc_id, lang, source, n_chars,
@@ -88,16 +126,14 @@ for lo in range(0, REPLICAS, DOC_BATCH):
     print(f"documents replicas [{lo}, {hi}) done")
 print("documents done")
 
-con.sql(f"""
-COPY (
-  SELECT event_id + r.k * 100000 AS event_id,
-         ts + to_days(CAST(r.k * 30 AS INTEGER)) AS ts,
-         user_id + r.k * 1500 AS user_id,
-         event_type, value, props
-  FROM '{SRC}/events.parquet', UNNEST(range(0, {REPLICAS})) r(k)
-) TO '{OUT}/events.parquet' (FORMAT PARQUET)
-""")
-print("events done")
+copy_batched(
+    f"""SELECT event_id + r.k * 100000 AS event_id,
+               ts + to_days(CAST(r.k * 30 AS INTEGER)) AS ts,
+               user_id + r.k * 1500 AS user_id,
+               event_type, value, props
+        FROM '{SRC}/events.parquet', UNNEST(range({{LO}}, {{HI}})) r(k)""",
+    "events.parquet",
+)
 
 con.sql(f"""
 COPY (
