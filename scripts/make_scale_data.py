@@ -71,10 +71,14 @@ def copy_batched(select_fmt: str, out_name: str, batch: int = 100) -> None:
         part = f"{out_path}/part-{lo:06d}.parquet"
         if os.path.exists(part):
             continue  # resumable: a prior interrupted run's parts are kept
+        # write-then-rename so an interrupted COPY can never leave a
+        # truncated part that a resume would mistake for complete
+        tmp = part + ".inprogress"
         fresh_con().sql(
             f"COPY ({select_fmt.format(LO=lo, HI=hi)}) "
-            f"TO '{part}' (FORMAT PARQUET)"
+            f"TO '{tmp}' (FORMAT PARQUET)"
         )
+        os.replace(tmp, part)
     print(out_name, "done")
 
 
@@ -97,11 +101,12 @@ if os.path.isfile(doc_out):
 os.makedirs(doc_out, exist_ok=True)
 expected = {f"part-{lo:05d}.parquet" for lo in range(0, REPLICAS, DOC_BATCH)}
 for stale in set(os.listdir(doc_out)) - expected:
-    os.remove(os.path.join(doc_out, stale))
+    os.remove(os.path.join(doc_out, stale))  # incl. .inprogress leftovers
 for lo in range(0, REPLICAS, DOC_BATCH):
     hi = min(lo + DOC_BATCH, REPLICAS)
     if os.path.exists(f"{doc_out}/part-{lo:05d}.parquet"):
         continue
+    _doc_tmp = f"{doc_out}/part-{lo:05d}.parquet.inprogress"
     fresh_con().sql(f"""
     COPY (
       WITH tok AS (
@@ -121,8 +126,9 @@ for lo in range(0, REPLICAS, DOC_BATCH):
              any_value(source) AS source,
              any_value(n_chars) AS n_chars
       FROM expl GROUP BY doc_id + k * 5000
-    ) TO '{doc_out}/part-{lo:05d}.parquet' (FORMAT PARQUET)
+    ) TO '{_doc_tmp}' (FORMAT PARQUET)
     """)
+    os.replace(_doc_tmp, f"{doc_out}/part-{lo:05d}.parquet")
     print(f"documents replicas [{lo}, {hi}) done")
 print("documents done")
 
