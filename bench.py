@@ -69,7 +69,11 @@ def main():
         workloads.append((name, fn))
 
     ens = em._ensemble(spark, SF_DIR)
-    ens.frames["source"] = ens.frames["source"].persist()
+    # SPARK_GRAFT_NO_PERSIST=1 skips the suite-level cache for huge local
+    # scale probes (sf100: a 600M-row deserialized cache would spill tens
+    # of GB to disk and measure the spill, not the operators)
+    if not os.environ.get("SPARK_GRAFT_NO_PERSIST"):
+        ens.frames["source"] = ens.frames["source"].persist()
     ens.frames["source"].count()  # warm the cache so workloads measure compute
 
     # Spin up the Python UDF worker pool before timing (the no-op
