@@ -181,6 +181,15 @@ def main():
 
     probes = [("calibration", calibration)]
 
+    # SPARK_GRAFT_ONLY=q1_batch_mean,q3_sf2_basic restricts the suite — for
+    # huge local scale probes, run small groups in separate processes so
+    # each JVM exit reclaims its shuffle files (a full sf100 suite in one
+    # session accumulates hundreds of GB of shuffle data on one host)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        workloads = [(n, f) for n, f in workloads if n in names]
+
     # interleave repetitions in suite order: a load spike hits one rep of
     # several queries instead of all reps of one, and the median shrugs it off
     samples = {name: [] for name, _ in workloads + probes}
