@@ -188,6 +188,13 @@ def main():
     only = os.environ.get("SPARK_GRAFT_ONLY")
     if only:
         names = {n.strip() for n in only.split(",") if n.strip()}
+        known = {n for n, _ in workloads}
+        unknown = names - known
+        if unknown:  # a typo must not silently produce an empty-suite artifact
+            raise SystemExit(
+                f"SPARK_GRAFT_ONLY names unknown workloads: {sorted(unknown)}; "
+                f"known: {sorted(known)}"
+            )
         workloads = [(n, f) for n, f in workloads if n in names]
 
     # interleave repetitions in suite order: a load spike hits one rep of

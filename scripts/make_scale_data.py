@@ -34,6 +34,32 @@ REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
 
 os.makedirs(OUT, exist_ok=True)
 
+# Part names encode only their starting replica, so "part exists" only
+# means "complete" when REPLICAS (and the batch grids) match the run
+# that wrote it — a re-run with a different REPLICAS against the same
+# OUT would silently keep wrong-scale parts. A manifest pins the grid;
+# on mismatch every table output is wiped before regeneration.
+import json as _json
+import shutil
+
+_manifest = os.path.join(OUT, "manifest.json")
+_grid = {"replicas": REPLICAS, "src": SRC}
+_prev = None
+if os.path.exists(_manifest):
+    with open(_manifest) as fh:
+        _prev = _json.load(fh)
+if _prev != _grid:
+    if _prev is not None:
+        print(f"grid changed ({_prev} -> {_grid}); wiping {OUT} outputs")
+    for _t in ("lineitem", "documents", "events", "embeddings"):
+        _p = os.path.join(OUT, f"{_t}.parquet")
+        if os.path.isfile(_p):
+            os.remove(_p)
+        elif os.path.isdir(_p):
+            shutil.rmtree(_p)
+    with open(_manifest, "w") as fh:
+        _json.dump(_grid, fh)
+
 
 def fresh_con():
     """One connection per COPY: DuckDB's buffer pool fragments over many
@@ -53,7 +79,6 @@ con = fresh_con()
 # keeps DuckDB's working set (and its spill) bounded at any REPLICAS —
 # a 1000x single-COPY run otherwise spills tens of GB to temp. Output is
 # a directory of parts (Spark and DuckDB both glob it).
-import shutil
 
 
 def copy_batched(select_fmt: str, out_name: str, batch: int = 100) -> None:
@@ -87,7 +112,6 @@ copy_batched(
         FROM '{SRC}/lineitem.parquet', UNNEST(range({{LO}}, {{HI}})) r(k)""",
     "lineitem.parquet",
 )
-print("lineitem done")
 
 # the per-token explode is REPLICAS x corpus-tokens rows; generate in
 # replica batches so 100x runs stay in bounded memory. The output is a

@@ -183,8 +183,10 @@ def test_full_corpus_curation_chain(spark):
     assert {r.doc_id for r in sampled.collect()} == {2, 4}
     chunks = chunk_documents(sampled, chunk_tokens=5, overlap_tokens=0)
     packed = pack_sequences(chunks, budget=8, num_buckets=1).toPandas()
-    # exact tiling: total stream length == total chunk tokens
-    assert packed["n_chunk_tokens"].sum() == (
-        packed.sort_values(["doc_id", "chunk_index"])["n_chunk_tokens"].cumsum().iloc[-1]
-    )
-    assert (packed["offset_in_seq"] == packed["start_offset"] % 8).all()
+    # exact tiling, replayed independently: with one bucket, each chunk's
+    # start offset must equal the running token total of all chunks before
+    # it in (doc_id, chunk_index) order — no gaps, no double-claims
+    ordered = packed.sort_values(["doc_id", "chunk_index"]).reset_index(drop=True)
+    expect_start = ordered["n_chunk_tokens"].cumsum().shift(fill_value=0)
+    assert (ordered["start_offset"].values == expect_start.values).all()
+    assert (ordered["seq_index"] == ordered["start_offset"] // 8).all()
