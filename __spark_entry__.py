@@ -613,27 +613,42 @@ def q_stratified_sample(spark, sf_dir):
     draw)."""
     from tape_spark.operators import (
         corpus_mix,
+        shuffle_corpus,
         stratified_sample,
         stratified_sample_exact,
     )
 
     docs = _docs(spark, sf_dir)
+    nopos = F.lit(None).cast("long").alias("pos")
     bern = stratified_sample(
         docs,
         "lang",
         {"en": 0.6, "de": 0.35, "fr": 0.2, "es": 0.5},
         id_col="doc_id",
-    ).select("doc_id", "lang", "source", F.lit("bernoulli").alias("mode"))
+    ).select("doc_id", "lang", "source", F.lit("bernoulli").alias("mode"), nopos)
     exact = stratified_sample_exact(
         docs, "lang", {"en": 30, "zh": 10}, id_col="doc_id"
-    ).select("doc_id", "lang", "source", F.lit("exact_k").alias("mode"))
+    ).select("doc_id", "lang", "source", F.lit("exact_k").alias("mode"), nopos)
     # mixture mode: rates are data-dependent (per-stratum counts), but the
     # sizing arithmetic is plain SQL, so the oracle recomputes the exact
     # rates AND the exact kept set
     mixed = corpus_mix(
         docs, "lang", {"en": 2.0, "de": 1.0}, total_rows=120, id_col="doc_id"
-    ).select("doc_id", "lang", "source", F.lit("mix").alias("mode"))
-    return bern.unionByName(exact).unionByName(mixed)
+    ).select("doc_id", "lang", "source", F.lit("mix").alias("mode"), nopos)
+    # shuffle mode: the deterministic global order, verified by emitting
+    # each zh document's position in the shuffled corpus — a pure function
+    # of the same md5 draw, so the oracle replays every rank row-exactly
+    from pyspark.sql import Window
+    from tape_spark.utils.hashing import md5_unit
+
+    shuffled = shuffle_corpus(docs, id_col="doc_id")
+    w = Window.orderBy(md5_unit(F.col("doc_id")), F.col("doc_id"))
+    shuf = (
+        shuffled.withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("lang") == "zh")
+        .select("doc_id", "lang", "source", F.lit("shuffle_rank").alias("mode"), "pos")
+    )
+    return bern.unionByName(exact).unionByName(mixed).unionByName(shuf)
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1451,18 +1466,24 @@ WITH u AS (
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT / 4503599627370496.0 AS draw
   FROM documents
 )
-SELECT doc_id, lang, source, 'bernoulli' AS mode FROM u
+SELECT doc_id, lang, source, 'bernoulli' AS mode, CAST(NULL AS BIGINT) AS pos FROM u
 WHERE draw < CASE lang WHEN 'en' THEN 0.6 WHEN 'de' THEN 0.35 WHEN 'fr' THEN 0.2
                        WHEN 'es' THEN 0.5 ELSE 0.0 END
 UNION ALL
-SELECT doc_id, lang, source, 'exact_k' AS mode FROM (
+SELECT doc_id, lang, source, 'exact_k' AS mode, CAST(NULL AS BIGINT) AS pos FROM (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY draw, doc_id) AS rk FROM u
 ) WHERE rk <= CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 10 ELSE 0 END
 UNION ALL
-SELECT doc_id, lang, source, 'mix' AS mode FROM (
+SELECT doc_id, lang, source, 'mix' AS mode, CAST(NULL AS BIGINT) AS pos FROM (
   SELECT u.*, count(*) OVER (PARTITION BY lang) AS n FROM u
 ) WHERE (lang = 'en' AND draw < least(1.0, ((2.0 / 3.0) * 120.0) / n))
    OR  (lang = 'de' AND draw < least(1.0, ((1.0 / 3.0) * 120.0) / n))
+UNION ALL
+SELECT doc_id, lang, source, 'shuffle_rank' AS mode, pos FROM (
+  SELECT doc_id, lang, source,
+         CAST(row_number() OVER (ORDER BY draw, doc_id) AS BIGINT) AS pos
+  FROM u
+) WHERE lang = 'zh'
 """
 
 # replays chunk_documents' window geometry exactly: DuckDB 1-based inclusive

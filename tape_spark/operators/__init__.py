@@ -23,6 +23,7 @@ from .curation import (
     corpus_mix,
     decontaminate,
     mix_fractions,
+    shuffle_corpus,
     stratified_sample,
     stratified_sample_exact,
 )
@@ -79,6 +80,7 @@ __all__ = [
     "decontaminate",
     "stratified_sample",
     "stratified_sample_exact",
+    "shuffle_corpus",
     "mix_fractions",
     "corpus_mix",
 ]

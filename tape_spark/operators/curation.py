@@ -41,6 +41,7 @@ __all__ = [
     "decontaminate",
     "stratified_sample",
     "stratified_sample_exact",
+    "shuffle_corpus",
     "mix_fractions",
     "corpus_mix",
 ]
@@ -304,3 +305,21 @@ def stratified_sample_exact(
         .filter(F.col("__rank") <= kcol)
         .drop("__u", "__rank")
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle: order the corpus by the md5 draw —
+    the standard pre-training randomization, reproducible across runs,
+    engines, and cluster sizes (reshuffle epochs by changing ``salt``).
+
+    ``orderBy`` is a range-partitioned global sort: one sample pass to
+    pick range bounds, one shuffle, executor-local sorts — the canonical
+    Spark total-order plan, no driver materialization. Downstream
+    sequential writers (`pack_sequences`, sharded parquet) consume the
+    order partition-by-partition.
+    """
+    return df.orderBy(_hash_unit(id_col, salt), F.col(id_col))

@@ -410,3 +410,19 @@ def test_tokenize_chunks_null_text_yields_no_tokens(spark):
     got = {r["chunk_id"]: r.asDict() for r in tokenize_chunks(df).collect()}
     assert got["a"]["n_input_ids"] == 0 and got["a"]["input_ids"] == []
     assert got["b"]["n_input_ids"] == 2
+
+
+def test_shuffle_corpus_deterministic_global_order(spark):
+    from tape_spark.operators import shuffle_corpus
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "lang": ["x"] * 40})
+    )
+    got = [r["doc_id"] for r in shuffle_corpus(df).collect()]
+    expect = sorted(range(40), key=lambda i: (_md5_u(i), i))
+    assert got == expect
+    # repeatable, and a salt produces a different (but equally determined) epoch
+    assert [r["doc_id"] for r in shuffle_corpus(df).collect()] == expect
+    epoch2 = [r["doc_id"] for r in shuffle_corpus(df, salt="epoch2").collect()]
+    assert epoch2 == sorted(range(40), key=lambda i: (_md5_u(i, "epoch2"), i))
+    assert epoch2 != expect
