@@ -31,6 +31,11 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
 REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
+# batch sizes participate in part-file naming (parts encode only their
+# starting replica), so they belong to the resume grid: changing either
+# must wipe, same as changing REPLICAS
+BATCH = 100
+DOC_BATCH = 10
 
 os.makedirs(OUT, exist_ok=True)
 
@@ -43,7 +48,7 @@ import json as _json
 import shutil
 
 _manifest = os.path.join(OUT, "manifest.json")
-_grid = {"replicas": REPLICAS, "src": SRC}
+_grid = {"replicas": REPLICAS, "src": SRC, "batch": BATCH, "doc_batch": DOC_BATCH}
 _prev = None
 if os.path.exists(_manifest):
     with open(_manifest) as fh:
@@ -81,7 +86,7 @@ con = fresh_con()
 # a directory of parts (Spark and DuckDB both glob it).
 
 
-def copy_batched(select_fmt: str, out_name: str, batch: int = 100) -> None:
+def copy_batched(select_fmt: str, out_name: str, batch: int = BATCH) -> None:
     out_path = f"{OUT}/{out_name}"
     if os.path.isfile(out_path):
         os.remove(out_path)
@@ -116,7 +121,6 @@ copy_batched(
 # the per-token explode is REPLICAS x corpus-tokens rows; generate in
 # replica batches so 100x runs stay in bounded memory. The output is a
 # directory of parquet parts — both Spark and DuckDB glob it natively.
-DOC_BATCH = 10
 doc_out = f"{OUT}/documents.parquet"
 # clear a single-file previous output; stale EXTRA parts from a larger
 # prior run are removed below (parts within range are kept for resume)

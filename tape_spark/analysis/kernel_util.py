@@ -7,8 +7,12 @@ import pandas as pd
 
 
 def sorted_factorize(values):
-    """Exactly ``np.unique(values, return_inverse=True)`` — sorted uniques
-    plus codes into them — but hash-based instead of sort-based.
+    """``np.unique(values, return_inverse=True)`` semantics — sorted
+    uniques plus codes into them — but hash-based instead of sort-based.
+    The one edge divergence: an all-missing object block factorizes to a
+    single NaN category here, while ``np.unique`` raises TypeError; the
+    raise is reproduced only for mixed-type (unorderable) uniques, via
+    the argsort below.
 
     ``np.unique`` sorts the full array, which on object-dtype band columns
     costs ~26x more than a hash factorization (measured 3.3 s vs 0.13 s on

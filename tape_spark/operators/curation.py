@@ -265,7 +265,6 @@ def stratified_sample_exact(
             raise ValueError(f"count for stratum {s!r} must be >= 0")
     from pyspark.sql import Window
 
-    u = _hash_unit(id_col, salt).alias("__u")
     have = {
         r[0]: r[1]
         for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()

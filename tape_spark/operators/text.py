@@ -8,6 +8,8 @@ rolling-hash window-minimum runs as an Arrow-batched pandas UDF.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -497,7 +499,7 @@ def pack_sequences(
     token_col: str = "n_chunk_tokens",
     doc_col: str = "doc_id",
     index_col: str = "chunk_index",
-    num_buckets: int = 32,
+    num_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Concat-and-cut sequence packing: lay the chunk token stream end to
     end and cut a training sequence every ``budget`` tokens — the standard
@@ -522,14 +524,28 @@ def pack_sequences(
       downstream tokenizer splits it across the two sequences, exactly
       like document boundaries in GPT-style packing)
 
-    At 100 TB this is one hash shuffle on ``bucket`` (size ``num_buckets``
-    to the cluster's parallelism) followed by a codegen running-sum
+    At 100 TB this is one hash shuffle on ``bucket`` (``num_buckets``
+    defaults to the session's ``spark.sql.shuffle.partitions``, floor 32 —
+    pass it explicitly to pin a reproducible layout across differently
+    sized clusters) followed by a codegen running-sum
     window — no Python, no skew (buckets are md5-uniform), and each
     bucket's packing is independent so the window never sees more than
     one stream. The only cut waste is one partial sequence per bucket.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if num_buckets is None:
+        # each bucket's stream is ONE window partition, so the bucket count
+        # IS the parallelism of the packing stage — a fixed small default
+        # would put TB-sized streams through single tasks at corpus scale.
+        # Track the session's shuffle width (floor 32) unless the caller
+        # pins a layout explicitly (bucket count is part of seq_id, so
+        # reproducible layouts must pass it).
+        try:
+            width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            width = 0  # "auto" or unreadable → just take the floor
+        num_buckets = max(32, width)
     if num_buckets <= 0:
         raise ValueError("num_buckets must be positive")
     from ..utils.hashing import md5_bucket
@@ -545,7 +561,9 @@ def pack_sequences(
     )
     start = (F.sum(token_col).over(w) - F.col(token_col)).alias("start_offset")
     staged = staged.withColumn("start_offset", start)
-    seq_index = (F.col("start_offset") / budget).cast("long")
+    # integer DIV, not double `/`: float division is only exact while the
+    # per-bucket offset stays below 2^53, which a 100 TB stream can exceed
+    seq_index = F.expr(f"start_offset DIV {int(budget)}")
     return (
         staged.withColumn("seq_index", seq_index)
         .withColumn("seq_id", F.col("bucket") * F.lit(1 << 40) + F.col("seq_index"))
@@ -585,15 +603,17 @@ def detect_pii(
     linear at 100 TB. Pair with :func:`redact_pii` (same patterns) to
     rewrite the text.
     """
-    pats = patterns or PII_PATTERNS
+    pats = PII_PATTERNS if patterns is None else patterns
     text = F.coalesce(F.col(text_col), F.lit(""))
     counts = {
         f"n_{kind}": F.regexp_count(text, F.lit(p)).cast("long")
         for kind, p in pats.items()
     }
-    total = None
+    # seed with 0 so patterns={} degenerates to n_pii=0 instead of
+    # None.cast() blowing up
+    total = F.lit(0)
     for c in counts.values():
-        total = c if total is None else total + c
+        total = total + c
     return df.select(
         F.col(id_col),
         *[c.alias(name) for name, c in counts.items()],
@@ -616,7 +636,7 @@ def redact_pii(
     shuffle; the rewrite domain is exactly what :func:`detect_pii` counts,
     which is what the oracle-checked driver row verifies.
     """
-    pats = patterns or PII_PATTERNS
+    pats = PII_PATTERNS if patterns is None else patterns
     out = F.coalesce(F.col(text_col), F.lit(""))
     for kind, p in pats.items():
         out = F.regexp_replace(out, p, token.format(kind=kind.upper()))

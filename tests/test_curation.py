@@ -426,3 +426,57 @@ def test_shuffle_corpus_deterministic_global_order(spark):
     epoch2 = [r["doc_id"] for r in shuffle_corpus(df, salt="epoch2").collect()]
     assert epoch2 == sorted(range(40), key=lambda i: (_md5_u(i, "epoch2"), i))
     assert epoch2 != expect
+
+
+def test_pack_sequences_exact_beyond_double_precision(spark):
+    # offsets past 2^53 are not representable exactly as doubles; the
+    # seq_index DIV must stay integer-exact there (the 100 TB envelope)
+    from tape_spark.operators import pack_sequences
+
+    big = (1 << 55) + 3  # not a double-exact integer neighborhood
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 1], "chunk_index": [0, 1], "n_chunk_tokens": [big, 7]}
+        ),
+        "doc_id long, chunk_index long, n_chunk_tokens long",
+    )
+    out = {
+        r["chunk_index"]: r.asDict()
+        for r in pack_sequences(df, budget=10, num_buckets=1).collect()
+    }
+    assert out[1]["start_offset"] == big
+    assert out[1]["seq_index"] == big // 10
+    assert out[1]["offset_in_seq"] == big % 10
+
+
+def test_pack_sequences_default_buckets_track_shuffle_width(spark):
+    from tape_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(64), "chunk_index": [0] * 64,
+                      "n_chunk_tokens": [1] * 64})
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "48")
+        got = pack_sequences(df, budget=8)
+        n_buckets = got.select("bucket").distinct().count()
+        max_bucket = got.agg(F.max("bucket")).collect()[0][0]
+        assert max_bucket < 48 and n_buckets > 1
+        # floor of 32 when the session width is tiny
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        assert (
+            pack_sequences(df, budget=8).agg(F.max("bucket")).collect()[0][0] < 32
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_detect_pii_empty_patterns_is_zero(spark):
+    from tape_spark.operators import detect_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a"], "text": ["mail me x@y.com"]})
+    )
+    out = detect_pii(df, patterns={}).collect()
+    assert out[0]["n_pii"] == 0
