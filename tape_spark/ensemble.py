@@ -113,12 +113,32 @@ class Ensemble:
     keep_empty_objects : bool
         When False (default), syncing after a source filter also drops
         objects that lost all their sources.
+    sync_broadcast : bool or "auto"
+        Physical strategy for the dirty-sync semi-joins. "auto" (default)
+        broadcasts the surviving-id build side whenever Catalyst's own
+        size estimate for it is at most ``sync_broadcast_bytes`` (128 MB)
+        — the default 10 MB ``autoBroadcastJoinThreshold`` is calibrated
+        for *data* joins, while an id-only semi-join build side is worth
+        shipping at 10x that before a sort-merge of the full source table
+        wins. True forces the hint regardless of estimate — the cluster
+        deployment setting, where the source-table sort the SMJ pays
+        parallelizes worse than one survivor-id broadcast (single-host
+        measurements at sf100 show the opposite ordering; see the
+        re-measured A/B in ``docs/SCALING.md``). False never hints.
     """
 
-    def __init__(self, spark: Optional[SparkSession] = None, keep_empty_objects: bool = False):
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        keep_empty_objects: bool = False,
+        sync_broadcast: Union[bool, str] = "auto",
+        sync_broadcast_bytes: int = 128 << 20,
+    ):
         self.spark = spark or SparkSession.builder.getOrCreate()
         self.frames: Dict[str, DataFrame] = {}
         self.keep_empty_objects = keep_empty_objects
+        self.sync_broadcast = sync_broadcast
+        self.sync_broadcast_bytes = sync_broadcast_bytes
 
         # Lightcurve cohesion: true when every object's rows are known to be
         # co-located in one source partition (established at ingest by
@@ -564,8 +584,18 @@ class Ensemble:
         never a driver-side collected id list (the reference's slow path at
         ``ensemble.py:2254-2258`` is deliberately not reproduced). Temporary
         columns registered via ``assign(..., temporary=True)`` /
-        ``calc_nobs`` are dropped. With both frames partitioned by id, AQE
-        picks broadcast for a small surviving-id side automatically.
+        ``calc_nobs`` are dropped.
+
+        Physical strategy: the build side is an id-only projection, so it
+        is broadcast-hinted per ``sync_broadcast`` — at scale the default
+        10 MB ``autoBroadcastJoinThreshold`` silently flips this join to a
+        sort-merge of the *entire* source table once the surviving-id set
+        outgrows it (measured 68x regression sf10→sf100 on the canonical
+        prune workflow; full A/B in ``docs/SCALING.md``). The "auto" gate
+        reads Catalyst's own size estimate so an id set the driver could
+        not hold is never hinted; note AQE cannot rescue this join at
+        runtime — the id-partitioned layout leaves it no adjacent
+        exchanges to re-plan from.
         """
         id_col = self._id_col
         src = self.frames[SOURCE_FRAME_LABEL]
@@ -581,15 +611,46 @@ class Ensemble:
             self._source_temp = []
 
         if self._object_dirty:
-            src = src.join(obj.select(id_col).distinct(), on=id_col, how="left_semi")
+            src = src.join(
+                self._sync_build_side(obj.select(id_col).distinct()),
+                on=id_col,
+                how="left_semi",
+            )
 
         if self._source_dirty and not self.keep_empty_objects:
-            obj = obj.join(src.select(id_col).distinct(), on=id_col, how="left_semi")
+            obj = obj.join(
+                self._sync_build_side(src.select(id_col).distinct()),
+                on=id_col,
+                how="left_semi",
+            )
 
         self.frames[SOURCE_FRAME_LABEL] = src
         self.frames[OBJECT_FRAME_LABEL] = obj
         self._source_dirty = False
         self._object_dirty = False
+
+    def _sync_build_side(self, ids: DataFrame) -> DataFrame:
+        """Broadcast-hint a sync build side per the ``sync_broadcast``
+        policy (see ``__init__``). "auto" consults Catalyst's optimized
+        size estimate — the same statistic ``autoBroadcastJoinThreshold``
+        compares against, so the gate flips exactly where raising that
+        threshold would, without mutating session config."""
+        if self.sync_broadcast is True:
+            return F.broadcast(ids)
+        if self.sync_broadcast == "auto":
+            est = self._estimated_bytes(ids)
+            if est is not None and est <= self.sync_broadcast_bytes:
+                return F.broadcast(ids)
+        return ids
+
+    @staticmethod
+    def _estimated_bytes(df: DataFrame) -> Optional[int]:
+        """Catalyst's sizeInBytes estimate for ``df``'s optimized plan;
+        None when the private plan API is unavailable (e.g. Connect)."""
+        try:
+            return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        except Exception:
+            return None
 
     # ------------------------------------------------------------------ #
     # projections / filters / column ops                                 #

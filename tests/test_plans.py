@@ -91,6 +91,46 @@ def test_sync_shuffle_bound(li_ensemble):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
 
+def test_sync_broadcasts_past_planner_threshold(spark):
+    """The sync_broadcast policy is explicit code, not planner luck: with
+    autoBroadcastJoinThreshold forced to -1 (planner would ALWAYS pick
+    sort-merge on its own), the "auto" hint must still produce a
+    BroadcastHashJoin whenever the surviving-id estimate fits
+    sync_broadcast_bytes — and sync_broadcast=False must hand the choice
+    back to the planner. Scale calibration and the sf100 A/B live in
+    docs/SCALING.md."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    cm = ColumnMapper(
+        id_col="l_orderkey",
+        time_col="l_linenumber",
+        flux_col="l_extendedprice",
+        err_col="l_quantity",
+        band_col="l_returnflag",
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ens = Ensemble(spark).from_parquet(
+            "/root/testdata/sf0.001/lineitem.parquet",
+            column_mapper=cm,
+            additional_cols=False,
+            npartitions=8,
+        )
+        ens.prune(threshold=4)
+        plan = plan_of(ens.source)
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        # and the policy is honored when turned off: planner alone → SMJ
+        ens2 = Ensemble(spark, sync_broadcast=False).from_parquet(
+            "/root/testdata/sf0.001/lineitem.parquet",
+            column_mapper=cm,
+            additional_cols=False,
+            npartitions=8,
+        )
+        ens2.prune(threshold=4)
+        assert "BroadcastHashJoin" not in plan_of(ens2.source)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_merge_broadcast_hint(spark, li_ensemble):
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
