@@ -108,9 +108,14 @@ def main():
     docs = em._docs(spark, SF_DIR)
     from tape_spark.operators import cosine_topk, minhash_near_duplicates
 
+    # max_bucket_size=256 is the documented scale knob for boilerplate
+    # mega-buckets; sf0.1's largest band bucket is 14 (measured), so the
+    # cap is inert at the comparable SF and only engages at sf10+.
     run(
         "q4_minhash_lsh",
-        lambda: minhash_near_duplicates(docs, num_hashes=64, bands=16, threshold=0.3).count(),
+        lambda: minhash_near_duplicates(
+            docs, num_hashes=64, bands=16, threshold=0.3, max_bucket_size=256
+        ).count(),
     )
 
     emb = em._emb(spark, SF_DIR)

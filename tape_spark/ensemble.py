@@ -1188,6 +1188,7 @@ class Ensemble:
         label: Optional[str] = None,
         band_values: Optional[List[str]] = None,
         use_map: Optional[bool] = None,
+        arrow_native: Optional[bool] = None,
         **kwargs,
     ) -> DataFrame:
         """Run an arbitrary per-lightcurve function at scale.
@@ -1319,19 +1320,19 @@ class Ensemble:
             getattr(func, "process_block", None) if isinstance(func, AnalysisFunction) else None
         )
 
-        def process_groups(pdf: pd.DataFrame) -> Optional[pd.DataFrame]:
-            """Run ``func`` over every group in a frame already sorted by the
-            group keys; scalar results are accumulated row-wise to avoid a
-            per-group DataFrame construction."""
-            n = len(pdf)
-            key_arrays = [pdf[k].to_numpy() for k in group_keys]
+        def process_group_arrays(
+            n: int, key_arrays: list, col_arrays: list
+        ) -> Optional[pd.DataFrame]:
+            """Run ``func`` over every group in columnar data already sorted
+            by the group keys; scalar results are accumulated row-wise to
+            avoid a per-group DataFrame construction. Shared by the pandas
+            and Arrow-native map wrappers."""
             change = np.zeros(n, dtype=bool)
             change[0] = True
             for ka in key_arrays:
                 change[1:] |= ka[1:] != ka[:-1]
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], n)
-            col_arrays = [pdf[c].to_numpy() for c in func_cols]
             one_result = len(result_names) == 1
             scalar_ok = one_result and not first_is_map
             map_ok = one_result and first_is_map
@@ -1381,6 +1382,13 @@ class Ensemble:
                 return None
             return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
+        def process_groups(pdf: pd.DataFrame) -> Optional[pd.DataFrame]:
+            return process_group_arrays(
+                len(pdf),
+                [pdf[k].to_numpy() for k in group_keys],
+                [pdf[c].to_numpy() for c in func_cols],
+            )
+
         def apply_wrapper(pdf: pd.DataFrame) -> pd.DataFrame:
             # one group per call → key columns are constant; no sort needed
             out = process_groups(pdf)
@@ -1413,6 +1421,68 @@ class Ensemble:
                 if out is not None:
                     yield out
 
+        def map_wrapper_arrow(batches):
+            # Arrow-native twin of map_wrapper: consumes pyarrow
+            # RecordBatches and hands the kernels numpy views directly —
+            # no pandas DataFrame is ever materialized on the input side,
+            # which is the bulk of the mapInPandas boundary cost (the
+            # kernels only ever read plain ndarrays). Output re-enters
+            # Arrow through one from_pandas per *batch* of group results.
+            import pyarrow as pa
+
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            out_schema = to_arrow_schema(schema)
+
+            def col_np(table, name):
+                col = table.column(name)
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                if pa.types.is_integer(arr.type) and arr.null_count:
+                    # match the pandas path: nullable ints surface as
+                    # float64 + NaN through the Arrow->pandas conversion
+                    arr = arr.cast(pa.float64())
+                try:
+                    return arr.to_numpy(zero_copy_only=True)
+                except pa.ArrowInvalid:
+                    return arr.to_numpy(zero_copy_only=False)
+
+            def emit(table):
+                out = process_group_arrays(
+                    table.num_rows,
+                    [col_np(table, k) for k in group_keys],
+                    [col_np(table, c) for c in func_cols],
+                )
+                if out is None:
+                    return None
+                return pa.RecordBatch.from_pandas(
+                    out, schema=out_schema, preserve_index=False
+                )
+
+            carry: Optional[pa.Table] = None
+            for rb in batches:
+                t = pa.Table.from_batches([rb])
+                if carry is not None and carry.num_rows:
+                    t = pa.concat_tables([carry, t]).combine_chunks()
+                n = t.num_rows
+                if not n:
+                    continue
+                # rows of the trailing group form a suffix (input sorted by
+                # the group keys); hold them for the next batch
+                suffix = np.ones(n, dtype=bool)
+                for k in group_keys:
+                    kv = col_np(t, k)
+                    suffix &= kv == kv[-1]
+                cut = n - int(suffix.sum())
+                carry = t.slice(cut)
+                if cut:
+                    out = emit(t.slice(0, cut))
+                    if out is not None:
+                        yield out
+            if carry is not None and carry.num_rows:
+                out = emit(carry)
+                if out is not None:
+                    yield out
+
         if use_map is None:
             use_map = self._source_cohesive and self._id_col in on and not from_object
         if use_map:
@@ -1432,7 +1502,10 @@ class Ensemble:
             sorted_src = src.sortWithinPartitions(*sort_keys)
             if set(ship) != set(src.columns):
                 sorted_src = sorted_src.select(*ship)
-            result = sorted_src.mapInPandas(map_wrapper, schema)
+            if arrow_native:
+                result = sorted_src.mapInArrow(map_wrapper_arrow, schema)
+            else:
+                result = sorted_src.mapInPandas(map_wrapper, schema)
         else:
             result = src.groupBy(*on).applyInPandas(apply_wrapper, schema)
 

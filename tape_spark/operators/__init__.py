@@ -10,6 +10,7 @@ from .dedup import (
     exact_dedup,
     dedup_keep_first,
     minhash_signatures,
+    estimate_stop_shingles,
     lsh_candidate_pairs,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -53,6 +54,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_near_duplicates",
+    "estimate_stop_shingles",
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "embedding_near_duplicates",

@@ -47,6 +47,56 @@ def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFra
     return toks.select(F.col(id_col), F.explode(ngrams).alias("shingle")).distinct()
 
 
+def estimate_stop_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_doc_frequency: int = 1000,
+    sample_fraction: float = 0.02,
+    top_k: int = 1024,
+    salt: str = "stop",
+) -> list:
+    """Estimate the corpus's stop shingles — hashed word n-grams whose
+    document frequency exceeds ``max_doc_frequency`` — from a bounded,
+    content-addressed sample, and return (at most ``top_k`` of) them as a
+    plain Python list suitable for broadcasting.
+
+    At 100 TB an *exact* doc-frequency pass shuffles every (doc, shingle)
+    row just to find the handful of boilerplate n-grams that dominate
+    join fan-out. Heavy hitters by definition survive sampling: a shingle
+    with true df D appears in a fraction-``p`` document sample
+    ~Binomial(D, p) times, so thresholding the sampled count at
+    ``max_doc_frequency * p`` finds every shingle with D well above the
+    cap with near-certainty while touching only ``p`` of the corpus. The
+    sample is md5-content-addressed (same ``utils.hashing`` draw as
+    ``Ensemble.sample``), so the stop set is reproducible across runs and
+    cluster sizes.
+
+    The hash domain (``xxhash64`` of the space-joined lowercase n-gram)
+    matches both :func:`ngram_jaccard_pairs` and
+    :func:`minhash_signatures`, so one estimate serves either consumer.
+    """
+    if not 0 < sample_fraction <= 1:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    from ..utils.hashing import md5_unit
+
+    sampled = df.filter(md5_unit(F.col(id_col), salt) < sample_fraction)
+    shingles = _word_shingles(sampled, text_col, id_col, n).select(
+        F.xxhash64("shingle").alias("shingle")
+    )
+    cutoff = max(1, int(max_doc_frequency * sample_fraction))
+    rows = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cutoff)
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(top_k)
+        .collect()
+    )
+    return [r["shingle"] for r in rows]
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", by_hash: bool = True
 ) -> DataFrame:
@@ -110,6 +160,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     max_doc_frequency: Optional[int] = None,
+    stop_shingle_sample: Optional[float] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -120,13 +171,31 @@ def ngram_jaccard_pairs(
     bytes instead of an n-gram string (hash collisions perturb a count by
     ≪ 1 in 2⁶⁴ — negligible against the exact-set semantics). The join
     fan-out is bounded by shingle document frequency — at 100 TB, drop
-    ultra-common shingles first (a WHERE on document frequency) to cap
-    skew; AQE split handles the rest.
+    ultra-common shingles first (``max_doc_frequency``) to cap skew, and
+    set ``stop_shingle_sample`` so the heaviest hitters are found from a
+    bounded sample (:func:`estimate_stop_shingles`) and dropped *before*
+    the exact doc-frequency shuffle ever sees their rows — the exact
+    count then runs only over the residual, lighter-tailed shingles.
     """
     shingles = _word_shingles(df, text_col, id_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("shingle")
     )
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    if max_doc_frequency is not None and stop_shingle_sample is not None:
+        # heavy hitters estimated from a sample and pruned up front: their
+        # (doc, shingle) rows never enter the doc-frequency shuffle below.
+        # Sizes are already fixed above, so the Jaccard denominator stays
+        # exact regardless of what gets pruned here.
+        stop = estimate_stop_shingles(
+            df,
+            text_col,
+            id_col,
+            n,
+            max_doc_frequency=max_doc_frequency,
+            sample_fraction=stop_shingle_sample,
+        )
+        if stop:
+            shingles = shingles.filter(~F.col("shingle").isin(stop))
     if max_doc_frequency is not None:
         # cap join fan-out: a shingle in d documents yields O(d²) pair rows,
         # so stop-shingles dominate cost while carrying no dedup signal.
@@ -170,8 +239,20 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 2,
     seed: int = 13,
+    stop_shingles: Optional[list] = None,
+    signature_bits: int = 64,
 ) -> DataFrame:
     """MinHash signatures: (id, array<long> of ``num_hashes`` minima).
+
+    ``signature_bits=32`` stores each minimum truncated to its low 32
+    bits (array<int>): the MinHash property depends on *which* element is
+    the minimum, not its value, so agreement of truncated minima equals
+    agreement of the minima up to a 2⁻³² collision per slot — while
+    halving the widest shuffle of the LSH pipeline (the band-entry
+    exchange in :func:`minhash_near_duplicates` carries the signature 16x
+    per doc; measured 43 GB/side at sf100 for 64-bit). The exact 64-bit
+    default is right below ~10⁷ docs; at corpus scale the halved
+    transport buys more than the 10⁻⁹-level estimate perturbation costs.
 
     Shuffle-free: per document, distinct shingles are hashed once JVM-side
     (``xxhash64``), then a vectorized pandas UDF derives all ``num_hashes``
@@ -182,6 +263,14 @@ def minhash_signatures(
 
     Documents with no shingles (shorter than ``shingle_n`` tokens) emit no
     signature row, matching the aggregate formulation.
+
+    ``stop_shingles`` (a bounded list of hashed shingles, typically from
+    :func:`estimate_stop_shingles`) is excluded before hashing minima:
+    boilerplate n-grams shared corpus-wide otherwise dominate the minima
+    of short documents, herding unrelated docs into the same LSH buckets
+    and inflating candidate fan-out quadratically. Excluding them changes
+    signatures (est_jaccard is then Jaccard over the residual shingle
+    sets), so it is opt-in.
     """
     n = shingle_n
     toks = df.select(
@@ -206,21 +295,31 @@ def minhash_signatures(
             f"i -> xxhash64(array_join(slice(__toks, i, {n}), ' ')))) "
             f"ELSE array() END"
         )
-    hashed = toks.select(F.col(id_col), F.expr(shingle_expr).alias("h0")).filter(
-        F.size("h0") > 0
-    )
+    hashed = toks.select(F.col(id_col), F.expr(shingle_expr).alias("h0"))
+    if stop_shingles:
+        stop_arr = F.array(*[F.lit(int(s)) for s in stop_shingles])
+        hashed = hashed.select(
+            F.col(id_col), F.array_except("h0", stop_arr).alias("h0")
+        )
+    hashed = hashed.filter(F.size("h0") > 0)
 
+    if signature_bits not in (32, 64):
+        raise ValueError("signature_bits must be 32 or 64")
     rng = np.random.default_rng(seed)
     a = (rng.integers(1, 2**62, num_hashes, dtype=np.uint64) * np.uint64(2)) + np.uint64(1)
     b = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+    elem_type = T.LongType() if signature_bits == 64 else T.IntegerType()
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
+    @F.pandas_udf(T.ArrayType(elem_type))
     def sig(h0: pd.Series) -> pd.Series:
         out = []
         for arr in h0:
             h = np.asarray(arr, dtype=np.int64).view(np.uint64)
             m = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
-            out.append(m.view(np.int64))
+            if signature_bits == 32:
+                out.append(m.astype(np.uint32).view(np.int32))
+            else:
+                out.append(m.view(np.int64))
         return pd.Series(out)
 
     return hashed.select(F.col(id_col), sig(F.col("h0")).alias("signature"))
@@ -279,36 +378,109 @@ def minhash_near_duplicates(
     shingle_n: int = 2,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: Optional[int] = None,
+    stop_shingles: Optional[list] = None,
+    signature_bits: int = 64,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified.
 
-    Candidates from banding, then *verified* by estimating Jaccard as the
+    Candidates from banding, *verified* by estimating Jaccard as the
     fraction of agreeing signature positions (zip_with over the two
     signature arrays — built-in, no re-shingling join). Returns
     ``(id_a, id_b, est_jaccard)`` above ``threshold``.
+
+    Physical plan (the round-7 fused rewrite): ONE self-join on
+    (band, bucket) whose entries carry the signature, with the Jaccard
+    estimate computed and thresholded inside the join projection, then a
+    distinct over the (narrow) surviving pairs. The previous shape —
+    slim banding join → distinct → two signature re-joins — re-shuffled
+    every candidate pair *with a 0.5 KB signature attached* on the
+    second join; at sf100 (5 M docs, 7.4e8 pre-distinct candidates,
+    measured) that stage alone wrote ~200 GB of shuffle and DNF'd a
+    60 GB disk. Fused, the wide shuffle is the 16-per-doc band-entry
+    exchange (written once, read twice via ReuseExchange) and everything
+    after the join is a map: verify costs no extra shuffle at any scale.
+
+    ``max_bucket_size`` drops over-full buckets before the join via a
+    broadcast anti-join (the over-full set is tiny by construction —
+    it's the skew head). Boilerplate mega-clusters carry no near-dup
+    signal worth O(size²) pair rows; exact dedup or ``stop_shingles``
+    (see :func:`minhash_signatures`) handle them upstream.
     """
     rows_per_band = num_hashes // bands
-    # The signature frame feeds the banding self-join AND both verify
-    # joins; without persisting, the shingle + 64-way min pipeline would
-    # recompute 4x. At warehouse scale this is the table you'd materialize.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).persist()
-    candidates = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    # The signature frame feeds the band-entry explode on both join sides;
+    # persisting avoids recomputing the shingle + 64-way min pipeline. At
+    # warehouse scale this is the table you'd materialize.
+    sigs = minhash_signatures(
+        df,
+        text_col,
+        id_col,
+        num_hashes,
+        shingle_n,
+        stop_shingles=stop_shingles,
+        signature_bits=signature_bits,
+    ).persist()
+    band_expr = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, 'bucket', "
+        f"xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), b)))"
+    )
+    entries = sigs.select(
+        F.col(id_col), F.col("signature"), F.explode(band_expr).alias("e")
+    ).select(id_col, "signature", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        # Count bucket sizes over a signature-free projection (narrow
+        # shuffle), keep only the over-full (band, bucket) keys — a tiny
+        # relation — and broadcast-anti-join it against the wide entries,
+        # so the wide side is never shuffled for the cap.
+        slim = sigs.select(F.col(id_col), F.explode(band_expr).alias("e")).select(
+            F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+        )
+        overfull = (
+            slim.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        entries = entries.join(F.broadcast(overfull), on=["band", "bucket"], how="left_anti")
+    a = entries.alias("a")
+    b = entries.alias("b")
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a.signature"),
+                F.col("b.signature"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(num_hashes))
+    )
+    # First-matching-band dedup: a pair that collides in k bands appears k
+    # times in the join; keep it only from the first band whose signature
+    # slices agree — an exact, *map-side* replacement for distinct() (at
+    # sf100 the distinct shuffle over 7.4e8 candidate rows was the last
+    # table-sized exchange in this plan). Slice equality implies bucket
+    # equality, so each surviving pair is emitted exactly once; a pair
+    # whose buckets collide without any slice agreeing (a 2^-64 xxhash64
+    # event) is dropped, which the est filter would do anyway.
+    first_band = F.expr(
+        # NB: the lambda variable must not shadow the dataset alias `b`
+        f"array_min(filter(sequence(0, {bands - 1}), "
+        f"i -> slice(a.signature, i * {rows_per_band} + 1, {rows_per_band}) "
+        f"= slice(b.signature, i * {rows_per_band} + 1, {rows_per_band})))"
+    )
     result = (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.aggregate(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(float(num_hashes)),
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(F.col("band") == first_band)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            est.alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
     )
     # materialize the (small: pairs above threshold) output, then release
     # the signature cache — on a long-lived session, leaking one persisted

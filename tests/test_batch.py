@@ -269,3 +269,52 @@ def test_builtin_reducer_by_band_pivot(ramp_ensemble):
     m = fast.merge(slow, on="id", suffixes=("_f", "_s"))
     for c in cols:
         assert np.allclose(m[f"{c}_f"], m[f"{c}_s"], rtol=1e-9, equal_nan=True)
+
+
+def test_batch_arrow_native_map_path_parity(ramp_ensemble):
+    """The Arrow-native map wrapper (mapInArrow, numpy views straight off
+    the RecordBatch) must reproduce the pandas map path exactly — scalar
+    kernels, multi-row kernels, and the columnar protocol."""
+    fast = (
+        ramp_ensemble.batch(np.std, "flux", meta=("s", float), use_map=True,
+                            arrow_native=True)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    ref = (
+        ramp_ensemble.batch(np.std, "flux", meta=("s", float), use_map=True)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, ref)
+    plan = ramp_ensemble.batch(
+        np.std, "flux", meta=("s", float), use_map=True, arrow_native=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan and "MapInPandas" not in plan
+
+    from tape_spark.analysis import calc_sf2
+
+    key = ["id", "band", "dt"]
+    fast2 = (
+        ramp_ensemble.batch(calc_sf2, use_map=True, arrow_native=True)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    ref2 = (
+        ramp_ensemble.batch(calc_sf2, use_map=True)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    assert len(fast2) > 0
+    pd.testing.assert_frame_equal(fast2, ref2)
+
+
+def test_batch_arrow_native_stetson_parity(ramp_ensemble):
+    from tape_spark.analysis import StetsonJ
+
+    fast = (
+        ramp_ensemble.batch(StetsonJ(), use_map=True, arrow_native=True)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    ref = (
+        ramp_ensemble.batch(StetsonJ(), use_map=True)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, ref)

@@ -646,3 +646,117 @@ def test_resolve_duplicates_end_to_end_with_dedup_clusters(docs):
     n_clusters = clusters.select("component").distinct().count()
     # exactly one survivor per cluster; non-cluster docs all survive
     assert resolved.count() == n_docs - n_members + n_clusters
+
+
+# --------------------------------------------------------------------- #
+# round 7: fused MinHash verify, bucket cap, stop shingles               #
+# --------------------------------------------------------------------- #
+
+
+def test_minhash_fused_matches_two_stage(docs):
+    """The fused band-join-verify must return exactly the pair set of the
+    explicit two-stage formulation (banding candidates, then signature
+    re-join verify) — the rewrite is a physical-plan change only."""
+    from tape_spark.operators import lsh_candidate_pairs, minhash_signatures
+
+    nh, bands = 64, 16
+    fused = minhash_near_duplicates(docs, num_hashes=nh, bands=bands, threshold=0.2)
+    sigs = minhash_signatures(docs, num_hashes=nh)
+    cand = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=nh // bands)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
+    two_stage = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0), lambda acc, v: acc + v,
+            ) / F.lit(float(nh)),
+        )
+        .filter(F.col("est_jaccard") >= 0.2)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    def keyset(sdf):
+        return {(r["id_a"], r["id_b"], round(r["est_jaccard"], 9)) for r in sdf.collect()}
+    assert keyset(fused) == keyset(two_stage) and fused.count() > 0
+
+
+def test_minhash_bucket_cap_drops_megabucket(spark):
+    """max_bucket_size: a clone cluster larger than the cap contributes no
+    pairs (its identical signatures fill every band bucket past the cap),
+    while a small near-dup pair elsewhere in the corpus survives."""
+    boiler = "copyright notice all rights reserved contact legal department"
+    rows = [(i, boiler) for i in range(20)]
+    rows += [(100, "a genuinely unique document about owls and rivers"),
+             (101, "a genuinely unique document about owls and rivers")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    capped = minhash_near_duplicates(df, num_hashes=64, bands=16, threshold=0.3,
+                                     max_bucket_size=10)
+    keys = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in keys
+    assert not any(a < 20 and b < 20 for a, b in keys)
+    # without the cap the clone cluster floods back in: C(20,2) pairs
+    uncapped = minhash_near_duplicates(df, num_hashes=64, bands=16, threshold=0.3)
+    assert uncapped.count() == 190 + 1
+
+
+def test_estimate_stop_shingles_finds_heavy_hitter(spark):
+    from tape_spark.operators import estimate_stop_shingles
+
+    rows = [(i, f"shared boilerplate header unique{i} tail{i}") for i in range(60)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    stop = estimate_stop_shingles(df, n=2, max_doc_frequency=10, sample_fraction=1.0)
+    expected = {
+        r[0]
+        for r in spark.createDataFrame(
+            pd.DataFrame({"s": ["shared boilerplate", "boilerplate header"]})
+        ).select(F.xxhash64("s")).collect()
+    }
+    assert expected <= set(stop)
+    # per-doc-unique shingles never qualify
+    uniq = spark.createDataFrame(pd.DataFrame({"s": ["header unique3"]})).select(
+        F.xxhash64("s")
+    ).collect()[0][0]
+    assert uniq not in set(stop)
+
+
+def test_ngram_jaccard_stop_sample_denominator_exact(spark):
+    """Sampled stop-shingle pruning drops heavy hitters from the join but
+    the Jaccard denominator (per-doc shingle counts) is fixed beforehand,
+    so surviving pairs keep their exact similarity."""
+    rows = [(i, f"common header words unique{i}") for i in range(40)]
+    rows += [(100, "owls fly over quiet rivers at dusk"),
+             (101, "owls fly over quiet rivers at dusk")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = ngram_jaccard_pairs(
+        df, n=2, threshold=0.9, max_doc_frequency=10, stop_shingle_sample=1.0
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(100, 101)] == pytest.approx(1.0)
+
+
+def test_minhash_stop_shingles_drops_all_stop_docs(spark):
+    from tape_spark.operators import minhash_signatures
+
+    rows = [(0, "just two"), (1, "just two words here")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    stop = [
+        r[0]
+        for r in spark.createDataFrame(pd.DataFrame({"s": ["just two"]}))
+        .select(F.xxhash64("s")).collect()
+    ]
+    sigs = minhash_signatures(df, stop_shingles=stop)
+    ids = {r["doc_id"] for r in sigs.select("doc_id").collect()}
+    assert ids == {1}  # doc 0's only shingle was stopped -> no signature row
+
+
+def test_minhash_32bit_signatures_same_pairs(docs):
+    """32-bit signature transport finds the same near-dup pair set as the
+    exact 64-bit path at test scale (collisions are 2^-32 events)."""
+    p64 = {(r["id_a"], r["id_b"]) for r in
+           minhash_near_duplicates(docs, num_hashes=64, bands=16, threshold=0.3).collect()}
+    p32 = {(r["id_a"], r["id_b"]) for r in
+           minhash_near_duplicates(docs, num_hashes=64, bands=16, threshold=0.3,
+                                   signature_bits=32).collect()}
+    assert p32 == p64 and (0, 1) in p32
