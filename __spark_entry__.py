@@ -817,13 +817,32 @@ def q_chunk_documents(spark, sf_dir):
     whole output — window geometry, token counts, reassembled chunk
     text, chunk ids, bucket assignment, stream offsets, sequence ids,
     boundary flags — is value-hash-checked against a DuckDB
-    list-slicing + window-cumsum replay."""
-    from tape_spark.operators.text import chunk_documents, pack_sequences
+    list-slicing + window-cumsum replay.
+
+    Round 7 adds the token LEDGER: tokenize_chunks runs over every chunk
+    and its n_input_ids is value-checked against an independent DuckDB
+    re-tokenization of the chunk TEXT (counts are engine-agnostic even
+    though the crc32 stand-in ids are not), and each row carries
+    seq_tokens — how many tokens its sequence holds — whose oracle replay
+    proves packing is budget-exact: every sequence is exactly `budget`
+    full except at most the last of each bucket stream (seq_is_full)."""
+    from pyspark.sql import Window as W
+
+    from tape_spark.operators.text import chunk_documents, pack_sequences, tokenize_chunks
 
     out = chunk_documents(
         _docs(spark, sf_dir), text_col="text", id_col="doc_id", chunk_tokens=16, overlap_tokens=4
     )
-    packed = pack_sequences(out, budget=64, num_buckets=8)
+    tok = tokenize_chunks(out, text_col="chunk", id_col="chunk_id").select(
+        "chunk_id", "n_input_ids"
+    )
+    packed = pack_sequences(out, budget=64, num_buckets=8).join(tok, "chunk_id")
+    bucket_total = F.max(F.col("start_offset") + F.col("n_chunk_tokens")).over(
+        W.partitionBy("bucket")
+    )
+    seq_tokens = F.least(
+        F.lit(64).cast("long"), bucket_total - F.col("seq_index") * F.lit(64)
+    ).cast("long")
     return packed.select(
         "doc_id",
         F.col("chunk_index").cast("long").alias("chunk_index"),
@@ -836,6 +855,9 @@ def q_chunk_documents(spark, sf_dir):
         "seq_id",
         "offset_in_seq",
         "crosses_boundary",
+        "n_input_ids",
+        seq_tokens.alias("seq_tokens"),
+        (seq_tokens == F.lit(64)).alias("seq_is_full"),
     )
 
 
@@ -1517,7 +1539,13 @@ SELECT doc_id, chunk_index, n_chunk_tokens, chunk, chunk_id, bucket,
        CAST(start_offset // 64 AS BIGINT) AS seq_index,
        CAST(bucket * 1099511627776 + start_offset // 64 AS BIGINT) AS seq_id,
        CAST(start_offset % 64 AS BIGINT) AS offset_in_seq,
-       (start_offset % 64 + n_chunk_tokens) > 64 AS crosses_boundary
+       (start_offset % 64 + n_chunk_tokens) > 64 AS crosses_boundary,
+       CAST(len(CASE WHEN trim(coalesce(chunk, '')) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE regexp_split_to_array(trim(chunk), '\s+') END) AS BIGINT) AS n_input_ids,
+       CAST(least(64, max(start_offset + n_chunk_tokens) OVER (PARTITION BY bucket)
+                      - (start_offset // 64) * 64) AS BIGINT) AS seq_tokens,
+       least(64, max(start_offset + n_chunk_tokens) OVER (PARTITION BY bucket)
+                 - (start_offset // 64) * 64) = 64 AS seq_is_full
 FROM packed
 """
 
