@@ -28,9 +28,12 @@ from .curation import (
     stratified_sample,
     stratified_sample_exact,
 )
+from .joins import asof_join, interval_join
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
+    boilerplate_lines,
+    remove_boilerplate,
     chunk_documents,
     pack_sequences,
     detect_pii,
@@ -79,6 +82,10 @@ __all__ = [
     "detect_pii",
     "redact_pii",
     "vocab_topk",
+    "asof_join",
+    "interval_join",
+    "boilerplate_lines",
+    "remove_boilerplate",
     "decontaminate",
     "stratified_sample",
     "stratified_sample_exact",

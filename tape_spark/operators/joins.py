@@ -1,0 +1,244 @@
+"""Temporal join operators: as-of join and interval (range) join.
+
+The reference engine has no temporal-join surface; these follow the public
+semantics of ``pandas.merge_asof`` and of SQL inequality/range joins, built
+Spark-first:
+
+- ``asof_join`` is the union-scan formulation: tag both sides, union, and
+  propagate the most recent right-side row with ``last(..., ignorenulls)``
+  over an ordered window. ONE shuffle (hash-partition by the ``by`` keys),
+  no UDF, no inequality join — Catalyst would otherwise plan a
+  BroadcastNestedLoopJoin for ``l.ts >= r.ts``, which is quadratic.
+- ``interval_join`` is the bucketed-equi-join formulation: right intervals
+  are exploded to the fixed-width time buckets they cover, the left side
+  keys by its single bucket, and the exact range predicate is applied
+  AFTER the equi-join. Catalyst plans an ordinary shuffle/broadcast hash
+  join on (by, bucket); cost scales with bucket collisions, never N².
+
+At 100 TB both operators keep the property that every table-sized exchange
+is an equi-key shuffle: as-of's window partitioning reuses the same hash
+partitioning any downstream per-key op wants, and interval bucketing turns
+a range predicate into join keys exactly like the LSH banding in
+``operators/dedup.py`` turns similarity into join keys.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "interval_join"]
+
+
+def _as_list(keys: Union[None, str, Sequence[str]]) -> List[str]:
+    if keys is None:
+        return []
+    if isinstance(keys, str):
+        return [keys]
+    return list(keys)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Union[None, str, Sequence[str]] = None,
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: attach to every left row the single right row that
+    is nearest in ``on`` — at-or-before it (``backward``, the default),
+    at-or-after it (``forward``), or whichever of the two is closer
+    (``nearest``) — matching ``pandas.merge_asof`` tie/filter semantics,
+    including ``tolerance`` (matches farther than ``tolerance`` in ``on``
+    become non-matches).
+
+    Output: every left row and column, plus each non-key right column and
+    ``on + suffix`` (the matched right timestamp); all right-side columns
+    are NULL when no match exists (left-outer semantics). Right columns
+    whose names clash with left columns get ``suffix`` appended.
+
+    Scale: both sides are unioned and hash-partitioned ONCE by ``by``;
+    within each partition a single ordered scan propagates the latest
+    right-side struct. ``nearest`` adds a second sort (opposite order)
+    over the SAME exchange — Catalyst reuses the partitioning. With no
+    ``by`` key the window is global (one ordered partition): correct, but
+    a scale bottleneck — pass ``by`` for any large input.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    by = _as_list(by)
+    for k in by + [on]:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"join key {k!r} must exist on both sides")
+
+    # ``on`` rides inside the left struct so it is re-emitted with its
+    # original dtype (``__t`` is a cast-to-double sort key only)
+    left_payload = [c for c in left.columns if c not in by]
+    right_payload = [c for c in right.columns if c not in by and c != on]
+    assert on in left_payload
+    rename = {c: (c + suffix if c in left.columns else c) for c in right_payload}
+    matched_on = on + suffix
+
+    # The right row travels as ONE struct so that propagation is atomic:
+    # per-column last(ignorenulls) would skip a genuinely-NULL field of the
+    # matched row and leak an older row's value.
+    r_struct = F.struct(
+        F.col(on).cast("double").alias(matched_on),
+        *[F.col(c).alias(rename[c]) for c in right_payload],
+    )
+    l_side = left.select(
+        *[F.col(k) for k in by],
+        F.col(on).cast("double").alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left_payload]).alias("__l"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("__r")).schema["__r"].dataType
+        ).alias("__r"),
+    )
+    r_side = right.select(
+        *[F.col(k) for k in by],
+        F.col(on).cast("double").alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left_payload]).alias("__l"))
+            .schema["__l"].dataType
+        ).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    u = l_side.unionByName(r_side)
+
+    # backward: ascending scan; a right row at the same ``on`` sorts first
+    # (__is_left asc) so equal timestamps match, as in merge_asof.
+    w_back = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward: the same scan run in descending ``on`` order.
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    def _within(match_col):
+        gap = F.abs(F.col("__t") - match_col[matched_on])
+        ok = match_col.isNotNull()
+        if tolerance is not None:
+            ok = ok & (gap <= F.lit(float(tolerance)))
+        return ok
+
+    if direction == "backward":
+        u = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w_back))
+    elif direction == "forward":
+        u = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w_fwd))
+    else:  # nearest: take both candidates, keep the closer valid one
+        u = (
+            u.withColumn("__mb", F.last("__r", ignorenulls=True).over(w_back))
+            .withColumn("__mf", F.last("__r", ignorenulls=True).over(w_fwd))
+        )
+        b_ok = _within(F.col("__mb"))
+        f_ok = _within(F.col("__mf"))
+        b_gap = F.abs(F.col("__t") - F.col("__mb")[matched_on])
+        f_gap = F.abs(F.col("__t") - F.col("__mf")[matched_on])
+        # ties go backward, matching merge_asof(direction="nearest")
+        u = u.withColumn(
+            "__m",
+            F.when(b_ok & (~f_ok | (b_gap <= f_gap)), F.col("__mb")).when(
+                f_ok, F.col("__mf")
+            ),
+        ).drop("__mb", "__mf")
+
+    u = u.filter(F.col("__is_left") == 1).withColumn(
+        "__m", F.when(_within(F.col("__m")), F.col("__m"))
+    )
+    return u.select(
+        *[F.col(k) for k in by],
+        *[F.col("__l")[c].alias(c) for c in left_payload],
+        F.col("__m")[matched_on].alias(matched_on),
+        *[F.col("__m")[rename[c]].alias(rename[c]) for c in right_payload],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    by: Union[None, str, Sequence[str]] = None,
+    bucket_width: float = 3600.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join every left row to the right intervals that contain it:
+    ``right_start <= left_ts <= right_end`` (plus equality on ``by``).
+
+    Spark has no native range join, and expressing the containment
+    predicate directly degenerates to a nested-loop plan. Instead each
+    right interval is exploded to the fixed-width time buckets it covers
+    (``sequence(floor(start/w), floor(end/w))``) and the left row keys by
+    its single bucket, so Catalyst plans a plain equi-join on
+    (``by``, bucket); the exact containment predicate filters the
+    collisions afterwards. A (left, right) pair can collide in at most one
+    bucket — the left row owns exactly one — so no post-join dedup is
+    needed.
+
+    ``bucket_width`` (same units as the time columns; default one hour for
+    epoch-second data) trades replication for selectivity: set it near the
+    median interval length so intervals explode to O(1) buckets while a
+    bucket holds few foreign intervals. ``how`` is ``inner`` or
+    ``left`` (left rows with no containing interval survive with NULL
+    right columns).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    by = _as_list(by)
+    w = float(bucket_width)
+
+    l_b = left.withColumn("__bucket", F.floor(F.col(left_ts) / F.lit(w)))
+    r_b = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / F.lit(w)),
+                F.floor(F.col(right_end) / F.lit(w)),
+            )
+        ),
+    )
+    # disambiguate clashing non-key column names with a _r suffix
+    clash = {
+        c for c in r_b.columns if c in l_b.columns and c not in by and c != "__bucket"
+    }
+    for c in clash:
+        r_b = r_b.withColumnRenamed(c, c + "_r")
+    rs = right_start + ("_r" if right_start in clash else "")
+    re_ = right_end + ("_r" if right_end in clash else "")
+
+    cond = [l_b["__bucket"] == r_b["__bucket"]] + [l_b[k] == r_b[k] for k in by]
+    contain = (F.col(rs) <= F.col(left_ts)) & (F.col(left_ts) <= F.col(re_))
+    if how == "inner":
+        out = l_b.join(r_b, cond, "inner").filter(contain)
+        return out.drop(r_b["__bucket"]).drop(l_b["__bucket"]).drop(
+            *[r_b[k] for k in by]
+        )
+    # left-outer: run the inner match, then re-attach the never-matched
+    # left rows (an outer equi-join on buckets alone would duplicate a
+    # left row per colliding-but-not-containing interval).
+    inner = l_b.join(r_b, cond, "inner").filter(contain)
+    inner = inner.drop(r_b["__bucket"]).drop(l_b["__bucket"]).drop(
+        *[r_b[k] for k in by]
+    )
+    matched_keys = inner.select(*left.columns)
+    unmatched = left.join(matched_keys, left.columns, "left_anti")
+    for c in inner.columns:
+        if c not in left.columns:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(inner.schema[c].dataType)
+            )
+    return inner.unionByName(unmatched)

@@ -641,3 +641,110 @@ def redact_pii(
     for kind, p in pats.items():
         out = F.regexp_replace(out, p, token.format(kind=kind.upper()))
     return df.withColumn(text_col, out)
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_frequency: int = 2,
+    min_line_chars: int = 4,
+) -> DataFrame:
+    """Corpus-wide duplicate-line census: ``(line_hash, n_docs,
+    sample_line)`` for every normalized (trimmed) line that appears in at
+    least ``min_doc_frequency`` distinct documents and is at least
+    ``min_line_chars`` long — the C4/RefinedWeb boilerplate signal
+    (navigation chrome, cookie banners, license footers repeat across
+    pages; prose does not).
+
+    Scale: lines travel as 8-byte ``xxhash64`` keys into one
+    distinct-then-count aggregation (both map-side combined). At corpus
+    scale set ``min_doc_frequency`` high (boilerplate repeats thousands of
+    times) so the result is broadcast-sized, exactly like the
+    stop-shingle sets in ``operators/dedup.py``.
+    """
+    norm = F.trim(F.col("__line"))
+    per_doc = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+                "__line"
+            ),
+        )
+        .filter(F.length(norm) >= min_line_chars)
+        .select(
+            F.col(id_col),
+            F.xxhash64(norm).alias("line_hash"),
+            norm.alias("__norm"),
+        )
+        .dropDuplicates([id_col, "line_hash"])
+    )
+    return (
+        per_doc.groupBy("line_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("__norm").alias("sample_line"),
+        )
+        .filter(F.col("n_docs") >= min_doc_frequency)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_frequency: int = 2,
+    min_line_chars: int = 4,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Strip corpus-boilerplate lines (per :func:`boilerplate_lines`) from
+    every document, preserving the order and content of surviving lines.
+    Returns the input frame with ``text_col`` rewritten plus
+    ``n_lines_removed`` per document.
+
+    Plan shape: posexplode lines → anti-join against the (small,
+    broadcast by default) boilerplate hash set → order-preserving
+    reassembly via ``array_sort(collect_list(struct(pos, line)))``. The
+    only table-sized exchange is the final groupBy(id) reassembly; with
+    ``broadcast=False`` (a low ``min_doc_frequency`` at large scale can
+    make the set exceed broadcast size) the anti-join becomes an ordinary
+    hash join on the 8-byte line hash.
+    """
+    bp = boilerplate_lines(
+        df, text_col, id_col, min_doc_frequency, min_line_chars
+    ).select("line_hash")
+    if broadcast:
+        bp = F.broadcast(bp)
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("line_hash", F.xxhash64(F.trim(F.col("__line"))))
+    # short/empty lines are never boilerplate by contract; skip their probe
+    probe = F.length(F.trim(F.col("__line"))) >= min_line_chars
+    kept = exploded.filter(~probe).unionByName(
+        exploded.filter(probe).join(bp, "line_hash", "left_anti")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__new_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    # total line count comes from the ORIGINAL text (kept-side max position
+    # would undercount when trailing lines are removed)
+    n_lines = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+    out = (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(
+            "n_lines_removed",
+            (n_lines - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("long"),
+        )
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.lit("")))
+    )
+    return out.drop("__new_text", "__n_kept")

@@ -1,0 +1,291 @@
+"""Temporal joins: asof_join vs pandas.merge_asof (the public semantics it
+mirrors), interval_join vs a brute-force containment join, plus plan-shape
+locks (no nested-loop join; a single exchange for the as-of scan)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tape_spark.operators import asof_join, interval_join
+from tape_spark.operators.text import boilerplate_lines, remove_boilerplate
+
+
+def _trades_quotes(seed=7, n_keys=4, n_left=200, n_right=120):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "key": rng.integers(0, n_keys, n_left),
+            "t": np.round(rng.uniform(0, 1000, n_left), 3),
+            "qty": rng.integers(1, 100, n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": rng.integers(0, n_keys, n_right),
+            "t": np.round(rng.uniform(0, 1000, n_right), 3),
+            "px": np.round(rng.normal(100, 5, n_right), 4),
+        }
+    )
+    return left, right
+
+
+def _expected_asof(left, right, direction, tolerance=None):
+    kw = {"tolerance": tolerance} if tolerance is not None else {}
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        right.sort_values("t", kind="mergesort").rename(columns={"t": "t_r", "px": "px"}),
+        left_on="t",
+        right_on="t_r",
+        by="key",
+        direction=direction,
+        **kw,
+    )
+    return exp.sort_values(["key", "t", "qty"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_matches_pandas_merge_asof(spark, direction):
+    left, right = _trades_quotes()
+    out = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by="key",
+            direction=direction,
+        )
+        .toPandas()
+        .sort_values(["key", "t", "qty"])
+        .reset_index(drop=True)
+    )
+    exp = _expected_asof(left, right, direction)
+    assert list(out.columns) == ["key", "t", "qty", "t_r", "px"]
+    pd.testing.assert_frame_equal(
+        out[["key", "t", "qty", "t_r", "px"]],
+        exp[["key", "t", "qty", "t_r", "px"]],
+        check_dtype=False,
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_tolerance(spark, direction):
+    left, right = _trades_quotes(seed=11)
+    out = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by="key",
+            direction=direction,
+            tolerance=25.0,
+        )
+        .toPandas()
+        .sort_values(["key", "t", "qty"])
+        .reset_index(drop=True)
+    )
+    exp = _expected_asof(left, right, direction, tolerance=25.0)
+    pd.testing.assert_frame_equal(
+        out[["key", "t", "qty", "t_r", "px"]],
+        exp[["key", "t", "qty", "t_r", "px"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_equal_timestamps_match(spark):
+    """A right row AT the left timestamp matches for backward and forward,
+    exactly as merge_asof's inclusive semantics."""
+    left = pd.DataFrame({"key": [1, 1], "t": [10.0, 20.0], "qty": [1, 2]})
+    right = pd.DataFrame({"key": [1, 1], "t": [10.0, 30.0], "px": [5.0, 7.0]})
+    for direction, exp_px in [("backward", [5.0, 5.0]), ("forward", [5.0, 7.0])]:
+        out = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="t",
+                by="key",
+                direction=direction,
+            )
+            .orderBy("t")
+            .toPandas()
+        )
+        assert out["px"].tolist() == exp_px
+
+
+def test_asof_null_right_payload_not_skipped(spark):
+    """A genuinely-NULL payload field of the matched right row must come
+    through as NULL, not be replaced by an older row's value (struct
+    propagation, not per-column last(ignorenulls))."""
+    left = pd.DataFrame({"key": [1], "t": [30.0], "qty": [1]})
+    right = spark.createDataFrame(
+        [(1, 10.0, 99.0), (1, 20.0, None)], "key long, t double, px double"
+    )
+    out = asof_join(
+        spark.createDataFrame(left), right, on="t", by="key"
+    ).collect()[0]
+    assert out["t_r"] == 20.0 and out["px"] is None
+
+
+def test_asof_no_by_global(spark):
+    left = pd.DataFrame({"t": [1.0, 5.0], "qty": [1, 2]})
+    right = pd.DataFrame({"t": [0.0, 4.0], "px": [1.5, 2.5]})
+    out = (
+        asof_join(spark.createDataFrame(left), spark.createDataFrame(right), on="t")
+        .orderBy("t")
+        .toPandas()
+    )
+    assert out["px"].tolist() == [1.5, 2.5]
+
+
+def test_asof_plan_single_exchange_no_nested_loop(spark):
+    left, right = _trades_quotes()
+    plan = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="t",
+        by="key",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # one hash-partition exchange for the union scan (createDataFrame
+    # parallelize sides contribute none)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _events_sessions(seed=3, n_keys=5, n_left=300, n_right=60):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "key": rng.integers(0, n_keys, n_left),
+            "t": np.round(rng.uniform(0, 5000, n_left), 3),
+            "v": rng.integers(0, 10, n_left),
+        }
+    )
+    start = np.round(rng.uniform(0, 5000, n_right), 3)
+    right = pd.DataFrame(
+        {
+            "key": rng.integers(0, n_keys, n_right),
+            "s": start,
+            "e": np.round(start + rng.uniform(0, 900, n_right), 3),
+            "label": [f"iv{i}" for i in range(n_right)],
+        }
+    )
+    return left, right
+
+
+def _expected_interval(left, right, by=True):
+    keys = ["key"] if by else []
+    merged = left.merge(right, on=keys or None, how="cross" if not by else "inner")
+    m = merged[(merged["s"] <= merged["t"]) & (merged["t"] <= merged["e"])]
+    return m.sort_values(["key", "t", "v", "label"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("bucket_width", [50.0, 500.0, 10000.0])
+def test_interval_join_matches_bruteforce(spark, bucket_width):
+    left, right = _events_sessions()
+    out = (
+        interval_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            left_ts="t",
+            right_start="s",
+            right_end="e",
+            by="key",
+            bucket_width=bucket_width,
+        )
+        .toPandas()
+        .sort_values(["key", "t", "v", "label"])
+        .reset_index(drop=True)
+    )
+    exp = _expected_interval(left, right)
+    cols = ["key", "t", "v", "s", "e", "label"]
+    pd.testing.assert_frame_equal(out[cols], exp[cols], check_dtype=False)
+
+
+def test_interval_join_left_outer(spark):
+    left, right = _events_sessions(seed=9)
+    out = interval_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        left_ts="t",
+        right_start="s",
+        right_end="e",
+        by="key",
+        bucket_width=200.0,
+        how="left",
+    ).toPandas()
+    exp_inner = _expected_interval(left, right)
+    # every left row appears at least once; unmatched rows carry NULLs
+    assert len(out) == len(exp_inner) + (
+        len(left) - len(exp_inner[["key", "t", "v"]].drop_duplicates())
+    )
+    matched = out[out["label"].notna()].sort_values(
+        ["key", "t", "v", "label"]
+    ).reset_index(drop=True)
+    cols = ["key", "t", "v", "s", "e", "label"]
+    pd.testing.assert_frame_equal(matched[cols], exp_inner[cols], check_dtype=False)
+
+
+def test_interval_join_no_nested_loop(spark):
+    left, right = _events_sessions()
+    plan = interval_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        left_ts="t",
+        right_start="s",
+        right_end="e",
+        by="key",
+        bucket_width=500.0,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+DOCS = [
+    (0, "alpha beta\nCOOKIE BANNER\nunique zero text\nfooter (c) corp"),
+    (1, "COOKIE BANNER\nsome other prose\nfooter (c) corp"),
+    (2, "totally original\nnothing shared here at all"),
+    (3, "  COOKIE BANNER  \nmore prose\nfooter (c) corp\nCOOKIE BANNER"),
+    (4, ""),
+]
+
+
+def test_boilerplate_lines_census(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bp = boilerplate_lines(docs, min_doc_frequency=2).toPandas()
+    got = dict(zip(bp["sample_line"], bp["n_docs"]))
+    # doc 3 repeats the banner twice but counts once (distinct per doc);
+    # whitespace-variant lines normalize to the same trimmed form
+    assert got == {"COOKIE BANNER": 3, "footer (c) corp": 3}
+
+
+def test_remove_boilerplate_preserves_order_and_counts(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = (
+        remove_boilerplate(docs, min_doc_frequency=2)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert out["text"].tolist() == [
+        "alpha beta\nunique zero text",
+        "some other prose",
+        "totally original\nnothing shared here at all",
+        "more prose",
+        "",
+    ]
+    assert out["n_lines_removed"].tolist() == [2, 2, 0, 3, 0]
+
+
+def test_remove_boilerplate_short_lines_exempt(spark):
+    docs = spark.createDataFrame(
+        [(0, "ok\nlong shared line"), (1, "ok\nlong shared line"), (2, "ok")],
+        "doc_id long, text string",
+    )
+    out = (
+        remove_boilerplate(docs, min_doc_frequency=2, min_line_chars=4)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # "ok" is under min_line_chars: shared but never stripped
+    assert out["text"].tolist() == ["ok", "ok", "ok"]
+    assert out["n_lines_removed"].tolist() == [1, 1, 0]
