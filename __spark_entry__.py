@@ -989,18 +989,53 @@ def q_insert_sources(spark, sf_dir):
 
 
 def q_corpus_filter(spark, sf_dir):
-    """Gopher/C4-style quality gate: keep/drop + failure reasons per doc,
-    one narrow projection (no joins of per-signal frames)."""
-    from tape_spark.operators import corpus_filter
+    """Gopher/C4-style quality gate (keep/drop + failure reasons per doc,
+    one narrow projection) PLUS corpus-level boilerplate-line removal
+    (tape_spark.operators.remove_boilerplate). The synthetic docs are
+    single-line, so boilerplate lines are injected deterministically (the
+    established augmented-text pattern from the PII row): a cookie banner
+    on every 3rd doc, a copyright footer on every 2nd, and a doc-unique
+    line on every 7th that must SURVIVE removal (its corpus frequency is
+    1). The oracle replays the census, threshold, and order-preserving
+    rebuild line-exactly; ``clean_sha`` hashes the rebuilt text."""
+    from tape_spark.operators import corpus_filter, remove_boilerplate
 
-    return corpus_filter(
-        _docs(spark, sf_dir),
+    docs = _docs(spark, sf_dir)
+    gate = corpus_filter(
+        docs,
         min_tokens=10,
         max_tokens=100_000,
         max_rep_ratio=0.5,
         min_stop_ratio=0.02,
         min_avg_token_len=2.0,
         max_avg_token_len=12.0,
+    )
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\nCOOKIE BANNER ACCEPT ALL COOKIES"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\n(c) 2026 Example Corp All Rights Reserved"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("\nref line "), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cleaned = remove_boilerplate(aug, min_doc_frequency=5)
+    return gate.join(
+        cleaned.select(
+            "doc_id",
+            F.sha2(F.col("text"), 256).alias("clean_sha"),
+            "n_lines_removed",
+        ),
+        "doc_id",
     )
 
 
@@ -1081,16 +1116,47 @@ def q_events_session_window(spark, sf_dir):
     Both sides truncate the event time to exact integer microseconds
     (``ts_us`` here, ``epoch_ns(ts) // 1000`` in the oracle) so the emitted
     epoch-second doubles are bit-identical — ns-vs-µs rounding at the 6th
-    decimal was the round-2 hash mismatch."""
+    decimal was the round-2 hash mismatch.
+
+    Round 7 adds an interval-join check (tape_spark.operators
+    .interval_join): the raw events are range-joined back into the
+    emitted [session_start, session_end] windows (equi-key user_id,
+    bucketed containment — no nested-loop plan) and the per-session
+    containment count ``n_events_ij`` must replay exactly; by session
+    semantics it equals ``n_events`` row for row, and the oracle
+    recomputes it independently with a plain inequality join."""
+    from tape_spark.operators import interval_join
     from tape_spark.streaming import session_window_agg
 
     ev = _events(spark, sf_dir).withColumn("ts2", F.timestamp_micros(F.col("ts_us")))
     out = session_window_agg(ev, ts_col="ts2", gap="30 minutes", keys=["user_id"])
-    return out.select(
+    sess = out.select(
         "user_id",
         F.round(F.col("session_start").cast("double"), 6).alias("session_start"),
         F.round(F.col("session_end").cast("double"), 6).alias("session_end"),
         "n_events",
+    )
+    evt = ev.select(
+        "user_id", F.round(F.col("ts_us") / F.lit(1e6), 6).alias("te")
+    )
+    ij = interval_join(
+        evt,
+        sess,
+        left_ts="te",
+        right_start="session_start",
+        right_end="session_end",
+        by="user_id",
+        bucket_width=3600.0,
+    )
+    counts = ij.groupBy("user_id", "session_start").agg(
+        F.count(F.lit(1)).alias("n_events_ij")
+    )
+    return sess.join(counts, ["user_id", "session_start"], "left").select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.coalesce("n_events_ij", F.lit(0)).alias("n_events_ij"),
     )
 
 
@@ -1117,13 +1183,36 @@ def q_events_running_stats(spark, sf_dir):
 
 
 def q_events_sessionize(spark, sf_dir):
-    """Sessionization: 30-minute inactivity gap splits sessions per user
-    (tape_spark.streaming.sessionize — the batch analog of the
-    session_window streaming operator)."""
+    """Sessionization (30-minute inactivity gap per user,
+    tape_spark.streaming.sessionize) PLUS as-of attribution
+    (tape_spark.operators.asof_join): every purchase is attributed to the
+    user's most recent click at-or-before it within 30 minutes —
+    pandas.merge_asof(backward, tolerance) semantics, replayed by the
+    oracle with DuckDB's native ASOF LEFT JOIN. Per user: purchase count,
+    attributed count, and mean attribution lag."""
+    from tape_spark.operators import asof_join
     from tape_spark.streaming import sessionize
 
     ev = _events(spark, sf_dir)
-    return sessionize(ev, user_col="user_id", ts_col="t", gap_seconds=1800.0, order_cols=["event_id"])
+    base = sessionize(
+        ev, user_col="user_id", ts_col="t", gap_seconds=1800.0, order_cols=["event_id"]
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "t")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "t")
+    att = asof_join(p, c, on="t", by="user_id", direction="backward", tolerance=1800.0)
+    agg = att.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("t_r").alias("n_attributed"),
+        F.round(F.avg(F.col("t") - F.col("t_r")), 6).alias("avg_attr_lag"),
+    )
+    return base.join(agg, "user_id", "left").select(
+        "user_id",
+        "n_sessions",
+        "n_events",
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_attributed", F.lit(0)).alias("n_attributed"),
+        "avg_attr_lag",
+    )
 
 
 def q_stream_dedup(spark, sf_dir):
@@ -1312,8 +1401,48 @@ j AS (
     CASE WHEN avg_len < 2.0 OR avg_len > 12.0 THEN 'odd_token_len' END
   ) AS reasons
   FROM r
+),
+-- boilerplate-removal replay on deterministically augmented text:
+-- banner on every 3rd doc, footer on every 2nd, doc-unique line on every
+-- 7th (frequency 1 => must survive the min_doc_frequency=5 census)
+aug AS (
+  SELECT doc_id, coalesce(text, '')
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'COOKIE BANNER ACCEPT ALL COOKIES' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '(c) 2026 Example Corp All Rights Reserved' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'ref line ' || CAST(doc_id AS VARCHAR) ELSE '' END
+    AS t
+  FROM documents
+),
+lns AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         generate_subscripts(string_split(t, chr(10)), 1) AS ord
+  FROM aug
+),
+bp AS (
+  SELECT nline FROM (
+    SELECT DISTINCT doc_id, trim(line) AS nline FROM lns
+    WHERE length(trim(line)) >= 4
+  ) GROUP BY nline HAVING count(*) >= 5
+),
+kept AS (
+  SELECT doc_id, ord, line FROM lns
+  WHERE length(trim(line)) < 4 OR trim(line) NOT IN (SELECT nline FROM bp)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS new_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+clean AS (
+  SELECT a.doc_id,
+         sha256(coalesce(r.new_text, '')) AS clean_sha,
+         len(string_split(a.t, chr(10))) - coalesce(r.n_kept, 0) AS n_lines_removed
+  FROM aug a LEFT JOIN rebuilt r USING (doc_id)
 )
-SELECT doc_id, reasons = '' AS keep, reasons FROM j
+SELECT j.doc_id, j.reasons = '' AS keep, j.reasons,
+       c.clean_sha, CAST(c.n_lines_removed AS BIGINT) AS n_lines_removed
+FROM j JOIN clean c USING (doc_id)
 """
 
 # One-pass signal extraction: language vote + quality features + stopword /
@@ -1564,9 +1693,32 @@ WITH flagged AS (
           OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY epoch(ts), event_id) > 1800
          THEN 1 ELSE 0 END AS new_session
   FROM events
+),
+sessions AS (
+  SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+  FROM flagged GROUP BY user_id
+),
+-- as-of attribution replay with DuckDB's NATIVE ASOF JOIN: each purchase
+-- matches the user's greatest click time <= purchase time; tolerance is a
+-- post-filter (the as-of match is the unique candidate, so filtering it
+-- equals merge_asof's tolerance semantics)
+p AS (SELECT user_id, epoch(ts) AS t FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch(ts) AS t FROM events WHERE event_type = 'click'),
+att AS (
+  SELECT p.user_id, p.t,
+         CASE WHEN p.t - c.t <= 1800 THEN c.t END AS ct
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+),
+agg AS (
+  SELECT user_id, count(*) AS n_purchases, count(ct) AS n_attributed,
+         round(avg(t - ct), 6) AS avg_attr_lag
+  FROM att GROUP BY user_id
 )
-SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
-FROM flagged GROUP BY user_id
+SELECT s.user_id, s.n_sessions, s.n_events,
+       coalesce(a.n_purchases, 0) AS n_purchases,
+       coalesce(a.n_attributed, 0) AS n_attributed,
+       a.avg_attr_lag
+FROM sessions s LEFT JOIN agg a USING (user_id)
 """
 
 
@@ -1595,11 +1747,29 @@ sess AS (
   SELECT user_id, t_us,
     sum(ns) OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged
+),
+wins AS (
+  SELECT user_id, round(min(t_us) / 1000000.0, 6) AS session_start,
+         round((max(t_us) + 1800000000) / 1000000.0, 6) AS session_end,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, sid
+),
+-- independent containment recount (plain inequality join) of the
+-- engine-side interval_join: every event must land in exactly its own
+-- session window, so n_events_ij == n_events row for row
+ev2 AS (
+  SELECT user_id, round((epoch_ns(ts) // 1000) / 1000000.0, 6) AS te FROM events
+),
+ij AS (
+  SELECT w.user_id, w.session_start, count(*) AS n_events_ij
+  FROM wins w JOIN ev2 e
+    ON e.user_id = w.user_id
+   AND e.te >= w.session_start AND e.te <= w.session_end
+  GROUP BY 1, 2
 )
-SELECT user_id, round(min(t_us) / 1000000.0, 6) AS session_start,
-       round((max(t_us) + 1800000000) / 1000000.0, 6) AS session_end,
-       count(*) AS n_events
-FROM sess GROUP BY user_id, sid
+SELECT w.user_id, w.session_start, w.session_end, w.n_events,
+       coalesce(i.n_events_ij, 0) AS n_events_ij
+FROM wins w LEFT JOIN ij i USING (user_id, session_start)
 """
 
 
