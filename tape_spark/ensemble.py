@@ -1106,6 +1106,49 @@ class Ensemble:
             return -1.0
         return (best_mid % 24.0) / 24.0
 
+    def align_bands(
+        self,
+        band_a: str,
+        band_b: str,
+        direction: str = "nearest",
+        tolerance: Optional[float] = None,
+        suffix: str = "_b",
+    ) -> DataFrame:
+        """Pair every ``band_a`` observation with its temporally nearest
+        ``band_b`` observation of the SAME object — an as-of join per
+        light curve, the classic color-curve construction (``flux -
+        flux_b`` per epoch gives e.g. a g−r color curve).
+
+        Returns ``(id, t, flux, err, t<suffix>, flux<suffix>,
+        err<suffix>, dt)`` with ``dt = t<suffix> - t``; the matched
+        columns are NULL when no ``band_b`` observation qualifies under
+        ``direction``/``tolerance`` (see
+        :func:`tape_spark.operators.joins.asof_join` — ``nearest`` is the
+        default here because colors care about |Δt|, not causality).
+
+        Beyond-reference: the reference computes multi-band quantities
+        only inside per-object Python kernels after full materialization
+        (e.g. ``ensemble.py:1130-1170``'s band loops); this stays a
+        declarative plan whose one exchange is the id-hash shuffle of the
+        two band slices.
+        """
+        from .operators.joins import asof_join
+
+        id_col, t_col = self._id_col, self._time_col
+        flux, err = self._flux_col, self._err_col
+        src = self.source
+        a = src.filter(F.col(self._band_col) == band_a).select(
+            id_col, t_col, flux, err
+        )
+        b = src.filter(F.col(self._band_col) == band_b).select(
+            id_col, t_col, flux, err
+        )
+        out = asof_join(
+            a, b, on=t_col, by=id_col, direction=direction,
+            tolerance=tolerance, suffix=suffix,
+        )
+        return out.withColumn("dt", F.col(t_col + suffix) - F.col(t_col))
+
     # ------------------------------------------------------------------ #
     # sorts / physical layout                                            #
     # ------------------------------------------------------------------ #

@@ -289,3 +289,44 @@ def test_remove_boilerplate_short_lines_exempt(spark):
     # "ok" is under min_line_chars: shared but never stripped
     assert out["text"].tolist() == ["ok", "ok", "ok"]
     assert out["n_lines_removed"].tolist() == [1, 1, 0]
+
+
+def test_ensemble_align_bands(spark, ramp_ensemble):
+    """Color-curve construction: each r observation pairs with the
+    temporally nearest g observation of the same object, replayed with
+    pandas merge_asof(nearest) per object."""
+    out = ramp_ensemble.align_bands("r", "g", direction="nearest").toPandas()
+    src = ramp_ensemble.source.toPandas()
+    r = src[src["band"] == "r"][["id", "time", "flux", "err"]]
+    g = src[src["band"] == "g"][["id", "time", "flux", "err"]]
+    exp = pd.merge_asof(
+        r.sort_values("time"),
+        g.sort_values("time").rename(
+            columns={"time": "time_b", "flux": "flux_b", "err": "err_b"}
+        ),
+        left_on="time",
+        right_on="time_b",
+        by="id",
+        direction="nearest",
+    )
+    got = out.sort_values(["id", "time"]).reset_index(drop=True)
+    exp = exp.sort_values(["id", "time"]).reset_index(drop=True)
+    assert list(got.columns) == [
+        "id", "time", "flux", "err", "time_b", "flux_b", "err_b", "dt",
+    ]
+    pd.testing.assert_frame_equal(
+        got[["id", "time", "flux", "err", "time_b", "flux_b"]],
+        exp[["id", "time", "flux", "err", "time_b", "flux_b"]],
+        check_dtype=False,
+    )
+    assert np.allclose(got["dt"], got["time_b"] - got["time"])
+
+
+def test_ensemble_align_bands_tolerance(spark, ramp_ensemble):
+    out = ramp_ensemble.align_bands("r", "g", direction="backward", tolerance=300.0)
+    pdf = out.toPandas()
+    matched = pdf[pdf["time_b"].notna()]
+    assert ((matched["time"] - matched["time_b"]) <= 300.0).all()
+    assert ((matched["time"] - matched["time_b"]) >= 0).all()
+    # rows outside tolerance still present with NULL match (left-outer)
+    assert len(pdf) == pdf["id"].map(lambda _: 1).sum()
