@@ -234,8 +234,18 @@ def interval_join(
     inner = inner.drop(r_b["__bucket"]).drop(l_b["__bucket"]).drop(
         *[r_b[k] for k in by]
     )
-    matched_keys = inner.select(*left.columns)
-    unmatched = left.join(matched_keys, left.columns, "left_anti")
+    matched_keys = inner.select(*left.columns).alias("__m")
+    l_al = left.alias("__l")
+    # null-safe equality: plain column-name anti-join drops no rows whose
+    # payload contains NULL (NULL = NULL is NULL), duplicating them as
+    # "unmatched" alongside their inner match
+    anti_cond = None
+    for c in left.columns:
+        term = F.col(f"__l.{c}").eqNullSafe(F.col(f"__m.{c}"))
+        anti_cond = term if anti_cond is None else (anti_cond & term)
+    unmatched = l_al.join(matched_keys, anti_cond, "left_anti").select(
+        *[F.col(f"__l.{c}") for c in left.columns]
+    )
     for c in inner.columns:
         if c not in left.columns:
             unmatched = unmatched.withColumn(

@@ -330,3 +330,21 @@ def test_ensemble_align_bands_tolerance(spark, ramp_ensemble):
     assert ((matched["time"] - matched["time_b"]) >= 0).all()
     # rows outside tolerance still present with NULL match (left-outer)
     assert len(pdf) == pdf["id"].map(lambda _: 1).sum()
+
+
+def test_interval_join_left_outer_null_payload(spark):
+    """A left row with a NULL payload column must not be duplicated as
+    unmatched next to its inner match (null-safe anti-join)."""
+    left = spark.createDataFrame(
+        [(1, 10.0, None), (1, 9999.0, None)], "key long, t double, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, 15.0, "iv0")], "key long, s double, e double, label string"
+    )
+    out = interval_join(
+        left, right, left_ts="t", right_start="s", right_end="e",
+        by="key", bucket_width=100.0, how="left",
+    ).toPandas()
+    assert len(out) == 2
+    assert out[out["t"] == 10.0]["label"].tolist() == ["iv0"]
+    assert out[out["t"] == 9999.0]["label"].isna().all()
