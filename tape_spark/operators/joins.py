@@ -171,7 +171,7 @@ def interval_join(
     right_start: str,
     right_end: str,
     by: Union[None, str, Sequence[str]] = None,
-    bucket_width: float = 3600.0,
+    bucket_width: Optional[float] = 3600.0,
     how: str = "inner",
 ) -> DataFrame:
     """Join every left row to the right intervals that contain it:
@@ -190,12 +190,24 @@ def interval_join(
     ``bucket_width`` (same units as the time columns; default one hour for
     epoch-second data) trades replication for selectivity: set it near the
     median interval length so intervals explode to O(1) buckets while a
-    bucket holds few foreign intervals. ``how`` is ``inner`` or
-    ``left`` (left rows with no containing interval survive with NULL
-    right columns).
+    bucket holds few foreign intervals. Pass ``bucket_width=None`` to
+    derive it from the data — the median interval length via ONE
+    approx-percentile aggregate over the right side (an O(1)-row
+    driver-side result, the same bounded-collect discipline as the rest
+    of the engine). ``how`` is ``inner`` or ``left`` (left rows with no
+    containing interval survive with NULL right columns).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
+    if bucket_width is None:
+        med = right.select(
+            F.percentile_approx(
+                F.col(right_end) - F.col(right_start), F.lit(0.5)
+            ).alias("m")
+        ).first()["m"]
+        # degenerate corpora (all zero-length or empty right side) fall
+        # back to a unit bucket rather than a zero-width division
+        bucket_width = float(med) if med else 1.0
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     by = _as_list(by)

@@ -348,3 +348,63 @@ def test_interval_join_left_outer_null_payload(spark):
     assert len(out) == 2
     assert out[out["t"] == 10.0]["label"].tolist() == ["iv0"]
     assert out[out["t"] == 9999.0]["label"].isna().all()
+
+
+def test_interval_join_derived_bucket_width(spark):
+    left, right = _events_sessions(seed=21)
+    out = (
+        interval_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            left_ts="t",
+            right_start="s",
+            right_end="e",
+            by="key",
+            bucket_width=None,
+        )
+        .toPandas()
+        .sort_values(["key", "t", "v", "label"])
+        .reset_index(drop=True)
+    )
+    exp = _expected_interval(left, right)
+    cols = ["key", "t", "v", "s", "e", "label"]
+    pd.testing.assert_frame_equal(out[cols], exp[cols], check_dtype=False)
+
+
+def test_interval_join_boundary_exactness(spark):
+    """Timestamps exactly at interval endpoints and at bucket edges are
+    inclusive on both ends, regardless of how buckets cut the axis."""
+    left = spark.createDataFrame(
+        [(1, 100.0, 0), (1, 200.0, 1), (1, 99.999, 2), (1, 200.001, 3)],
+        "key long, t double, v long",
+    )
+    right = spark.createDataFrame(
+        [(1, 100.0, 200.0, "iv")], "key long, s double, e double, label string"
+    )
+    for w in (50.0, 100.0, 1000.0):
+        got = (
+            interval_join(
+                left, right, left_ts="t", right_start="s", right_end="e",
+                by="key", bucket_width=w,
+            )
+            .toPandas()
+            .sort_values("v")
+        )
+        assert got["v"].tolist() == [0, 1]
+
+
+def test_interval_join_zero_length_intervals(spark):
+    """Point intervals (start == end) match only exact-timestamp rows,
+    including under the derived bucket width (falls back to unit width
+    when the median length is zero)."""
+    left = spark.createDataFrame(
+        [(1, 5.0, 0), (1, 5.5, 1)], "key long, t double, v long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, 5.0, "pt")], "key long, s double, e double, label string"
+    )
+    got = interval_join(
+        left, right, left_ts="t", right_start="s", right_end="e",
+        by="key", bucket_width=None,
+    ).toPandas()
+    assert got["v"].tolist() == [0]
