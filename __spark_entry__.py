@@ -604,13 +604,15 @@ def q_decontaminate(spark, sf_dir):
 
 
 def q_stratified_sample(spark, sf_dir):
-    """Deterministic stratified corpus sampling, both modes: the
-    Bernoulli per-language rate draw (stratified_sample) and the exact-k
-    smallest-hash draw (stratified_sample_exact, the skew-safe two-pass
-    plan). Both kept sets are pure functions of the ids present — the
-    top 52 md5 bits of the doc id — so the oracle replays each
-    row-exactly (the exact mode via a window row_number over the same
-    draw)."""
+    """Deterministic corpus sampling, five modes: the Bernoulli
+    per-language rate draw (stratified_sample), the exact-k smallest-hash
+    draw (stratified_sample_exact, the skew-safe two-pass plan), the
+    mixture draw (corpus_mix), the epoch-shuffle rank (shuffle_corpus),
+    and the quality-weighted draw (weighted_sample, keep probability
+    min(1, rate·weight)). Every kept set is a pure function of the ids
+    present — the top 52 md5 bits of the doc id — so the oracle replays
+    each row-exactly (the exact mode via a window row_number over the
+    same draw)."""
     from tape_spark.operators import (
         corpus_mix,
         shuffle_corpus,
@@ -648,7 +650,23 @@ def q_stratified_sample(spark, sf_dir):
         .filter(F.col("lang") == "zh")
         .select("doc_id", "lang", "source", F.lit("shuffle_rank").alias("mode"), "pos")
     )
-    return bern.unionByName(exact).unionByName(mixed).unionByName(shuf)
+    # weighted mode: per-doc keep probability min(1, rate * weight) with a
+    # data-derived quality weight (n_chars/1000); same md5 draw, so the
+    # oracle replays the kept set exactly
+    from tape_spark.operators import weighted_sample
+
+    weighted = weighted_sample(
+        docs.withColumn("w", F.col("n_chars") / F.lit(1000.0)),
+        "w",
+        rate=0.3,
+        id_col="doc_id",
+    ).select("doc_id", "lang", "source", F.lit("weighted").alias("mode"), nopos)
+    return (
+        bern.unionByName(exact)
+        .unionByName(mixed)
+        .unionByName(shuf)
+        .unionByName(weighted)
+    )
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -1635,6 +1653,11 @@ SELECT doc_id, lang, source, 'shuffle_rank' AS mode, pos FROM (
          CAST(row_number() OVER (ORDER BY draw, doc_id) AS BIGINT) AS pos
   FROM u
 ) WHERE lang = 'zh'
+UNION ALL
+SELECT u.doc_id, u.lang, u.source, 'weighted' AS mode, CAST(NULL AS BIGINT) AS pos
+FROM u JOIN documents d ON u.doc_id = d.doc_id
+WHERE (d.n_chars / 1000.0) > 0
+  AND u.draw < least(1.0, 0.3 * (d.n_chars / 1000.0))
 """
 
 # replays chunk_documents' window geometry exactly: DuckDB 1-based inclusive

@@ -27,6 +27,7 @@ from .curation import (
     shuffle_corpus,
     stratified_sample,
     stratified_sample_exact,
+    weighted_sample,
 )
 from .joins import asof_join, interval_join
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
@@ -89,6 +90,7 @@ __all__ = [
     "decontaminate",
     "stratified_sample",
     "stratified_sample_exact",
+    "weighted_sample",
     "shuffle_corpus",
     "mix_fractions",
     "corpus_mix",

@@ -322,3 +322,32 @@ def shuffle_corpus(
     order partition-by-partition.
     """
     return df.orderBy(_hash_unit(id_col, salt), F.col(id_col))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate: float,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic quality-weighted Bernoulli sample: keep each row with
+    probability ``min(1, rate * weight)`` — the standard quality-scored
+    corpus downsampling (a doc with twice the quality score is kept twice
+    as often, at the same global ``rate`` knob).
+
+    The draw is the shared content-addressed md5 unit (``utils/hashing``),
+    so the kept set is a pure function of (id, salt) and the weights:
+    reproducible across runs, engines, partitionings, and cluster sizes,
+    and replayable in plain SQL. Rows with NULL, NaN, or non-positive
+    weight are never kept (a quality score of zero means drop). One
+    narrow codegen filter — zero shuffles at any scale.
+    """
+    if rate < 0:
+        raise ValueError("rate must be >= 0")
+    w = F.col(weight_col)
+    keep_p = F.least(F.lit(1.0), F.lit(float(rate)) * w)
+    return df.filter(
+        w.isNotNull() & ~F.isnan(w.cast("double")) & (w > 0)
+        & (_hash_unit(id_col, salt) < keep_p)
+    )

@@ -480,3 +480,59 @@ def test_detect_pii_empty_patterns_is_zero(spark):
     )
     out = detect_pii(df, patterns={}).collect()
     assert out[0]["n_pii"] == 0
+
+
+class TestWeightedSample:
+    def test_exact_python_replay(self, spark):
+        """The kept set is exactly {id : md5_u(id) < min(1, rate*w)}."""
+        from tape_spark.operators import weighted_sample
+
+        rows = [(i, float((i % 5) / 2.0)) for i in range(400)]  # weights 0..2
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = {
+            r[0] for r in weighted_sample(df, "w", rate=0.4).select("doc_id").collect()
+        }
+        exp = {
+            i
+            for i, w in rows
+            if w > 0 and _md5_u(i) < min(1.0, 0.4 * w)
+        }
+        assert got == exp
+
+    def test_null_nan_nonpositive_dropped(self, spark):
+        from tape_spark.operators import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, None), (2, float("nan")), (3, 0.0), (4, -1.0), (5, 1e9)],
+            "doc_id long, w double",
+        )
+        got = weighted_sample(df, "w", rate=1.0).select("doc_id").collect()
+        assert [r[0] for r in got] == [5]  # keep_p clamps to 1.0
+
+    def test_determinism_and_salt(self, spark):
+        from tape_spark.operators import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 1.0) for i in range(500)], "doc_id long, w double"
+        )
+        a = {r[0] for r in weighted_sample(df, "w", 0.3).collect()}
+        b = {r[0] for r in weighted_sample(df, "w", 0.3).collect()}
+        c = {r[0] for r in weighted_sample(df, "w", 0.3, salt="x").collect()}
+        assert a == b
+        assert a != c
+        # rate*1.0 draws ~30%
+        assert 0.2 < len(a) / 500 < 0.4
+
+    def test_no_shuffle_plan(self, spark):
+        from tape_spark.operators import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, 1.0) for i in range(50)], "doc_id long, w double"
+        )
+        plan = (
+            weighted_sample(df, "w", 0.5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
