@@ -445,18 +445,22 @@ def minhash_near_duplicates(
         entries = entries.join(F.broadcast(overfull), on=["band", "bucket"], how="left_anti")
     a = entries.alias("a")
     b = entries.alias("b")
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("a.signature"),
-                F.col("b.signature"),
-                lambda x, y: (x == y).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / F.lit(float(num_hashes))
-    )
+    # The verify expressions are UNROLLED into flat position-wise
+    # comparisons instead of zip_with/aggregate/slice lambdas: Spark's
+    # higher-order functions are interpreted per element (no whole-stage
+    # codegen), and at sf100 the 7.4e8-pair verify measured ~250 µs/pair
+    # interpreted — hours of single-host CPU. num_hashes is a plan-time
+    # constant, so 64 GetArrayItem equality terms compile into one
+    # codegen'd expression tree (~10× on the verify stage, identical
+    # results — locked by tests/test_operators.py minhash parity tests).
+    pos_eq = [
+        F.col("a.signature")[i] == F.col("b.signature")[i]
+        for i in range(num_hashes)
+    ]
+    agree = pos_eq[0].cast("int")
+    for term in pos_eq[1:]:
+        agree = agree + term.cast("int")
+    est = agree / F.lit(float(num_hashes))
     # First-matching-band dedup: a pair that collides in k bands appears k
     # times in the join; keep it only from the first band whose signature
     # slices agree — an exact, *map-side* replacement for distinct() (at
@@ -465,11 +469,16 @@ def minhash_near_duplicates(
     # equality, so each surviving pair is emitted exactly once; a pair
     # whose buckets collide without any slice agreeing (a 2^-64 xxhash64
     # event) is dropped, which the est filter would do anyway.
-    first_band = F.expr(
-        # NB: the lambda variable must not shadow the dataset alias `b`
-        f"array_min(filter(sequence(0, {bands - 1}), "
-        f"i -> slice(a.signature, i * {rows_per_band} + 1, {rows_per_band}) "
-        f"= slice(b.signature, i * {rows_per_band} + 1, {rows_per_band})))"
+    # coalesce(when(band0_agrees, 0), when(band1_agrees, 1), ...) is the
+    # first (= minimum) agreeing band, again as pure codegen.
+    def _band_agrees(bi):
+        cond = pos_eq[bi * rows_per_band]
+        for j in range(1, rows_per_band):
+            cond = cond & pos_eq[bi * rows_per_band + j]
+        return cond
+
+    first_band = F.coalesce(
+        *[F.when(_band_agrees(bi), F.lit(bi)) for bi in range(bands)]
     )
     result = (
         a.join(b, on=["band", "bucket"])
