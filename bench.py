@@ -111,6 +111,14 @@ def main():
     # max_bucket_size=256 is the documented scale knob for boilerplate
     # mega-buckets; sf0.1's largest band bucket is 14 (measured), so the
     # cap is inert at the comparable SF and only engages at sf10+.
+    #
+    # Comparability note for q4's r6->r7 median (~0.43 -> ~1.0 s): the
+    # round-6 implementation persisted its signature table and never
+    # unpersisted it, so bench reps 2-5 silently reused the leaked cache
+    # (measured: r6 signatures alone 0.6 s > r6 "full" 0.51 s warm).
+    # Round 7 releases the cache (the correct lifecycle), so every rep
+    # honestly recomputes signatures; the search itself got faster (fused
+    # single join + codegen-unrolled verify: sf100 went DNF -> 39 min).
     run(
         "q4_minhash_lsh",
         lambda: minhash_near_duplicates(

@@ -381,6 +381,7 @@ def minhash_near_duplicates(
     max_bucket_size: Optional[int] = None,
     stop_shingles: Optional[list] = None,
     signature_bits: int = 64,
+    signatures: Optional[DataFrame] = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified.
 
@@ -410,16 +411,24 @@ def minhash_near_duplicates(
     rows_per_band = num_hashes // bands
     # The signature frame feeds the band-entry explode on both join sides;
     # persisting avoids recomputing the shingle + 64-way min pipeline. At
-    # warehouse scale this is the table you'd materialize.
-    sigs = minhash_signatures(
-        df,
-        text_col,
-        id_col,
-        num_hashes,
-        shingle_n,
-        stop_shingles=stop_shingles,
-        signature_bits=signature_bits,
-    ).persist()
+    # warehouse scale this is the table you'd materialize — pass it in via
+    # ``signatures`` (an (id, signature) frame, e.g. a persisted
+    # minhash_signatures output or a table read back from storage) and
+    # this function neither caches nor materializes anything itself: the
+    # caller owns the signature lifecycle and the result stays lazy.
+    owns_sigs = signatures is None
+    if owns_sigs:
+        sigs = minhash_signatures(
+            df,
+            text_col,
+            id_col,
+            num_hashes,
+            shingle_n,
+            stop_shingles=stop_shingles,
+            signature_bits=signature_bits,
+        ).persist()
+    else:
+        sigs = signatures
     band_expr = F.expr(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> named_struct('band', b, 'bucket', "
@@ -491,12 +500,15 @@ def minhash_near_duplicates(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
-    # materialize the (small: pairs above threshold) output, then release
-    # the signature cache — on a long-lived session, leaking one persisted
-    # signature table per dedup sweep is how executors run out of storage
-    result = result.persist()
-    result.count()
-    sigs.unpersist()
+    if owns_sigs:
+        # materialize the (small: pairs above threshold) output, then
+        # release the signature cache — on a long-lived session, leaking
+        # one persisted signature table per dedup sweep is how executors
+        # run out of storage. (Round 6 leaked it, which also flattered
+        # its benchmark: repeat runs silently reused the leaked cache.)
+        result = result.persist()
+        result.count()
+        sigs.unpersist()
     return result
 
 

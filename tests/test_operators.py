@@ -760,3 +760,29 @@ def test_minhash_32bit_signatures_same_pairs(docs):
            minhash_near_duplicates(docs, num_hashes=64, bands=16, threshold=0.3,
                                    signature_bits=32).collect()}
     assert p32 == p64 and (0, 1) in p32
+
+
+def test_minhash_precomputed_signatures_identical(spark, docs_df=None):
+    """Passing a precomputed signature table yields the same pairs as the
+    self-managed path, stays lazy (no persist), and leaves the caller's
+    cache alone."""
+    from tape_spark.operators.dedup import minhash_near_duplicates, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + ("x" if i % 2 else "y"))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    inline = minhash_near_duplicates(docs, num_hashes=32, bands=8, threshold=0.3)
+    sigs = minhash_signatures(docs, "text", "doc_id", 32, 2).persist()
+    try:
+        via_sigs = minhash_near_duplicates(
+            docs, num_hashes=32, bands=8, threshold=0.3, signatures=sigs
+        )
+        got = sorted(map(tuple, via_sigs.collect()))
+        exp = sorted(map(tuple, inline.collect()))
+        assert got == exp and len(got) > 0
+        # caller-owned cache untouched
+        assert sigs.storageLevel.useMemory
+    finally:
+        sigs.unpersist()
