@@ -585,12 +585,20 @@ def embedding_near_duplicates(
     all pairs (oracle / small-data path).
     Returns ``(id_a, id_b, cosine)`` ≥ threshold.
     """
+    from ..utils import vector as _vec
+
+    # embedding dim is a table constant: the PER-PAIR dot after the join
+    # unrolls to scalar codegen (HOF lambdas are interpreted per element —
+    # docs/SCALING.md, q4 sf100). Per-row cast/norm stay HOF: unrolled
+    # pre-exchange expressions get inlined into every consumer by
+    # projection collapse and blow up the plan (see operators/similarity).
+    first = emb.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    norm = F.sqrt(_vec.hof_sq_norm(v))
     base = emb.select(F.col(id_col), v.alias("v"), norm.alias("norm"))
 
     if not brute_force:
-        dim = len(emb.select(vec_col).first()[0])
         rng = np.random.default_rng(seed)
         # all tables' hyperplanes as one (dim, tables*planes) matrix: every
         # bucket bit for a batch of vectors is a single BLAS matmul + sign
@@ -639,8 +647,8 @@ def embedding_near_duplicates(
             )
         )
 
-    dot_ab = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    dot_ab = _vec.dot(F.col("va"), F.col("vb"), dim) if dim else _vec.hof_dot(
+        F.col("va"), F.col("vb")
     )
     return (
         joined.withColumn("cosine", dot_ab / (F.col("na") * F.col("nb")))

@@ -15,12 +15,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# Vector arithmetic. The PER-PAIR cosine after a join is unrolled to
+# scalar codegen when the embedding dim is known (HOF lambdas are
+# interpreted per element — see utils/vector.py and the q4-sf100
+# decomposition in docs/SCALING.md). PER-ROW prep (cast, norm, bucket
+# bits) deliberately stays in HOF form: those expressions feed many
+# consumers BEFORE any exchange, and the optimizer's projection collapse
+# inlines an unrolled CreateArray into every consumer — measured 22 s of
+# planning + a driver-memory blowup on the LSH path. After the join the
+# vectors are concrete exchange attributes, so the unrolled dot is pure
+# win exactly where the quadratic work happens.
+from ..utils import vector as _vec
+
+
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+def _dot(a, b, dim=None):
+    return _vec.dot(a, b, dim) if dim else _vec.hof_dot(a, b)
 
 
 def _norm(col):
@@ -28,7 +41,7 @@ def _norm(col):
     # instead of NaN (Spark sorts NaN above every double, so an unguarded
     # zero vector would take rank 1 in every bucket it lands in)
     return F.greatest(
-        F.sqrt(F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)),
+        F.sqrt(_vec.hof_sq_norm(col)),
         F.lit(1e-300),
     )
 
@@ -193,20 +206,26 @@ def ivf_cosine_topk(
         order = np.argsort(-sims, axis=1)[:, : min(nprobe, k_eff)].astype(np.int32)
         return pd.Series(list(order))
 
+    dim = sample.shape[1] if sample.ndim == 2 and len(sample) else None
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("cnorm", _norm(F.col("cv"))).withColumn("cluster", nearest_cluster(F.col("cv")))
+    ).withColumn("cnorm", _norm(F.col("cv"))).withColumn(
+        "cluster", nearest_cluster(F.col("cv"))
+    )
     q = (
         queries.select(
-            F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
         )
         .withColumn("qnorm", _norm(F.col("qv")))
         .withColumn("cluster", F.explode(probe_clusters(F.col("qv"))))
     )
 
+    # the per-candidate cosine is the hot path (candidates x queries);
+    # with dim known it compiles to one codegen multiply-add chain
     scored = c.join(F.broadcast(q), on="cluster").withColumn(
-        "cosine", _dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm"))
+        "cosine", _dot(F.col("cv"), F.col("qv"), dim) / (F.col("cnorm") * F.col("qnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("corpus_id").asc())
     return (
@@ -255,18 +274,23 @@ def lsh_cosine_topk(
         return F.array(*buckets)
 
     c = (
-        corpus.select(F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv"))
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
         .withColumn("cnorm", _norm(F.col("cv")))
         .withColumn("bucket", F.explode(bucket_array(F.col("cv"))))
     )
     q = (
-        queries.select(F.col(query_id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv"))
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+        )
         .withColumn("qnorm", _norm(F.col("qv")))
         .withColumn("bucket", F.explode(bucket_array(F.col("qv"))))
     )
 
     scored = c.join(F.broadcast(q), on="bucket").withColumn(
-        "cosine", _dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm"))
+        "cosine", _dot(F.col("cv"), F.col("qv"), dim) / (F.col("cnorm") * F.col("qnorm"))
     )
     # multi-table collisions duplicate (query, corpus) pairs; the cosine is
     # identical across tables, so dedupe on the scalar before ranking

@@ -3,20 +3,28 @@
 Spark's higher-order functions (``zip_with``/``aggregate``) are evaluated
 *interpreted*, element by element — measured at ~µs-per-element on the
 MinHash verify path (docs/SCALING.md, sf100 q4). When the vector width is
-known at plan time (embedding dims are fixed per table), the same math
+known at plan time (embedding dims are fixed per table), a dot product
 unrolls into a flat tree of ``GetArrayItem`` multiply-adds that
 whole-stage codegen compiles like any scalar expression — order-of-
-magnitude faster on per-pair hot paths (candidate verification, bucket
-sign bits).
+magnitude faster on per-pair hot paths (candidate verification after a
+join).
+
+Scope note — why only the post-join dot is offered unrolled: an unrolled
+expression placed BEFORE an exchange (per-row casts, norms, bucket bits)
+feeds many consumers, and the optimizer's projection collapse inlines the
+whole ``CreateArray`` into each of them — measured ~22 s of planning and
+a driver-memory blowup on the LSH path at dim 64. After a shuffle or
+broadcast the vectors are concrete exchange attributes, so unrolling is
+pure win exactly where the quadratic (per-pair) work happens; per-row
+prep stays in HOF form, whose per-element interpretation is amortized
+over rows, not pairs.
 
 ``UNROLL_MAX_DIM`` caps the expression width; wider vectors fall back to
-the HOF forms (correct, just interpreted) rather than risk codegen
+the HOF form (correct, just interpreted) rather than risk codegen
 method-size fallbacks.
 """
 
 from __future__ import annotations
-
-from typing import Sequence
 
 from pyspark.sql import Column, functions as F
 
@@ -35,36 +43,15 @@ def hof_sq_norm(col: Column) -> Column:
 
 
 def dot(a: Column, b: Column, dim: int) -> Column:
-    """Σ a[i]·b[i]; unrolled to scalar codegen when ``dim`` is modest."""
+    """Σ a[i]·b[i]; unrolled to scalar codegen when ``dim`` is modest.
+
+    Use on per-pair expressions AFTER a join/exchange (see module
+    docstring); both sides must be attribute references there, so the
+    unroll cannot be inlined into other consumers.
+    """
     if not 0 < dim <= UNROLL_MAX_DIM:
         return hof_dot(a, b)
     s = a[0] * b[0]
     for i in range(1, dim):
         s = s + a[i] * b[i]
-    return s
-
-
-def dot_lit(a: Column, vals: Sequence[float]) -> Column:
-    """Σ a[i]·vals[i] against a plan-time-constant vector (hyperplanes):
-    the constants fold straight into the generated code."""
-    if not 0 < len(vals) <= UNROLL_MAX_DIM:
-        return hof_dot(a, F.array(*[F.lit(float(v)) for v in vals]))
-    s = a[0] * F.lit(float(vals[0]))
-    for i in range(1, len(vals)):
-        s = s + a[i] * F.lit(float(vals[i]))
-    return s
-
-
-def norm(col: Column, dim: int) -> Column:
-    """L2 norm, zero-guarded (an all-zero vector scores 0, not NaN —
-    Spark sorts NaN above every double, so an unguarded zero vector
-    would take rank 1 in every bucket it lands in)."""
-    sq = hof_sq_norm(col) if not 0 < dim <= UNROLL_MAX_DIM else _unrolled_sq(col, dim)
-    return F.greatest(F.sqrt(sq), F.lit(1e-300))
-
-
-def _unrolled_sq(col: Column, dim: int) -> Column:
-    s = col[0] * col[0]
-    for i in range(1, dim):
-        s = s + col[i] * col[i]
     return s
