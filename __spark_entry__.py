@@ -820,10 +820,26 @@ def q_text_signals(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    """Normalized-content SHA-256 fingerprint."""
-    from tape_spark.operators import document_fingerprint
+    """Normalized-content SHA-256 fingerprint PLUS the cross-corpus
+    repeated-span duplication profile (tape_spark.operators
+    .repeated_span_stats, 16-token windows at stride 4): per doc, how
+    many rolling spans exist and how many recur in ≥2 distinct docs —
+    the exact-substring dedup signal. The oracle rebuilds the span
+    census on the span *strings* (Spark ships 8-byte xxhash64
+    fingerprints; counts agree barring a 2⁻⁶⁴ collision, the same
+    hashed-vs-string contract as dedup_exact)."""
+    from tape_spark.operators import document_fingerprint, repeated_span_stats
 
-    return document_fingerprint(_docs(spark, sf_dir)).select("doc_id", "content_sha")
+    docs = _docs(spark, sf_dir)
+    fp = document_fingerprint(docs).select("doc_id", "content_sha")
+    stats = repeated_span_stats(docs, span_tokens=16, stride=4, min_docs=2)
+    return fp.join(stats, "doc_id").select(
+        "doc_id",
+        "content_sha",
+        "n_spans",
+        "n_repeated_spans",
+        F.round("dup_span_ratio", 6).alias("dup_span_ratio"),
+    )
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -1660,6 +1676,45 @@ WHERE (d.n_chars / 1000.0) > 0
   AND u.draw < least(1.0, 0.3 * (d.n_chars / 1000.0))
 """
 
+# Fingerprint + repeated-span census. The span census replays on span
+# STRINGS (Spark ships xxhash64 fingerprints; counts agree barring a 2^-64
+# collision — the same hashed-vs-string contract dedup_exact locks in).
+# Span starts are 0, 4, 8, ... while a full 16-token window fits.
+_DOC_FINGERPRINT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(t.i * 4 AS BIGINT) AS token_start,
+         array_to_string(w[t.i*4 + 1 : t.i*4 + 16], ' ') AS span
+  FROM toks, UNNEST(range(0, CAST(floor((len(w) - 16) / 4.0) AS BIGINT) + 1)) AS t(i)
+  WHERE len(w) >= 16
+),
+rep AS (
+  SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT s.doc_id, count(*) AS n_repeated_spans
+  FROM spans s JOIN rep USING (span)
+  GROUP BY s.doc_id
+),
+base AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 16 THEN CAST(floor((len(w) - 16) / 4.0) AS BIGINT) + 1
+         ELSE 0 END AS n_spans
+  FROM toks
+)
+SELECT d.doc_id,
+  sha256(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS content_sha,
+  b.n_spans,
+  coalesce(p.n_repeated_spans, 0) AS n_repeated_spans,
+  round(CASE WHEN b.n_spans > 0
+             THEN coalesce(p.n_repeated_spans, 0) * 1.0 / b.n_spans
+             ELSE 0.0 END, 6) AS dup_span_ratio
+FROM documents d JOIN base b USING (doc_id) LEFT JOIN per_doc p USING (doc_id)
+"""
+
 # replays chunk_documents' window geometry exactly: DuckDB 1-based inclusive
 # list slices == Spark slice(arr, start, len); same greatest/ceil window count
 _CHUNK_DOCUMENTS_SQL = r"""
@@ -2043,9 +2098,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ANN_RECALL_SQL,
         "ann_ivf_topk": _ANN_RECALL_SQL,
         "text_signals": _TEXT_SIGNALS_SQL,
-        "doc_fingerprint": (
-            "SELECT doc_id, sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_sha FROM documents"
-        ),
+        "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "multimodal_pipeline": _MM_PIPELINE_SQL,
         # frame i covers bytes [i*64, i*64+64); the last frame is clipped to
         # the payload end (Spark's binary substring past-the-end is empty)

@@ -9,6 +9,8 @@ Jaccard matrices, JVM-side expressions wherever the semantics allow.
 from .dedup import (
     exact_dedup,
     dedup_keep_first,
+    repeated_spans,
+    repeated_span_stats,
     minhash_signatures,
     estimate_stop_shingles,
     lsh_candidate_pairs,
@@ -54,6 +56,8 @@ from .text import (
 __all__ = [
     "exact_dedup",
     "dedup_keep_first",
+    "repeated_spans",
+    "repeated_span_stats",
     "stopword_ratio",
     "minhash_signatures",
     "lsh_candidate_pairs",

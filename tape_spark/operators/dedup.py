@@ -824,3 +824,103 @@ def resolve_duplicates(
         .select(id_col)
     )
     return df.join(drops, id_col, "left_anti")
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+    stride: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-corpus repeated token spans — the exact-substring duplication
+    signal (cf. the published train-data dedup result that repeated long
+    spans, not whole-document copies, dominate memorization): rolling
+    ``span_tokens``-token windows at ``stride``, fingerprinted and counted
+    corpus-wide. Returns one row per occurrence of a span that appears in
+    at least ``min_docs`` distinct documents:
+    ``(id, token_start, span_hash, n_docs, n_occurrences)``.
+
+    Plan shape: spans leave each document as 8-byte ``xxhash64``
+    fingerprints (the span text never enters an exchange), one
+    distinct+count aggregation finds the repeated set, and occurrences
+    re-attach via an equi-join on the fingerprint. Cost scales with
+    tokens/stride, never pairs — the same inverted-index discipline as
+    the shingle operators above.
+    """
+    if span_tokens < 1 or stride < 1:
+        raise ValueError("span_tokens and stride must be >= 1")
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
+    )
+    # window start positions 0, stride, 2·stride … while a full span fits
+    pos_expr = F.expr(
+        f"CASE WHEN size(__toks) >= {span_tokens} THEN "
+        f"sequence(0, size(__toks) - {span_tokens}, {stride}) "
+        f"ELSE array() END"
+    )
+    spans = (
+        toks.select(F.col(id_col), F.explode(pos_expr).alias("token_start"), "__toks")
+        .select(
+            F.col(id_col),
+            F.col("token_start").cast("long").alias("token_start"),
+            F.xxhash64(
+                F.array_join(
+                    F.expr(f"slice(__toks, token_start + 1, {span_tokens})"), " "
+                )
+            ).alias("span_hash"),
+        )
+    )
+    counts = (
+        spans.groupBy("span_hash")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return spans.join(counts, "span_hash").select(
+        id_col, "token_start", "span_hash", "n_docs", "n_occurrences"
+    )
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+    stride: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication profile from :func:`repeated_spans`:
+    ``(id, n_spans, n_repeated_spans, dup_span_ratio)`` — the standard
+    quality gate input (a document mostly made of corpus-repeated spans
+    is boilerplate or a near-copy even when no whole-document hash
+    matches). Documents shorter than ``span_tokens`` report 0 spans and
+    ratio 0.0.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
+    )
+    n_spans = F.when(
+        F.size("__toks") >= span_tokens,
+        ((F.size("__toks") - span_tokens) / stride).cast("long") + 1,
+    ).otherwise(F.lit(0))
+    base = toks.select(F.col(id_col), n_spans.cast("long").alias("n_spans"))
+    rep = (
+        repeated_spans(df, text_col, id_col, span_tokens, stride, min_docs)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_repeated_spans"))
+    )
+    return base.join(rep, id_col, "left").select(
+        id_col,
+        "n_spans",
+        F.coalesce("n_repeated_spans", F.lit(0)).cast("long").alias("n_repeated_spans"),
+        F.when(
+            F.col("n_spans") > 0,
+            F.coalesce("n_repeated_spans", F.lit(0)) / F.col("n_spans"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_span_ratio"),
+    )

@@ -786,3 +786,72 @@ def test_minhash_precomputed_signatures_identical(spark, docs_df=None):
         assert sigs.storageLevel.useMemory
     finally:
         sigs.unpersist()
+
+
+class TestRepeatedSpans:
+    def _docs(self, spark):
+        shared = " ".join(f"w{i}" for i in range(20))  # a 20-token run
+        return spark.createDataFrame(
+            [
+                (0, shared + " tail zero unique ending here now ok fine yes done"),
+                (1, "lead one " + shared),
+                (2, "completely different tokens " + " ".join(f"z{i}" for i in range(20))),
+                (3, "short doc"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_occurrences_match_bruteforce(self, spark):
+        from tape_spark.operators import repeated_spans
+
+        docs = self._docs(spark)
+        got = repeated_spans(
+            docs, span_tokens=8, stride=2, min_docs=2
+        ).toPandas()
+        # brute force in python
+        rows = {r["doc_id"]: (r["text"] or "").lower().split() for r in docs.collect()}
+        spans = {}
+        for d, w in rows.items():
+            for p in range(0, len(w) - 8 + 1, 2):
+                spans.setdefault(" ".join(w[p : p + 8]), []).append((d, p))
+        exp = []
+        for s, occ in spans.items():
+            docs_set = {d for d, _ in occ}
+            if len(docs_set) >= 2:
+                exp += [(d, p, len(docs_set), len(occ)) for d, p in occ]
+        got_set = set(
+            map(tuple, got[["doc_id", "token_start", "n_docs", "n_occurrences"]].values.tolist())
+        )
+        assert got_set == set(exp) and len(exp) > 0
+
+    def test_stats_ratio(self, spark):
+        from tape_spark.operators import repeated_span_stats
+
+        docs = self._docs(spark)
+        out = (
+            repeated_span_stats(docs, span_tokens=8, stride=2, min_docs=2)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert out["doc_id"].tolist() == [0, 1, 2, 3, 4]
+        # doc 2 shares nothing; docs 3/4 are too short for any span
+        assert out["n_repeated_spans"].tolist()[2:] == [0, 0, 0]
+        assert out["n_spans"].tolist()[3:] == [0, 0]
+        assert (out["dup_span_ratio"][:2] > 0).all()
+        assert (out["dup_span_ratio"] <= 1.0).all()
+
+    def test_span_text_never_in_exchange(self, spark):
+        """The corpus-wide count shuffles 8-byte fingerprints, not span
+        strings."""
+        from tape_spark.operators import repeated_spans
+
+        plan = (
+            repeated_spans(self._docs(spark), span_tokens=8, stride=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        import re
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "array_join" not in m.group(1) and "slice" not in m.group(1)
