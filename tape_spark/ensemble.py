@@ -1106,6 +1106,56 @@ class Ensemble:
             return -1.0
         return (best_mid % 24.0) / 24.0
 
+    def fold_lightcurves(
+        self,
+        period: Optional[float] = None,
+        t0: float = 0.0,
+        period_col: Optional[str] = None,
+        label: str = "phase",
+    ) -> "Ensemble":
+        """Phase-fold every light curve: ``phase = frac((t - t0) / P)`` in
+        [0, 1), appended to the source table as ``label``.
+
+        ``period`` applies one global period; ``period_col`` instead
+        names an object-table column of per-object periods (e.g. from a
+        period search), joined onto the source by id — under lightcurve
+        cohesion both tables share the id-hash layout, so the join plans
+        without a new exchange. Non-positive or NULL periods fold to
+        NULL. Beyond-reference convenience: the reference folds inside
+        per-object Python after materialization; this stays one codegen
+        projection.
+        """
+        if (period is None) == (period_col is None):
+            raise ValueError("pass exactly one of period / period_col")
+        src = self._table_df(SOURCE_FRAME_LABEL)
+        joined_col = None
+        if period_col is not None:
+            obj = self._table_df(OBJECT_FRAME_LABEL)
+            if period_col not in obj.columns:
+                raise ValueError(f"object table has no column {period_col!r}")
+            if period_col in src.columns:
+                joined_col = f"__{period_col}_fold"
+                obj_side = obj.select(
+                    self._id_col, F.col(period_col).alias(joined_col)
+                )
+            else:
+                joined_col = period_col
+                obj_side = obj.select(self._id_col, period_col)
+            src = src.join(obj_side, self._id_col, "left")
+            p = F.col(joined_col).cast("double")
+        else:
+            if period <= 0:
+                raise ValueError("period must be positive")
+            p = F.lit(float(period))
+        frac = (F.col(self._time_col) - F.lit(float(t0))) / p
+        # Spark's % keeps the dividend's sign; fold t < t0 into [0, 1)
+        phase = F.when(p > 0, ((frac % 1.0) + 1.0) % 1.0)
+        src = src.withColumn(label, phase)
+        if joined_col is not None:
+            src = src.drop(joined_col)
+        self.frames[SOURCE_FRAME_LABEL] = src
+        return self
+
     def align_bands(
         self,
         band_a: str,

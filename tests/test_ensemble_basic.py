@@ -279,3 +279,42 @@ def test_sample_hash_method_deterministic(ramp_ensemble):
     assert set(sub) <= set(a)  # hash sampling nests: smaller frac ⊂ larger frac
     with pytest.raises(ValueError):
         ramp_ensemble.sample(frac=0.5, replace=True, method="hash")
+
+
+class TestFoldLightcurves:
+    def test_global_period(self, ramp_ensemble):
+        ens = ramp_ensemble.fold_lightcurves(period=7.5, t0=1.0)
+        pdf = ens.source.select("id", "time", "phase").toPandas()
+        exp = ((pdf["time"] - 1.0) / 7.5) % 1.0
+        assert np.allclose(pdf["phase"], exp)
+        assert ((pdf["phase"] >= 0) & (pdf["phase"] < 1)).all()
+
+    def test_per_object_period(self, ramp_ensemble_with_object):
+        ens = ramp_ensemble_with_object
+        # attach per-object periods to the object table: id 8000 -> 3.0, etc.
+        ens.frames["object"] = ens.object.withColumn(
+            "period", F.when(F.col("id") == 8004, F.lit(None)).otherwise(
+                (F.col("id") - 7999).cast("double"))
+        )
+        ens.fold_lightcurves(period_col="period")
+        pdf = ens.source.select("id", "time", "phase").toPandas()
+        for oid, grp in pdf.groupby("id"):
+            if oid == 8004:
+                assert grp["phase"].isna().all()
+            else:
+                p = float(oid - 7999)
+                assert np.allclose(grp["phase"], (grp["time"] / p) % 1.0)
+
+    def test_negative_time_folds_into_unit(self, ramp_ensemble):
+        ens = ramp_ensemble.fold_lightcurves(period=10.0, t0=5000.0)
+        pdf = ens.source.select("phase").toPandas()
+        assert ((pdf["phase"] >= 0) & (pdf["phase"] < 1)).all()
+
+    def test_arg_validation(self, ramp_ensemble):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            ramp_ensemble.fold_lightcurves()
+        with _pt.raises(ValueError):
+            ramp_ensemble.fold_lightcurves(period=1.0, period_col="x")
+        with _pt.raises(ValueError):
+            ramp_ensemble.fold_lightcurves(period=-2.0)
