@@ -14,6 +14,7 @@ from .feature_extractor import (
     PythonFeatureEvaluator,
 )
 from .light_curve import LightCurve, StructureFunctionLightCurve
+from .periodogram import LombScargle, calc_lomb_scargle, lomb_scargle_power
 from .stetson import StetsonJ, calc_stetson_J
 from .structurefunction2 import calc_sf2
 from .structure_function import SF_METHODS, StructureFunctionArgumentContainer
@@ -30,6 +31,9 @@ __all__ = [
     "PyStandardDeviation",
     "PythonFeatureEvaluator",
     "StructureFunctionLightCurve",
+    "LombScargle",
+    "calc_lomb_scargle",
+    "lomb_scargle_power",
     "StetsonJ",
     "calc_stetson_J",
     "calc_sf2",

@@ -298,3 +298,62 @@ def test_golden_stetson_j_grouped_by_band(golden_ensemble):
     first = pdf[pdf["ps1_objid"] == pdf["ps1_objid"].iloc[0]].set_index("filterName")
     assert first.loc["g", "stetsonJ"]["g"] == pytest.approx(-0.04174282, rel=0.001)
     assert first.loc["r", "stetsonJ"]["r"] == pytest.approx(0.6075282, rel=0.001)
+
+
+class TestLombScargle:
+    def test_direct_sum_parity(self):
+        """Chunked power equals an independent per-frequency direct sum."""
+        from tape_spark.analysis import lomb_scargle_power
+
+        rng = np.random.default_rng(5)
+        t = np.sort(rng.uniform(0, 100, 120))
+        y = np.sin(2 * np.pi * t / 7.3) + 0.2 * rng.standard_normal(120)
+        freqs = np.linspace(0.01, 1.5, 333)
+        got = lomb_scargle_power(t, y, freqs, block=32)
+
+        yc = y - y.mean()
+        var = yc.dot(yc) / (len(yc) - 1)
+        exp = []
+        for f in freqs:
+            w = 2 * np.pi * f
+            tau = np.arctan2(np.sum(np.sin(2 * w * t)), np.sum(np.cos(2 * w * t))) / (2 * w)
+            c = np.cos(w * (t - tau)); s = np.sin(w * (t - tau))
+            exp.append(0.5 * ((yc @ c) ** 2 / (c @ c) + (yc @ s) ** 2 / (s @ s)) / var)
+        assert np.allclose(got, np.array(exp), rtol=1e-10, atol=1e-10)
+
+    def test_recovers_planted_period(self):
+        from tape_spark.analysis import LombScargle
+
+        rng = np.random.default_rng(11)
+        t = np.sort(rng.uniform(0, 60, 300))
+        true_p = 4.21
+        y = 2.0 * np.sin(2 * np.pi * t / true_p + 0.7) + 0.3 * rng.standard_normal(300)
+        ls = LombScargle(min_period=1.0, max_period=30.0, n_freq=4000)
+        out = ls(t, y, np.array(["g"] * 300))
+        assert abs(out["best_period"] - true_p) < 0.05
+        assert out["best_power"] > 10
+
+    def test_degenerate_curves(self):
+        from tape_spark.analysis import LombScargle
+
+        ls = LombScargle(min_period=1.0, max_period=10.0)
+        out = ls(np.array([1.0, 2.0]), np.array([1.0, 2.0]), np.array(["g", "g"]))
+        assert np.isnan(out["best_period"])
+        # constant flux: zero variance -> power 0 everywhere, period still
+        # defined (argmax of zeros) but power 0
+        t = np.linspace(0, 50, 40)
+        out2 = ls(t, np.ones(40), np.array(["g"] * 40))
+        assert out2["best_power"] == 0.0
+
+    def test_batch_integration(self, ramp_ensemble):
+        """Runs through Ensemble.batch: one (best_period, best_power) row
+        per object, sinusoid objects recover their period."""
+        from tape_spark.analysis import calc_lomb_scargle
+
+        res = ramp_ensemble.batch(
+            calc_lomb_scargle(min_period=2.0, max_period=100.0, n_freq=512)
+        )
+        pdf = res.toPandas()
+        assert set(pdf.columns) >= {"id", "best_period", "best_power"}
+        assert len(pdf) == 5
+        assert pdf["best_period"].notna().all()
