@@ -82,6 +82,12 @@ def asof_join(
     assert on in left_payload
     rename = {c: (c + suffix if c in left.columns else c) for c in right_payload}
     matched_on = on + suffix
+    out_names = list(by) + left_payload + [matched_on] + [rename[c] for c in right_payload]
+    dupes = {n for n in out_names if out_names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"output column collision {sorted(dupes)}; pick a different suffix"
+        )
 
     # The right row travels as ONE struct so that propagation is atomic:
     # per-column last(ignorenulls) would skip a genuinely-NULL field of the

@@ -408,3 +408,12 @@ def test_interval_join_zero_length_intervals(spark):
         by="key", bucket_width=None,
     ).toPandas()
     assert got["v"].tolist() == [0]
+
+
+def test_asof_output_collision_raises(spark):
+    left = spark.createDataFrame([(1, 1.0, 2)], "key long, t double, qty long")
+    right = spark.createDataFrame(
+        [(1, 0.5, 9.0)], "key long, t double, t_r double"
+    )
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, on="t", by="key")
