@@ -417,3 +417,23 @@ def test_asof_output_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="collision"):
         asof_join(left, right, on="t", by="key")
+
+
+def test_multi_key_by_both_joins(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 5.0, 1), (1, "b", 5.0, 2)], "k1 long, k2 string, t double, v long"
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 4.0, 6.0, "iv")], "k1 long, k2 string, s double, e double, lab string"
+    )
+    iv = interval_join(
+        left, right, "t", "s", "e", by=["k1", "k2"], bucket_width=10.0
+    ).toPandas()
+    assert iv["v"].tolist() == [1]  # (1,"b") shares k1 but not k2
+    av = asof_join(
+        left,
+        right.select("k1", "k2", right["s"].alias("t"), "lab"),
+        on="t",
+        by=["k1", "k2"],
+    ).orderBy("v").toPandas()
+    assert av["lab"].tolist() == ["iv", None]
