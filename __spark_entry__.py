@@ -201,10 +201,14 @@ def q_bin_sources(spark, sf_dir):
 
 def q_select_head(spark, sf_dir):
     """Ensemble.select projection (id always retained) composed with a
-    deterministic top-100 (orderBy + limit → TakeOrderedAndProject)
-    (SURVEY §2.2 + §2.6). Ordering by every output column makes the
+    filter_from_series boolean-Column filter and a deterministic top-100
+    (orderBy + limit → TakeOrderedAndProject) (SURVEY §2.2 + §2.6).
+    filter_from_series folded in here round 8 — its standalone row
+    hash-duplicated query_filter's coverage (both are one WHERE over the
+    critical projection). Ordering by every output column makes the
     returned multiset tie-proof."""
     ens = _ensemble(spark, sf_dir)
+    ens.filter_from_series((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
     ens.select(["l_extendedprice", "l_returnflag"])
     return (
         ens.frames["source"]
@@ -291,17 +295,36 @@ def q_merge_rollup_nation(spark, sf_dir):
 
 
 def q_sort_lightcurves(spark, sf_dir):
-    """sortWithinPartitions under cohesion; same row set (SURVEY §2.6)."""
+    """sortWithinPartitions under cohesion (same row set, SURVEY §2.6),
+    PLUS the global-period path of fold_lightcurves: the driver compare
+    sorts rows before hashing, so the sort alone hashes identically to
+    ingest_source — the appended weekly fold phase makes this row carry
+    its own value evidence. The oracle replays the exact Spark float
+    expression ``((t/P) % 1 + 1) % 1`` term-for-term (DuckDB's mod on
+    doubles is fmod) so the doubles agree bit-for-bit before rounding."""
     ens = _ensemble(spark, sf_dir)
     ens.sort_lightcurves(by_band=True)
-    return ens.frames["source"]
+    ens.fold_lightcurves(period=604800.0, t0=0.0, label="phase")
+    src = ens.frames["source"]
+    return src.withColumn("phase", F.round("phase", 6))
 
 
 def q_save_load_roundtrip(spark, sf_dir):
-    """save_ensemble → from_ensemble parquet+metadata roundtrip (SURVEY §2.1)."""
+    """insert_sources union-append, then save_ensemble → from_ensemble
+    parquet+metadata roundtrip (SURVEY §2.1). insert_sources folded in
+    here round 8 (its standalone row was one UNION ALL over the same
+    projection); roundtripping the APPENDED table also makes this row's
+    hash distinct from ingest_source's instead of a pure re-read."""
     from tape_spark import Ensemble
 
     ens = _ensemble(spark, sf_dir)
+    ens.insert_sources(
+        obj_ids=[1, 2],
+        bands=["Z", "Z"],
+        timestamps=[0.0, 1.0],
+        fluxes=[123.5, 456.5],
+        flux_errs=[1.0, 2.0],
+    )
     # fixed dirname: save_ensemble overwrites, so repeated gate runs reuse
     # one bounded directory instead of littering one copy per pid
     root = ens.save_ensemble(os.path.join(_REPO_DIR, ".tmp"), "ens_rt")
@@ -1002,24 +1025,81 @@ def q_sample_objects(spark, sf_dir):
     return sampled.source.select("l_orderkey", "t", "l_extendedprice")
 
 
-def q_filter_from_series(spark, sf_dir):
-    """filter_from_series boolean-Column filter (SURVEY §2.2)."""
+def q_align_bands(spark, sf_dir):
+    """Ensemble.align_bands color-curve construction: every band-A
+    observation paired with the most recent band-R observation of the
+    same object within 30 days (an as-of join per light curve), replayed
+    by the oracle with DuckDB's NATIVE ASOF LEFT JOIN — independent
+    semantics, like events_sessionize. Output keeps only the left
+    payload plus the matched timestamp and dt: lineitem can hold several
+    band-R rows at the same (id, t) whose PAYLOAD choice under ties is
+    engine-specific, but the matched timestamp itself is tie-invariant,
+    so the compare stays exact without weakening the join."""
     ens = _ensemble(spark, sf_dir)
-    ens.filter_from_series((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
-    return ens.frames["source"]
-
-
-def q_insert_sources(spark, sf_dir):
-    """insert_sources union-append (SURVEY §2.1)."""
-    ens = _ensemble(spark, sf_dir)
-    ens.insert_sources(
-        obj_ids=[1, 2],
-        bands=["Z", "Z"],
-        timestamps=[0.0, 1.0],
-        fluxes=[123.5, 456.5],
-        flux_errs=[1.0, 2.0],
+    out = ens.align_bands("A", "R", direction="backward", tolerance=2592000.0)
+    return out.select(
+        "l_orderkey",
+        F.round("t", 6).alias("t"),
+        "l_extendedprice",
+        F.round("t_b", 6).alias("t_b"),
+        F.round("dt", 6).alias("dt"),
     )
-    return ens.frames["source"]
+
+
+def q_periodogram_fold(spark, sf_dir):
+    """Find-period → fold, the headline time-series workflow (the
+    reference delegates it to the optional Rust ``light-curve`` wheel,
+    pyproject.toml:31): plant a deterministic sinusoid per supplier
+    (period ``10 + suppkey % 13`` days over the real, unevenly sampled
+    shipdate epochs), recover the period per object with the
+    Lomb–Scargle batch kernel, and phase-fold via fold_lightcurves'
+    period_col path (object-table join). Contract row per object:
+    ``recovered`` asserts the recovered period is within 2% of the
+    planted one (the oracle independently derives the planted period and
+    expects TRUE), and ``phase_mean`` value-checks the fold projection —
+    the oracle replays the phase expression term-for-term on the same
+    planted periods."""
+    from tape_spark import ColumnMapper, Ensemble
+    from tape_spark.analysis.periodogram import calc_lomb_scargle
+
+    _pin_time_configs(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = li.select(
+        F.col("l_suppkey").alias("sid"),
+        (F.expr(EPOCH_EXPR.format(col="l_shipdate")) / F.lit(86400.0)).alias("td"),
+        F.lit("g").alias("band"),
+        F.lit(1.0).alias("err"),
+    ).withColumn("planted_period", (F.lit(10.0) + (F.col("sid") % 13).cast("double")))
+    src = src.withColumn(
+        "flux", F.sin(F.lit(2.0 * np.pi) * F.col("td") / F.col("planted_period"))
+    )
+    cm = ColumnMapper(
+        id_col="sid", time_col="td", flux_col="flux", err_col="err", band_col="band"
+    )
+    ens = Ensemble(spark).from_spark(src, column_mapper=cm, npartitions=8)
+    best = ens.batch(calc_lomb_scargle(min_period=5.0, max_period=50.0, n_freq=4096))
+    ens.assign(
+        table="object",
+        planted_period=F.lit(10.0) + (F.col("sid") % 13).cast("double"),
+    )
+    ens.fold_lightcurves(period_col="planted_period", t0=0.0, label="phase")
+    folded = ens.frames["source"].groupBy("sid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg("phase"), 6).alias("phase_mean"),
+    )
+    planted = F.lit(10.0) + (F.col("sid") % 13).cast("double")
+    return (
+        best.join(folded, "sid")
+        .select(
+            "sid",
+            F.round(planted, 6).alias("planted_period"),
+            "n_points",
+            "phase_mean",
+            (F.abs(F.col("best_period") / planted - 1.0) < F.lit(0.02)).alias(
+                "recovered"
+            ),
+        )
+    )
 
 
 def q_corpus_filter(spark, sf_dir):
@@ -1158,8 +1238,16 @@ def q_events_session_window(spark, sf_dir):
     bucketed containment — no nested-loop plan) and the per-session
     containment count ``n_events_ij`` must replay exactly; by session
     semantics it equals ``n_events`` row for row, and the oracle
-    recomputes it independently with a plain inequality join."""
-    from tape_spark.operators import interval_join
+    recomputes it independently with a plain inequality join.
+
+    Round 8 adds the span-vs-span mode (interval_overlap_join): each
+    session is overlap-joined against deterministic 15-minute "outage"
+    windows every 4 hours (the window grid is derived from the session
+    bounds with one O(1)-row aggregate, no driver collect), and
+    ``n_outage_windows`` is the per-session overlap count — the oracle
+    recounts it with a plain inequality join over a range()-generated
+    grid."""
+    from tape_spark.operators import interval_join, interval_overlap_join
     from tape_spark.streaming import session_window_agg
 
     ev = _events(spark, sf_dir).withColumn("ts2", F.timestamp_micros(F.col("ts_us")))
@@ -1185,12 +1273,39 @@ def q_events_session_window(spark, sf_dir):
     counts = ij.groupBy("user_id", "session_start").agg(
         F.count(F.lit(1)).alias("n_events_ij")
     )
-    return sess.join(counts, ["user_id", "session_start"], "left").select(
-        "user_id",
+    bounds = sess.agg(
+        F.floor(F.min("session_start") / 14400.0).cast("long").alias("k0"),
+        F.floor(F.max("session_end") / 14400.0).cast("long").alias("k1"),
+    )
+    outages = bounds.select(F.explode(F.sequence("k0", "k1")).alias("k")).select(
+        (F.col("k") * 14400.0).alias("os"),
+        (F.col("k") * 14400.0 + 900.0).alias("oe"),
+    )
+    ov = interval_overlap_join(
+        sess.select("user_id", "session_start", "session_end"),
+        outages,
         "session_start",
         "session_end",
-        "n_events",
-        F.coalesce("n_events_ij", F.lit(0)).alias("n_events_ij"),
+        "os",
+        "oe",
+        by=None,
+        bucket_width=14400.0,
+        how="left",
+    )
+    n_out = ov.groupBy("user_id", "session_start").agg(
+        F.count("os").alias("n_outage_windows")
+    )
+    return (
+        sess.join(counts, ["user_id", "session_start"], "left")
+        .join(n_out, ["user_id", "session_start"], "left")
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.coalesce("n_events_ij", F.lit(0)).alias("n_events_ij"),
+            F.coalesce("n_outage_windows", F.lit(0)).alias("n_outage_windows"),
+        )
     )
 
 
@@ -1300,8 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "save_load_roundtrip": q_save_load_roundtrip,
         "timeseries_extract": q_timeseries_extract,
         "sample_objects": q_sample_objects,
-        "filter_from_series": q_filter_from_series,
-        "insert_sources": q_insert_sources,
+        "align_bands": q_align_bands,
+        "periodogram_fold": q_periodogram_fold,
         "day_gap_offset": q_day_gap_offset,
         "stetson_j": q_stetson_j,
         "stetson_j_golden": q_stetson_j_golden,
@@ -1844,10 +1959,30 @@ ij AS (
     ON e.user_id = w.user_id
    AND e.te >= w.session_start AND e.te <= w.session_end
   GROUP BY 1, 2
+),
+-- independent overlap recount (plain inequality join) of the engine-side
+-- interval_overlap_join: 15-minute outage windows every 4 hours over the
+-- session-derived grid
+bounds AS (
+  SELECT CAST(floor(min(session_start) / 14400.0) AS BIGINT) AS k0,
+         CAST(floor(max(session_end) / 14400.0) AS BIGINT) AS k1
+  FROM wins
+),
+outages AS (
+  SELECT k * 14400.0 AS os, k * 14400.0 + 900.0 AS oe
+  FROM bounds, UNNEST(range(k0, k1 + 1)) AS t(k)
+),
+ov AS (
+  SELECT w.user_id, w.session_start, count(o.os) AS n_outage_windows
+  FROM wins w LEFT JOIN outages o
+    ON w.session_start <= o.oe AND o.os <= w.session_end
+  GROUP BY 1, 2
 )
 SELECT w.user_id, w.session_start, w.session_end, w.n_events,
-       coalesce(i.n_events_ij, 0) AS n_events_ij
+       coalesce(i.n_events_ij, 0) AS n_events_ij,
+       coalesce(v.n_outage_windows, 0) AS n_outage_windows
 FROM wins w LEFT JOIN ij i USING (user_id, session_start)
+            LEFT JOIN ov v USING (user_id, session_start)
 """
 
 
@@ -1891,6 +2026,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "select_head": (
             "SELECT l_orderkey, l_extendedprice, l_returnflag FROM lineitem "
+            "WHERE l_quantity >= 10 AND l_quantity <= 20 "
             "ORDER BY l_orderkey, l_extendedprice, l_returnflag LIMIT 100"
         ),
         "batch_amplitude": (
@@ -1921,8 +2057,19 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON c_custkey = o_custkey "
             "JOIN nation ON n_nationkey = c_nationkey GROUP BY n_name"
         ),
-        "sort_lightcurves": _CRITICAL_SELECT,
-        "save_load_roundtrip": _CRITICAL_SELECT,
+        # the appended weekly fold phase replays the Spark float expression
+        # ((t/P) % 1 + 1) % 1 term-for-term so both engines round the same
+        # double to 6 decimals
+        "sort_lightcurves": (
+            "SELECT l_orderkey, epoch(l_shipdate) AS t, l_extendedprice, "
+            "l_quantity, l_returnflag, "
+            "round(mod(mod(epoch(l_shipdate) / 604800.0, 1.0) + 1.0, 1.0), 6) AS phase "
+            "FROM lineitem"
+        ),
+        "save_load_roundtrip": (
+            _CRITICAL_SELECT
+            + " UNION ALL SELECT * FROM (VALUES (1, 0.0, 123.5, 1.0, 'Z'), (2, 1.0, 456.5, 2.0, 'Z'))"
+        ),
         # replays find_day_gap_offset: occupancy per hour-of-day, then the
         # longest run of empty hours over a doubled (wraparound) 48-slot
         # scan with start < 24; ties keep the earliest start, midpoint
@@ -2051,12 +2198,30 @@ def oracle_sql() -> dict[str, str]:
             "round(l_extendedprice, 6) AS flux, round(l_quantity, 6) AS err "
             "FROM lineitem WHERE l_orderkey = 1"
         ),
-        "filter_from_series": (
-            _CRITICAL_SELECT + " WHERE l_quantity >= 10 AND l_quantity <= 20"
+        # align_bands replayed with DuckDB's NATIVE ASOF LEFT JOIN (backward:
+        # greatest right t <= left t per object) + a tolerance mask the ASOF
+        # syntax lacks; only tie-invariant columns are emitted (see the query
+        # docstring)
+        "align_bands": (
+            "WITH a AS (SELECT l_orderkey, epoch(l_shipdate) AS t, l_extendedprice "
+            "FROM lineitem WHERE l_returnflag = 'A'), "
+            "b AS (SELECT l_orderkey, epoch(l_shipdate) AS t FROM lineitem WHERE l_returnflag = 'R'), "
+            "j AS (SELECT a.l_orderkey, a.t, a.l_extendedprice, b.t AS tb "
+            "FROM a ASOF LEFT JOIN b ON a.l_orderkey = b.l_orderkey AND a.t >= b.t) "
+            "SELECT l_orderkey, round(t, 6) AS t, l_extendedprice, "
+            "round(CASE WHEN t - tb <= 2592000.0 THEN tb END, 6) AS t_b, "
+            "round(CASE WHEN t - tb <= 2592000.0 THEN tb - t END, 6) AS dt FROM j"
         ),
-        "insert_sources": (
-            _CRITICAL_SELECT
-            + " UNION ALL SELECT * FROM (VALUES (1, 0.0, 123.5, 1.0, 'Z'), (2, 1.0, 456.5, 2.0, 'Z'))"
+        # the planted period is re-derived independently; `recovered` = TRUE
+        # is the planted-period contract the Spark Lomb-Scargle must meet,
+        # and phase_mean replays fold_lightcurves' ((t/P) % 1 + 1) % 1
+        # term-for-term (DuckDB mod on doubles is fmod)
+        "periodogram_fold": (
+            "WITH src AS (SELECT l_suppkey AS sid, epoch(l_shipdate) / 86400.0 AS td, "
+            "10.0 + CAST(l_suppkey % 13 AS DOUBLE) AS p FROM lineitem) "
+            "SELECT sid, round(p, 6) AS planted_period, count(*) AS n_points, "
+            "round(avg(mod(mod(td / p, 1.0) + 1.0, 1.0)), 6) AS phase_mean, "
+            "true AS recovered FROM src GROUP BY sid, p"
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"

@@ -31,7 +31,7 @@ from .curation import (
     stratified_sample_exact,
     weighted_sample,
 )
-from .joins import asof_join, interval_join
+from .joins import asof_join, interval_join, interval_overlap_join
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
@@ -89,6 +89,7 @@ __all__ = [
     "vocab_topk",
     "asof_join",
     "interval_join",
+    "interval_overlap_join",
     "boilerplate_lines",
     "remove_boilerplate",
     "decontaminate",

@@ -404,9 +404,14 @@ def minhash_near_duplicates(
 
     ``max_bucket_size`` drops over-full buckets before the join via a
     broadcast anti-join (the over-full set is tiny by construction —
-    it's the skew head). Boilerplate mega-clusters carry no near-dup
-    signal worth O(size²) pair rows; exact dedup or ``stop_shingles``
-    (see :func:`minhash_signatures`) handle them upstream.
+    it's the skew head). A pair is lost only if EVERY band it agrees in
+    was pruned: with pruning on, pair dedup switches from the
+    first-agreeing-band map filter to a post-threshold distinct (the
+    first agreeing band itself may have been pruned), so agreement in
+    any surviving band still yields the pair. Boilerplate mega-clusters
+    carry no near-dup signal worth O(size²) pair rows; exact dedup or
+    ``stop_shingles`` (see :func:`minhash_signatures`) handle them
+    upstream.
     """
     rows_per_band = num_hashes // bands
     # The signature frame feeds the band-entry explode on both join sides;
@@ -428,7 +433,19 @@ def minhash_near_duplicates(
             signature_bits=signature_bits,
         ).persist()
     else:
+        # caller-provided signatures: shingling params (shingle_n,
+        # stop_shingles, signature_bits) are ignored on this path, but
+        # num_hashes MUST match the stored signature length — a mismatch
+        # would index past the array, turn every comparison NULL, and
+        # silently return an empty result. One O(1) first-row probe.
         sigs = signatures
+        probe = sigs.select(F.size("signature").alias("n")).first()
+        if probe is not None and probe["n"] != num_hashes:
+            raise ValueError(
+                f"signatures frame has {probe['n']}-hash signatures but "
+                f"num_hashes={num_hashes}; pass the num_hashes the "
+                f"signatures were built with"
+            )
     band_expr = F.expr(
         f"transform(sequence(0, {bands - 1}), "
         f"b -> named_struct('band', b, 'bucket', "
@@ -489,17 +506,38 @@ def minhash_near_duplicates(
     first_band = F.coalesce(
         *[F.when(_band_agrees(bi), F.lit(bi)) for bi in range(bands)]
     )
-    result = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .filter(F.col("band") == first_band)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            est.alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
+    joined = a.join(b, on=["band", "bucket"]).filter(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
+    pair_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        est.alias("est_jaccard"),
+    ]
+    if max_bucket_size is None:
+        # No pruning: every agreeing band of a pair survives the join, so
+        # the signature-derived first agreeing band is always present and
+        # the dedup stays a pure map-side filter.
+        result = (
+            joined.filter(F.col("band") == first_band)
+            .select(*pair_cols)
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+    else:
+        # Bucket pruning can remove exactly the band the signature says is
+        # the pair's first agreeing band; the surviving copies would then
+        # all fail `band == first_band` and the pair would be silently
+        # over-dropped (beyond the documented over-full-bucket contract).
+        # Dedup over SURVIVING rows instead: threshold first, so only the
+        # (small) near-duplicate pair set — at most `bands` copies each —
+        # reaches the distinct shuffle; est_jaccard is computed from the
+        # full signatures, identical on every copy, so any survivor is
+        # the same row.
+        result = (
+            joined.select(*pair_cols)
+            .filter(F.col("est_jaccard") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
     if owns_sigs:
         # materialize the (small: pairs above threshold) output, then
         # release the signature cache — on a long-lived session, leaking

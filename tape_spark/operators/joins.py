@@ -24,12 +24,13 @@ a range predicate into join keys exactly like the LSH banding in
 
 from __future__ import annotations
 
+import warnings
 from typing import List, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join"]
+__all__ = ["asof_join", "interval_join", "interval_overlap_join"]
 
 
 def _as_list(keys: Union[None, str, Sequence[str]]) -> List[str]:
@@ -61,12 +62,23 @@ def asof_join(
     are NULL when no match exists (left-outer semantics). Right columns
     whose names clash with left columns get ``suffix`` appended.
 
+    NULL handling: right rows with NULL ``on`` are dropped (they have no
+    position on the time axis; ``pandas.merge_asof`` raises on them);
+    left rows with NULL ``on`` pass through unmatched. Ties among right
+    rows sharing the same (``by``, ``on``) resolve like ``merge_asof``:
+    the last input row for ``backward``, the first for ``forward``
+    (deterministic for a fixed input row order — a monotonic per-row id
+    breaks the tie).
+
     Scale: both sides are unioned and hash-partitioned ONCE by ``by``;
     within each partition a single ordered scan propagates the latest
     right-side struct. ``nearest`` adds a second sort (opposite order)
     over the SAME exchange — Catalyst reuses the partitioning. With no
     ``by`` key the window is global (one ordered partition): correct, but
-    a scale bottleneck — pass ``by`` for any large input.
+    a scale bottleneck — pass ``by`` for any large input. The sort key is
+    ``on`` cast to double, so integer timestamps beyond 2**53 (e.g.
+    epoch-ns int64) lose ordering/tolerance precision; the matched
+    timestamp itself is re-emitted at its original dtype.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -74,6 +86,18 @@ def asof_join(
     for k in by + [on]:
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} must exist on both sides")
+    if not by:
+        warnings.warn(
+            "asof_join with by=None runs as ONE globally ordered window "
+            "partition — a single-task sort at scale. Pass `by` keys for "
+            "any large input.",
+            stacklevel=2,
+        )
+    # a NULL right timestamp has no position on the axis; under the
+    # default asc-nulls-first ordering it would otherwise sort before
+    # everything and leak its payload (with a NULL matched timestamp)
+    # into left rows that have no true predecessor
+    right = right.filter(F.col(on).isNotNull())
 
     # ``on`` rides inside the left struct so it is re-emitted with its
     # original dtype (``__t`` is a cast-to-double sort key only)
@@ -91,15 +115,17 @@ def asof_join(
 
     # The right row travels as ONE struct so that propagation is atomic:
     # per-column last(ignorenulls) would skip a genuinely-NULL field of the
-    # matched row and leak an older row's value.
+    # matched row and leak an older row's value. The matched timestamp
+    # rides at its ORIGINAL dtype (only ``__t``, the sort key, is cast).
     r_struct = F.struct(
-        F.col(on).cast("double").alias(matched_on),
+        F.col(on).alias(matched_on),
         *[F.col(c).alias(rename[c]) for c in right_payload],
     )
     l_side = left.select(
         *[F.col(k) for k in by],
         F.col(on).cast("double").alias("__t"),
         F.lit(1).alias("__is_left"),
+        F.lit(None).cast("long").alias("__rid"),
         F.struct(*[F.col(c) for c in left_payload]).alias("__l"),
         F.lit(None).cast(
             right.select(r_struct.alias("__r")).schema["__r"].dataType
@@ -109,6 +135,11 @@ def asof_join(
         *[F.col(k) for k in by],
         F.col(on).cast("double").alias("__t"),
         F.lit(0).alias("__is_left"),
+        # tie-breaker among right rows sharing (by, on): merge_asof takes
+        # the LAST input row for backward and the FIRST for forward;
+        # a monotonic per-row id makes that choice deterministic for a
+        # fixed input partitioning (partition-major, row-order minor).
+        F.monotonically_increasing_id().alias("__rid"),
         F.lit(None).cast(
             left.select(F.struct(*[F.col(c) for c in left_payload]).alias("__l"))
             .schema["__l"].dataType
@@ -118,21 +149,23 @@ def asof_join(
     u = l_side.unionByName(r_side)
 
     # backward: ascending scan; a right row at the same ``on`` sorts first
-    # (__is_left asc) so equal timestamps match, as in merge_asof.
+    # (__is_left asc) so equal timestamps match, as in merge_asof; among
+    # tied right rows __rid asc puts the LAST input row nearest the left.
     w_back = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__rid").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # forward: the same scan run in descending ``on`` order.
+    # forward: the same scan run in descending ``on`` order; __rid desc
+    # so the FIRST input row among ties is scanned last (i.e. matches).
     w_fwd = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+        .orderBy(F.col("__t").desc(), F.col("__is_left").asc(), F.col("__rid").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
 
     def _within(match_col):
-        gap = F.abs(F.col("__t") - match_col[matched_on])
+        gap = F.abs(F.col("__t") - match_col[matched_on].cast("double"))
         ok = match_col.isNotNull()
         if tolerance is not None:
             ok = ok & (gap <= F.lit(float(tolerance)))
@@ -149,8 +182,8 @@ def asof_join(
         )
         b_ok = _within(F.col("__mb"))
         f_ok = _within(F.col("__mf"))
-        b_gap = F.abs(F.col("__t") - F.col("__mb")[matched_on])
-        f_gap = F.abs(F.col("__t") - F.col("__mf")[matched_on])
+        b_gap = F.abs(F.col("__t") - F.col("__mb")[matched_on].cast("double"))
+        f_gap = F.abs(F.col("__t") - F.col("__mf")[matched_on].cast("double"))
         # ties go backward, matching merge_asof(direction="nearest")
         u = u.withColumn(
             "__m",
@@ -159,8 +192,12 @@ def asof_join(
             ),
         ).drop("__mb", "__mf")
 
+    # left rows with NULL `on` (NULL __t) pass through unmatched: in the
+    # descending (forward/nearest) scan they sort last and would otherwise
+    # see the whole right side as a candidate.
     u = u.filter(F.col("__is_left") == 1).withColumn(
-        "__m", F.when(_within(F.col("__m")), F.col("__m"))
+        "__m",
+        F.when(_within(F.col("__m")) & F.col("__t").isNotNull(), F.col("__m")),
     )
     return u.select(
         *[F.col(k) for k in by],
@@ -252,11 +289,19 @@ def interval_join(
     inner = inner.drop(r_b["__bucket"]).drop(l_b["__bucket"]).drop(
         *[r_b[k] for k in by]
     )
+    return _attach_unmatched_left(left, inner)
+
+
+def _attach_unmatched_left(left: DataFrame, inner: DataFrame) -> DataFrame:
+    """Left-outer completion for the bucketed joins: re-attach the left
+    rows that produced no inner match, with NULL right columns. A plain
+    outer equi-join on buckets would instead duplicate a left row per
+    colliding-but-not-matching interval, so the match runs inner and the
+    complement comes from a null-safe anti-join (NULL = NULL is NULL,
+    which would duplicate NULL-payload rows as "unmatched" alongside
+    their inner match)."""
     matched_keys = inner.select(*left.columns).alias("__m")
     l_al = left.alias("__l")
-    # null-safe equality: plain column-name anti-join drops no rows whose
-    # payload contains NULL (NULL = NULL is NULL), duplicating them as
-    # "unmatched" alongside their inner match
     anti_cond = None
     for c in left.columns:
         term = F.col(f"__l.{c}").eqNullSafe(F.col(f"__m.{c}"))
@@ -270,3 +315,95 @@ def interval_join(
                 c, F.lit(None).cast(inner.schema[c].dataType)
             )
     return inner.unionByName(unmatched)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: Union[None, str, Sequence[str]] = None,
+    bucket_width: Optional[float] = 3600.0,
+    how: str = "inner",
+    min_overlap: float = 0.0,
+) -> DataFrame:
+    """Join every left interval to the right intervals it OVERLAPS:
+    ``left_start <= right_end AND right_start <= left_end`` (inclusive —
+    touching endpoints overlap with length 0), plus equality on ``by``.
+    The span-vs-span companion of :func:`interval_join` (sessions vs
+    outages, spans vs annotation ranges, …).
+
+    Same bucketed-equi-join shape — BOTH sides explode to the fixed-width
+    buckets they cover and Catalyst plans a plain equi-join on
+    (``by``, bucket) — but unlike point-in-interval, an overlapping pair
+    can collide in EVERY bucket the overlap spans. Ownership dedups
+    exactly without a distinct shuffle: the overlap's first bucket is
+    ``floor(max(left_start, right_start) / w)``, a bucket both intervals
+    necessarily cover, so the pair is kept only from that bucket — a
+    map-side filter, mirroring the first-agreeing-band dedup in
+    ``operators/dedup.py``.
+
+    ``min_overlap`` keeps only pairs whose overlap length
+    ``min(ends) - max(starts)`` is at least this long (0 keeps all,
+    including point-touches). ``bucket_width=None`` derives the width
+    from the LARGER of the two sides' median interval lengths (one
+    O(1)-row aggregate per side) — the longer population dominates
+    per-row bucket replication, so matching it bounds the explode factor
+    at O(1) for the typical interval. ``how`` is ``inner`` or ``left``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if bucket_width is None:
+        meds = []
+        for frame, s, e in ((left, left_start, left_end), (right, right_start, right_end)):
+            m = frame.select(
+                F.percentile_approx(F.col(e) - F.col(s), F.lit(0.5)).alias("m")
+            ).first()["m"]
+            if m:
+                meds.append(float(m))
+        bucket_width = max(meds) if meds else 1.0
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    by = _as_list(by)
+    w = float(bucket_width)
+
+    def _explode(frame, s, e):
+        return frame.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / F.lit(w)), F.floor(F.col(e) / F.lit(w))
+                )
+            ),
+        )
+
+    l_b = _explode(left, left_start, left_end)
+    r_b = _explode(right, right_start, right_end)
+    clash = {
+        c for c in r_b.columns if c in l_b.columns and c not in by and c != "__bucket"
+    }
+    for c in clash:
+        r_b = r_b.withColumnRenamed(c, c + "_r")
+    rs = right_start + ("_r" if right_start in clash else "")
+    re_ = right_end + ("_r" if right_end in clash else "")
+
+    cond = [l_b["__bucket"] == r_b["__bucket"]] + [l_b[k] == r_b[k] for k in by]
+    overlap_len = F.least(F.col(left_end), F.col(re_)) - F.greatest(
+        F.col(left_start), F.col(rs)
+    )
+    owns = l_b["__bucket"] == F.floor(
+        F.greatest(F.col(left_start), F.col(rs)) / F.lit(w)
+    )
+    keep = (overlap_len >= F.lit(float(min_overlap))) & owns
+    inner = (
+        l_b.join(r_b, cond, "inner")
+        .filter(keep)
+        .drop(r_b["__bucket"])
+        .drop(l_b["__bucket"])
+        .drop(*[r_b[k] for k in by])
+    )
+    if how == "inner":
+        return inner
+    return _attach_unmatched_left(left, inner)

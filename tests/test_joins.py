@@ -437,3 +437,195 @@ def test_multi_key_by_both_joins(spark):
         by=["k1", "k2"],
     ).orderBy("v").toPandas()
     assert av["lab"].tolist() == ["iv", None]
+
+
+def test_asof_null_on_rows(spark):
+    """Right rows with NULL `on` are dropped (merge_asof raises on them);
+    left rows with NULL `on` pass through unmatched — never silently
+    matched to the NULL-timestamp right row."""
+    left = spark.createDataFrame(
+        [(1, 5.0, 10), (1, None, 11)], "key long, t double, qty long"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 1.0), (1, 4.0, 2.0)], "key long, t double, px double"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        out = {
+            r["qty"]: (r["t_r"], r["px"])
+            for r in asof_join(
+                left, right, on="t", by="key", direction=direction
+            ).collect()
+        }
+        assert len(out) == 2
+        # NULL-t left row: always unmatched
+        assert out[11] == (None, None)
+        # the valid left row never sees the NULL-t right row's payload
+        if direction == "backward" or direction == "nearest":
+            assert out[10] == (4.0, 2.0)
+        else:  # forward: no right row at-or-after 5.0
+            assert out[10] == (None, None)
+
+
+def test_asof_tied_right_rows_deterministic(spark):
+    """Multiple right rows at the SAME (by, on): backward takes the last
+    input row, forward the first — pandas.merge_asof semantics, locked
+    against merge_asof itself."""
+    left = pd.DataFrame({"key": [1, 1], "t": [10.0, 3.0], "qty": [0, 1]})
+    right = pd.DataFrame(
+        {"key": [1, 1, 1], "t": [5.0, 5.0, 5.0], "px": [1.0, 2.0, 3.0]}
+    )
+    for direction in ("backward", "forward"):
+        exp = pd.merge_asof(
+            left.sort_values("t", kind="mergesort"),
+            right.rename(columns={"t": "t_r"}),
+            left_on="t",
+            right_on="t_r",
+            by="key",
+            direction=direction,
+        ).sort_values("qty")
+        for _ in range(3):  # deterministic across repeated runs
+            got = (
+                asof_join(
+                    spark.createDataFrame(left),
+                    spark.createDataFrame(right),
+                    on="t",
+                    by="key",
+                    direction=direction,
+                )
+                .orderBy("qty")
+                .toPandas()
+            )
+            norm = lambda xs: [None if x != x else x for x in xs]  # noqa: E731
+            assert norm(got["px"]) == norm(exp["px"]), direction
+
+
+def test_asof_matched_on_keeps_dtype(spark):
+    """The matched right timestamp comes back at its ORIGINAL dtype (only
+    the internal sort key is cast to double)."""
+    left = spark.createDataFrame([(1, 10, 0)], "key long, t long, qty long")
+    right = spark.createDataFrame([(1, 7, 5.0)], "key long, t long, px double")
+    out = asof_join(left, right, on="t", by="key")
+    assert dict(out.dtypes)["t_r"] == "bigint"
+    row = out.collect()[0]
+    assert row["t_r"] == 7 and row["px"] == 5.0
+
+
+def test_asof_no_by_warns(spark):
+    import warnings as _w
+
+    left = spark.createDataFrame([(1.0, 1)], "t double, qty long")
+    right = spark.createDataFrame([(0.5, 2.0)], "t double, px double")
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        asof_join(left, right, on="t")
+    assert any("globally ordered" in str(x.message) for x in rec)
+
+
+def _spans(seed=13, n_keys=4, n_left=80, n_right=60):
+    rng = np.random.default_rng(seed)
+    ls = np.round(rng.uniform(0, 5000, n_left), 3)
+    left = pd.DataFrame(
+        {
+            "key": rng.integers(0, n_keys, n_left),
+            "ls": ls,
+            "le": np.round(ls + rng.uniform(0, 600, n_left), 3),
+            "lv": np.arange(n_left),
+        }
+    )
+    rs = np.round(rng.uniform(0, 5000, n_right), 3)
+    right = pd.DataFrame(
+        {
+            "key": rng.integers(0, n_keys, n_right),
+            "rs": rs,
+            "re": np.round(rs + rng.uniform(0, 900, n_right), 3),
+            "lab": [f"iv{i}" for i in range(n_right)],
+        }
+    )
+    return left, right
+
+
+def _expected_overlap(left, right, min_overlap=0.0):
+    m = left.merge(right, on="key")
+    ov = np.minimum(m["le"], m["re"]) - np.maximum(m["ls"], m["rs"])
+    m = m[ov >= min_overlap]
+    return m.sort_values(["key", "lv", "lab"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("bucket_width", [100.0, 700.0, 10000.0, None])
+def test_interval_overlap_join_matches_bruteforce(spark, bucket_width):
+    from tape_spark.operators import interval_overlap_join
+
+    left, right = _spans()
+    out = (
+        interval_overlap_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            "ls", "le", "rs", "re",
+            by="key",
+            bucket_width=bucket_width,
+        )
+        .toPandas()
+        .sort_values(["key", "lv", "lab"])
+        .reset_index(drop=True)
+    )
+    exp = _expected_overlap(left, right)
+    cols = ["key", "ls", "le", "lv", "rs", "re", "lab"]
+    assert len(out) == len(exp)  # ownership dedup: exactly one row per pair
+    pd.testing.assert_frame_equal(out[cols], exp[cols], check_dtype=False)
+
+
+def test_interval_overlap_join_min_overlap_and_touching(spark):
+    from tape_spark.operators import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0, 0), (1, 50.0, 60.0, 1)], "key long, ls double, le double, lv long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, 20.0, "touch"), (1, 55.0, 58.0, "inside")],
+        "key long, rs double, re double, lab string",
+    )
+    # touching endpoints overlap with length 0 by default
+    got = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", by="key", bucket_width=7.0
+    ).toPandas()
+    assert sorted(got["lab"]) == ["inside", "touch"]
+    # min_overlap excludes the point-touch
+    got2 = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", by="key", bucket_width=7.0,
+        min_overlap=1.0,
+    ).toPandas()
+    assert got2["lab"].tolist() == ["inside"]
+
+
+def test_interval_overlap_join_left_outer(spark):
+    from tape_spark.operators import interval_overlap_join
+
+    left, right = _spans(seed=29)
+    out = interval_overlap_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        "ls", "le", "rs", "re",
+        by="key",
+        bucket_width=300.0,
+        how="left",
+    ).toPandas()
+    exp = _expected_overlap(left, right)
+    n_unmatched = len(left) - exp["lv"].nunique()
+    assert len(out) == len(exp) + n_unmatched
+    matched = out[out["lab"].notna()].sort_values(["key", "lv", "lab"]).reset_index(drop=True)
+    cols = ["key", "ls", "le", "lv", "rs", "re", "lab"]
+    pd.testing.assert_frame_equal(matched[cols], exp[cols], check_dtype=False)
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    from tape_spark.operators import interval_overlap_join
+
+    left, right = _spans()
+    plan = interval_overlap_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        "ls", "le", "rs", "re",
+        by="key",
+        bucket_width=300.0,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan

@@ -855,3 +855,43 @@ class TestRepeatedSpans:
         import re
         for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
             assert "array_join" not in m.group(1) and "slice" not in m.group(1)
+
+
+def test_minhash_bucket_cap_pruned_first_band_pair_survives(spark):
+    """A pair whose FIRST agreeing band sits in an over-full (pruned)
+    bucket but that also agrees in a surviving band must still be found:
+    with pruning on, pair dedup runs over surviving join rows, not the
+    signature-derived first band (which may have been pruned)."""
+    from tape_spark.operators.dedup import minhash_near_duplicates
+
+    # num_hashes=4, bands=2 -> band 0 = sig[0:2], band 1 = sig[2:4].
+    # docs 0..3 share band 0's slice [1,2] (bucket size 4 > cap 3);
+    # only docs 0,1 share band 1 (bucket size 2, survives the cap).
+    sigs = spark.createDataFrame(
+        [
+            (0, [1, 2, 3, 4]),
+            (1, [1, 2, 3, 4]),
+            (2, [1, 2, 9, 9]),
+            (3, [1, 2, 8, 8]),
+        ],
+        "doc_id long, signature array<bigint>",
+    )
+    docs = sigs.select("doc_id")  # unused on the signatures path
+    got = minhash_near_duplicates(
+        docs, num_hashes=4, bands=2, threshold=0.9,
+        max_bucket_size=3, signatures=sigs,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
+    assert got[0]["est_jaccard"] == 1.0
+
+
+def test_minhash_precomputed_signatures_num_hashes_mismatch_raises(spark):
+    from tape_spark.operators.dedup import minhash_near_duplicates
+
+    sigs = spark.createDataFrame(
+        [(0, [1, 2, 3, 4])], "doc_id long, signature array<bigint>"
+    )
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_near_duplicates(
+            sigs.select("doc_id"), num_hashes=8, bands=2, signatures=sigs
+        )
