@@ -882,17 +882,64 @@ def q_chunk_documents(spark, sf_dir):
     though the crc32 stand-in ids are not), and each row carries
     seq_tokens — how many tokens its sequence holds — whose oracle replay
     proves packing is budget-exact: every sequence is exactly `budget`
-    full except at most the last of each bucket stream (seq_is_full)."""
+    full except at most the last of each bucket stream (seq_is_full).
+
+    Round 8 adds a REAL subword tokenizer behind the same hook
+    (tape_spark.utils.bpe — the public Sennrich BPE algorithm, trained
+    driver-side on a deterministic content-addressed corpus sample):
+    every chunk is BPE-encoded through tokenize_chunks and the per-row
+    ``bpe_ok`` contract verifies, Spark-side per chunk, that (a)
+    decode(encode(chunk)) reproduces the chunk exactly (up to the
+    tokenizer's documented <unk> substitution for characters outside
+    the training sample), and (b) the subword count is bounded by
+    [words, chars+words] — the oracle expects TRUE on every row, so a
+    single broken merge application or miscounted subword fails the
+    hash."""
     from pyspark.sql import Window as W
 
     from tape_spark.operators.text import chunk_documents, pack_sequences, tokenize_chunks
+    from tape_spark.utils.bpe import train_bpe_from_corpus
 
+    docs = _docs(spark, sf_dir)
     out = chunk_documents(
-        _docs(spark, sf_dir), text_col="text", id_col="doc_id", chunk_tokens=16, overlap_tokens=4
+        docs, text_col="text", id_col="doc_id", chunk_tokens=16, overlap_tokens=4
     )
+    bpe = train_bpe_from_corpus(
+        docs, num_merges=200, sample_fraction=0.1, max_docs=300
+    )
+    bpe_ids = tokenize_chunks(out, tokenizer=bpe, text_col="chunk", id_col="chunk_id")
+    known = set(bpe.base_chars)
+
+    @F.pandas_udf("boolean")
+    def _bpe_ok(chunk: pd.Series, n: pd.Series) -> pd.Series:
+        def check(s, n_ids):
+            s = s or ""
+            ids = bpe.encode(s)
+            if len(ids) != n_ids:  # the tokenize_chunks ledger must agree
+                return False
+            words = s.split()
+            expected = " ".join(
+                "".join(c if c in known else "<unk>" for c in w) for w in words
+            )
+            if bpe.decode(ids) != expected:
+                return False
+            lo = len(words)
+            hi = sum(len(w) + 1 for w in words)
+            return (lo <= len(ids) <= hi) if words else len(ids) == 0
+
+        return pd.Series(
+            [check(s, n_ids) for s, n_ids in zip(chunk, n)], dtype=bool
+        )
+
     tok = tokenize_chunks(out, text_col="chunk", id_col="chunk_id").select(
         "chunk_id", "n_input_ids"
     )
+    bpe_check = bpe_ids.join(
+        out.select("chunk_id", "chunk"), "chunk_id"
+    ).select(
+        "chunk_id", _bpe_ok(F.col("chunk"), F.col("n_input_ids")).alias("bpe_ok")
+    )
+    tok = tok.join(bpe_check, "chunk_id")
     packed = pack_sequences(out, budget=64, num_buckets=8).join(tok, "chunk_id")
     bucket_total = F.max(F.col("start_offset") + F.col("n_chunk_tokens")).over(
         W.partitionBy("bucket")
@@ -915,6 +962,7 @@ def q_chunk_documents(spark, sf_dir):
         "n_input_ids",
         seq_tokens.alias("seq_tokens"),
         (seq_tokens == F.lit(64)).alias("seq_is_full"),
+        "bpe_ok",
     )
 
 
@@ -1867,7 +1915,11 @@ SELECT doc_id, chunk_index, n_chunk_tokens, chunk, chunk_id, bucket,
        CAST(least(64, max(start_offset + n_chunk_tokens) OVER (PARTITION BY bucket)
                       - (start_offset // 64) * 64) AS BIGINT) AS seq_tokens,
        least(64, max(start_offset + n_chunk_tokens) OVER (PARTITION BY bucket)
-                 - (start_offset // 64) * 64) = 64 AS seq_is_full
+                 - (start_offset // 64) * 64) = 64 AS seq_is_full,
+       -- per-row contract: the Spark side must verify its REAL BPE
+       -- tokenization (decode-roundtrip + subword-count bounds + ledger
+       -- agreement) and emit TRUE for every chunk
+       true AS bpe_ok
 FROM packed
 """
 

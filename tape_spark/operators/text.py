@@ -452,11 +452,13 @@ def tokenize_chunks(
     ``(id, input_ids, n_input_ids)`` via an Arrow-batched ``mapInPandas``.
 
     ``tokenizer`` is any picklable ``str -> list[int]`` callable — plug in
-    a real BPE here (e.g. a ``tokenizers``/``tiktoken`` encode, constructed
-    lazily per executor). The default is a deterministic stand-in
-    (whitespace split, crc32 of each token mod 2**31) so the plumbing —
-    batch shape, schema, partition inheritance — is testable without
-    tokenizer libs in the environment.
+    a real BPE here: the vendored pure-Python one
+    (``tape_spark.utils.bpe.train_bpe_from_corpus(df)`` returns a
+    picklable ``BPETokenizer`` whose ``encode`` drops straight in), or a
+    ``tokenizers``/``tiktoken`` encode where those wheels exist. The
+    default is a deterministic stand-in (whitespace split, crc32 of each
+    token mod 2**31) so the plumbing — batch shape, schema, partition
+    inheritance — is testable without any tokenizer at all.
 
     At 100 TB this is the canonical Python stage: a narrow per-row map
     with no shuffle, inheriting whatever partitioning/bucketing the chunk

@@ -104,3 +104,86 @@ def test_timeseries_dropna():
     )
     ts.dropna()
     assert len(ts.data) == 1
+
+
+# ------------------------------------------------------------------ #
+# BPE tokenizer (utils/bpe.py)                                       #
+# ------------------------------------------------------------------ #
+
+
+def test_bpe_known_corpus_merges():
+    """The textbook example: with 'low' dominant, the first merges build
+    it up deterministically (ties break lexicographically)."""
+    from tape_spark.utils.bpe import train_bpe
+
+    corpus = ["low low low low low lower lower newest newest"]
+    tok = train_bpe(corpus, num_merges=4)
+    assert tok.merges[0] == ("l", "o")
+    assert tok.merges[1] == ("lo", "w")
+    # 'low' as a standalone word becomes exactly one symbol + eow merge
+    ids = tok.encode("low")
+    assert len(ids) <= 2
+
+
+def test_bpe_training_deterministic():
+    from tape_spark.utils.bpe import train_bpe
+
+    corpus = ["the quick brown fox jumps over the lazy dog " * 3,
+              "pack my box with five dozen liquor jugs"]
+    a = train_bpe(corpus, num_merges=50)
+    b = train_bpe(list(corpus), num_merges=50)
+    assert a.merges == b.merges
+    assert a.encode("the quick fox") == b.encode("the quick fox")
+
+
+def test_bpe_roundtrip_and_unknowns():
+    from tape_spark.utils.bpe import train_bpe
+
+    tok = train_bpe(["alpha beta gamma alpha beta"], num_merges=20)
+    s = "alpha beta gamma"
+    assert tok.decode(tok.encode(s)) == s
+    # unknown characters map to <unk> id 0 and decode as the literal marker
+    ids = tok.encode("alpha Zeta")
+    assert 0 in ids
+    assert tok.decode(tok.encode("alpha")) == "alpha"
+
+
+def test_bpe_subword_counts_sane():
+    from tape_spark.utils.bpe import train_bpe
+
+    corpus = ["hello world hello spark hello engine " * 5]
+    tok = train_bpe(corpus, num_merges=100)
+    s = "hello world"
+    n = len(tok.encode(s))
+    # at least one token per word, at most chars + one eow per word
+    assert 2 <= n <= len(s) + 2
+    # heavily repeated words compress to near one symbol each
+    assert len(tok.encode("hello hello hello")) <= 6
+
+
+def test_bpe_pickle_roundtrip():
+    import pickle
+
+    from tape_spark.utils.bpe import train_bpe
+
+    tok = train_bpe(["some corpus with words some corpus"], num_merges=30)
+    tok2 = pickle.loads(pickle.dumps(tok))
+    s = "some words"
+    assert tok2.encode(s) == tok.encode(s)
+    assert tok2.vocab_size == tok.vocab_size
+
+
+def test_bpe_train_from_corpus_bounded(spark):
+    """Content-addressed sampling is deterministic and the collect is
+    bounded by max_docs/max_chars."""
+    from tape_spark.utils.bpe import train_bpe_from_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} has words shared across the corpus")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    a = train_bpe_from_corpus(docs, num_merges=40, sample_fraction=0.3, max_docs=20)
+    b = train_bpe_from_corpus(docs, num_merges=40, sample_fraction=0.3, max_docs=20)
+    assert a.merges == b.merges and len(a.merges) > 0
+    assert a.encode("document words") == b.encode("document words")
