@@ -794,11 +794,28 @@ def q_text_signals(spark, sf_dir):
     ``redact_pii`` with the same patterns removes every detected match.
     The à-la-carte operators (language_id, text_quality, stopword_ratio,
     repetition_ratio, token_count) compute identical expressions and stay
-    pytest-covered."""
-    from tape_spark.operators import detect_pii, redact_pii, text_signals
+    pytest-covered.
+
+    Round 8 adds the CCNet-style LM quality signal: a Stupid-Backoff
+    bigram LM (tape_spark.operators.langmodel) is trained driver-side on
+    the deterministic md5-addressed corpus sample and every document is
+    perplexity-scored through the Arrow map. The oracle REBUILDS the
+    same model in SQL — same sample draw, same ≥3-count vocabulary, same
+    <unk>+1 smoothing — and replays each document's log-prob sum
+    term-for-term, so ``ppl`` is value-hash-checked, not a contract
+    boolean."""
+    from tape_spark.operators import (
+        detect_pii,
+        perplexity_score,
+        redact_pii,
+        text_signals,
+        train_bigram_lm,
+    )
 
     docs = _docs(spark, sf_dir)
     s = text_signals(docs)
+    lm = train_bigram_lm(docs, sample_fraction=0.3, max_docs=400, min_count=3)
+    ppl = perplexity_score(docs, lm)
     aug = docs.withColumn(
         "text",
         F.when(
@@ -822,6 +839,7 @@ def q_text_signals(spark, sf_dir):
     return (
         s.join(pii, "doc_id")
         .join(clean, "doc_id")
+        .join(ppl, "doc_id")
         .select(
             "doc_id",
             "pred_lang",
@@ -838,6 +856,8 @@ def q_text_signals(spark, sf_dir):
             "n_ipv4",
             "n_pii",
             "n_pii_after_redact",
+            "n_lm_tokens",
+            F.round("ppl", 6).alias("ppl"),
         )
     )
 
@@ -1667,7 +1687,8 @@ g AS (
   SELECT *, CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
                  ELSE [] END AS grams
   FROM f
-)
+),
+sig AS (
 SELECT doc_id,
   CASE WHEN has_cjk THEN 'zh'
        WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
@@ -1695,6 +1716,81 @@ SELECT doc_id,
      + len(regexp_extract_all(atext, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_pii,
   CAST(0 AS BIGINT) AS n_pii_after_redact
 FROM g
+),
+-- Stupid-Backoff bigram LM, rebuilt from scratch: same md5-addressed
+-- sample draw, >=3-count vocabulary (OOV -> <unk> BEFORE counting),
+-- c(<unk>)+1 / N+1 smoothing, and the per-document log-prob sum
+-- ln(c(t0)/N) + sum ln(c(vw)/c(v) | 0.4*c(w)/N), replayed term-for-term
+lm_docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                     t -> t <> '') AS lw
+  FROM documents
+),
+lm_sample AS (
+  SELECT doc_id, lw FROM lm_docs
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        / 4503599627370496.0 < 0.3
+  ORDER BY doc_id LIMIT 400
+),
+s_tok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i, lw[CAST(u.i AS BIGINT) + 1] AS t
+  FROM lm_sample, UNNEST(range(0, len(lw))) u(i)
+),
+raw_uni AS (SELECT t, count(*) AS c FROM s_tok GROUP BY t),
+vocab AS (SELECT t FROM raw_uni WHERE c >= 3 AND t <> '<unk>'),
+m_tok AS (
+  SELECT doc_id, i,
+         CASE WHEN t IN (SELECT t FROM vocab) THEN t ELSE '<unk>' END AS t
+  FROM s_tok
+),
+uni AS (
+  SELECT t, count(*) + CASE WHEN t = '<unk>' THEN 1 ELSE 0 END AS c
+  FROM m_tok GROUP BY t
+  UNION ALL
+  SELECT '<unk>', 1 WHERE NOT EXISTS (SELECT 1 FROM m_tok WHERE t = '<unk>')
+),
+nn AS (SELECT count(*) + 1 AS n FROM m_tok),
+big AS (
+  SELECT a.t AS v, b.t AS w2, count(*) AS c
+  FROM m_tok a JOIN m_tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1, 2
+),
+d_tok AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+         CASE WHEN lw[CAST(u.i AS BIGINT) + 1] IN (SELECT t FROM vocab)
+              THEN lw[CAST(u.i AS BIGINT) + 1] ELSE '<unk>' END AS t
+  FROM lm_docs, UNNEST(range(0, len(lw))) u(i)
+),
+first_lp AS (
+  SELECT d.doc_id, ln(u.c * 1.0 / nn.n) AS lp
+  FROM d_tok d JOIN uni u ON u.t = d.t CROSS JOIN nn
+  WHERE d.i = 0
+),
+pair_lp AS (
+  SELECT a.doc_id,
+         sum(CASE WHEN bg.c IS NOT NULL THEN ln(bg.c * 1.0 / uv.c)
+                  ELSE ln(0.4 * uw.c / nn.n) END) AS lp
+  FROM d_tok a
+  JOIN d_tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN uni uv ON uv.t = a.t
+  JOIN uni uw ON uw.t = b.t
+  LEFT JOIN big bg ON bg.v = a.t AND bg.w2 = b.t
+  CROSS JOIN nn
+  GROUP BY a.doc_id
+),
+lm_stats AS (
+  SELECT d.doc_id, count(*) AS n_lm_tokens,
+         exp(-(any_value(f.lp) + coalesce(any_value(p.lp), 0)) / count(*)) AS ppl
+  FROM d_tok d
+  LEFT JOIN first_lp f ON f.doc_id = d.doc_id
+  LEFT JOIN pair_lp p ON p.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT sig.*,
+       coalesce(l.n_lm_tokens, 0) AS n_lm_tokens,
+       round(l.ppl, 6) AS ppl
+FROM sig LEFT JOIN lm_stats l USING (doc_id)
 """
 
 # Replays the SimHash bit-vote with the md5-derived 60-bit token hash

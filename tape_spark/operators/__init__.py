@@ -32,6 +32,7 @@ from .curation import (
     weighted_sample,
 )
 from .joins import asof_join, interval_join, interval_overlap_join
+from .langmodel import BigramLM, perplexity_score, train_bigram_lm
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
@@ -90,6 +91,9 @@ __all__ = [
     "asof_join",
     "interval_join",
     "interval_overlap_join",
+    "BigramLM",
+    "perplexity_score",
+    "train_bigram_lm",
     "boilerplate_lines",
     "remove_boilerplate",
     "decontaminate",

@@ -895,3 +895,84 @@ def test_minhash_precomputed_signatures_num_hashes_mismatch_raises(spark):
         minhash_near_duplicates(
             sigs.select("doc_id"), num_hashes=8, bands=2, signatures=sigs
         )
+
+
+# ------------------------------------------------------------------ #
+# bigram LM perplexity (operators/langmodel.py)                      #
+# ------------------------------------------------------------------ #
+
+
+def _tiny_lm():
+    from tape_spark.operators.langmodel import BigramLM
+
+    # corpus: "a b a b a" -> mapped tokens with min_count=1 (vocab {a,b})
+    # unigrams a:3 b:2 (+<unk> 1), N = 5 + 1 = 6; bigrams ab:2 ba:2
+    return BigramLM(
+        unigrams={"a": 3, "b": 2, "<unk>": 1},
+        bigrams={("a", "b"): 2, ("b", "a"): 2},
+        total=6,
+        min_count=1,
+    )
+
+
+def test_bigram_lm_exact_logprob():
+    import math
+
+    lm = _tiny_lm()
+    # p(a) = 3/6; S(b|a) = c(ab)/c(a) = 2/3; S(a|b) = 2/2
+    exp = math.log(3 / 6) + math.log(2 / 3) + math.log(1.0)
+    assert lm.logprob(["a", "b", "a"]) == pytest.approx(exp, rel=1e-12)
+    # unseen bigram backs off: S(a|a) = 0.4 * c(a)/N
+    exp2 = math.log(3 / 6) + math.log(0.4 * 3 / 6)
+    assert lm.logprob(["a", "a"]) == pytest.approx(exp2, rel=1e-12)
+    # OOV maps to <unk>: p(<unk>) = 1/6, then backoff S(a|<unk>)
+    exp3 = math.log(1 / 6) + math.log(0.4 * 3 / 6)
+    assert lm.logprob(["zzz", "a"]) == pytest.approx(exp3, rel=1e-12)
+    assert lm.logprob([]) is None
+
+
+def test_train_bigram_lm_deterministic_and_counts(spark):
+    from tape_spark.operators.langmodel import train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " + ("x" * (i % 3 + 1))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = train_bigram_lm(docs, sample_fraction=0.5, max_docs=30, min_count=2)
+    b = train_bigram_lm(docs, sample_fraction=0.5, max_docs=30, min_count=2)
+    assert a.unigrams == b.unigrams and a.bigrams == b.bigrams and a.total == b.total
+    # frequent words are in-vocab, the per-doc-unique x-runs are <unk>-mass
+    assert "the" in a.unigrams and a.unigrams["<unk>"] >= 1
+
+
+def test_perplexity_orders_in_domain_below_gibberish(spark):
+    from tape_spark.operators.langmodel import perplexity_score, train_bigram_lm
+
+    base = [(i, "the quick brown fox jumps over the lazy dog") for i in range(40)]
+    docs = spark.createDataFrame(base, "doc_id long, text string")
+    lm = train_bigram_lm(docs, sample_fraction=1.0, max_docs=40, min_count=2)
+    test = spark.createDataFrame(
+        [
+            (0, "the quick brown fox"),
+            (1, "zq wv xj qq kk pp"),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_lm_tokens"], r["ppl"]) for r in perplexity_score(test, lm).collect()}
+    assert got[0][1] < got[1][1]  # in-domain beats gibberish
+    assert got[2] == (0, None) and got[3] == (0, None)
+    # spark-side score equals the python-side model exactly
+    import math
+    lp = lm.logprob("the quick brown fox".split())
+    assert got[0][1] == pytest.approx(math.exp(-lp / 4), rel=1e-12)
+
+
+def test_bigram_lm_pickle_roundtrip():
+    import pickle
+
+    lm = _tiny_lm()
+    lm2 = pickle.loads(pickle.dumps(lm))
+    assert lm2.logprob(["a", "b"]) == lm.logprob(["a", "b"])
+    assert lm2.total == lm.total and lm2.vocab_size == lm.vocab_size
