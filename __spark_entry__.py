@@ -1246,8 +1246,20 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     The LSH path exact-verifies every candidate's cosine, so its pairs
     are a subset of the brute set: n_false_positive is exactly 0. Recall
     at threshold 0.35 with 4-plane × 16-table OR-amplification measured
-    0.91/0.93 at sf0.001/sf0.01 (257/271 true pairs) vs the 0.8 floor."""
-    from tape_spark.operators import embedding_near_duplicates
+    0.91/0.93 at sf0.001/sf0.01 (257/271 true pairs) vs the 0.8 floor.
+
+    Round 8 adds the SemDeDup contract (tape_spark.operators
+    .semantic_dedup — cluster the embedding space, group cosine>=τ
+    duplicates within clusters, one survivor per group): the corpus is
+    augmented with an identical clone of every 9th vector (identical
+    vectors provably share a cluster — assignment is a pure function of
+    the vector — so the clone pairs CANNOT be split by the coarse
+    quantizer), τ=0.95 sits far above the corpus's measured max natural
+    cosine (0.513 at sf0.01), and the expected outcome is exact: every
+    clone pair merges into a min-id-rooted group and survivors are
+    precisely the original ids. sd_exact_ok verifies the full survivor
+    SET in-Spark; the oracle independently recomputes both counts."""
+    from tape_spark.operators import embedding_near_duplicates, semantic_dedup
 
     emb = _emb(spark, sf_dir)
     lsh = embedding_near_duplicates(
@@ -1261,15 +1273,41 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
         F.count(F.lit(1)).alias("n_hit")
     )
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+
+    clones = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(clones)
+    sd = semantic_dedup(
+        aug, threshold=0.95, num_clusters=16, train_sample=1024, keep="min_id"
+    )
+    survivors = sd.filter(F.col("is_survivor")).select("vec_id")
+    sd_counts = sd.agg(
+        F.count(F.lit(1)).alias("n_sd_vectors"),
+        F.sum(F.col("is_survivor").cast("long")).alias("n_sd_survivors"),
+    )
+    # exact SET check, in-Spark: survivors == the original (un-cloned) ids
+    s_al = survivors.alias("s")
+    o_al = emb.select("vec_id").alias("o")
+    sd_ok = (
+        s_al.join(o_al, F.col("s.vec_id") == F.col("o.vec_id"), "full_outer")
+        .filter(F.col("s.vec_id").isNull() | F.col("o.vec_id").isNull())
+        .agg((F.count(F.lit(1)) == 0).alias("sd_exact_ok"))
+    )
     return (
         n_brute.crossJoin(n_hit)
         .crossJoin(n_lsh)
+        .crossJoin(sd_counts)
+        .crossJoin(sd_ok)
         .select(
             "n_exact",
             (F.col("n_lsh") - F.col("n_hit")).alias("n_false_positive"),
             (
                 (F.col("n_exact") == 0) | (F.col("n_hit") / F.col("n_exact") >= 0.8)
             ).alias("recall_ok"),
+            "n_sd_vectors",
+            "n_sd_survivors",
+            "sd_exact_ok",
         )
     )
 
@@ -2382,9 +2420,17 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok "
             f"FROM ({_NGRAM_JACCARD_SQL.replace('>= 0.2', '>= 0.7')})"
         ),
+        # SemDeDup clone contract appended r8: the augmented corpus has one
+        # identical clone per 9th vector; expected vectors/survivors are
+        # derived independently (survivor set correctness is verified
+        # in-Spark and required TRUE)
         "embedding_near_dup_lsh": (
             "SELECT CAST(count(*) AS BIGINT) AS n_exact, "
-            "CAST(0 AS BIGINT) AS n_false_positive, true AS recall_ok "
+            "CAST(0 AS BIGINT) AS n_false_positive, true AS recall_ok, "
+            "(SELECT CAST(count(*) + count(*) FILTER (WHERE vec_id % 9 = 0) AS BIGINT) "
+            " FROM embeddings) AS n_sd_vectors, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_sd_survivors, "
+            "true AS sd_exact_ok "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.35"

@@ -18,6 +18,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
     embedding_near_duplicates,
+    semantic_dedup,
     connected_components,
     dedup_clusters,
     resolve_duplicates,
@@ -32,6 +33,7 @@ from .curation import (
     weighted_sample,
 )
 from .joins import asof_join, interval_join, interval_overlap_join
+from .similarity import train_spherical_kmeans
 from .langmodel import BigramLM, perplexity_score, train_bigram_lm
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
@@ -67,6 +69,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "embedding_near_duplicates",
+    "semantic_dedup",
+    "train_spherical_kmeans",
     "connected_components",
     "dedup_clusters",
     "resolve_duplicates",

@@ -962,3 +962,137 @@ def repeated_span_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_span_ratio"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_clusters: int = 64,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+    keep: str = "min_id",
+    max_cluster_size: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space with a spherical k-means coarse quantizer, then
+    find duplicate GROUPS — connected components of cosine >= threshold —
+    WITHIN each cluster only, and keep one survivor per group.
+
+    Returns every input row as ``(id, cluster, group_id, is_survivor)``
+    where ``group_id`` is the group's minimum member id (singletons are
+    their own group and always survive).
+
+    ``keep`` picks the survivor: ``"min_id"`` (deterministic and
+    SQL-replayable — the oracle path) or ``"least_typical"`` (the
+    published SemDeDup rule: keep the member with the LOWEST cosine to
+    its cluster centroid — the most atypical example; ties fall back to
+    min id).
+
+    Scale shape: training is a bounded driver-side sample
+    (:func:`~tape_spark.operators.similarity.train_spherical_kmeans`);
+    assignment is one Arrow-batched matmul against the broadcast centroid
+    matrix (narrow map); the ONLY shuffle is the groupBy on the cluster
+    cell; the within-cluster pairwise pass is O(size²/2) numpy — bounded
+    by ``max_cluster_size``: clusters over the cap are deterministically
+    sub-split by id hash (``xxhash64(id) mod ceil(size/cap)``), trading
+    recall ACROSS sub-cells of a mega-cluster for a hard cost bound, the
+    same contract as ``max_bucket_size`` in the MinHash path. Pairwise
+    similarity is computed in row blocks so the transient matrix stays
+    ~tens of MB however large the cell. Like SemDeDup itself, a pair
+    split across clusters is missed by design — the clustering IS the
+    candidate generator.
+    """
+    if keep not in ("min_id", "least_typical"):
+        raise ValueError(f"keep must be min_id|least_typical, got {keep!r}")
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    from .similarity import train_spherical_kmeans
+
+    centroids = train_spherical_kmeans(
+        df, vec_col, id_col, num_clusters, train_sample, kmeans_iters, seed
+    )
+    cent_T = centroids.T.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_cluster(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        return pd.Series((mat @ cent_T).argmax(axis=1).astype(np.int32))
+
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).withColumn("cluster", nearest_cluster(F.col("__v")))
+    # deterministic sub-split of over-cap clusters: tiny (cluster -> size)
+    # aggregate, broadcast back, id-hash cell within the cluster
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__sz"))
+    assigned = assigned.join(F.broadcast(sizes), "cluster").withColumn(
+        "__cell",
+        F.pmod(
+            F.xxhash64(F.col(id_col)),
+            F.ceil(F.col("__sz") / F.lit(max_cluster_size)).cast("long"),
+        ).cast("int"),
+    ).drop("__sz")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("group_id", df.schema[id_col].dataType),
+            T.StructField("is_survivor", T.BooleanType()),
+        ]
+    )
+    least_typical = keep == "least_typical"
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.array(pdf["__v"].iloc[order].tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        block = max(1, 8_000_000 // max(1, n))  # ~64 MB transient per block
+        for lo in range(0, n, block):
+            sims = mat[lo : lo + block] @ mat.T
+            rows, cols = np.nonzero(sims >= threshold)
+            for r, c in zip(rows + lo, cols):
+                if r < c:
+                    ra, rb = find(r), find(c)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        group_id = ids[roots]
+        if least_typical:
+            cluster = int(pdf["cluster"].iloc[0])
+            cos_c = mat @ centroids[cluster]
+            survivor = np.zeros(n, dtype=bool)
+            for g in np.unique(roots):
+                members = np.nonzero(roots == g)[0]
+                # lowest cosine to centroid; ties -> lowest id (members
+                # are already in ascending-id order)
+                survivor[members[np.argmin(cos_c[members])]] = True
+        else:
+            survivor = np.arange(n) == roots  # min-id member is its root
+        out = pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": np.full(n, int(pdf["cluster"].iloc[0]), dtype=np.int32),
+                "group_id": group_id,
+                "is_survivor": survivor,
+            }
+        )
+        return out
+
+    return assigned.groupBy("cluster", "__cell").applyInPandas(
+        dedup_cell, out_schema
+    )

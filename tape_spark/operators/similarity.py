@@ -133,6 +133,53 @@ def cosine_topk(
     )
 
 
+def train_spherical_kmeans(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int = 16,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+) -> "np.ndarray":
+    """Spherical k-means coarse quantizer, trained driver-side on a
+    bounded deterministic sample — the shared trainer behind
+    :func:`ivf_cosine_topk` and ``semantic_dedup``.
+
+    The sample is drawn by hash order, not bare limit(): xxhash64(id)
+    decorrelates the draw from storage order (a bare limit takes whole
+    leading partitions) AND makes it deterministic, so the trained index
+    — and downstream recall — is reproducible run-to-run. Plans as
+    TakeOrderedAndProject: a train_sample-sized heap per partition.
+    Returns the L2-normalized centroid matrix (k_eff × dim).
+    """
+    sample = np.array(
+        [
+            r[0]
+            for r in corpus.select(
+                F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__h"), F.col(id_col)
+            )
+            .orderBy("__h", id_col)
+            .limit(train_sample)
+            .select(vec_col)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-300)
+    rng = np.random.default_rng(seed)
+    k_eff = min(num_clusters, len(sample))
+    centroids = sample[rng.choice(len(sample), k_eff, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (sample @ centroids.T).argmax(axis=1)
+        for c in range(k_eff):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300)
+    return centroids
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -161,36 +208,12 @@ def ivf_cosine_topk(
     ``nprobe / num_clusters`` of the corpus instead of all of it. Recall
     improves with ``nprobe`` (= brute force at ``nprobe == num_clusters``).
     """
-    # --- train: spherical k-means on a sample (driver-side numpy) ---
-    # the sample is drawn by hash order, not bare limit(): xxhash64(id)
-    # decorrelates the draw from storage order (a bare limit takes whole
-    # leading partitions) AND makes it deterministic, so the trained index
-    # — and downstream recall — is reproducible run-to-run. Plans as
-    # TakeOrderedAndProject: a train_sample-sized heap per partition.
-    sample = np.array(
-        [
-            r[0]
-            for r in corpus.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__h"), F.col(id_col))
-            .orderBy("__h", id_col)
-            .limit(train_sample)
-            .select(vec_col)
-            .collect()
-        ],
-        dtype=np.float64,
+    centroids = train_spherical_kmeans(
+        corpus, vec_col, id_col, num_clusters, train_sample, kmeans_iters, seed
     )
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-300)
-    rng = np.random.default_rng(seed)
-    k_eff = min(num_clusters, len(sample))
-    centroids = sample[rng.choice(len(sample), k_eff, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = (sample @ centroids.T).argmax(axis=1)
-        for c in range(k_eff):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300)
-
+    k_eff = len(centroids)
     cent_T = centroids.T.copy()
+    sample_dim = centroids.shape[1] if centroids.size else 0
 
     @F.pandas_udf(T.IntegerType())
     def nearest_cluster(vs: pd.Series) -> pd.Series:
@@ -206,7 +229,7 @@ def ivf_cosine_topk(
         order = np.argsort(-sims, axis=1)[:, : min(nprobe, k_eff)].astype(np.int32)
         return pd.Series(list(order))
 
-    dim = sample.shape[1] if sample.ndim == 2 and len(sample) else None
+    dim = sample_dim or None
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         _as_double(F.col(vec_col)).alias("cv"),

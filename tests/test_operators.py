@@ -976,3 +976,121 @@ def test_bigram_lm_pickle_roundtrip():
     lm2 = pickle.loads(pickle.dumps(lm))
     assert lm2.logprob(["a", "b"]) == lm.logprob(["a", "b"])
     assert lm2.total == lm.total and lm2.vocab_size == lm.vocab_size
+
+
+# ------------------------------------------------------------------ #
+# semantic dedup (SemDeDup-style, dedup.py)                          #
+# ------------------------------------------------------------------ #
+
+
+def _emb_with_clones(spark, n=120, dim=8, seed=5, clone_every=9):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    rows += [
+        (10_000 + i, [float(x) for x in base[i]]) for i in range(0, n, clone_every)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), {
+        i for i in range(0, n, clone_every)
+    }
+
+
+def test_semantic_dedup_clone_groups_min_id(spark):
+    from tape_spark.operators import semantic_dedup
+
+    df, cloned = _emb_with_clones(spark)
+    out = semantic_dedup(
+        df, threshold=0.999999, num_clusters=8, train_sample=256, keep="min_id"
+    ).toPandas()
+    assert len(out) == df.count()  # every row classified
+    by_id = out.set_index("vec_id")
+    for i in cloned:
+        # clone pairs merge into a group rooted at the original id
+        assert by_id.loc[i, "group_id"] == i and bool(by_id.loc[i, "is_survivor"])
+        assert by_id.loc[10_000 + i, "group_id"] == i
+        assert not bool(by_id.loc[10_000 + i, "is_survivor"])
+        # identical vectors always share a cluster (same argmax input)
+        assert by_id.loc[i, "cluster"] == by_id.loc[10_000 + i, "cluster"]
+    # non-cloned vectors are singleton survivors
+    singles = out[~out["vec_id"].isin({10_000 + i for i in cloned} | cloned)]
+    assert singles["is_survivor"].all()
+    assert (singles["group_id"] == singles["vec_id"]).all()
+
+
+def test_semantic_dedup_matches_bruteforce_within_cluster(spark):
+    """At a moderate threshold, the per-cluster pair graph must equal the
+    brute-force cosine graph restricted to same-cluster pairs."""
+    from tape_spark.operators import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(60, 6))
+    # plant near (not exact) duplicates: tiny perturbations
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    for i in range(0, 60, 7):
+        v = base[i] + rng.normal(scale=1e-3, size=6)
+        rows.append((500 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, threshold=0.98, num_clusters=4, train_sample=128, keep="min_id"
+    ).toPandas()
+    clus = out.set_index("vec_id")["cluster"]
+    import itertools
+
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    norm = {k: v / np.linalg.norm(v) for k, v in vecs.items()}
+    # brute-force groups over same-cluster pairs
+    parent = {k: k for k in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        if clus[a] == clus[b] and float(norm[a] @ norm[b]) >= 0.98:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    exp_group = {k: find(k) for k in vecs}
+    got_group = out.set_index("vec_id")["group_id"].to_dict()
+    assert got_group == exp_group
+
+
+def test_semantic_dedup_least_typical_survivor(spark):
+    from tape_spark.operators import semantic_dedup
+
+    df, cloned = _emb_with_clones(spark, n=40, clone_every=5)
+    out = semantic_dedup(
+        df, threshold=0.999999, num_clusters=4, train_sample=128,
+        keep="least_typical",
+    ).toPandas()
+    # identical clones tie on centroid cosine -> min id survives
+    by_id = out.set_index("vec_id")
+    for i in cloned:
+        assert bool(by_id.loc[i, "is_survivor"])
+        assert not bool(by_id.loc[10_000 + i, "is_survivor"])
+    # exactly one survivor per group
+    assert (out.groupby("group_id")["is_survivor"].sum() == 1).all()
+
+
+def test_semantic_dedup_max_cluster_size_split(spark):
+    """Over-cap clusters are sub-split deterministically; output is still
+    a full classification with one survivor per group."""
+    from tape_spark.operators import semantic_dedup
+
+    df, _ = _emb_with_clones(spark, n=90)
+    out = semantic_dedup(
+        df, threshold=0.999999, num_clusters=2, train_sample=64,
+        max_cluster_size=10,
+    ).toPandas()
+    assert len(out) == df.count()
+    assert (out.groupby("group_id")["is_survivor"].sum() == 1).all()
+    out2 = semantic_dedup(
+        df, threshold=0.999999, num_clusters=2, train_sample=64,
+        max_cluster_size=10,
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("vec_id").reset_index(drop=True),
+        out2.sort_values("vec_id").reset_index(drop=True),
+    )
