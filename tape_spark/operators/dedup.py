@@ -1053,24 +1053,33 @@ def semantic_dedup(
         mat = np.array(pdf["__v"].iloc[order].tolist(), dtype=np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
         n = len(ids)
-        parent = np.arange(n)
-
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
+        # Collect the >=threshold pairs blockwise (bounded transient sims
+        # matrix), then resolve components with VECTORIZED min-label
+        # propagation — a per-pair Python union-find loop measured ~100x
+        # slower on clone-heavy cells (a 1000-member identical group alone
+        # contributes ~500k pairs).
         block = max(1, 8_000_000 // max(1, n))  # ~64 MB transient per block
+        prs, pcs = [], []
         for lo in range(0, n, block):
             sims = mat[lo : lo + block] @ mat.T
             rows, cols = np.nonzero(sims >= threshold)
-            for r, c in zip(rows + lo, cols):
-                if r < c:
-                    ra, rb = find(r), find(c)
-                    if ra != rb:
-                        parent[max(ra, rb)] = min(ra, rb)
-        roots = np.array([find(i) for i in range(n)])
+            rows = rows + lo
+            keep_mask = rows < cols
+            prs.append(rows[keep_mask])
+            pcs.append(cols[keep_mask])
+        rows = np.concatenate(prs) if prs else np.empty(0, dtype=np.int64)
+        cols = np.concatenate(pcs) if pcs else np.empty(0, dtype=np.int64)
+        labels = np.arange(n)
+        while True:
+            new = labels.copy()
+            # pull the smaller label across every edge, both directions
+            np.minimum.at(new, rows, labels[cols])
+            np.minimum.at(new, cols, labels[rows])
+            new = new[new]  # pointer-jumping: labels are indices
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        roots = labels
         group_id = ids[roots]
         if least_typical:
             cluster = int(pdf["cluster"].iloc[0])
