@@ -294,3 +294,59 @@ def test_batch_map_path_prunes_columns_at_python_boundary(spark):
     assert "l_orderkey" in map_line and "l_extendedprice" in map_line
     for unused in ("l_comment", "l_shipmode", "l_partkey", "l_tax"):
         assert unused not in map_line, unused
+
+
+def test_semantic_dedup_single_cell_shuffle(spark):
+    """semantic_dedup's only table-sized exchange is the (cluster, cell)
+    hash shuffle feeding applyInPandas; the size aggregate joins back by
+    broadcast and assignment is a narrow map."""
+    import numpy as np
+
+    from tape_spark.operators import semantic_dedup
+
+    rng = np.random.default_rng(0)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=4)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = semantic_dedup(
+        df, num_clusters=4, train_sample=32
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # one hash exchange for the cell groupBy, one for the tiny size agg
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_perplexity_score_no_shuffle(spark):
+    """LM scoring is a narrow Arrow map: zero exchanges on top of the
+    input scan."""
+    from tape_spark.operators import perplexity_score, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha") for i in range(40)],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(docs, sample_fraction=1.0, max_docs=20, min_count=1)
+    plan = perplexity_score(docs, lm)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_interval_overlap_join_single_join_exchanges(spark):
+    """The overlap join plans as ONE equi-join on (by, bucket): no
+    nested loop, and the ownership dedup adds no exchange (pure filter)."""
+    import pandas as pd
+
+    from tape_spark.operators import interval_overlap_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"key": [1] * 8, "ls": range(8), "le": range(1, 9)})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"key": [1] * 4, "rs": range(4), "re": range(2, 6)})
+    )
+    plan = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", by="key", bucket_width=2.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -180,3 +180,141 @@ def test_stratified_sample_matches_md5_replay_property(spark, ids, frac):
         if int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / float(1 << 52) < frac
     }
     assert kept == expect
+
+
+# --------------------------------------------------------------------- #
+# BPE: pure-python properties (cheap examples, default budget)           #
+# --------------------------------------------------------------------- #
+
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=6)
+
+
+@given(
+    corpus=st.lists(
+        st.lists(_word, min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    n_merges=st.integers(min_value=0, max_value=40),
+)
+@settings(max_examples=150, deadline=None)
+def test_bpe_roundtrip_and_bounds_property(corpus, n_merges):
+    """For ANY corpus trained on itself: encode/decode roundtrips every
+    training document exactly (no OOV possible), and the subword count
+    stays within [words, chars + words]."""
+    from tape_spark.utils.bpe import train_bpe
+
+    tok = train_bpe(corpus, num_merges=n_merges)
+    for doc in corpus:
+        ids = tok.encode(doc)
+        words = doc.split()
+        assert tok.decode(ids) == " ".join(words)
+        if words:
+            lo = len(words)
+            hi = sum(len(w) + 1 for w in words)
+            assert lo <= len(ids) <= hi
+        else:
+            assert ids == []
+
+
+@given(
+    corpus=st.lists(
+        st.lists(_word, min_size=1, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_bpe_merge_monotone_property(corpus):
+    """More merges never increase a training document's token count."""
+    from tape_spark.utils.bpe import train_bpe
+
+    t_small = train_bpe(corpus, num_merges=5)
+    t_big = train_bpe(corpus, num_merges=50)
+    for doc in corpus:
+        assert len(t_big.encode(doc)) <= len(t_small.encode(doc))
+
+
+# --------------------------------------------------------------------- #
+# Bigram LM: probabilities are a proper score (pure python)              #
+# --------------------------------------------------------------------- #
+
+
+@given(
+    corpus=st.lists(
+        st.lists(_word, min_size=2, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    ),
+    doc=st.lists(_word, min_size=1, max_size=10),
+)
+@settings(max_examples=150, deadline=None)
+def test_bigram_lm_logprob_finite_negative_property(corpus, doc):
+    """Any document scores a finite, non-positive log-prob against any
+    trained model (the <unk>+1 floor guarantees no -inf), and perplexity
+    is >= 1 within float tolerance."""
+    from tape_spark.operators.langmodel import train_bigram_lm as _t  # noqa: F401
+    from tape_spark.operators.langmodel import BigramLM
+
+    # train directly from python (avoid a Spark job per example)
+    from collections import Counter
+
+    raw = Counter(t for d in corpus for t in d.split())
+    vocab = {t for t, c in raw.items() if c >= 2}
+    uni, big, total = {}, {}, 0
+    for d in corpus:
+        mapped = [t if t in vocab else "<unk>" for t in d.split()]
+        total += len(mapped)
+        for t in mapped:
+            uni[t] = uni.get(t, 0) + 1
+        for v, w in zip(mapped, mapped[1:]):
+            big[(v, w)] = big.get((v, w), 0) + 1
+    uni["<unk>"] = uni.get("<unk>", 0) + 1
+    lm = BigramLM(uni, big, total + 1, min_count=2)
+    lp = lm.logprob(doc)
+    assert lp is not None and np.isfinite(lp) and lp <= 1e-12
+    assert lm.perplexity(doc) >= 1.0 - 1e-9
+
+
+# --------------------------------------------------------------------- #
+# interval overlap join vs pandas brute force (Spark examples, small)    #
+# --------------------------------------------------------------------- #
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    width=st.sampled_from([30.0, 150.0, 2000.0]),
+)
+@settings(max_examples=8, deadline=None)
+def test_interval_overlap_join_property(spark, seed, width):
+    from tape_spark.operators import interval_overlap_join
+
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 30, 20
+    ls = np.round(rng.uniform(0, 1000, n_l), 2)
+    left = pd.DataFrame(
+        {"key": rng.integers(0, 3, n_l), "ls": ls,
+         "le": np.round(ls + rng.uniform(0, 300, n_l), 2), "lv": range(n_l)}
+    )
+    rs = np.round(rng.uniform(0, 1000, n_r), 2)
+    right = pd.DataFrame(
+        {"key": rng.integers(0, 3, n_r), "rs": rs,
+         "re": np.round(rs + rng.uniform(0, 200, n_r), 2),
+         "lab": [f"i{i}" for i in range(n_r)]}
+    )
+    got = (
+        interval_overlap_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            "ls", "le", "rs", "re", by="key", bucket_width=width,
+        )
+        .toPandas()
+        .sort_values(["key", "lv", "lab"])
+        .reset_index(drop=True)
+    )
+    m = left.merge(right, on="key")
+    ov = np.minimum(m["le"], m["re"]) - np.maximum(m["ls"], m["rs"])
+    exp = m[ov >= 0].sort_values(["key", "lv", "lab"]).reset_index(drop=True)
+    cols = ["key", "ls", "le", "lv", "rs", "re", "lab"]
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
