@@ -1014,6 +1014,16 @@ def semantic_dedup(
     centroids = train_spherical_kmeans(
         df, vec_col, id_col, num_clusters, train_sample, kmeans_iters, seed
     )
+    out_schema_empty = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("group_id", df.schema[id_col].dataType),
+            T.StructField("is_survivor", T.BooleanType()),
+        ]
+    )
+    if centroids.size == 0:  # empty input: nothing to classify
+        return df.sparkSession.createDataFrame([], out_schema_empty)
     cent_T = centroids.T.copy()
 
     @F.pandas_udf(T.IntegerType())

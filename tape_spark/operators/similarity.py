@@ -153,6 +153,8 @@ def train_spherical_kmeans(
     TakeOrderedAndProject: a train_sample-sized heap per partition.
     Returns the L2-normalized centroid matrix (k_eff × dim).
     """
+    if num_clusters < 1:
+        raise ValueError("num_clusters must be >= 1")
     sample = np.array(
         [
             r[0]
@@ -166,6 +168,8 @@ def train_spherical_kmeans(
         ],
         dtype=np.float64,
     )
+    if sample.size == 0:  # empty corpus: no quantizer to train
+        return np.zeros((0, 0))
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-300)
     rng = np.random.default_rng(seed)
     k_eff = min(num_clusters, len(sample))

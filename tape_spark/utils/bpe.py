@@ -202,7 +202,10 @@ class BPETokenizer:
     def decode(self, ids: Sequence[int]) -> str:
         """Inverse of :meth:`encode` up to whitespace normalization and
         ``<unk>`` characters: words rejoin on the end-of-word marker with
-        single spaces."""
+        single spaces. A word whose characters literally spell the
+        ``</w>`` marker decodes as a boundary (the classic marker
+        collision every marker-based BPE shares); use a byte-level
+        alphabet if inputs can contain it."""
         text = "".join(self._sym_of.get(i, _UNK) for i in ids)
         return " ".join(w for w in text.split(_EOW) if w != "")
 

@@ -1094,3 +1094,22 @@ def test_semantic_dedup_max_cluster_size_split(spark):
         out.sort_values("vec_id").reset_index(drop=True),
         out2.sort_values("vec_id").reset_index(drop=True),
     )
+
+
+def test_semantic_dedup_empty_input(spark):
+    from tape_spark.operators import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(empty, num_clusters=4, train_sample=16)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster", "group_id", "is_survivor"]
+
+
+def test_train_spherical_kmeans_validation(spark):
+    from tape_spark.operators import train_spherical_kmeans
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="num_clusters"):
+        train_spherical_kmeans(df, num_clusters=0)
+    cents = train_spherical_kmeans(df, num_clusters=4, train_sample=8)
+    assert cents.shape == (1, 2)  # k_eff capped at sample size
