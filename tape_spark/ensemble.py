@@ -1106,6 +1106,46 @@ class Ensemble:
             return -1.0
         return (best_mid % 24.0) / 24.0
 
+    def find_periods(
+        self,
+        min_period: float = 0.5,
+        max_period: Optional[float] = None,
+        n_freq: int = 2048,
+        label: str = "best_period",
+        band_to_calc: Optional[str] = None,
+    ) -> "Ensemble":
+        """Run a Lomb–Scargle period search over every light curve and
+        attach ``label`` (the best period) and ``label + '_power'`` to
+        the OBJECT table — the find-period half of the find-period → fold
+        workflow; chain :meth:`fold_lightcurves`\\ ``(period_col=label)``
+        to complete it:
+
+            ens.find_periods(1.0, 50.0).fold_lightcurves(period_col="best_period")
+
+        One ``batch()`` pass (the per-curve scan runs inside the Arrow
+        kernel, grid work never leaves the executor) plus an id-equi-join
+        onto the object table — under lightcurve cohesion both sides
+        share the id-hash layout, so the join plans without a new
+        exchange. Beyond-reference convenience: the reference delegates
+        period finding to the optional Rust ``light-curve`` wheel and
+        leaves the fold to the caller.
+        """
+        from .analysis.periodogram import calc_lomb_scargle
+
+        fn = calc_lomb_scargle(min_period, max_period, n_freq)
+        kwargs = {}
+        if band_to_calc is not None:
+            kwargs["band_to_calc"] = band_to_calc
+        result = self.batch(fn, **kwargs)
+        renamed = result.select(
+            self._id_col,
+            F.col("best_period").alias(label),
+            F.col("best_power").alias(label + "_power"),
+        )
+        obj = self._table_df(OBJECT_FRAME_LABEL)
+        self.frames[OBJECT_FRAME_LABEL] = obj.join(renamed, self._id_col, "left")
+        return self
+
     def fold_lightcurves(
         self,
         period: Optional[float] = None,

@@ -357,3 +357,34 @@ class TestLombScargle:
         assert set(pdf.columns) >= {"id", "best_period", "best_power"}
         assert len(pdf) == 5
         assert pdf["best_period"].notna().all()
+
+
+def test_find_periods_then_fold_workflow(spark):
+    """End-to-end find-period -> fold: planted sinusoids, recovered
+    periods land on the object table, fold by the recovered column."""
+    import numpy as np
+    import pandas as pd
+
+    from tape_spark import ColumnMapper, Ensemble
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for oid, period in ((1, 3.7), (2, 8.2)):
+        t = np.sort(rng.uniform(0, 120, 300))
+        flux = np.sin(2 * np.pi * t / period) + rng.normal(0, 0.05, t.size)
+        for ti, fi in zip(t, flux):
+            rows.append((oid, float(ti), float(fi), 0.05, "g"))
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "time", "flux", "err", "band"])
+    )
+    cm = ColumnMapper(id_col="id", time_col="time", flux_col="flux",
+                      err_col="err", band_col="band")
+    ens = Ensemble(spark).from_spark(src, column_mapper=cm, npartitions=4)
+    ens.find_periods(min_period=1.0, max_period=50.0, n_freq=4096)
+    obj = {r["id"]: r["best_period"] for r in ens.object.collect()}
+    assert abs(obj[1] / 3.7 - 1) < 0.02 and abs(obj[2] / 8.2 - 1) < 0.02
+    ens.fold_lightcurves(period_col="best_period")
+    from pyspark.sql import functions as F
+
+    ph = ens.frames["source"].agg(F.min("phase"), F.max("phase")).collect()[0]
+    assert 0.0 <= ph[0] and ph[1] < 1.0
