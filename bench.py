@@ -141,9 +141,17 @@ def main():
 
     from tape_spark.operators import exact_dedup, language_id, text_quality
 
+    # Actions must CONSUME the computed columns: `.count()` lets column
+    # pruning delete the language/quality expressions from the plan
+    # entirely (round-8 lesson, docs/SCALING.md "asof correction" — the
+    # prior q7 timed two bare scans plus the dedup). Aggregating over the
+    # computed columns forces the real work; comparability note: r8+ q7
+    # is therefore measuring MORE than r2–r7 q7 did.
     def text_pipeline():
-        language_id(docs).count()
-        text_quality(docs).count()
+        language_id(docs).groupBy("pred_lang").count().collect()
+        text_quality(docs).agg(
+            F.avg("avg_token_len"), F.avg("punct_ratio")
+        ).collect()
         exact_dedup(docs).count()
 
     run("q7_text_pipeline", text_pipeline)
