@@ -89,7 +89,14 @@ def main():
         _noop, "id long"
     ).count()
 
-    run("q1_batch_mean", lambda: ens.batch(np.mean, "l_extendedprice", meta=("result", float)).count())
+    # .agg(count(result)) instead of .count(): consume the computed column
+    # so pruning cannot drop the aggregate expression (see q7's note)
+    run(
+        "q1_batch_mean",
+        lambda: ens.batch(np.mean, "l_extendedprice", meta=("result", float))
+        .agg(F.count("result"))
+        .collect(),
+    )
 
     def prune_sync():
         e = em._ensemble(spark, SF_DIR)
@@ -135,7 +142,10 @@ def main():
     def bins():
         e = em._ensemble(spark, SF_DIR)
         e.bin_sources(time_window=604800.0, count_col="bin_count")
-        e.frames["source"].count()
+        # consume the binned aggregates (see q7's note)
+        e.frames["source"].agg(
+            F.sum("bin_count"), F.avg("l_extendedprice"), F.avg("l_quantity")
+        ).collect()
 
     run("q6_bin_sources", bins)
 
@@ -161,8 +171,8 @@ def main():
 
         ev = em._events(spark, SF_DIR)
         ev.groupBy((F.floor(F.col("t") / 900)).cast("long").alias("w"), "event_type").agg(
-            F.count(F.lit(1)), F.avg("value")
-        ).count()
+            F.count(F.lit(1)).alias("n"), F.avg("value").alias("av")
+        ).agg(F.sum("n"), F.avg("av")).collect()
         sessionize(ev, user_col="user_id", ts_col="t", order_cols=["event_id"]).count()
 
     run("q8_events_windows", events_windows)
