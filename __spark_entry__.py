@@ -1800,15 +1800,22 @@ d_tok AS (
               THEN lw[CAST(u.i AS BIGINT) + 1] ELSE '<unk>' END AS t
   FROM lm_docs, UNNEST(range(0, len(lw))) u(i)
 ),
+-- each log-prob term is quantized to integer 1e-12 units
+-- (floor(x*1e12 + 0.5), same rule as the Python scorer) so the SUM is
+-- an exact integer sum — associative, hence order-independent; an
+-- unordered double SUM vs Python's sequential loop could differ in the
+-- last ULP and flip round(ppl, 6) on knife-edge values
 first_lp AS (
-  SELECT d.doc_id, ln(u.c * 1.0 / nn.n) AS lp
+  SELECT d.doc_id,
+         CAST(floor(ln(u.c * 1.0 / nn.n) * 1e12 + 0.5) AS BIGINT) AS lpq
   FROM d_tok d JOIN uni u ON u.t = d.t CROSS JOIN nn
   WHERE d.i = 0
 ),
 pair_lp AS (
   SELECT a.doc_id,
-         sum(CASE WHEN bg.c IS NOT NULL THEN ln(bg.c * 1.0 / uv.c)
-                  ELSE ln(0.4 * uw.c / nn.n) END) AS lp
+         sum(CAST(floor(CASE WHEN bg.c IS NOT NULL THEN ln(bg.c * 1.0 / uv.c)
+                             ELSE ln(0.4 * uw.c / nn.n) END * 1e12 + 0.5)
+                  AS BIGINT)) AS lpq
   FROM d_tok a
   JOIN d_tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
   JOIN uni uv ON uv.t = a.t
@@ -1819,7 +1826,8 @@ pair_lp AS (
 ),
 lm_stats AS (
   SELECT d.doc_id, count(*) AS n_lm_tokens,
-         exp(-(any_value(f.lp) + coalesce(any_value(p.lp), 0)) / count(*)) AS ppl
+         exp(-((any_value(f.lpq) + coalesce(any_value(p.lpq), 0)) / 1e12)
+             / count(*)) AS ppl
   FROM d_tok d
   LEFT JOIN first_lp f ON f.doc_id = d.doc_id
   LEFT JOIN pair_lp p ON p.doc_id = d.doc_id

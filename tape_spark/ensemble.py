@@ -1143,6 +1143,10 @@ class Ensemble:
             F.col("best_power").alias(label + "_power"),
         )
         obj = self._table_df(OBJECT_FRAME_LABEL)
+        # re-running the search with the same label must REPLACE the old
+        # columns, not stack ambiguous duplicates (drop is a no-op when
+        # the columns don't exist yet)
+        obj = obj.drop(label, label + "_power")
         self.frames[OBJECT_FRAME_LABEL] = obj.join(renamed, self._id_col, "left")
         return self
 

@@ -975,6 +975,7 @@ def semantic_dedup(
     seed: int = 11,
     keep: str = "min_id",
     max_cluster_size: int = 100_000,
+    centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space with a spherical k-means coarse quantizer, then
@@ -1004,6 +1005,18 @@ def semantic_dedup(
     ~tens of MB however large the cell. Like SemDeDup itself, a pair
     split across clusters is missed by design — the clustering IS the
     candidate generator.
+
+    ``centroids`` lets a warehouse session pass a caller-owned
+    ``(k, dim)`` L2-normalized centroid matrix (e.g. trained once with
+    :func:`~tape_spark.operators.similarity.train_spherical_kmeans` and
+    reused across iterative curation passes), skipping the bounded
+    driver-side k-means train entirely — the same amortization pattern
+    as ``minhash_near_duplicates(signatures=...)``.
+
+    NULL vectors never reach the numeric kernels: they are split off
+    up front and emitted as singleton survivors with ``cluster = -1``
+    (no cosine is defined for a missing embedding, so they cannot be a
+    duplicate of anything).
     """
     if keep not in ("min_id", "least_typical"):
         raise ValueError(f"keep must be min_id|least_typical, got {keep!r}")
@@ -1011,9 +1024,24 @@ def semantic_dedup(
         raise ValueError("threshold must be in (0, 1]")
     from .similarity import train_spherical_kmeans
 
-    centroids = train_spherical_kmeans(
-        df, vec_col, id_col, num_clusters, train_sample, kmeans_iters, seed
+    null_rows = df.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col),
+        F.lit(-1).cast("int").alias("cluster"),
+        F.col(id_col).alias("group_id"),
+        F.lit(True).alias("is_survivor"),
     )
+    df = df.filter(F.col(vec_col).isNotNull())
+
+    if centroids is None:
+        centroids = train_spherical_kmeans(
+            df, vec_col, id_col, num_clusters, train_sample, kmeans_iters, seed
+        )
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
+        if centroids.ndim != 2:
+            raise ValueError(
+                f"centroids must be a (k, dim) matrix, got ndim={centroids.ndim}"
+            )
     out_schema_empty = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
@@ -1022,12 +1050,16 @@ def semantic_dedup(
             T.StructField("is_survivor", T.BooleanType()),
         ]
     )
-    if centroids.size == 0:  # empty input: nothing to classify
-        return df.sparkSession.createDataFrame([], out_schema_empty)
+    if centroids.size == 0:  # no trainable vectors: only NULL singletons
+        return df.sparkSession.createDataFrame(
+            [], out_schema_empty
+        ).unionByName(null_rows)
     cent_T = centroids.T.copy()
 
     @F.pandas_udf(T.IntegerType())
     def nearest_cluster(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:  # empty Arrow batch: np.array([]) is not 2-D
+            return pd.Series([], dtype=np.int32)
         mat = np.array(vs.tolist(), dtype=np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
         return pd.Series((mat @ cent_T).argmax(axis=1).astype(np.int32))
@@ -1057,6 +1089,15 @@ def semantic_dedup(
     least_typical = keep == "least_typical"
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:  # defensive: applyInPandas can hand empty frames
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype=object),
+                    "cluster": pd.Series([], dtype=np.int32),
+                    "group_id": pd.Series([], dtype=object),
+                    "is_survivor": pd.Series([], dtype=bool),
+                }
+            )
         ids = pdf[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
@@ -1114,4 +1155,4 @@ def semantic_dedup(
 
     return assigned.groupBy("cluster", "__cell").applyInPandas(
         dedup_cell, out_schema
-    )
+    ).unionByName(null_rows)

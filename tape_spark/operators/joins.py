@@ -361,9 +361,14 @@ def interval_overlap_join(
             m = frame.select(
                 F.percentile_approx(F.col(e) - F.col(s), F.lit(0.5)).alias("m")
             ).first()["m"]
-            if m:
+            if m is not None:  # `if m:` would drop a legitimate 0.0 median
                 meds.append(float(m))
         bucket_width = max(meds) if meds else 1.0
+        if bucket_width <= 0:
+            # degenerate (point) intervals on both sides: any positive
+            # width buckets a point exactly once; 1.0 keeps floor() exact
+            # for integer-valued timestamps
+            bucket_width = 1.0
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     by = _as_list(by)

@@ -22,6 +22,14 @@ Model definition (deliberately exact-replayable in SQL):
   Stupid Backoff ``S(w|v) = c(vw)/c(v)`` when the bigram was seen, else
   ``alpha * c(w)/N`` (alpha = 0.4, the published constant);
 - ``ppl = exp(-log p / n_tokens)``; empty documents score NULL.
+- Every per-term log-prob is quantized to an integer count of 1e-12
+  units (``floor(x * 1e12 + 0.5)`` — identical semantics in Python and
+  SQL, unlike banker's ``round``) and the document score is the INTEGER
+  sum of those units divided back. Integer addition is associative, so
+  the score is bit-identical however the engine orders the sum — an
+  unordered SQL ``SUM`` and Python's sequential loop can otherwise
+  differ in the last ULP and flip a ``round(ppl, 6)`` hash gate on
+  knife-edge values.
 
 At 100 TB: training reads one bounded sample (driver memory ~ counts of
 a few-hundred-doc vocabulary); scoring inherits the corpus partitioning
@@ -45,6 +53,13 @@ __all__ = ["BigramLM", "train_bigram_lm", "perplexity_score"]
 
 _UNK = "<unk>"
 _ALPHA = 0.4
+_LP_UNIT = 1e12  # per-term log-prob quantum (see module docstring)
+
+
+def _quantize_lp(x: float) -> int:
+    """floor(x * 1e12 + 0.5): order-safe integer units of a log-prob
+    term, with a rounding rule SQL replays exactly."""
+    return math.floor(x * _LP_UNIT + 0.5)
 
 
 class BigramLM:
@@ -80,14 +95,14 @@ class BigramLM:
         if not toks:
             return None
         n = float(self.total)
-        lp = math.log(self.unigrams[toks[0]] / n)
+        units = _quantize_lp(math.log(self.unigrams[toks[0]] / n))
         for v, w in zip(toks, toks[1:]):
             c_vw = self.bigrams.get((v, w))
             if c_vw:
-                lp += math.log(c_vw / self.unigrams[v])
+                units += _quantize_lp(math.log(c_vw / self.unigrams[v]))
             else:
-                lp += math.log(self.alpha * self.unigrams[w] / n)
-        return lp
+                units += _quantize_lp(math.log(self.alpha * self.unigrams[w] / n))
+        return units / _LP_UNIT
 
     def perplexity(self, tokens) -> Optional[float]:
         toks = [t for t in tokens if t != ""]

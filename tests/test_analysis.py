@@ -388,3 +388,11 @@ def test_find_periods_then_fold_workflow(spark):
 
     ph = ens.frames["source"].agg(F.min("phase"), F.max("phase")).collect()[0]
     assert 0.0 <= ph[0] and ph[1] < 1.0
+    # re-running with the same label REPLACES the columns (no ambiguous
+    # duplicates) and a fold by that label still resolves
+    ens.find_periods(min_period=1.0, max_period=50.0, n_freq=4096)
+    obj_cols = ens.object.columns
+    assert obj_cols.count("best_period") == 1
+    assert obj_cols.count("best_period_power") == 1
+    ens.fold_lightcurves(period_col="best_period", label="phase2")
+    assert "phase2" in ens.frames["source"].columns

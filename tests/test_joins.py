@@ -617,6 +617,34 @@ def test_interval_overlap_join_left_outer(spark):
     pd.testing.assert_frame_equal(matched[cols], exp[cols], check_dtype=False)
 
 
+def test_interval_overlap_join_point_intervals_derived_width(spark):
+    """bucket_width=None with degenerate (point) intervals: a 0.0 median
+    is a legitimate statistic, not falsy-missing — the derived width must
+    clamp to a positive value and the join must still find every
+    point-touch pair (and respect min_overlap filtering them out)."""
+    from tape_spark.operators import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 5.0, 5.0, 0), (1, 9.0, 9.0, 1), (1, 30.0, 30.0, 2)],
+        "key long, ls double, le double, lv long",
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, 5.0, "at5"), (1, 0.0, 10.0, "span"), (1, 50.0, 50.0, "far")],
+        "key long, rs double, re double, lab string",
+    )
+    got = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", by="key", bucket_width=None
+    ).toPandas()
+    exp = {(0, "at5"), (0, "span"), (1, "span")}
+    assert set(zip(got["lv"], got["lab"])) == exp
+    # positive-length spans on one side only: max of medians still positive
+    got2 = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", by="key", bucket_width=None,
+        min_overlap=1.0,
+    ).toPandas()
+    assert len(got2) == 0  # point overlaps all have length 0
+
+
 def test_interval_overlap_join_no_nested_loop(spark):
     from tape_spark.operators import interval_overlap_join
 

@@ -918,17 +918,27 @@ def _tiny_lm():
 def test_bigram_lm_exact_logprob():
     import math
 
+    from tape_spark.operators.langmodel import _LP_UNIT, _quantize_lp
+
+    def q(*terms):
+        # the scorer sums per-term log-probs as integer 1e-12 units
+        # (order-independent across engines); replay that exactly
+        return sum(_quantize_lp(t) for t in terms) / _LP_UNIT
+
     lm = _tiny_lm()
     # p(a) = 3/6; S(b|a) = c(ab)/c(a) = 2/3; S(a|b) = 2/2
-    exp = math.log(3 / 6) + math.log(2 / 3) + math.log(1.0)
-    assert lm.logprob(["a", "b", "a"]) == pytest.approx(exp, rel=1e-12)
+    exp = q(math.log(3 / 6), math.log(2 / 3), math.log(1.0))
+    assert lm.logprob(["a", "b", "a"]) == exp
     # unseen bigram backs off: S(a|a) = 0.4 * c(a)/N
-    exp2 = math.log(3 / 6) + math.log(0.4 * 3 / 6)
-    assert lm.logprob(["a", "a"]) == pytest.approx(exp2, rel=1e-12)
+    exp2 = q(math.log(3 / 6), math.log(0.4 * 3 / 6))
+    assert lm.logprob(["a", "a"]) == exp2
     # OOV maps to <unk>: p(<unk>) = 1/6, then backoff S(a|<unk>)
-    exp3 = math.log(1 / 6) + math.log(0.4 * 3 / 6)
-    assert lm.logprob(["zzz", "a"]) == pytest.approx(exp3, rel=1e-12)
+    exp3 = q(math.log(1 / 6), math.log(0.4 * 3 / 6))
+    assert lm.logprob(["zzz", "a"]) == exp3
     assert lm.logprob([]) is None
+    # the quantized score stays within a half-unit-per-term of the raw sum
+    raw = math.log(3 / 6) + math.log(2 / 3)
+    assert lm.logprob(["a", "b", "a"]) == pytest.approx(raw, abs=3 / _LP_UNIT)
 
 
 def test_train_bigram_lm_deterministic_and_counts(spark):
@@ -1103,6 +1113,64 @@ def test_semantic_dedup_empty_input(spark):
     out = semantic_dedup(empty, num_clusters=4, train_sample=16)
     assert out.count() == 0
     assert out.columns == ["vec_id", "cluster", "group_id", "is_survivor"]
+
+
+def test_semantic_dedup_null_embeddings_are_singleton_survivors(spark):
+    """NULL vectors must not crash the numeric kernels (np.array of a
+    ragged/None list is not 2-D); they come back as cluster=-1 singleton
+    survivors and every non-null row is still classified normally."""
+    from tape_spark.operators import semantic_dedup
+
+    df, cloned = _emb_with_clones(spark, n=20, clone_every=5)
+    with_nulls = df.unionByName(
+        spark.createDataFrame(
+            [(90_001, None), (90_002, None)], "vec_id long, embedding array<double>"
+        )
+    )
+    out = semantic_dedup(
+        with_nulls, threshold=0.999999, num_clusters=4, train_sample=64
+    ).toPandas()
+    assert len(out) == with_nulls.count()
+    nulls = out[out["vec_id"] >= 90_000]
+    assert (nulls["cluster"] == -1).all()
+    assert nulls["is_survivor"].all()
+    assert (nulls["group_id"] == nulls["vec_id"]).all()
+    by_id = out.set_index("vec_id")
+    for i in cloned:  # the non-null dedup result is unaffected
+        assert by_id.loc[10_000 + i, "group_id"] == i
+
+
+def test_semantic_dedup_all_null_embeddings(spark):
+    from tape_spark.operators import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup(df, num_clusters=4, train_sample=16).toPandas()
+    assert len(out) == 2
+    assert out["is_survivor"].all() and (out["cluster"] == -1).all()
+
+
+def test_semantic_dedup_caller_centroids(spark):
+    """The warehouse pattern: pass caller-owned centroids and the train
+    step is skipped — identical classification when the centroids are the
+    ones the internal train would produce."""
+    from tape_spark.operators import semantic_dedup, train_spherical_kmeans
+
+    df, _ = _emb_with_clones(spark, n=40, clone_every=5)
+    cents = train_spherical_kmeans(
+        df, num_clusters=4, train_sample=128, kmeans_iters=10, seed=11
+    )
+    a = semantic_dedup(
+        df, threshold=0.999999, num_clusters=4, train_sample=128, seed=11
+    ).toPandas()
+    b = semantic_dedup(df, threshold=0.999999, centroids=cents).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("vec_id").reset_index(drop=True),
+        b.sort_values("vec_id").reset_index(drop=True),
+    )
+    with pytest.raises(ValueError, match="ndim"):
+        semantic_dedup(df, centroids=np.ones(3))
 
 
 def test_train_spherical_kmeans_validation(spark):
