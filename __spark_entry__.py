@@ -306,7 +306,18 @@ def q_sort_lightcurves(spark, sf_dir):
     ens.sort_lightcurves(by_band=True)
     ens.fold_lightcurves(period=604800.0, t0=0.0, label="phase")
     src = ens.frames["source"]
-    return src.withColumn("phase", F.round("phase", 6))
+    # Round 9 (checklist #32): the storage-contract diagnostics run for
+    # real against the sorted table and their verdicts ride along as
+    # literal columns; the oracle asserts the CONTRACT (both must be TRUE
+    # after sort_lightcurves under ingest cohesion), so a regression in
+    # either check flips the value hash.
+    sorted_ok = ens.check_sorted()
+    cohesive_ok = ens.check_lightcurve_cohesion()
+    return (
+        src.withColumn("phase", F.round("phase", 6))
+        .withColumn("sorted_ok", F.lit(sorted_ok))
+        .withColumn("cohesive_ok", F.lit(cohesive_ok))
+    )
 
 
 def q_save_load_roundtrip(spark, sf_dir):
@@ -1068,8 +1079,25 @@ def q_sf2_combine_fixed_bins(spark, sf_dir):
 
 def q_timeseries_extract(spark, sf_dir):
     """to_timeseries: one object's light curve materialized locally (filter
-    pushes to the scan), then re-exposed as rows for the oracle compare."""
-    ens = _ensemble(spark, sf_dir)
+    pushes to the scan), then re-exposed as rows for the oracle compare.
+    Round 9: the fixture is ingested via ``from_source_dict`` (the r8
+    verdict's last unoracled ingestion wrapper, checklist #4) — the
+    object-1 rows are pulled as equal-length column arrays and re-enter
+    through the dict path, so this row now gates dict ingest AND the
+    TimeSeries extraction end-to-end against the same SQL."""
+    from tape_spark import Ensemble
+
+    full = _ensemble(spark, sf_dir)
+    one = (
+        full.source.filter(F.col("l_orderkey") == 1)
+        .select("l_orderkey", "t", "l_extendedprice", "l_quantity", "l_returnflag")
+        .toPandas()
+    )
+    ens = Ensemble(spark).from_source_dict(
+        {c: one[c].to_numpy() for c in one.columns},
+        column_mapper=full.column_mapper,
+        npartitions=2,
+    )
     ts = ens.to_timeseries(1)
     pdf = pd.DataFrame(
         {
@@ -2254,10 +2282,15 @@ def oracle_sql() -> dict[str, str]:
         # the appended weekly fold phase replays the Spark float expression
         # ((t/P) % 1 + 1) % 1 term-for-term so both engines round the same
         # double to 6 decimals
+        # sorted_ok/cohesive_ok assert the storage-contract diagnostics'
+        # verdicts (checklist #32): check_sorted and
+        # check_lightcurve_cohesion must both report TRUE after
+        # sort_lightcurves on the ingest-cohesive layout
         "sort_lightcurves": (
             "SELECT l_orderkey, epoch(l_shipdate) AS t, l_extendedprice, "
             "l_quantity, l_returnflag, "
-            "round(mod(mod(epoch(l_shipdate) / 604800.0, 1.0) + 1.0, 1.0), 6) AS phase "
+            "round(mod(mod(epoch(l_shipdate) / 604800.0, 1.0) + 1.0, 1.0), 6) AS phase, "
+            "TRUE AS sorted_ok, TRUE AS cohesive_ok "
             "FROM lineitem"
         ),
         "save_load_roundtrip": (

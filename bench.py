@@ -28,6 +28,15 @@ import json
 import os
 import re
 import sys
+
+# Bumped whenever ANY workload's action definition changes, so
+# BENCH_r*.json is self-describing across rounds: same bench_rev ⇒ the
+# numbers measure the same work; different bench_rev ⇒ compare only
+# within-rev (the r7→r8 "regression" was rev 1→2 measuring more).
+# rev 1 = r2–r7 actions; rev 2 = r8 consume-the-computed-columns fix
+# (q1/q6/q7/q8 stopped letting Catalyst prune the measured expressions).
+# The rev→round map lives in docs/SCALING.md §Bench comparability.
+BENCH_REV = 2
 import time
 
 import numpy as np
@@ -269,6 +278,7 @@ def main():
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "bench_rev": BENCH_REV,
                 "queries": timings,
                 "sf": sf,
                 "reps": REPS,

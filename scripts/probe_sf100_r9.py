@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Round-9 sf100 probes (each phase its own process, per the sf100
+methodology — JVM exit reclaims shuffle files):
+
+  python scripts/probe_sf100_r9.py q9_ab        # persist_synced A/B on the Stetson session
+  python scripts/probe_sf100_r9.py q3_ab        # persist_synced A/B on the SF2 session
+  python scripts/probe_sf100_r9.py semdedup_lt  # least_typical survivor rule at 2M vectors
+  python scripts/probe_sf100_r9.py skew         # hot-cell semantic_dedup + hot-bucket overlap join
+
+Appends one JSON line per phase to $PROBE_OUT (default
+/root/repo/.benchdata/probe_sf100_r9.jsonl).
+
+The persist_synced A/B measures the SESSION shape the knob exists for —
+sync once, then several actions over the synced state:
+
+  q9 session: prune(5) -> object.count() (survivor inspection)
+              -> batch(calc_stetson_J).count()
+  q3 session: prune(5) -> sf2(basic).count()   (sf2 is internally
+              multi-action: the bin-edge job precedes the main pass)
+
+Without the knob every action's lineage replays the prune/sync
+semi-join pass over the full source table (pure-JVM but tens of
+seconds at sf100); with it the first action materializes the cache and
+the rest read it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("PROBE_SF_DIR", "/root/repo/.benchdata/sf100")
+OUT = os.environ.get("PROBE_OUT", "/root/repo/.benchdata/probe_sf100_r9.jsonl")
+WAREHOUSE = "/root/repo/.benchdata/warehouse"
+DERBY = "/root/repo/.benchdata/derby"
+REPS = int(os.environ.get("PROBE_REPS", "2"))
+
+
+def session():
+    from pyspark.sql import SparkSession
+
+    os.makedirs(DERBY, exist_ok=True)
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .enableHiveSupport()
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.warehouse.dir", WAREHOUSE)
+        .config("spark.driver.extraJavaOptions", f"-Dderby.system.home={DERBY}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def emit(phase: str, payload: dict):
+    rec = {"phase": phase, "sf": 100.0, **payload}
+    with open(OUT, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+def _ens_bucketed(spark, persist_synced: bool):
+    from tape_spark import ColumnMapper, Ensemble
+
+    cm = ColumnMapper(
+        id_col="l_orderkey",
+        time_col="t",
+        flux_col="l_extendedprice",
+        err_col="l_quantity",
+        band_col="l_returnflag",
+    )
+    return Ensemble(spark, persist_synced=persist_synced).from_table(
+        "lineitem_sf100_b", column_mapper=cm
+    )
+
+
+def main():
+    phase = sys.argv[1]
+    spark = session()
+
+    if phase in ("q9_ab", "q3_ab"):
+        from tape_spark.analysis import calc_stetson_J
+
+        def q9_session(ens):
+            steps = {}
+            t0 = time.time()
+            ens.prune(threshold=5)
+            n = ens.object.count()  # survivor inspection (sync fires here)
+            steps["prune_count"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            ens.batch(calc_stetson_J).count()
+            steps["batch"] = round(time.time() - t0, 1)
+            steps["survivors"] = n
+            return steps
+
+        def q3_session(ens):
+            steps = {}
+            t0 = time.time()
+            ens.prune(threshold=5)
+            steps["rows"] = ens.sf2(sf_method="basic").count()
+            steps["sf2"] = round(time.time() - t0, 1)
+            return steps
+
+        run = q9_session if phase == "q9_ab" else q3_session
+        res = {}
+        for mode in (False, True):
+            key = "persist_synced" if mode else "baseline"
+            res[key] = []
+            for _ in range(REPS):
+                ens = _ens_bucketed(spark, persist_synced=mode)
+                t0 = time.time()
+                steps = run(ens)
+                steps["total"] = round(time.time() - t0, 1)
+                ens.unpersist(blocking=True)
+                spark.catalog.clearCache()
+                res[key].append(steps)
+        emit(phase, {"reps": res})
+
+    elif phase == "semdedup_lt":
+        # least_typical survivor rule at 2M vectors (the r8 30.3 s number
+        # is min_id; least_typical adds a per-group argmin over centroid
+        # cosines) + the caller-centroids warehouse path.
+        from tape_spark.operators import semantic_dedup, train_spherical_kmeans
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        n = emb.count()
+        out = {"vectors": n}
+        t0 = time.time()
+        cents = train_spherical_kmeans(
+            emb, num_clusters=256, train_sample=8192, seed=11
+        )
+        out["train_sec"] = round(time.time() - t0, 1)
+        for keep in ("min_id", "least_typical"):
+            t0 = time.time()
+            surv = (
+                semantic_dedup(emb, threshold=0.95, centroids=cents, keep=keep)
+                .filter("is_survivor")
+                .count()
+            )
+            out[keep] = {"sec": round(time.time() - t0, 1), "survivors": surv}
+        emit(phase, out)
+
+    elif phase == "skew":
+        # Adversarial single-hot-cell probes (round-8 verdict item 8).
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import interval_overlap_join, semantic_dedup
+
+        out = {}
+        # (a) semantic_dedup with one mega-cluster: all vectors near one
+        # direction -> the coarse quantizer assigns ~everything to a
+        # single cell; max_cluster_size must engage and bound the cost.
+        n_vec = 2_000_000
+        dim = 16
+        base = spark.range(n_vec).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                # deterministic tiny per-element jitter around one axis
+                lambda i: F.when(i == 0, 1.0).otherwise(
+                    F.sin(F.col("id") * (i + F.lit(17))) * 0.005
+                ),
+            ).alias("embedding"),
+        )
+        t0 = time.time()
+        surv = (
+            semantic_dedup(
+                base,
+                threshold=0.999999,
+                num_clusters=64,
+                train_sample=4096,
+                max_cluster_size=100_000,
+            )
+            .filter("is_survivor")
+            .count()
+        )
+        out["semdedup_hot_cluster"] = {
+            "vectors": n_vec,
+            "sec": round(time.time() - t0, 1),
+            "survivors": surv,
+        }
+        # (b) interval_overlap_join with one 4h bucket holding ~10% of
+        # spans: the hot (by, bucket) cell degrades to one fat join task.
+        n_span = 5_000_000
+        hot_frac = 0.10
+        spans = (
+            spark.range(n_span)
+            .select(
+                F.col("id").alias("sid"),
+                F.when(
+                    F.col("id") % int(1 / hot_frac) == 0, F.lit(0.0)
+                )
+                .otherwise((F.col("id") % 1_000_000).cast("double") * 100.0)
+                .alias("s"),
+            )
+            .withColumn("e", F.col("s") + 50.0)
+        )
+        probes = spark.range(1000).select(
+            F.col("id").alias("pid"),
+            (F.col("id").cast("double") * 90_000.0).alias("ps"),
+            (F.col("id").cast("double") * 90_000.0 + 14_400.0).alias("pe"),
+        )
+        t0 = time.time()
+        cnt = interval_overlap_join(
+            spans, probes, "s", "e", "ps", "pe", bucket_width=14_400.0
+        ).count()
+        out["overlap_hot_bucket"] = {
+            "spans": n_span,
+            "hot_frac": hot_frac,
+            "pairs": cnt,
+            "sec": round(time.time() - t0, 1),
+        }
+        emit(phase, out)
+
+    else:
+        raise SystemExit(f"unknown phase {phase!r}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

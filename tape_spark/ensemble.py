@@ -125,6 +125,23 @@ class Ensemble:
         parallelizes worse than one survivor-id broadcast (single-host
         measurements at sf100 show the opposite ordering; see the
         re-measured A/B in ``docs/SCALING.md``). False never hints.
+    persist_synced : bool
+        When True, every ``_sync_tables`` pins the frames it rebuilt
+        (``persist()``, default storage level) so a chain that syncs once
+        and then runs several actions — the canonical
+        ``prune → count → batch`` analysis session — pays the semi-join
+        pass ONCE instead of replaying it inside every action's lineage
+        (Spark recomputes non-persisted lineage per action; measured as
+        tens of seconds of pure-JVM work at sf100, ``docs/SCALING.md``
+        §"Where q9's time actually goes"). Cache lifecycle is
+        two-generational: the frames pinned by sync N stay cached until
+        sync N+2 — at sync N+1 the NEW frames' lineage still reads
+        *through* generation N's cache, so the first action after N+1
+        materializes the new cache cheaply from the old one; evicting N
+        at N+1 would force one full recompute from the raw scan. Off by
+        default: a one-shot query pays a materialization it never
+        amortizes, and pinned frames hold executor memory/disk the user
+        didn't ask for. ``unpersist()`` releases everything early.
     """
 
     def __init__(
@@ -133,12 +150,17 @@ class Ensemble:
         keep_empty_objects: bool = False,
         sync_broadcast: Union[bool, str] = "auto",
         sync_broadcast_bytes: int = 128 << 20,
+        persist_synced: bool = False,
     ):
         self.spark = spark or SparkSession.builder.getOrCreate()
         self.frames: Dict[str, DataFrame] = {}
         self.keep_empty_objects = keep_empty_objects
         self.sync_broadcast = sync_broadcast
         self.sync_broadcast_bytes = sync_broadcast_bytes
+        self.persist_synced = persist_synced
+        # persist_synced cache lifecycle (two generations, see _sync_tables)
+        self._auto_persisted: List[DataFrame] = []
+        self._retired_persists: List[DataFrame] = []
 
         # Lightcurve cohesion: true when every object's rows are known to be
         # co-located in one source partition (established at ingest by
@@ -610,6 +632,7 @@ class Ensemble:
             src = src.select(*[c for c in src.columns if c not in self._source_temp])
             self._source_temp = []
 
+        src_rebuilt = self._object_dirty
         if self._object_dirty:
             src = src.join(
                 self._sync_build_side(obj.select(id_col).distinct()),
@@ -617,12 +640,30 @@ class Ensemble:
                 how="left_semi",
             )
 
-        if self._source_dirty and not self.keep_empty_objects:
+        obj_rebuilt = self._source_dirty and not self.keep_empty_objects
+        if obj_rebuilt:
             obj = obj.join(
                 self._sync_build_side(src.select(id_col).distinct()),
                 on=id_col,
                 how="left_semi",
             )
+
+        if self.persist_synced and (src_rebuilt or obj_rebuilt):
+            # Two-generation cache handoff (see __init__ docs): evict
+            # generation N-1, retire generation N, pin generation N+1.
+            # The new frames' lineage reads through generation N's cache,
+            # so the first action after this sync fills the new cache
+            # from the old one, not from the raw scan.
+            for old in self._retired_persists:
+                old.unpersist(blocking=False)
+            self._retired_persists = self._auto_persisted
+            self._auto_persisted = []
+            if src_rebuilt:
+                src = src.persist()
+                self._auto_persisted.append(src)
+            if obj_rebuilt:
+                obj = obj.persist()
+                self._auto_persisted.append(obj)
 
         self.frames[SOURCE_FRAME_LABEL] = src
         self.frames[OBJECT_FRAME_LABEL] = obj
@@ -846,14 +887,36 @@ class Ensemble:
             self.frames[label] = self._table_df(label).persist()
         return self
 
+    def unpersist(self, blocking: bool = False) -> "Ensemble":
+        """Release every cache this ensemble pinned: explicit
+        :meth:`persist` pins on the current frames plus both
+        ``persist_synced`` generations. Safe to call repeatedly."""
+        for df in self.frames.values():
+            df.unpersist(blocking=blocking)
+        for df in self._retired_persists + self._auto_persisted:
+            df.unpersist(blocking=blocking)
+        self._retired_persists = []
+        self._auto_persisted = []
+        return self
+
     def compute(self, table: str = SOURCE_FRAME_LABEL) -> pd.DataFrame:
         """Materialize a frame to pandas (sync included)."""
         return self._table_df(table).toPandas()
 
     def _copy(self) -> "Ensemble":
-        new = Ensemble(self.spark, keep_empty_objects=self.keep_empty_objects)
+        new = Ensemble(
+            self.spark,
+            keep_empty_objects=self.keep_empty_objects,
+            sync_broadcast=self.sync_broadcast,
+            sync_broadcast_bytes=self.sync_broadcast_bytes,
+            persist_synced=self.persist_synced,
+        )
         new.frames = dict(self.frames)
         new._source_cohesive = self._source_cohesive
+        # cache generations stay OWNED by self: a copy must not be able
+        # to evict pins the original still reads through
+        new._auto_persisted = []
+        new._retired_persists = []
         new._source_dirty = self._source_dirty
         new._object_dirty = self._object_dirty
         new._source_temp = list(self._source_temp)

@@ -164,6 +164,13 @@ class BPETokenizer:
     end-of-word marker, and every merged symbol).
     """
 
+    # word -> ids memo cap: natural text is Zipfian, so a small cache
+    # absorbs almost all occurrences; entries are short int lists, so the
+    # worst case is a few MB per executor process. Insertion stops at the
+    # cap (no eviction churn): under Zipf the frequent words appear early,
+    # and a full cache of early words is exactly the useful one.
+    _WORD_CACHE_MAX = 65_536
+
     def __init__(self, merges: Sequence[Tuple[str, str]], base_chars: Sequence[str]):
         self.merges = [tuple(m) for m in merges]
         self.base_chars = list(base_chars)
@@ -173,6 +180,7 @@ class BPETokenizer:
         for i, s in enumerate(sorted(vocab), start=1):
             self._id_of[s] = i
         self._sym_of = {i: s for s, i in self._id_of.items()}
+        self._word_ids: Dict[str, List[int]] = {}
 
     @property
     def vocab_size(self) -> int:
@@ -193,10 +201,19 @@ class BPETokenizer:
 
     def encode(self, text: str) -> List[int]:
         """Whitespace-pretokenized BPE encode; unknown characters map to
-        ``<unk>`` (id 0)."""
+        ``<unk>`` (id 0). Per-word results are memoized (word occurrences
+        are Zipfian — re-deriving the merges per occurrence measured as
+        the dominant cost of corpus-wide encoding)."""
         out: List[int] = []
+        cache = self._word_ids
+        id_of = self._id_of
         for w in (text or "").split():
-            out.extend(self._id_of.get(s, 0) for s in self._encode_word(w))
+            ids = cache.get(w)
+            if ids is None:
+                ids = [id_of.get(s, 0) for s in self._encode_word(w)]
+                if len(cache) < self._WORD_CACHE_MAX:
+                    cache[w] = ids
+            out.extend(ids)
         return out
 
     def decode(self, ids: Sequence[int]) -> str:

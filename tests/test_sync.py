@@ -99,3 +99,47 @@ def test_update_frame_marks_dirty(ramp_ensemble):
     ens.update_frame(filtered, "object")
     assert ens._object_dirty
     assert ens.compute("source")["id"].nunique() == 1
+
+
+def test_persist_synced_pins_and_preserves_results(spark, ramp_rows, ramp_cm):
+    """persist_synced=True must not change any result, must actually pin
+    the sync output, and must hand cache generations off two-deep."""
+    ens = Ensemble(spark, persist_synced=True).from_source_dict(
+        ramp_rows, column_mapper=ramp_cm, npartitions=4
+    )
+    base = Ensemble(spark).from_source_dict(
+        ramp_rows, column_mapper=ramp_cm, npartitions=4
+    )
+    for e in (ens, base):
+        e.query("id >= 8002", table="object")
+    got = ens.compute("source")
+    exp = base.compute("source")
+    assert sorted(got["id"].unique()) == sorted(exp["id"].unique())
+    # the synced source frame is pinned (gen 1 live, nothing retired yet)
+    assert len(ens._auto_persisted) >= 1
+    assert ens.frames["source"].storageLevel.useMemory
+    gen1 = list(ens._auto_persisted)
+    # second sync: generation handoff — gen1 retired (still cached), new pinned
+    ens.query("id >= 8003", table="object")
+    ens.source.count()
+    assert ens._retired_persists == gen1
+    assert all(df.storageLevel.useMemory for df in ens._retired_persists)
+    gen2 = list(ens._auto_persisted)
+    # third sync: gen1 evicted, gen2 retired
+    ens.query("id >= 8004", table="object")
+    ens.source.count()
+    assert ens._retired_persists == gen2
+    assert all(not df.storageLevel.useMemory for df in gen1)
+    assert ens.compute("source")["id"].nunique() == 1
+    # unpersist releases everything
+    ens.unpersist()
+    assert ens._auto_persisted == [] and ens._retired_persists == []
+    assert not ens.frames["source"].storageLevel.useMemory
+
+
+def test_persist_synced_off_by_default(ramp_ensemble):
+    ens = ramp_ensemble
+    ens.query("id >= 8002", table="object")
+    ens.source.count()
+    assert ens._auto_persisted == []
+    assert not ens.frames["source"].storageLevel.useMemory
