@@ -151,10 +151,41 @@ def q_prune_sync(spark, sf_dir):
 
 
 def q_query_filter(spark, sf_dir):
-    """pandas-dialect query() filter (SURVEY §2.2)."""
-    ens = _ensemble(spark, sf_dir)
+    """pandas-dialect query() filter (SURVEY §2.2). Round 9 (checklist
+    #5): the ensemble is ingested through ``from_hipscat`` — the source
+    is first laid out as a HiPSCat-style ``Norder=/Dir=/Npix=``
+    partitioned directory (pixel ids derived from the object id), then
+    read back via Spark partition discovery — so the spatial-catalog
+    reader sits inside the oracle gate; the query result is projected
+    back to the five critical columns (partition-discovery adds the
+    Norder/Dir/Npix columns, exactly as the reference's catalogs carry
+    their healpix metadata)."""
+    from tape_spark import Ensemble
+
+    src = _lineitem_source(spark, sf_dir)
+    hdir = os.path.join(_REPO_DIR, ".tmp", "hipscat_lineitem")
+    (
+        src.withColumn("Norder", F.lit(1))
+        .withColumn("Dir", F.lit(0))
+        .withColumn("Npix", (F.col("l_orderkey") % 4).cast("int"))
+        .write.mode("overwrite")
+        .partitionBy("Norder", "Dir", "Npix")
+        .parquet(hdir)
+    )
+    from tape_spark import ColumnMapper
+
+    cm = ColumnMapper(
+        id_col="l_orderkey",
+        time_col="t",
+        flux_col="l_extendedprice",
+        err_col="l_quantity",
+        band_col="l_returnflag",
+    )
+    ens = Ensemble(spark).from_hipscat(hdir, column_mapper=cm, npartitions=32)
     ens.query("(l_extendedprice > 30000) & (l_quantity < 40)")
-    return ens.frames["source"]
+    return ens.frames["source"].select(
+        "l_orderkey", "t", "l_extendedprice", "l_quantity", "l_returnflag"
+    )
 
 
 def q_assign_dropna(spark, sf_dir):
@@ -166,8 +197,48 @@ def q_assign_dropna(spark, sf_dir):
 
 
 def q_flux_to_mag(spark, sf_dir):
-    """convert_flux_to_mag with scalar zero point (SURVEY §2.3)."""
-    ens = _ensemble(spark, sf_dir)
+    """convert_flux_to_mag with scalar zero point (SURVEY §2.3). Round 9
+    (checklist #6): the ensemble is built through the curated-dataset
+    registry — a local JSON registry file names the lineitem parquet and
+    its column map, ``available_datasets`` must list it, and
+    ``read_dataset`` performs the ingest — so the registry reader layer
+    sits inside the oracle gate (the reference fetches the same registry
+    shape over HTTP, ``ensemble.py:2008-2066``)."""
+    import json
+
+    from tape_spark.readers import DATASET_REGISTRY_ENV, available_datasets, read_dataset
+
+    _pin_time_configs(spark)
+    os.makedirs(os.path.join(_REPO_DIR, ".tmp"), exist_ok=True)
+    reg_path = os.path.join(_REPO_DIR, ".tmp", "dataset_registry.json")
+    with open(reg_path, "w") as fh:
+        json.dump(
+            {
+                "lineitem_local": {
+                    "description": "local TPC-H lineitem as a curated dataset",
+                    "source_file": f"{sf_dir}/lineitem.parquet",
+                    "column_map": {
+                        "id_col": "l_orderkey",
+                        "time_col": "l_shipdate",
+                        "flux_col": "l_extendedprice",
+                        "err_col": "l_quantity",
+                        "band_col": "l_returnflag",
+                    },
+                }
+            },
+            fh,
+        )
+    prev = os.environ.get(DATASET_REGISTRY_ENV)
+    os.environ[DATASET_REGISTRY_ENV] = reg_path
+    try:
+        assert "lineitem_local" in available_datasets()
+        ens = read_dataset("lineitem_local", spark=spark, npartitions=32)
+    finally:
+        if prev is None:
+            os.environ.pop(DATASET_REGISTRY_ENV, None)
+        else:
+            os.environ[DATASET_REGISTRY_ENV] = prev
+    ens.assign(t=F.col("l_shipdate").cast("timestamp_ltz").cast("double"))
     ens.convert_flux_to_mag(zero_point=25.0)
     return ens.frames["source"].select(
         "l_orderkey",
@@ -218,13 +289,21 @@ def q_select_head(spark, sf_dir):
 
 
 def q_batch_amplitude(spark, sf_dir):
-    """batch() with a custom user kernel: half peak-to-peak amplitude."""
+    """batch() with a custom user kernel: half peak-to-peak amplitude.
+    Round 9 (checklist #20): the result is retrieved through the frame
+    registry — batch() tracked it via add_frame under an explicit label,
+    the query re-fetches it with select_frame, and frame_info must list
+    all three tracked frames — so frame management sits inside the hash
+    gate instead of pytest only."""
     ens = _ensemble(spark, sf_dir)
 
     def amplitude(flux):
         return (np.max(flux) - np.min(flux)) / 2.0
 
-    result = ens.batch(amplitude, "l_extendedprice", meta=("amplitude", float))
+    ens.batch(amplitude, "l_extendedprice", meta=("amplitude", float), label="amp")
+    tracked = sorted(ens.frame_info()["label"])
+    assert tracked == ["amp", "object", "source"], tracked
+    result = ens.select_frame("amp")
     return result.select("l_orderkey", F.round("amplitude", 6).alias("amplitude"))
 
 
@@ -321,12 +400,14 @@ def q_sort_lightcurves(spark, sf_dir):
 
 
 def q_save_load_roundtrip(spark, sf_dir):
-    """insert_sources union-append, then save_ensemble → from_ensemble
+    """insert_sources union-append, then save_ensemble → read_ensemble
     parquet+metadata roundtrip (SURVEY §2.1). insert_sources folded in
     here round 8 (its standalone row was one UNION ALL over the same
     projection); roundtripping the APPENDED table also makes this row's
-    hash distinct from ingest_source's instead of a pure re-read."""
-    from tape_spark import Ensemble
+    hash distinct from ingest_source's instead of a pure re-read. Round
+    9: the load goes through the module-level ``read_ensemble`` wrapper
+    (checklist #10), so the reader layer sits inside the oracle gate."""
+    from tape_spark.readers import read_ensemble
 
     ens = _ensemble(spark, sf_dir)
     ens.insert_sources(
@@ -339,7 +420,7 @@ def q_save_load_roundtrip(spark, sf_dir):
     # fixed dirname: save_ensemble overwrites, so repeated gate runs reuse
     # one bounded directory instead of littering one copy per pid
     root = ens.save_ensemble(os.path.join(_REPO_DIR, ".tmp"), "ens_rt")
-    return Ensemble(spark).from_ensemble(root).source
+    return read_ensemble(root, spark=spark).source
 
 
 def q_stetson_j(spark, sf_dir):

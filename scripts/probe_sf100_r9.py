@@ -90,15 +90,23 @@ def main():
         from tape_spark.analysis import calc_stetson_J
 
         def q9_session(ens):
+            # The session shape the knob targets: TWO actions consuming
+            # the synced SOURCE (surviving-source inspection, then the
+            # batch kernel). Baseline replays the prune/sync semi-join in
+            # both lineages; persist_synced pays it once plus one cache
+            # write. (An object-only count does NOT fire the sync — the
+            # dirty table itself is never stale — so the first cut of
+            # this probe accidentally measured a one-action session,
+            # where the knob correctly loses: cache write, no reuse.)
             steps = {}
             t0 = time.time()
             ens.prune(threshold=5)
-            n = ens.object.count()  # survivor inspection (sync fires here)
-            steps["prune_count"] = round(time.time() - t0, 1)
+            n = ens.source.count()  # sync fires here; persists if enabled
+            steps["prune_src_count"] = round(time.time() - t0, 1)
             t0 = time.time()
             ens.batch(calc_stetson_J).count()
             steps["batch"] = round(time.time() - t0, 1)
-            steps["survivors"] = n
+            steps["surviving_sources"] = n
             return steps
 
         def q3_session(ens):

@@ -25,7 +25,7 @@ a range predicate into join keys exactly like the LSH banding in
 from __future__ import annotations
 
 import warnings
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -256,6 +256,9 @@ def interval_join(
     by = _as_list(by)
     w = float(bucket_width)
 
+    row_col = None
+    if how == "left":
+        left, row_col = _with_row_id(left)
     l_b = left.withColumn("__bucket", F.floor(F.col(left_ts) / F.lit(w)))
     r_b = right.withColumn(
         "__bucket",
@@ -289,32 +292,43 @@ def interval_join(
     inner = inner.drop(r_b["__bucket"]).drop(l_b["__bucket"]).drop(
         *[r_b[k] for k in by]
     )
-    return _attach_unmatched_left(left, inner)
+    return _attach_unmatched_left(left, inner, row_col)
 
 
-def _attach_unmatched_left(left: DataFrame, inner: DataFrame) -> DataFrame:
+def _with_row_id(left: DataFrame) -> Tuple[DataFrame, str]:
+    """Attach a synthetic monotonic row id for the left-outer complement
+    protocol, picking a name that cannot clash with user columns."""
+    row_col = "__lrow"
+    while row_col in left.columns:
+        row_col += "_"
+    return left.withColumn(row_col, F.monotonically_increasing_id()), row_col
+
+
+def _attach_unmatched_left(
+    left_with_id: DataFrame, inner: DataFrame, row_col: str
+) -> DataFrame:
     """Left-outer completion for the bucketed joins: re-attach the left
     rows that produced no inner match, with NULL right columns. A plain
     outer equi-join on buckets would instead duplicate a left row per
     colliding-but-not-matching interval, so the match runs inner and the
-    complement comes from a null-safe anti-join (NULL = NULL is NULL,
-    which would duplicate NULL-payload rows as "unmatched" alongside
-    their inner match)."""
-    matched_keys = inner.select(*left.columns).alias("__m")
-    l_al = left.alias("__l")
-    anti_cond = None
-    for c in left.columns:
-        term = F.col(f"__l.{c}").eqNullSafe(F.col(f"__m.{c}"))
-        anti_cond = term if anti_cond is None else (anti_cond & term)
-    unmatched = l_al.join(matched_keys, anti_cond, "left_anti").select(
-        *[F.col(f"__l.{c}") for c in left.columns]
-    )
+    complement comes from an anti-join.
+
+    The anti-join keys on ONE synthetic long column (``_with_row_id``,
+    attached before the match branch) rather than on every left column
+    with ``eqNullSafe`` — for a wide left table the complement join
+    would otherwise carry full rows as shuffle keys, and all-column
+    equality also can't distinguish genuinely identical left rows. The
+    branch contract: both the match branch and the complement branch
+    recompute the id from the SAME lineage and partition layout, so the
+    values agree — ``monotonically_increasing_id`` is deterministic per
+    (partition id, row position)."""
+    unmatched = left_with_id.join(inner.select(row_col), row_col, "left_anti")
     for c in inner.columns:
-        if c not in left.columns:
+        if c not in left_with_id.columns:
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(inner.schema[c].dataType)
             )
-    return inner.unionByName(unmatched)
+    return inner.unionByName(unmatched).drop(row_col)
 
 
 def interval_overlap_join(
@@ -384,6 +398,9 @@ def interval_overlap_join(
             ),
         )
 
+    row_col = None
+    if how == "left":
+        left, row_col = _with_row_id(left)
     l_b = _explode(left, left_start, left_end)
     r_b = _explode(right, right_start, right_end)
     clash = {
@@ -411,4 +428,4 @@ def interval_overlap_join(
     )
     if how == "inner":
         return inner
-    return _attach_unmatched_left(left, inner)
+    return _attach_unmatched_left(left, inner, row_col)
