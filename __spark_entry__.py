@@ -700,15 +700,19 @@ def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: per-document count of distinct word
     3-grams shared with an eval set (every 23rd document stands in as the
     benchmark; the rest are the training corpus). Runs the hashed scale
-    path — xxhash64 8-byte join keys against the broadcast benchmark
-    n-gram set — while the oracle replays the same counts with string
-    n-grams, so the row also proves the two key domains agree."""
+    path — xxhash64 8-byte keys — through ``method='bloom'`` (round 9):
+    the benchmark set is compressed to a Bloom bitmap built by one
+    distributed bit_or aggregate, executors prefilter n-grams against it
+    Arrow-side, and only the ~1% surviving candidates reach the exact
+    confirm join. The result is EXACT by construction (confirm join
+    removes every false positive), so the unchanged string-n-gram oracle
+    doubles as the proof: bitmap + confirm == plain broadcast join."""
     from tape_spark.operators import decontaminate
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 23 == 0)
     train = docs.filter(F.col("doc_id") % 23 != 0)
-    out = decontaminate(train, bench, n=3)
+    out = decontaminate(train, bench, n=3, method="bloom")
     return out.select(
         "doc_id",
         "n_ngrams",
@@ -1288,8 +1292,22 @@ def q_corpus_filter(spark, sf_dir):
     on every 3rd doc, a copyright footer on every 2nd, and a doc-unique
     line on every 7th that must SURVIVE removal (its corpus frequency is
     1). The oracle replays the census, threshold, and order-preserving
-    rebuild line-exactly; ``clean_sha`` hashes the rebuilt text."""
-    from tape_spark.operators import corpus_filter, remove_boilerplate
+    rebuild line-exactly; ``clean_sha`` hashes the rebuilt text.
+
+    Round 9 adds the third published quality signal next to the heuristic
+    gate and the LM perplexity: a multinomial Naive-Bayes "curated vs
+    crawl" classifier (``operators/classifier.py`` — the fastText-style
+    linear gate, fit by pure counting so the oracle REBUILDS the model in
+    SQL: same md5 sample draw, vocabulary rule, Laplace smoothing, and
+    the order-safe integer-unit score sum, term for term). The label is
+    ``source <= 'src4'`` — arbitrary but deterministic; the contract is
+    the scoring mechanics, not the labelling."""
+    from tape_spark.operators import (
+        corpus_filter,
+        nb_score,
+        remove_boilerplate,
+        train_nb_classifier,
+    )
 
     docs = _docs(spark, sf_dir)
     gate = corpus_filter(
@@ -1320,6 +1338,19 @@ def q_corpus_filter(spark, sf_dir):
         ).alias("text"),
     )
     cleaned = remove_boilerplate(aug, min_doc_frequency=5)
+    nb = train_nb_classifier(
+        docs,
+        label_expr="source <= 'src4'",
+        sample_fraction=0.5,
+        max_docs=500,
+        min_count=2,
+    )
+    scored = nb_score(docs, nb).select(
+        "doc_id",
+        "n_nb_tokens",
+        F.round("nb_logodds", 6).alias("nb_logodds"),
+        "nb_label",
+    )
     return gate.join(
         cleaned.select(
             "doc_id",
@@ -1327,7 +1358,7 @@ def q_corpus_filter(spark, sf_dir):
             "n_lines_removed",
         ),
         "doc_id",
-    )
+    ).join(scored, "doc_id")
 
 
 def q_vocab_topk(spark, sf_dir):
@@ -1803,10 +1834,75 @@ clean AS (
          sha256(coalesce(r.new_text, '')) AS clean_sha,
          len(string_split(a.t, chr(10))) - coalesce(r.n_kept, 0) AS n_lines_removed
   FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+),
+-- multinomial Naive Bayes, rebuilt from scratch: same md5-addressed
+-- sample draw (fraction 0.5, cap 500), >=2-count vocabulary (OOV ->
+-- <unk> BEFORE counting), Laplace a=1 over V = |vocab|+1, and the
+-- per-token log-likelihood-ratio quantized to integer 1e-12 units so
+-- the document sum is order-independent (the LM-scorer discipline)
+nb_docs AS (
+  SELECT doc_id, source <= 'src4' AS y,
+         list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), '\\s+'),
+                     t -> t <> '') AS lw
+  FROM documents
+),
+nb_sample AS (
+  SELECT doc_id, y, lw FROM nb_docs
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        / 4503599627370496.0 < 0.5
+  ORDER BY doc_id LIMIT 500
+),
+nb_tok AS (SELECT doc_id, y, unnest(lw) AS t FROM nb_sample),
+nb_raw AS (SELECT t, count(*) AS c FROM nb_tok GROUP BY t),
+nb_vocab AS (SELECT t FROM nb_raw WHERE c >= 2 AND t <> '<unk>'),
+nb_m AS (
+  SELECT y, CASE WHEN t IN (SELECT t FROM nb_vocab) THEN t ELSE '<unk>' END AS t
+  FROM nb_tok
+),
+nb_tc AS (
+  SELECT t, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS cn
+  FROM nb_m GROUP BY t
+),
+nb_n AS (
+  SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS ntp,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS ntn
+  FROM nb_m
+),
+nb_v AS (SELECT count(*) + 1 AS v FROM nb_vocab),
+nb_wt AS (
+  SELECT w.t,
+         CAST(floor((ln((coalesce(tc.cp, 0) + 1.0) / (nb_n.ntp + 1.0 * nb_v.v))
+                   - ln((coalesce(tc.cn, 0) + 1.0) / (nb_n.ntn + 1.0 * nb_v.v)))
+                    * 1e12 + 0.5) AS BIGINT) AS u
+  FROM (SELECT t FROM nb_vocab UNION ALL SELECT '<unk>') w
+  LEFT JOIN nb_tc tc USING (t) CROSS JOIN nb_n CROSS JOIN nb_v
+),
+nb_prior AS (
+  SELECT CAST(floor((ln(sum(CASE WHEN y THEN 1 ELSE 0 END) * 1.0 / count(*))
+                   - ln(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) * 1.0 / count(*)))
+                    * 1e12 + 0.5) AS BIGINT) AS pu
+  FROM nb_sample
+),
+nb_dtok AS (SELECT doc_id, unnest(lw) AS t FROM nb_docs),
+nb_dm AS (
+  SELECT doc_id, CASE WHEN t IN (SELECT t FROM nb_vocab) THEN t ELSE '<unk>' END AS t
+  FROM nb_dtok
+),
+nb_sum AS (
+  SELECT d.doc_id, sum(w.u) AS units
+  FROM nb_dm d JOIN nb_wt w USING (t) GROUP BY d.doc_id
+),
+nb_out AS (
+  SELECT d.doc_id, CAST(len(d.lw) AS BIGINT) AS n_nb_tokens,
+         round((p.pu + coalesce(s.units, 0)) / 1e12, 6) AS nb_logodds,
+         (p.pu + coalesce(s.units, 0)) > 0 AS nb_label
+  FROM nb_docs d LEFT JOIN nb_sum s USING (doc_id) CROSS JOIN nb_prior p
 )
 SELECT j.doc_id, j.reasons = '' AS keep, j.reasons,
-       c.clean_sha, CAST(c.n_lines_removed AS BIGINT) AS n_lines_removed
-FROM j JOIN clean c USING (doc_id)
+       c.clean_sha, CAST(c.n_lines_removed AS BIGINT) AS n_lines_removed,
+       nb.n_nb_tokens, nb.nb_logodds, nb.nb_label
+FROM j JOIN clean c USING (doc_id) JOIN nb_out nb USING (doc_id)
 """
 
 # One-pass signal extraction: language vote + quality features + stopword /

@@ -35,6 +35,7 @@ from .curation import (
 from .joins import asof_join, interval_join, interval_overlap_join
 from .similarity import train_spherical_kmeans
 from .langmodel import BigramLM, perplexity_score, train_bigram_lm
+from .classifier import NBClassifier, nb_score, train_nb_classifier
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
@@ -96,6 +97,9 @@ __all__ = [
     "interval_join",
     "interval_overlap_join",
     "BigramLM",
+    "NBClassifier",
+    "nb_score",
+    "train_nb_classifier",
     "perplexity_score",
     "train_bigram_lm",
     "boilerplate_lines",

@@ -536,3 +536,62 @@ class TestWeightedSample:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------ bloom prefilter
+
+
+def test_decontaminate_bloom_matches_broadcast(corpus, bench):
+    for n in (1, 2, 3):
+        a = {
+            r["doc_id"]: r.asDict()
+            for r in decontaminate(corpus, bench, n=n).collect()
+        }
+        b = {
+            r["doc_id"]: r.asDict()
+            for r in decontaminate(corpus, bench, n=n, method="bloom").collect()
+        }
+        assert a == b, f"n={n}"
+
+
+def test_decontaminate_bloom_exact_under_forced_collisions(spark):
+    # a 1024-bit bitmap with 2 probes over hundreds of distinct n-grams
+    # GUARANTEES false positives in the prefilter; the confirm join must
+    # remove every one of them (result identical to the exact path)
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "tok10 tok11 tok12"), (1, "tok200 tok201 tok202")],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r.asDict() for r in decontaminate(docs, bench, n=2).collect()
+    }
+    bloom = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(
+            docs, bench, n=2, method="bloom",
+            bloom_bits_per_key=1, bloom_num_hashes=2,
+        ).collect()
+    }
+    assert bloom == exact
+
+
+def test_decontaminate_bloom_empty_benchmark(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in decontaminate(
+        docs, bench, n=2, method="bloom").collect()}
+    assert got[0]["n_contaminated"] == 0 and not got[0]["is_contaminated"]
+    assert got[1]["n_ngrams"] == 0 and got[1]["contamination"] == 0.0
+
+
+def test_decontaminate_bloom_validations(corpus, bench):
+    with pytest.raises(ValueError, match="bloom"):
+        decontaminate(corpus, bench, method="bloom", hashed=False)
+    with pytest.raises(ValueError, match="method"):
+        decontaminate(corpus, bench, method="nope")

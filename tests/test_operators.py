@@ -1181,3 +1181,113 @@ def test_train_spherical_kmeans_validation(spark):
         train_spherical_kmeans(df, num_clusters=0)
     cents = train_spherical_kmeans(df, num_clusters=4, train_sample=8)
     assert cents.shape == (1, 2)  # k_eff capped at sample size
+
+
+# ---------------------------------------------------------------- NB classifier
+
+
+def _tiny_nb():
+    from tape_spark.operators.classifier import NBClassifier
+
+    # hand-built weights in integer 1e-12 units
+    return NBClassifier(
+        weights={"good": 2_000_000_000_000, "bad": -3_000_000_000_000,
+                 "<unk>": -500_000_000_000},
+        prior_units=100_000_000_000,
+        min_count=1,
+        alpha=1.0,
+        n_pos_docs=3,
+        n_neg_docs=2,
+    )
+
+
+def test_nb_logodds_exact_hand_sum():
+    m = _tiny_nb()
+    # prior + good + bad + <unk>(oov)
+    assert m.logodds(["good", "bad", "zzz"]) == pytest.approx(
+        (100_000_000_000 + 2_000_000_000_000 - 3_000_000_000_000
+         - 500_000_000_000) / 1e12, rel=0, abs=0)
+    # empty doc scores the prior alone
+    assert m.logodds([]) == pytest.approx(0.1, rel=0, abs=0)
+
+
+def test_train_nb_classifier_counts_and_laplace(spark):
+    import math
+
+    from tape_spark.operators.classifier import _quantize, train_nb_classifier
+
+    # 4 docs, all sampled (fraction 1.0): 2 positive ("good"), 2 negative
+    rows = [
+        (0, "spam spam eggs", False),
+        (1, "ham eggs", True),
+        (2, "ham ham", True),
+        (3, "spam", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    m = train_nb_classifier(
+        docs, label_expr="y", sample_fraction=1.0, max_docs=10, min_count=2
+    )
+    # vocab: spam(3), eggs(2), ham(3) all >= 2 -> V = 3 + <unk> = 4
+    assert m.vocab_size == 4
+    assert m.n_pos_docs == 2 and m.n_neg_docs == 2
+    # N+ = 4 tokens (ham eggs / ham ham), N- = 4 (spam spam eggs / spam)
+    a = 1.0
+    den_pos, den_neg = 4 + a * 4, 4 + a * 4
+    exp_ham = _quantize(math.log((3 + a) / den_pos) - math.log((0 + a) / den_neg))
+    assert m.weights["ham"] == exp_ham
+    exp_unk = _quantize(math.log(a / den_pos) - math.log(a / den_neg))
+    assert m.weights["<unk>"] == exp_unk == 0
+    assert m.prior_units == 0  # balanced classes
+
+    # determinism
+    m2 = train_nb_classifier(
+        docs, label_expr="y", sample_fraction=1.0, max_docs=10, min_count=2
+    )
+    assert m2.weights == m.weights and m2.prior_units == m.prior_units
+
+
+def test_train_nb_classifier_single_class_raises(spark):
+    from tape_spark.operators.classifier import train_nb_classifier
+
+    docs = spark.createDataFrame(
+        [(i, "w", True) for i in range(5)], "doc_id long, text string, y boolean"
+    )
+    with pytest.raises(ValueError, match="single class"):
+        train_nb_classifier(docs, label_expr="y", sample_fraction=1.0)
+
+
+def test_nb_score_separates_and_matches_python_model(spark):
+    from tape_spark.operators.classifier import nb_score, train_nb_classifier
+
+    rows = [(i, "clean curated prose text here", True) for i in range(20)] + [
+        (100 + i, "zz buy click spam now", False) for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    m = train_nb_classifier(docs, label_expr="y", sample_fraction=1.0, max_docs=40)
+    test = spark.createDataFrame(
+        [
+            (0, "clean curated prose"),
+            (1, "buy spam now"),
+            (2, ""),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in nb_score(test, m).collect()}
+    assert got[0]["nb_logodds"] > 0 and got[0]["nb_label"] is True
+    assert got[1]["nb_logodds"] < 0 and got[1]["nb_label"] is False
+    assert got[2]["n_nb_tokens"] == 0 and got[3]["n_nb_tokens"] == 0
+    # spark-side score equals the python-side model bit-exactly
+    assert got[0]["nb_logodds"] == m.logodds("clean curated prose".split())
+    # empty/NULL docs score exactly the prior
+    assert got[2]["nb_logodds"] == m.prior_units / 1e12
+    assert got[3]["nb_logodds"] == m.prior_units / 1e12
+
+
+def test_nb_classifier_pickle_roundtrip():
+    import pickle
+
+    m = _tiny_nb()
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2.logodds(["good", "zzz"]) == m.logodds(["good", "zzz"])
+    assert m2.vocab_size == m.vocab_size
