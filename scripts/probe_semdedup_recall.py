@@ -97,5 +97,103 @@ def main():
     spark.stop()
 
 
+def jittered():
+    """The clone-table recall above is trivially 1.0 (every tau-pair is an
+    IDENTICAL clone pair, and identical vectors always share a nearest
+    centroid). This phase plants the pairs the quantizer CAN split:
+    non-identical near-duplicates. For every 10th original vector v,
+    plant a partner v' = normalize(v + eps*u) with u a deterministic unit
+    vector orthogonal to v and eps = 0.292 (cos(v, v') ~ 0.96). Recall =
+    fraction of planted (v, v') pairs semantic_dedup lands in the same
+    duplicate group, per num_clusters — the measured cost of "the
+    clustering IS the candidate generator" (SemDeDup's own trade)."""
+    import time as _t
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import types as T
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from tape_spark.operators import semantic_dedup
+
+    pdf = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+    n, dim = mat.shape
+
+    sel = np.arange(0, n, 10)
+    rng_dirs = np.vstack(
+        [np.sin((int(ids[i]) + 1) * (np.arange(dim) + 3.0)) for i in sel]
+    )
+    # orthogonalize against v, normalize, mix at eps
+    v = mat[sel]
+    u = rng_dirs - (rng_dirs * v).sum(axis=1, keepdims=True) * v
+    u /= np.maximum(np.linalg.norm(u, axis=1, keepdims=True), 1e-300)
+    eps = 0.292
+    w = v + eps * u
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    cos = (v * w).sum(axis=1)
+    partner_ids = ids[sel] + 10_000_000
+
+    rows = [
+        (int(i), [float(x) for x in mat[j]])
+        for j, i in enumerate(ids)
+    ] + [
+        (int(pid), [float(x) for x in w[j]])
+        for j, pid in enumerate(partner_ids)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    tau = 0.95  # below the planted cos ~0.96, above the background sims
+    for k in (16, 64, 256, 1024):
+        t0 = _t.time()
+        out = (
+            semantic_dedup(
+                emb, threshold=tau, num_clusters=k, train_sample=8192, seed=11
+            )
+            .toPandas()
+            .set_index("vec_id")
+        )
+        grp = out["group_id"]
+        same = int(
+            (grp.loc[ids[sel]].to_numpy() == grp.loc[partner_ids].to_numpy()).sum()
+        )
+        rec = {
+            "phase": "semdedup_recall_jittered",
+            "sf_dir": SF_DIR,
+            "planted_pairs": len(sel),
+            "planted_cos_min": round(float(cos.min()), 4),
+            "num_clusters": k,
+            "recovered": same,
+            "recall": round(same / len(sel), 4),
+            "sec": round(_t.time() - t0, 1),
+        }
+        with open(OUT, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "jittered":
+        jittered()
+    else:
+        main()

