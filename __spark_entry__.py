@@ -706,20 +706,33 @@ def q_decontaminate(spark, sf_dir):
     Arrow-side, and only the ~1% surviving candidates reach the exact
     confirm join. The result is EXACT by construction (confirm join
     removes every false positive), so the unchanged string-n-gram oracle
-    doubles as the proof: bitmap + confirm == plain broadcast join."""
-    from tape_spark.operators import decontaminate
+    doubles as the proof: bitmap + confirm == plain broadcast join.
+
+    Round 9 also attaches the surgical variant: ``split_contaminated``
+    (the GPT-3 appendix-C recipe — remove a radius-1 token window around
+    every collision and keep the surviving pieces instead of dropping
+    the document). The oracle replays the positional hit set, the window
+    cover, and the piece rebuild token-for-token; ``pieces_sha`` hashes
+    the newline-joined pieces."""
+    from tape_spark.operators import decontaminate, split_contaminated
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 23 == 0)
     train = docs.filter(F.col("doc_id") % 23 != 0)
     out = decontaminate(train, bench, n=3, method="bloom")
+    pieces = split_contaminated(train, bench, n=3, radius=1).select(
+        "doc_id",
+        "n_removed_tokens",
+        "n_pieces",
+        F.sha2(F.array_join("pieces", "\n"), 256).alias("pieces_sha"),
+    )
     return out.select(
         "doc_id",
         "n_ngrams",
         "n_contaminated",
         F.round("contamination", 6).alias("contamination"),
         "is_contaminated",
-    )
+    ).join(pieces, "doc_id")
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -2140,15 +2153,49 @@ counts AS (
   FROM grams gr LEFT JOIN bench b ON gr.g = b.g
   WHERE gr.doc_id % 23 <> 0
   GROUP BY gr.doc_id
+),
+-- split_contaminated replay (n=3, radius=1): positional hits, the
+-- [s-1, s+3] window cover, and the marker-split piece rebuild
+positions AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3 AND doc_id % 23 <> 0
+),
+hits AS (SELECT p.doc_id, p.s FROM positions p JOIN bench b ON p.g = b.g),
+tok_removed AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS tpos,
+         w[CAST(u.i AS BIGINT) + 1] AS tok,
+         EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = t.doc_id
+                 AND u.i >= h.s - 1 AND u.i <= h.s + 3) AS rm
+  FROM toks t, UNNEST(range(0, len(w))) u(i)
+  WHERE t.doc_id % 23 <> 0
+),
+marked AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN rm THEN chr(1) ELSE tok END, ' ' ORDER BY tpos) AS mstr,
+         sum(CASE WHEN rm THEN 1 ELSE 0 END) AS n_removed
+  FROM tok_removed GROUP BY doc_id
+),
+pcs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(mstr, '( ?' || chr(1) || ' ?)+'),
+                     p -> p <> '') AS ps,
+         n_removed
+  FROM marked
 )
 SELECT d.doc_id,
        CAST(coalesce(c.n_ngrams, 0) AS BIGINT) AS n_ngrams,
        CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
        round(CAST(coalesce(c.n_contaminated, 0) AS DOUBLE)
              / greatest(coalesce(c.n_ngrams, 0), 1), 6) AS contamination,
-       coalesce(c.n_contaminated, 0) >= 1 AS is_contaminated
+       coalesce(c.n_contaminated, 0) >= 1 AS is_contaminated,
+       CAST(coalesce(p.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+       CAST(coalesce(len(p.ps), 0) AS BIGINT) AS n_pieces,
+       sha256(coalesce(array_to_string(p.ps, chr(10)), '')) AS pieces_sha
 FROM (SELECT doc_id FROM documents WHERE doc_id % 23 <> 0) d
 LEFT JOIN counts c USING (doc_id)
+LEFT JOIN pcs p USING (doc_id)
 """
 
 # Replays stratified_sample()'s md5-52-bit draw exactly (the same

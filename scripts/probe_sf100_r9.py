@@ -230,6 +230,102 @@ def main():
         }
         emit(phase, out)
 
+    elif phase == "nb":
+        # NB quality classifier at 5M docs: bounded driver train + the
+        # zero-shuffle Arrow scoring pass (same shape as perplexity_score).
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import nb_score, train_nb_classifier
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        n = docs.count()
+        t0 = time.time()
+        model = train_nb_classifier(
+            docs, label_expr="source <= 'src4'", sample_fraction=0.5,
+            max_docs=500, min_count=2,
+        )
+        train_sec = round(time.time() - t0, 1)
+        reps = []
+        for _ in range(REPS):
+            t0 = time.time()
+            agg = nb_score(docs, model).agg(
+                F.sum(F.col("nb_logodds")).alias("s"),
+                F.sum(F.col("nb_label").cast("long")).alias("n_pos"),
+            ).collect()[0]
+            reps.append(round(time.time() - t0, 1))
+        emit(phase, {
+            "n_docs": n, "train_sec": train_sec, "vocab": model.vocab_size,
+            "n_pos": agg["n_pos"], "secs": reps,
+        })
+
+    elif phase == "bloom":
+        # decontaminate A/B at 5M docs: broadcast distinct-set vs bloom
+        # bitmap + exact confirm. Every 23rd doc is the "benchmark" —
+        # ~217k docs, a deliberately LARGE eval side where the broadcast
+        # relation is heaviest and the bitmap's 1.25 bytes/key matters.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import decontaminate
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        bench = docs.filter(F.col("doc_id") % 23 == 0)
+        train = docs.filter(F.col("doc_id") % 23 != 0)
+        out = {}
+        for m in ("broadcast", "bloom"):
+            reps = []
+            contaminated = None
+            for _ in range(REPS):
+                t0 = time.time()
+                agg = decontaminate(train, bench, n=3, method=m).agg(
+                    F.sum(F.col("is_contaminated").cast("long")).alias("c"),
+                    F.sum("n_ngrams").alias("g"),
+                ).collect()[0]
+                contaminated = (agg["c"], agg["g"])
+                reps.append(round(time.time() - t0, 1))
+            out[m] = {"secs": reps, "contaminated_docs": contaminated[0],
+                      "total_ngrams": contaminated[1]}
+        emit(phase, out)
+
+    elif phase == "bloom_rare":
+        # The regime the bitmap exists for: contamination is RARE (real
+        # decontamination: a few eval suites vs a fresh crawl, ~0% of
+        # corpus n-grams hit). The clone-heavy scale table is ~100%
+        # contaminated, so the prefilter there passes everything and
+        # bloom honestly loses (see the `bloom` phase). Here the
+        # benchmark's tokens are rewritten (t -> t||'_q') so corpus hits
+        # are ~0 and the prefilter's selectivity does its job.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import decontaminate
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        bench = docs.filter(F.col("doc_id") % 23 == 0).select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                    lambda t: F.concat(t, F.lit("_q")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        train = docs.filter(F.col("doc_id") % 23 != 0)
+        out = {}
+        for m in ("broadcast", "bloom"):
+            reps = []
+            stats = None
+            for _ in range(REPS):
+                t0 = time.time()
+                agg = decontaminate(train, bench, n=3, method=m).agg(
+                    F.sum(F.col("is_contaminated").cast("long")).alias("c"),
+                    F.sum("n_ngrams").alias("g"),
+                ).collect()[0]
+                stats = (agg["c"], agg["g"])
+                reps.append(round(time.time() - t0, 1))
+            out[m] = {"secs": reps, "contaminated_docs": stats[0],
+                      "total_ngrams": stats[1]}
+        emit(phase, out)
+
     else:
         raise SystemExit(f"unknown phase {phase!r}")
 

@@ -28,6 +28,7 @@ from .curation import (
     decontaminate,
     mix_fractions,
     shuffle_corpus,
+    split_contaminated,
     stratified_sample,
     stratified_sample_exact,
     weighted_sample,
@@ -105,6 +106,7 @@ __all__ = [
     "boilerplate_lines",
     "remove_boilerplate",
     "decontaminate",
+    "split_contaminated",
     "stratified_sample",
     "stratified_sample_exact",
     "weighted_sample",

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "decontaminate",
+    "split_contaminated",
     "stratified_sample",
     "stratified_sample_exact",
     "shuffle_corpus",
@@ -167,6 +168,121 @@ def decontaminate(
         ).alias("contamination"),
         (F.col("n_contaminated") >= min_hits).alias("is_contaminated"),
     )
+
+
+def split_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: Optional[str] = None,
+    n: int = 3,
+    radius: int = 0,
+    hashed: bool = True,
+) -> DataFrame:
+    """Surgical decontamination: instead of dropping a contaminated
+    document whole, remove a window around every benchmark n-gram
+    collision and keep the surviving pieces (the published GPT-3
+    appendix-C recipe — they removed a window around each collision and
+    split the document at the removals; :func:`decontaminate` is the
+    coarse drop-the-document variant).
+
+    A token at position ``t`` (0-based) is removed iff some benchmark
+    n-gram matches at start position ``s`` with
+    ``s - radius <= t <= s + n - 1 + radius``; maximal runs of surviving
+    tokens become the pieces. Returns one row per document:
+
+    - ``n_tokens`` — the document's whitespace token count;
+    - ``n_removed_tokens`` — tokens deleted by contamination windows;
+    - ``n_pieces`` — surviving runs (0 for an empty or fully-removed
+      document, 1 for an untouched one);
+    - ``pieces`` — the surviving runs, each a whitespace re-join of its
+      tokens (normalized: the original inter-token whitespace is NOT
+      preserved, same convention as ``remove_boilerplate``'s rebuild).
+
+    Plan shape at 100 TB: tokenization, n-gram derivation, the window
+    cover test (an ``exists`` over the per-document hit-start array) and
+    piece rebuilding are ALL whole-stage-codegen expressions; the only
+    join is doc-n-grams against the broadcast benchmark set (8-byte
+    hashed keys, same as ``decontaminate``), followed by one
+    partial-aggregated ``collect_list`` shuffle of the (rare) hit
+    positions per document. No Python anywhere.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    bench_text = bench_text_col or text_col
+    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+
+    bench_grams = (
+        benchmark.select(F.explode(_ngram_array(bench_text, n)).alias("__gram"))
+        .select(key(F.col("__gram")).alias("__bg"))
+        .distinct()
+    )
+
+    toks_sql = (
+        f"CASE WHEN length(trim(lower(coalesce({text_col}, '')))) = 0 "
+        f"THEN cast(array() as array<string>) "
+        f"ELSE split(trim(lower(coalesce({text_col}, ''))), '\\\\s+') END"
+    )
+    # positional (NON-distinct) n-grams: start index i, gram string
+    grams_sql = (
+        f"CASE WHEN size({toks_sql}) >= {n} THEN "
+        f"transform(sequence(0, size({toks_sql}) - {n}), "
+        f"i -> struct(i as s, array_join(slice({toks_sql}, i + 1, {n}), ' ') as g)) "
+        f"ELSE cast(array() as array<struct<s:int,g:string>>) END"
+    )
+    staged = docs.select(
+        F.col(id_col),
+        F.expr(toks_sql).alias("__toks"),
+        F.expr(grams_sql).alias("__grams"),
+    )
+
+    hits = (
+        staged.select(F.col(id_col), F.explode("__grams").alias("__pg"))
+        .select(F.col(id_col), F.col("__pg.s").alias("__s"), key(F.col("__pg.g")).alias("__dg"))
+        .join(F.broadcast(bench_grams), F.col("__dg") == F.col("__bg"), "inner")
+        .groupBy(id_col)
+        .agg(F.collect_list("__s").alias("__hits"))
+    )
+
+    joined = staged.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "__toks",
+        F.coalesce(F.col("__hits"), F.expr("cast(array() as array<int>)")).alias(
+            "__hits"
+        ),
+    )
+
+    # removed[t] = exists hit s: s - radius <= t <= s + n - 1 + radius;
+    # rebuild pieces by marking removed tokens with \x00 and splitting
+    # the re-join on runs of markers (all codegen, no Python)
+    lo, hi = radius, n - 1 + radius
+    # the empty-doc guard lives INSIDE each expression: sequence(0, -1)
+    # would otherwise produce a DESCENDING [0, -1] and element_at(.., 0)
+    # raises under ANSI — and `when` evaluates both branches
+    removed_expr = (
+        f"CASE WHEN size(__toks) = 0 THEN 0L ELSE "
+        f"size(filter(sequence(0, size(__toks) - 1), "
+        f"t -> exists(__hits, s -> t >= s - {lo} AND t <= s + {hi}))) END"
+    )
+    pieces_expr = (
+        "CASE WHEN size(__toks) = 0 THEN cast(array() as array<string>) ELSE "
+        "filter("
+        "split("
+        f"array_join(transform(sequence(0, size(__toks) - 1), "
+        f"t -> CASE WHEN exists(__hits, s -> t >= s - {lo} AND t <= s + {hi}) "
+        f"THEN '\\u0000' ELSE element_at(__toks, t + 1) END), ' '), "
+        "'( ?\\u0000 ?)+'), "
+        "p -> p != '') END"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.expr(removed_expr).cast("long").alias("n_removed_tokens"),
+        F.expr(pieces_expr).alias("pieces"),
+    ).withColumn("n_pieces", F.size("pieces").cast("long"))
 
 
 def _bloom_positions(h1, h2, i, mask):

@@ -610,3 +610,101 @@ def test_decontaminate_bloom_plan_shape(corpus, bench):
     )[0] or True  # no row-at-a-time python anywhere
     # n-gram derivation stays codegen (no python in the gram explode)
     assert "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------- split_contaminated
+
+
+def _py_split(text, bset, n, radius=0):
+    toks = (text or "").strip().lower().split()
+    hits = [
+        i
+        for i in range(len(toks) - n + 1)
+        if " ".join(toks[i : i + n]) in bset
+    ]
+    removed = [
+        any(s - radius <= t <= s + n - 1 + radius for s in hits)
+        for t in range(len(toks))
+    ]
+    pieces, cur = [], []
+    for t, tok in enumerate(toks):
+        if removed[t]:
+            if cur:
+                pieces.append(" ".join(cur))
+                cur = []
+        else:
+            cur.append(tok)
+    if cur:
+        pieces.append(" ".join(cur))
+    return {
+        "n_tokens": len(toks),
+        "n_removed_tokens": sum(removed),
+        "pieces": pieces,
+        "n_pieces": len(pieces),
+    }
+
+
+def test_split_contaminated_matches_python_reference(corpus, bench):
+    from tape_spark.operators import split_contaminated
+
+    n = 3
+    bset = set()
+    for t in (
+        "what does the quick brown fox do",
+        "unrelated benchmark prompt entirely",
+    ):
+        bset |= _py_ngrams(t, n)
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "a completely different sentence about spark engines",
+        2: "der schnelle braune fuchs springt sehr hoch",
+        3: "short",
+        4: "",
+        5: None,
+        6: "the quick brown fox appears in this eval question",
+    }
+    for radius in (0, 1, 2):
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in split_contaminated(corpus, bench, n=n, radius=radius).collect()
+        }
+        for d, text in texts.items():
+            exp = _py_split(text, bset, n, radius)
+            g = got[d]
+            assert g["n_tokens"] == exp["n_tokens"], (radius, d)
+            assert g["n_removed_tokens"] == exp["n_removed_tokens"], (radius, d)
+            assert list(g["pieces"]) == exp["pieces"], (radius, d)
+            assert g["n_pieces"] == exp["n_pieces"], (radius, d)
+
+
+def test_split_contaminated_whole_doc_removed(spark):
+    from tape_spark.operators import split_contaminated
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "x y z w")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in split_contaminated(
+        docs, bench, n=3).collect()}
+    assert got[0]["n_pieces"] == 0 and got[0]["n_removed_tokens"] == 3
+    assert got[1]["n_pieces"] == 1 and list(got[1]["pieces"]) == ["x y z w"]
+
+
+def test_split_contaminated_no_python_in_plan(corpus, bench):
+    from tape_spark.operators import split_contaminated
+
+    plan = (
+        split_contaminated(corpus, bench, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_split_contaminated_validations(corpus, bench):
+    from tape_spark.operators import split_contaminated
+
+    with pytest.raises(ValueError, match="radius"):
+        split_contaminated(corpus, bench, radius=-1)
+    with pytest.raises(ValueError, match="n must"):
+        split_contaminated(corpus, bench, n=0)
