@@ -793,11 +793,25 @@ def q_stratified_sample(spark, sf_dir):
         rate=0.3,
         id_col="doc_id",
     ).select("doc_id", "lang", "source", F.lit("weighted").alias("mode"), nopos)
+    # temperature mode (round 9): weights = n_lang**0.5 as integer 1e-9
+    # units (order-safe normalizing sum), then the same mixture sizing
+    # and md5 draw — the published low-resource upweighting rule, with
+    # the data-dependent rates recomputed exactly by the oracle
+    from tape_spark.operators import temperature_weights
+
+    temp = corpus_mix(
+        docs,
+        "lang",
+        temperature_weights(docs, "lang", alpha=0.5),
+        total_rows=150,
+        id_col="doc_id",
+    ).select("doc_id", "lang", "source", F.lit("temperature").alias("mode"), nopos)
     return (
         bern.unionByName(exact)
         .unionByName(mixed)
         .unionByName(shuf)
         .unionByName(weighted)
+        .unionByName(temp)
     )
 
 
@@ -2231,6 +2245,18 @@ SELECT u.doc_id, u.lang, u.source, 'weighted' AS mode, CAST(NULL AS BIGINT) AS p
 FROM u JOIN documents d ON u.doc_id = d.doc_id
 WHERE (d.n_chars / 1000.0) > 0
   AND u.draw < least(1.0, 0.3 * (d.n_chars / 1000.0))
+UNION ALL
+-- temperature mode: w_lang = floor(n_lang**0.5 * 1e9 + 0.5) integer
+-- units, exact integer normalizing sum, rate = (w/wsum)*150/n — the
+-- identical arithmetic shape (and operation order) as mix_fractions
+SELECT doc_id, lang, source, 'temperature' AS mode, CAST(NULL AS BIGINT) AS pos FROM (
+  SELECT u.*, count(*) OVER (PARTITION BY lang) AS n,
+         CAST(floor(pow(count(*) OVER (PARTITION BY lang), 0.5) * 1e9 + 0.5) AS BIGINT) AS wu,
+         (SELECT sum(CAST(floor(pow(n2, 0.5) * 1e9 + 0.5) AS BIGINT))
+          FROM (SELECT count(*) AS n2 FROM u WHERE lang IS NOT NULL GROUP BY lang)) AS wsum
+  FROM u WHERE lang IS NOT NULL
+)
+WHERE draw < least(1.0, CAST(wu AS DOUBLE) / CAST(wsum AS DOUBLE) * 150 / n)
 """
 
 # Fingerprint + repeated-span census. The span census replays on span

@@ -31,6 +31,7 @@ from .curation import (
     split_contaminated,
     stratified_sample,
     stratified_sample_exact,
+    temperature_weights,
     weighted_sample,
 )
 from .joins import asof_join, interval_join, interval_overlap_join
@@ -108,6 +109,7 @@ __all__ = [
     "decontaminate",
     "split_contaminated",
     "stratified_sample",
+    "temperature_weights",
     "stratified_sample_exact",
     "weighted_sample",
     "shuffle_corpus",

@@ -474,6 +474,46 @@ def corpus_mix(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+) -> Dict[str, float]:
+    """Temperature-scaled mixture weights from the strata's own sizes:
+    ``w_s = n_s ** alpha`` — the published multilingual/multi-source
+    rebalancing rule (sampling probability proportional to a power
+    ``alpha < 1`` of corpus size upweights low-resource strata; alpha=1
+    reproduces the natural distribution, alpha=0 the uniform one).
+
+    Returns a weight dict for :func:`corpus_mix` / :func:`mix_fractions`,
+    so the draw itself stays the shared content-addressed md5 filter.
+    Weights come back as INTEGER 1e-9 units of ``n**alpha``: scale-free
+    for ``mix_fractions`` (which normalizes), and — because the
+    normalizing sum is then an exact integer sum — bit-identically
+    replayable in SQL however the engine orders its SUM (the same
+    order-safety discipline as the LM/NB integer log-prob units; a raw
+    double sum varies in the last ULP with summation order, and a
+    knife-edge draw would flip). One O(#strata) count aggregate —
+    bounded driver-side, same contract as ``mix_fractions``. NULL
+    strata are excluded (consistent with ``weights`` dicts, which
+    cannot name NULL). Unit scale bounds: exact for
+    ``n**alpha * 1e9 < 2**63`` (any corpus with ``alpha <= 1``).
+    """
+    import math
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {
+        r[0]: int(math.floor(float(r[1]) ** alpha * 1e9 + 0.5)) for r in counts
+    }
+
+
 def stratified_sample_exact(
     df: DataFrame,
     strata_col: str,

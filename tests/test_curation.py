@@ -708,3 +708,48 @@ def test_split_contaminated_validations(corpus, bench):
         split_contaminated(corpus, bench, radius=-1)
     with pytest.raises(ValueError, match="n must"):
         split_contaminated(corpus, bench, n=0)
+
+
+# ----------------------------------------------------------- temperature mix
+
+
+def test_temperature_weights_units_and_limits(spark):
+    import math
+
+    from tape_spark.operators import temperature_weights
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 90 else ("de" if i < 99 else None)) for i in range(100)],
+        "doc_id long, lang string",
+    )
+    w = temperature_weights(df, "lang", alpha=0.5)
+    # integer 1e-9 units of n**0.5; NULL stratum excluded
+    assert set(w) == {"en", "de"}
+    assert w["en"] == int(math.floor(90.0**0.5 * 1e9 + 0.5))
+    assert w["de"] == int(math.floor(9.0**0.5 * 1e9 + 0.5))
+    # alpha=0 -> uniform weights; alpha=1 -> natural distribution
+    u = temperature_weights(df, "lang", alpha=0.0)
+    assert u["en"] == u["de"] == int(1e9)
+    nat = temperature_weights(df, "lang", alpha=1.0)
+    assert nat["en"] == 90 * int(1e9) and nat["de"] == 9 * int(1e9)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(df, "lang", alpha=-0.1)
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    from tape_spark.operators import corpus_mix, mix_fractions, temperature_weights
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    w = temperature_weights(df, "lang", alpha=0.5)
+    fr = mix_fractions(df, "lang", w, total_rows=200)
+    # temperature scaling gives the small stratum a HIGHER keep rate
+    assert fr["small"] > fr["big"]
+    # and the draw realizes roughly those rates deterministically
+    kept = corpus_mix(df, "lang", w, total_rows=200).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in kept.collect()}
+    assert got["small"] > 0 and got["big"] > 0
+    k2 = corpus_mix(df, "lang", w, total_rows=200).groupBy("lang").count()
+    assert {r["lang"]: r["count"] for r in k2.collect()} == got  # deterministic
