@@ -806,12 +806,31 @@ def q_stratified_sample(spark, sf_dir):
         total_rows=150,
         id_col="doc_id",
     ).select("doc_id", "lang", "source", F.lit("temperature").alias("mode"), nopos)
+    # dsir mode (round 9): hashed-n-gram importance resampling (DSIR,
+    # arXiv:2302.03169) — target = every 11th doc, raw = the rest; the
+    # oracle rebuilds the ENTIRE pipeline in SQL (md5 gram buckets,
+    # smoothed count models, integer-quantized log-ratios, the exact
+    # integer per-doc sums, and the Gumbel top-k draw) and replays the
+    # selected set and ranks row-exactly
+    from tape_spark.operators import dsir_select
+
+    dsir = dsir_select(
+        docs.filter((F.col("doc_id") % 11) != 0),
+        docs.filter((F.col("doc_id") % 11) == 0),
+        k=40,
+        num_buckets=2048,
+        smoothing=0.1,
+    ).select(
+        "doc_id", "lang", "source", F.lit("dsir").alias("mode"),
+        F.col("rank").alias("pos"),
+    )
     return (
         bern.unionByName(exact)
         .unionByName(mixed)
         .unionByName(shuf)
         .unionByName(weighted)
         .unionByName(temp)
+        .unionByName(dsir)
     )
 
 
@@ -2257,6 +2276,60 @@ SELECT doc_id, lang, source, 'temperature' AS mode, CAST(NULL AS BIGINT) AS pos 
   FROM u WHERE lang IS NOT NULL
 )
 WHERE draw < least(1.0, CAST(wu AS DOUBLE) / CAST(wsum AS DOUBLE) * 150 / n)
+UNION ALL
+-- dsir mode: the full DSIR pipeline replayed — md5-bucketed
+-- unigram+bigram occurrences, additively-smoothed target/raw bucket
+-- models, per-bucket log-ratios quantized to integer 1e-12 units
+-- (order-safe exact integer sums), and the Gumbel top-k draw from the
+-- same md5 unit. B = 2048, a = 0.1, k = 40; target = doc_id % 11 = 0.
+SELECT doc_id, lang, source, 'dsir' AS mode, CAST(rk AS BIGINT) AS pos FROM (
+  WITH dtoks AS (
+    SELECT doc_id,
+           CASE WHEN length(trim(lower(coalesce(text, '')))) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') END AS w
+    FROM documents
+  ),
+  dgrams AS (
+    SELECT doc_id, w[i] AS g FROM dtoks, UNNEST(range(1, len(w) + 1)) t(i)
+    UNION ALL
+    SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+    FROM dtoks, UNNEST(range(1, len(w))) t(i) WHERE len(w) >= 2
+  ),
+  dbuck AS (
+    SELECT doc_id, ('0x' || substr(md5(g), 1, 13))::BIGINT % 2048 AS bucket
+    FROM dgrams
+  ),
+  dtc AS (SELECT bucket, count(*) AS tc FROM dbuck WHERE doc_id % 11 = 0 GROUP BY bucket),
+  drc AS (SELECT bucket, count(*) AS rc FROM dbuck WHERE doc_id % 11 <> 0 GROUP BY bucket),
+  dtot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM dtc) AS tt,
+                  (SELECT coalesce(sum(rc), 0) FROM drc) AS rt),
+  dratio AS (
+    SELECT coalesce(dtc.bucket, drc.bucket) AS bucket,
+           CAST(floor(ln(coalesce(tc, 0) + 0.1) * 1e12 + 0.5) AS BIGINT)
+           - CAST(floor(ln(tt + 0.1 * 2048) * 1e12 + 0.5) AS BIGINT)
+           - CAST(floor(ln(coalesce(rc, 0) + 0.1) * 1e12 + 0.5) AS BIGINT)
+           + CAST(floor(ln(rt + 0.1 * 2048) * 1e12 + 0.5) AS BIGINT) AS lr
+    FROM dtc FULL OUTER JOIN drc ON dtc.bucket = drc.bucket, dtot
+  ),
+  dscore AS (
+    SELECT b.doc_id, sum(r.lr) AS logw
+    FROM dbuck b JOIN dratio r USING (bucket)
+    WHERE b.doc_id % 11 <> 0 GROUP BY b.doc_id
+  ),
+  dsel AS (
+    SELECT d.doc_id, d.lang, d.source,
+           coalesce(s.logw, 0)
+           + CAST(floor(-ln(-ln(greatest(
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT
+               / 4503599627370496.0, power(2.0, -52)))) * 1e12 + 0.5) AS BIGINT)
+           AS score
+    FROM documents d LEFT JOIN dscore s USING (doc_id)
+    WHERE d.doc_id % 11 <> 0
+  )
+  SELECT doc_id, lang, source,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM dsel
+) WHERE rk <= 40
 """
 
 # Fingerprint + repeated-span census. The span census replays on span

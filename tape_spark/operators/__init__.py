@@ -38,6 +38,7 @@ from .joins import asof_join, interval_join, interval_overlap_join
 from .similarity import train_spherical_kmeans
 from .langmodel import BigramLM, perplexity_score, train_bigram_lm
 from .classifier import NBClassifier, nb_score, train_nb_classifier
+from .dsir import dsir_logweights, dsir_select
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from .text import (
@@ -60,6 +61,8 @@ from .text import (
 )
 
 __all__ = [
+    "dsir_logweights",
+    "dsir_select",
     "exact_dedup",
     "dedup_keep_first",
     "repeated_spans",
