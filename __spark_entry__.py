@@ -835,16 +835,27 @@ def q_stratified_sample(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 for 5 query vectors."""
-    from tape_spark.operators import cosine_topk
+    """Brute-force cosine top-10 for 5 query vectors, with the k-NN
+    majority-vote prediction (``knn_classify``, round 9) attached per
+    query: leave-one-out over the corpus's own ``label`` column, vote
+    ties broken on the smaller label — the oracle recomputes the full
+    neighbor ranking AND the vote in SQL, so a wrong neighbor set, a
+    wrong vote count, or a wrong tie-break all flip the hash."""
+    from tape_spark.operators import cosine_topk, knn_classify
 
     emb = _emb(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     tk = cosine_topk(emb, queries_df, k=10)
-    return tk.select(
-        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("long").alias("rank")
+    pred = knn_classify(emb, queries_df, k=10, exclude_self=True).select(
+        "query_id",
+        F.col("pred_label").cast("long").alias("pred_label"),
+        F.col("votes").cast("long").alias("pred_votes"),
+    )
+    return tk.join(pred, "query_id").select(
+        "query_id", "corpus_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"), "pred_label", "pred_votes",
     )
 
 
@@ -2157,11 +2168,36 @@ scored AS (
   SELECT q.query_id, c.vec_id AS corpus_id,
          list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS sim
   FROM embeddings c, q
+),
+ranked AS (
+  SELECT query_id, corpus_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
+  FROM scored
+),
+-- knn_classify replay: leave-one-out top-10 (self excluded BEFORE
+-- re-ranking), majority vote over the corpus labels, ties to the
+-- smaller label
+loo AS (
+  SELECT query_id, corpus_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rk
+  FROM scored WHERE corpus_id <> query_id
+),
+votes AS (
+  SELECT l.query_id, e.label AS lbl, count(*) AS votes
+  FROM loo l JOIN embeddings e ON l.corpus_id = e.vec_id
+  WHERE l.rk <= 10
+  GROUP BY l.query_id, e.label
+),
+pred AS (
+  SELECT query_id, CAST(lbl AS BIGINT) AS pred_label, CAST(votes AS BIGINT) AS pred_votes
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, lbl ASC) AS vr FROM votes)
+  WHERE vr = 1
 )
-SELECT query_id, corpus_id, round(sim, 6) AS cosine,
-       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, corpus_id ASC) AS rank
-FROM scored
-QUALIFY rank <= 10
+SELECT r.query_id, r.corpus_id, round(r.sim, 6) AS cosine, r.rank,
+       p.pred_label, p.pred_votes
+FROM ranked r JOIN pred p USING (query_id)
+WHERE r.rank <= 10
 """
 
 # Replays decontaminate() with string n-grams (the Spark side joins on

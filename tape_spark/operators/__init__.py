@@ -40,7 +40,7 @@ from .langmodel import BigramLM, perplexity_score, train_bigram_lm
 from .classifier import NBClassifier, nb_score, train_nb_classifier
 from .dsir import dsir_logweights, dsir_select
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
-from .similarity import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
+from .similarity import cosine_topk, ivf_cosine_topk, knn_classify, lsh_cosine_topk
 from .text import (
     boilerplate_lines,
     remove_boilerplate,
@@ -63,6 +63,7 @@ from .text import (
 __all__ = [
     "dsir_logweights",
     "dsir_select",
+    "knn_classify",
     "exact_dedup",
     "dedup_keep_first",
     "repeated_spans",

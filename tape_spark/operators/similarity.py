@@ -328,3 +328,76 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "cosine", "rank")
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """k-nearest-neighbor classification over an embedding column: each
+    query's predicted label is the majority vote of its ``k`` most
+    cosine-similar corpus vectors' labels.
+
+    Composition, not new machinery: the neighbor search IS
+    :func:`cosine_topk` (broadcast query matrix + one BLAS matmul per
+    Arrow batch + per-query window over the tiny local-winner union), and
+    the vote is two codegen aggregations over the O(k · |queries|)
+    neighbor rows. ``exclude_self`` drops a corpus row whose id equals
+    the query id before ranking (the standard leave-one-out evaluation
+    when the queries are drawn from the corpus itself).
+
+    Ties are deterministic end-to-end: neighbor ranking breaks on corpus
+    id (inherited from ``cosine_topk``), the vote breaks on the smaller
+    label. Returns one row per query: ``(query_id, pred_label, votes,
+    k_eff)`` where ``k_eff`` is the number of neighbors that actually
+    voted (< k only when the corpus runs out of rows).
+
+    Scale: no new exchange beyond ``cosine_topk``'s — the vote shuffles
+    at most ``k * |queries|`` rows, and the label join hashes on the
+    corpus id over that same small set.
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    from pyspark.sql import Window
+
+    fetch = k + 1 if exclude_self else k
+    tk = cosine_topk(
+        corpus, queries, k=fetch, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    if exclude_self:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("corpus_id")
+        )
+        tk = (
+            tk.filter(F.col("corpus_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+    labeled = tk.join(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), F.col(label_col).alias("__lbl")
+        ),
+        "corpus_id",
+    )
+    votes = labeled.groupBy("query_id", "__lbl").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__lbl")
+    )
+    totals = labeled.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_eff"))
+    return (
+        votes.withColumn("__r", F.row_number().over(wv))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+        .withColumnRenamed("__lbl", "pred_label")
+        .join(totals, "query_id")
+        .select("query_id", "pred_label", "votes", "k_eff")
+    )
