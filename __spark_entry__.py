@@ -1024,17 +1024,39 @@ def q_doc_fingerprint(spark, sf_dir):
     census on the span *strings* (Spark ships 8-byte xxhash64
     fingerprints; counts agree barring a 2⁻⁶⁴ collision, the same
     hashed-vs-string contract as dedup_exact)."""
-    from tape_spark.operators import document_fingerprint, repeated_span_stats
+    from tape_spark.operators import (
+        document_fingerprint,
+        remove_repeated_spans,
+        repeated_span_stats,
+    )
 
     docs = _docs(spark, sf_dir)
     fp = document_fingerprint(docs).select("doc_id", "content_sha")
     stats = repeated_span_stats(docs, span_tokens=16, stride=4, min_docs=2)
-    return fp.join(stats, "doc_id").select(
+    # round 9: the removal half of the exact-substring pipeline — delete
+    # every occurrence but the first (keeper = globally smallest
+    # (id, token_start)) and rebuild the pieces; the oracle replays the
+    # keeper choice, the window cover, the piece rebuild, and the
+    # pieces' sha token-for-token
+    esd = remove_repeated_spans(
+        docs, span_tokens=16, stride=4, min_docs=2
+    ).select(
+        "doc_id",
+        F.col("n_removed_tokens").alias("esd_removed"),
+        F.col("n_spans_removed").alias("esd_spans_removed"),
+        F.col("n_pieces").alias("esd_pieces"),
+        F.sha2(F.concat_ws("\n", "pieces"), 256).alias("esd_sha"),
+    )
+    return fp.join(stats, "doc_id").join(esd, "doc_id").select(
         "doc_id",
         "content_sha",
         "n_spans",
         "n_repeated_spans",
         F.round("dup_span_ratio", 6).alias("dup_span_ratio"),
+        "esd_removed",
+        "esd_spans_removed",
+        "esd_pieces",
+        "esd_sha",
     )
 
 
@@ -2396,6 +2418,45 @@ base AS (
     CASE WHEN len(w) >= 16 THEN CAST(floor((len(w) - 16) / 4.0) AS BIGINT) + 1
          ELSE 0 END AS n_spans
   FROM toks
+),
+-- remove_repeated_spans replay: keeper = globally smallest
+-- (doc_id, token_start) per repeated span; non-keeper occurrences
+-- remove their 16-token window; marker-split piece rebuild (the same
+-- chr(1) discipline as the split_contaminated replay)
+rtoks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(lower(coalesce(text, '')))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+') END AS w
+  FROM documents
+),
+rem_occ AS (
+  SELECT doc_id, token_start FROM (
+    SELECT s.doc_id, s.token_start,
+           row_number() OVER (PARTITION BY s.span
+                              ORDER BY s.doc_id, s.token_start) AS rk
+    FROM spans s JOIN rep USING (span)
+  ) WHERE rk > 1
+),
+rem_cnt AS (SELECT doc_id, count(*) AS n_rm FROM rem_occ GROUP BY doc_id),
+rem_tok AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS tpos,
+         w[CAST(u.i AS BIGINT) + 1] AS tok,
+         EXISTS (SELECT 1 FROM rem_occ h WHERE h.doc_id = t.doc_id
+                 AND u.i >= h.token_start AND u.i <= h.token_start + 15) AS rm
+  FROM rtoks t, UNNEST(range(0, len(w))) u(i)
+),
+rem_marked AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN rm THEN chr(1) ELSE tok END, ' ' ORDER BY tpos) AS mstr,
+         sum(CASE WHEN rm THEN 1 ELSE 0 END) AS n_removed
+  FROM rem_tok GROUP BY doc_id
+),
+rem_pcs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(mstr, '( ?' || chr(1) || ' ?)+'),
+                     p -> p <> '') AS ps,
+         n_removed
+  FROM rem_marked
 )
 SELECT d.doc_id,
   sha256(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS content_sha,
@@ -2403,8 +2464,15 @@ SELECT d.doc_id,
   coalesce(p.n_repeated_spans, 0) AS n_repeated_spans,
   round(CASE WHEN b.n_spans > 0
              THEN coalesce(p.n_repeated_spans, 0) * 1.0 / b.n_spans
-             ELSE 0.0 END, 6) AS dup_span_ratio
-FROM documents d JOIN base b USING (doc_id) LEFT JOIN per_doc p USING (doc_id)
+             ELSE 0.0 END, 6) AS dup_span_ratio,
+  CAST(coalesce(rp.n_removed, 0) AS BIGINT) AS esd_removed,
+  CAST(coalesce(rc.n_rm, 0) AS BIGINT) AS esd_spans_removed,
+  CAST(coalesce(len(rp.ps), 0) AS BIGINT) AS esd_pieces,
+  sha256(coalesce(array_to_string(rp.ps, chr(10)), '')) AS esd_sha
+FROM documents d JOIN base b USING (doc_id)
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN rem_pcs rp USING (doc_id)
+LEFT JOIN rem_cnt rc USING (doc_id)
 """
 
 # replays chunk_documents' window geometry exactly: DuckDB 1-based inclusive

@@ -11,6 +11,7 @@ from .dedup import (
     dedup_keep_first,
     repeated_spans,
     repeated_span_stats,
+    remove_repeated_spans,
     minhash_signatures,
     estimate_stop_shingles,
     lsh_candidate_pairs,
@@ -68,6 +69,7 @@ __all__ = [
     "dedup_keep_first",
     "repeated_spans",
     "repeated_span_stats",
+    "remove_repeated_spans",
     "stopword_ratio",
     "minhash_signatures",
     "lsh_candidate_pairs",

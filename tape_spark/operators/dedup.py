@@ -964,6 +964,90 @@ def repeated_span_stats(
     )
 
 
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 16,
+    stride: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication: delete every occurrence of a
+    cross-corpus repeated span EXCEPT its first, and rebuild the
+    surviving text — the published remove-all-but-one-occurrence recipe
+    for long duplicated substrings (cf. the train-data dedup result that
+    repeated spans, not whole-document copies, dominate memorization;
+    :func:`repeated_spans` is the detection half of the same pipeline).
+
+    The kept occurrence per span is the globally smallest
+    ``(id, token_start)`` — deterministic, partitioning-independent. A
+    token at position ``t`` is removed iff some non-kept occurrence
+    starts at ``s`` with ``s <= t < s + span_tokens``; maximal runs of
+    surviving tokens become the pieces (whitespace-normalized rebuild
+    from the lowercased token stream — the same convention as
+    ``split_contaminated``, and the positions align because both sides
+    share the trim/lower/whitespace tokenization). Returns one row per
+    input document: ``(id, n_tokens, n_removed_tokens, n_spans_removed,
+    pieces, n_pieces)``.
+
+    Plan shape at 100 TB: span fingerprinting and counting are
+    :func:`repeated_spans`'s inverted-index plan (8-byte hashes, never
+    pairs); choosing keepers is ONE window over only the repeated
+    occurrences (a tiny fraction of the corpus); the removal positions
+    come back to each document via a single partial-aggregated
+    ``collect_list`` shuffle; the cover test and piece rebuild are
+    whole-stage-codegen array expressions. No Python anywhere.
+    """
+    occ = repeated_spans(df, text_col, id_col, span_tokens, stride, min_docs)
+    w = Window.partitionBy("span_hash").orderBy(F.col(id_col), F.col("token_start"))
+    removals = (
+        occ.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.col("token_start").cast("int")).alias("__hits"),
+            F.count(F.lit(1)).alias("__n_rm"),
+        )
+    )
+    toks_sql = (
+        f"CASE WHEN length(trim(lower(coalesce({text_col}, '')))) = 0 "
+        f"THEN cast(array() as array<string>) "
+        f"ELSE split(trim(lower(coalesce({text_col}, ''))), '\\\\s+') END"
+    )
+    staged = df.select(F.col(id_col), F.expr(toks_sql).alias("__toks"))
+    joined = staged.join(removals, id_col, "left").select(
+        F.col(id_col),
+        "__toks",
+        F.coalesce(F.col("__hits"), F.expr("cast(array() as array<int>)")).alias(
+            "__hits"
+        ),
+        F.coalesce(F.col("__n_rm"), F.lit(0)).cast("long").alias("n_spans_removed"),
+    )
+    hi = span_tokens - 1
+    removed_expr = (
+        f"CASE WHEN size(__toks) = 0 THEN 0L ELSE "
+        f"size(filter(sequence(0, size(__toks) - 1), "
+        f"t -> exists(__hits, s -> t >= s AND t <= s + {hi}))) END"
+    )
+    pieces_expr = (
+        "CASE WHEN size(__toks) = 0 THEN cast(array() as array<string>) ELSE "
+        "filter("
+        "split("
+        f"array_join(transform(sequence(0, size(__toks) - 1), "
+        f"t -> CASE WHEN exists(__hits, s -> t >= s AND t <= s + {hi}) "
+        f"THEN '\\u0000' ELSE element_at(__toks, t + 1) END), ' '), "
+        "'( ?\\u0000 ?)+'), "
+        "p -> p != '') END"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.expr(removed_expr).cast("long").alias("n_removed_tokens"),
+        "n_spans_removed",
+        F.expr(pieces_expr).alias("pieces"),
+    ).withColumn("n_pieces", F.size("pieces").cast("long"))
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",

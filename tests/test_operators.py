@@ -856,6 +856,111 @@ class TestRepeatedSpans:
         for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
             assert "array_join" not in m.group(1) and "slice" not in m.group(1)
 
+class TestRemoveRepeatedSpans:
+    def _docs(self, spark):
+        shared = " ".join(f"w{i}" for i in range(20))
+        return spark.createDataFrame(
+            [
+                (0, shared + " tail zero unique ending here now ok fine yes done"),
+                (1, "lead one " + shared),
+                (2, "completely different tokens " + " ".join(f"z{i}" for i in range(20))),
+                (3, "short doc"),
+                (4, ""),
+                (5, "lead two " + shared),
+            ],
+            "doc_id long, text string",
+        )
+
+    @staticmethod
+    def _py_remove(rows, span_tokens, stride, min_docs):
+        toks = {d: (t or "").strip().lower().split() for d, t in rows}
+        spans = {}
+        for d in sorted(toks):
+            w = toks[d]
+            for p in range(0, len(w) - span_tokens + 1, stride):
+                spans.setdefault(" ".join(w[p : p + span_tokens]), []).append((d, p))
+        hits = {d: [] for d in toks}
+        nrm = {d: 0 for d in toks}
+        for s, occ in spans.items():
+            if len({d for d, _ in occ}) >= min_docs:
+                for d, p in sorted(occ)[1:]:
+                    hits[d].append(p)
+                    nrm[d] += 1
+        out = {}
+        for d, w in toks.items():
+            removed = [
+                any(s <= t < s + span_tokens for s in hits[d]) for t in range(len(w))
+            ]
+            pieces, cur = [], []
+            for t, tok in enumerate(w):
+                if removed[t]:
+                    if cur:
+                        pieces.append(" ".join(cur))
+                        cur = []
+                else:
+                    cur.append(tok)
+            if cur:
+                pieces.append(" ".join(cur))
+            out[d] = (len(w), sum(removed), nrm[d], pieces)
+        return out
+
+    def test_python_parity(self, spark):
+        from tape_spark.operators import remove_repeated_spans
+
+        docs = self._docs(spark)
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        exp = self._py_remove(rows, 8, 2, 2)
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["n_removed_tokens"], r["n_spans_removed"],
+                list(r["pieces"]),
+            )
+            for r in remove_repeated_spans(
+                docs, span_tokens=8, stride=2, min_docs=2
+            ).collect()
+        }
+        assert got == exp
+        # the fixture actually removes something (docs 1 and 5 lose the run)
+        assert any(v[1] > 0 for v in got.values())
+
+    def test_first_occurrence_kept(self, spark):
+        from tape_spark.operators import remove_repeated_spans
+
+        out = {
+            r["doc_id"]: r
+            for r in remove_repeated_spans(
+                self._docs(spark), span_tokens=8, stride=2, min_docs=2
+            ).collect()
+        }
+        # doc 0 holds the globally-smallest (id, pos) occurrence of every
+        # shared span: it keeps all tokens; later copies lose them
+        assert out[0]["n_removed_tokens"] == 0 and out[0]["n_pieces"] == 1
+        assert out[1]["n_removed_tokens"] > 0
+        assert out[5]["n_removed_tokens"] > 0
+
+    def test_untouched_docs_single_piece(self, spark):
+        from tape_spark.operators import remove_repeated_spans
+
+        out = {
+            r["doc_id"]: r
+            for r in remove_repeated_spans(
+                self._docs(spark), span_tokens=8, stride=2, min_docs=2
+            ).collect()
+        }
+        assert out[2]["n_pieces"] == 1 and out[2]["n_removed_tokens"] == 0
+        assert out[3]["pieces"] == ["short doc"]
+        assert out[4]["n_tokens"] == 0 and out[4]["n_pieces"] == 0
+
+    def test_no_python_in_plan(self, spark):
+        from tape_spark.operators import remove_repeated_spans
+
+        plan = (
+            remove_repeated_spans(self._docs(spark), span_tokens=8, stride=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 
 def test_minhash_bucket_cap_pruned_first_band_pair_survives(spark):
     """A pair whose FIRST agreeing band sits in an over-full (pruned)
