@@ -326,6 +326,102 @@ def main():
                       "total_ngrams": stats[1]}
         emit(phase, out)
 
+    elif phase == "split":
+        # split_contaminated at 5M docs: the surgical GPT-3 appendix-C
+        # path. Rewritten-benchmark (rare-hit) geometry — the realistic
+        # regime, where almost every doc survives whole — plus the
+        # clone-heavy worst case where nearly everything is hit.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import split_contaminated
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        bench_hot = docs.filter(F.col("doc_id") % 23 == 0)
+        train = docs.filter(F.col("doc_id") % 23 != 0)
+        bench_rare = bench_hot.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                    lambda t: F.concat(t, F.lit("_q")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        out = {}
+        for name, bench in (("rare", bench_rare), ("hot", bench_hot)):
+            reps = []
+            stats = None
+            for _ in range(REPS):
+                t0 = time.time()
+                agg = split_contaminated(train, bench, n=3, radius=1).agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.sum("n_pieces").alias("pieces"),
+                    F.sum("n_removed_tokens").alias("removed"),
+                ).collect()[0]
+                stats = (agg["docs"], agg["pieces"], agg["removed"])
+                reps.append(round(time.time() - t0, 1))
+            out[name] = {"secs": reps, "docs": stats[0],
+                         "pieces": stats[1], "removed_tokens": stats[2]}
+        emit(phase, out)
+
+    elif phase == "dsir":
+        # DSIR importance resampling at 5M docs: two gram-count passes
+        # (<=B-key shuffles), the broadcast ratio join + per-doc integer
+        # sum, percentile probe, top-k rank over ~margin*k candidates.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import dsir_select
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        target = docs.filter(F.col("doc_id") % 101 == 0)
+        raw = docs.filter(F.col("doc_id") % 101 != 0)
+        reps = []
+        sel_stats = None
+        for _ in range(REPS):
+            t0 = time.time()
+            sel = dsir_select(raw, target, k=100000, num_buckets=65536)
+            agg = sel.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("logw_units").alias("wmin"),
+                F.max("logw_units").alias("wmax"),
+            ).collect()[0]
+            sel_stats = (agg["n"], agg["wmin"], agg["wmax"])
+            reps.append(round(time.time() - t0, 1))
+        emit(phase, {
+            "n_raw": raw.count(), "k": 100000, "num_buckets": 65536,
+            "secs": reps, "selected": sel_stats[0],
+            "logw_units_range": [sel_stats[1], sel_stats[2]],
+        })
+
+    elif phase == "knn":
+        # knn_classify at 2M corpus vectors x 64 queries: the vote adds
+        # two tiny aggregations on top of cosine_topk's one BLAS pass.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import cosine_topk, knn_classify
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(64)
+        q = emb.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = {}
+        for name, fn in (
+            ("topk_only", lambda: cosine_topk(emb, q, k=10).count()),
+            ("knn_classify", lambda: knn_classify(
+                emb, q, k=10, exclude_self=True
+            ).agg(F.sum("votes").alias("v"), F.count(F.lit(1)).alias("n"))
+             .collect()[0]["n"]),
+        ):
+            reps = []
+            res = None
+            for _ in range(REPS):
+                t0 = time.time()
+                res = fn()
+                reps.append(round(time.time() - t0, 1))
+            out[name] = {"secs": reps, "rows": res}
+        emit(phase, {"n_vectors": emb.count(), "n_queries": 64, **out})
+
     else:
         raise SystemExit(f"unknown phase {phase!r}")
 
