@@ -1441,12 +1441,46 @@ def q_corpus_filter(spark, sf_dir):
 
 
 def q_vocab_topk(spark, sf_dir):
-    """Corpus vocabulary heavy hitters (top-50 whitespace tokens);
-    global top-k planned as TakeOrderedAndProject, not a 1-partition
-    window sort."""
-    from tape_spark.operators import vocab_topk
+    """Corpus vocabulary heavy hitters (top-50 whitespace tokens; global
+    top-k planned as TakeOrderedAndProject, not a 1-partition window
+    sort) COMPOSED with BM25 retrieval (``bm25_topk``, round 9): the
+    ranked vocabulary supplies the retrieval queries — one single-term
+    and two multi-term queries built from the words at fixed ranks — and
+    the top-5 documents per query are value-checked in integer
+    micro-units (quantized-idf determinism contract,
+    ``operators/retrieval.py``). The oracle replays the whole chain in
+    SQL: vocabulary ranking, query assembly, tf/df/idf, the mirrored
+    IEEE-ordered score, and the (units DESC, doc_id ASC) top-k."""
+    from tape_spark.operators import bm25_topk, vocab_topk
 
-    return vocab_topk(_docs(spark, sf_dir), k=50)
+    docs = _docs(spark, sf_dir)
+    vocab = vocab_topk(docs, k=50)
+    # bounded driver collect: 6 rows of the already-computed top-50
+    picked = {
+        r["rank"]: r["word"]
+        for r in vocab.filter(F.col("rank").isin(3, 7, 12, 18, 24, 30)).collect()
+    }
+    queries = [
+        ("q1", picked[7]),
+        ("q2", picked[3] + " " + picked[18]),
+        ("q3", picked[12] + " " + picked[24] + " " + picked[30]),
+    ]
+    hits = bm25_topk(docs, queries, k=5)
+    vocab_part = vocab.select(
+        F.lit("vocab").alias("part"),
+        F.col("word").alias("key"),
+        F.col("rank"),
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("freq").cast("long").alias("units"),
+    )
+    bm25_part = hits.select(
+        F.lit("bm25").alias("part"),
+        F.col("query_id").alias("key"),
+        F.col("rank"),
+        F.col("doc_id"),
+        F.col("score_units").alias("units"),
+    )
+    return vocab_part.unionByName(bm25_part)
 
 
 def q_day_gap_offset(spark, sf_dir):
@@ -2936,11 +2970,41 @@ def oracle_sql() -> dict[str, str]:
             "UNNEST(range(0, least(n // 64, 3) + 1)) AS t(i)"
         ),
         "corpus_filter": _CORPUS_FILTER_SQL,
+        # vocab heavy hitters + BM25 retrieval over queries assembled from
+        # the ranked vocabulary. The SQL replays the operator's whole
+        # determinism contract (operators/retrieval.py): same token grammar
+        # ([^a-z0-9]+ on lower), idf quantized to the 1e-6 grid via
+        # floor(ln(...)*1e6+0.5), the identical IEEE association order for
+        # num/den, per-term floor to integer micro-units, integer sum, and
+        # (units DESC, doc_id ASC) top-5.
         "vocab_topk": (
             "WITH w AS (SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word FROM documents), "
-            "c AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word) "
-            "SELECT word, freq, CAST(row_number() OVER (ORDER BY freq DESC, word ASC) AS BIGINT) AS rank "
-            "FROM c QUALIFY rank <= 50"
+            "c AS (SELECT word, count(*) AS freq FROM w WHERE word <> '' GROUP BY word), "
+            "v AS (SELECT word, freq, CAST(row_number() OVER (ORDER BY freq DESC, word ASC) AS BIGINT) AS rank "
+            "FROM c QUALIFY rank <= 50), "
+            "qdef AS (SELECT 'q1' AS query_id, (SELECT word FROM v WHERE rank = 7) AS query_text "
+            "UNION ALL SELECT 'q2', (SELECT word FROM v WHERE rank = 3) || ' ' || (SELECT word FROM v WHERE rank = 18) "
+            "UNION ALL SELECT 'q3', (SELECT word FROM v WHERE rank = 12) || ' ' || (SELECT word FROM v WHERE rank = 24) "
+            "|| ' ' || (SELECT word FROM v WHERE rank = 30)), "
+            "qterms AS (SELECT DISTINCT query_id, t AS term FROM "
+            "(SELECT query_id, UNNEST(regexp_split_to_array(lower(query_text), '[^a-z0-9]+')) AS t FROM qdef) WHERE t <> ''), "
+            "toks AS (SELECT doc_id, t AS term FROM "
+            "(SELECT doc_id, UNNEST(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+')) AS t FROM documents) WHERE t <> ''), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id), "
+            "st AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT coalesce(sum(dl), 0) FROM dl) AS sumdl), "
+            "av AS (SELECT (sumdl * 1.0) / n AS avgdl FROM st), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term), "
+            "idf AS (SELECT term, floor(ln(1 + (((SELECT n FROM st) - df) + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS idf "
+            "FROM (SELECT term, count(*) AS df FROM tf GROUP BY term)), "
+            "sc AS (SELECT q.query_id, f.doc_id, "
+            "CAST(sum(CAST(floor(((1000000.0 * i.idf) * (f.tf * (1.2 + 1.0))) / "
+            "(f.tf + 1.2 * ((1.0 - 0.75) + ((0.75 * d.dl) / (SELECT avgdl FROM av)))) + 0.5) AS BIGINT)) AS BIGINT) AS units "
+            "FROM qterms q JOIN tf f ON f.term = q.term JOIN idf i ON i.term = q.term JOIN dl d ON d.doc_id = f.doc_id "
+            "GROUP BY q.query_id, f.doc_id), "
+            "bt AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY units DESC, doc_id ASC) AS BIGINT) AS rank, "
+            "doc_id, units FROM sc WHERE units > 0 QUALIFY rank <= 5) "
+            "SELECT 'vocab' AS part, word AS key, rank, CAST(-1 AS BIGINT) AS doc_id, CAST(freq AS BIGINT) AS units FROM v "
+            "UNION ALL SELECT 'bm25' AS part, query_id AS key, rank, doc_id, units FROM bt"
         ),
         "events_running_stats": (
             "SELECT user_id, count(value) AS n, round(avg(value), 6) AS mean, "

@@ -1,0 +1,202 @@
+"""BM25 sparse text retrieval: keyword top-k over a document corpus.
+
+No reference counterpart (the reference has no text-retrieval surface);
+this is part of the LLM-data-pipeline layer alongside the dense paths in
+``similarity.py`` (``cosine_topk`` / ``ivf_cosine_topk``).
+
+Scale shape (100 TB): the query set is the SMALL side by construction —
+its distinct terms are collected to the driver (bounded by ``max_terms``)
+and embedded as literals, so the corpus side needs NO inverted index and
+NO doc×term shuffle. Per-document term frequencies for only those terms
+are built in ONE ``F.aggregate`` pass over the token array (the token
+split is evaluated once per row regardless of projection collapse);
+corpus statistics (N, Σdl, per-term document frequency) reduce through a
+single map-side-combined aggregate returning ONE row; scoring is a
+codegen projection over documents that contain at least one query term
+(``F.exists`` prunes the rest before the explode), and the per-query
+top-k shuffles only those candidates into a
+``row_number``-over-window — never the full corpus.
+
+Determinism contract (for cross-engine oracles): scores are emitted as
+integer micro-units. idf is quantized to a 1e-6 grid via
+``floor(ln(...)*1e6 + 0.5)/1e6`` and every floating-point expression is
+written in the exact association order documented below, so DuckDB
+replays the same IEEE-754 doubles and the same integers:
+
+    avgdl = (Σdl * 1.0) / N
+    idf_t = floor(ln(1 + ((N - df_t) + 0.5) / (df_t + 0.5)) * 1e6 + 0.5) / 1e6
+    num   = tf * (k1 + 1.0)
+    den   = tf + k1 * ((1.0 - b) + ((b * dl) / avgdl))
+    units = floor(((1e6 * idf_t) * num) / den + 0.5)      per matched term
+    score_units = Σ units                                 (integer sum)
+
+Ties break by ascending document id, so the top-k set is exact.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Optional, Sequence, Tuple, Union
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Word tokens: lower-cased maximal [a-z0-9] runs. Mirrors DuckDB's
+# regexp_split_to_array(lower(text), '[^a-z0-9]+') with empties dropped.
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _doc_tokens(text_col: str):
+    return F.array_remove(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), TOKEN_SPLIT), ""
+    )
+
+
+def _query_terms(text: Optional[str]) -> list:
+    """Tokenize one query string driver-side with the SAME token grammar
+    as the corpus; duplicate terms collapse (standard BM25 with unary
+    query term frequency)."""
+    toks = [t for t in re.split(TOKEN_SPLIT, (text or "").lower()) if t]
+    # dedup preserving sorted order for a deterministic term universe
+    return sorted(set(toks))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: Union[DataFrame, Sequence[Tuple[str, str]]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_terms: int = 256,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents per query.
+
+    ``queries`` is a small DataFrame ``(query_id, query_text)`` or a
+    sequence of ``(query_id, query_text)`` pairs; it is collected to the
+    driver (bounded: its distinct term universe must stay under
+    ``max_terms``) — the corpus side is never collected.
+
+    Returns ``(query_id, rank, doc_id, score_units)`` with
+    ``rank`` 1..k per query ordered by ``(score_units DESC, doc_id ASC)``
+    and ``score_units`` the integer micro-unit BM25 score defined in the
+    module docstring. Documents sharing no term with a query never enter
+    the ranking shuffle. A query whose text yields no tokens returns no
+    rows.
+    """
+    if isinstance(queries, DataFrame):
+        qrows = [
+            (r[query_id_col], r[query_text_col])
+            for r in queries.select(query_id_col, query_text_col).collect()
+        ]
+    else:
+        qrows = list(queries)
+
+    qterms = {qid: _query_terms(qtext) for qid, qtext in qrows}
+    terms = sorted({t for ts in qterms.values() for t in ts})
+    if len(terms) > max_terms:
+        raise ValueError(
+            f"query term universe has {len(terms)} distinct terms; "
+            f"bound is max_terms={max_terms} (the term list is broadcast "
+            "as literals — raise max_terms only if you mean it)"
+        )
+
+    spark = docs.sparkSession
+    out_schema = (
+        f"{query_id_col} string, rank bigint, doc_id bigint, score_units bigint"
+    )
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+
+    nterms = len(terms)
+    terms_lit = F.array(*[F.lit(t) for t in terms])
+    toks = _doc_tokens(text_col)
+    # One pass over the token array builds the whole tf vector, so the
+    # regex split cannot be re-evaluated per term by projection collapse.
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(nterms)])
+    tfs = F.aggregate(
+        toks,
+        zeros,
+        lambda acc, x: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(F.element_at(terms_lit, i + F.lit(1)) == x, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ),
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        tfs.alias("tfs"),
+    )
+
+    # ONE corpus-stats row: N, Σdl, per-term document frequency.
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sumdl"),
+        *[
+            F.sum((F.element_at("tfs", i + 1) > 0).cast("long")).alias(f"df{i}")
+            for i in range(nterms)
+        ],
+    ).collect()[0]
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+    sumdl = int(stats["sumdl"] or 0)
+    avgdl = (sumdl * 1.0) / n_docs
+    if avgdl == 0.0:
+        return spark.createDataFrame([], out_schema)
+
+    idf = []
+    for i in range(nterms):
+        df_t = int(stats[f"df{i}"])
+        raw = math.log(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))
+        idf.append(math.floor(raw * 1000000.0 + 0.5) / 1000000.0)
+
+    def term_units(i: int):
+        tf = F.element_at("tfs", i + 1).cast("double")
+        num = tf * (F.lit(k1) + F.lit(1.0))
+        den = tf + F.lit(k1) * (
+            (F.lit(1.0) - F.lit(b)) + ((F.lit(b) * F.col("dl").cast("double")) / F.lit(avgdl))
+        )
+        units = F.floor(((F.lit(1000000.0) * F.lit(idf[i])) * num) / den + F.lit(0.5))
+        return F.when(F.element_at("tfs", i + 1) > 0, units).otherwise(F.lit(0))
+
+    term_idx = {t: i for i, t in enumerate(terms)}
+    per_query = []
+    for qid, ts in qterms.items():
+        if not ts:
+            continue
+        score = None
+        for t in ts:
+            u = term_units(term_idx[t])
+            score = u if score is None else score + u
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias(query_id_col),
+                score.cast("long").alias("score_units"),
+            )
+        )
+    if not per_query:
+        return spark.createDataFrame([], out_schema)
+
+    cand = (
+        base.filter(F.exists("tfs", lambda tf: tf > 0))
+        .select("doc_id", F.explode(F.array(*per_query)).alias("s"))
+        .select("doc_id", f"s.{query_id_col}", "s.score_units")
+        .filter(F.col("score_units") > 0)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score_units"), F.asc("doc_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "doc_id", "score_units")
+    )

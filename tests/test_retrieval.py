@@ -1,0 +1,148 @@
+"""BM25 retrieval tests: brute-force reference parity, determinism
+contract (integer units, quantized idf), and edge cases."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from tape_spark.operators import bm25_topk
+
+K1, B = 1.2, 0.75
+
+
+def _tok(text):
+    return [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def _brute_bm25(docs, queries, k):
+    """Pure-Python reference implementing the module's determinism
+    contract exactly (quantized idf, per-term floor to micro-units,
+    integer sum, (units desc, doc_id asc) ties)."""
+    toks = {d: _tok(t) for d, t in docs}
+    n = len(docs)
+    sumdl = sum(len(v) for v in toks.values())
+    avgdl = (sumdl * 1.0) / n
+    out = []
+    for qid, qtext in queries:
+        terms = sorted(set(_tok(qtext)))
+        if not terms:
+            continue
+        scored = []
+        for d, tv in toks.items():
+            units = 0
+            hit = False
+            for t in terms:
+                tf = tv.count(t)
+                if tf == 0:
+                    continue
+                hit = True
+                df = sum(1 for v in toks.values() if t in v)
+                idf = math.floor(
+                    math.log(1.0 + ((n - df) + 0.5) / (df + 0.5)) * 1e6 + 0.5
+                ) / 1e6
+                num = tf * (K1 + 1.0)
+                den = tf + K1 * ((1.0 - B) + ((B * len(tv)) / avgdl))
+                units += int(math.floor(((1e6 * idf) * num) / den + 0.5))
+            if hit and units > 0:
+                scored.append((d, units))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, u) in enumerate(scored[:k], 1):
+            out.append((qid, r, d, u))
+    return out
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick red fox"),
+    (3, "lazy summer afternoon with a lazy dog and a lazy cat"),
+    (4, "pack my box with five dozen liquor jugs"),
+    (5, "dog dog dog"),
+    (6, ""),
+    (7, None),
+    (8, "Fox! FOX? fox... and the dog-house"),
+]
+QUERIES = [
+    ("q_fox", "quick fox"),
+    ("q_dog", "lazy dog"),
+    ("q_none", "zzzunseen"),
+    ("q_empty", "   ...   "),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_matches_brute_force(spark, docs_df):
+    got = sorted(
+        tuple(r)
+        for r in bm25_topk(docs_df, QUERIES, k=3, k1=K1, b=B).collect()
+    )
+    want = sorted(_brute_bm25(DOCS, QUERIES, k=3))
+    assert got == want
+    # q_none (term absent) and q_empty (no tokens) produce no rows
+    assert not any(r[0] in ("q_none", "q_empty") for r in got)
+
+
+def test_bm25_dataframe_queries_and_ranks(spark, docs_df):
+    qdf = spark.createDataFrame(QUERIES, "query_id string, query_text string")
+    res = bm25_topk(docs_df, qdf, k=10, k1=K1, b=B)
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        units = [r["score_units"] for r in rs]
+        assert units == sorted(units, reverse=True)
+    # tokenizer strips punctuation: doc 8 matches "fox" and "dog"
+    assert any(r["doc_id"] == 8 for r in by_q["q_fox"])
+    assert any(r["doc_id"] == 8 for r in by_q["q_dog"])
+
+
+def test_bm25_tie_break_by_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(10, "apple pie"), (3, "apple pie"), (7, "apple pie")],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, [("q", "apple")], k=2).orderBy("rank").collect()
+    # identical docs → identical units → doc_id ascending wins
+    assert [r["doc_id"] for r in rows] == [3, 7]
+    assert rows[0]["score_units"] == rows[1]["score_units"]
+
+
+def test_bm25_term_in_every_doc_still_positive(spark):
+    docs = spark.createDataFrame(
+        [(1, "common word alpha"), (2, "common word beta beta")],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(docs, [("q", "common")], k=5).collect()
+    # idf = ln(1 + 0.5/(df+0.5)) > 0, so df == N never zeroes the score
+    assert len(rows) == 2
+    assert all(r["score_units"] > 0 for r in rows)
+
+
+def test_bm25_empty_and_bounds(spark, docs_df):
+    empty_q = bm25_topk(docs_df, [], k=3)
+    assert empty_q.count() == 0
+    assert [f.name for f in empty_q.schema.fields] == [
+        "query_id",
+        "rank",
+        "doc_id",
+        "score_units",
+    ]
+    empty_docs = docs_df.limit(0)
+    assert bm25_topk(empty_docs, QUERIES, k=3).count() == 0
+    with pytest.raises(ValueError, match="max_terms"):
+        bm25_topk(docs_df, [("q", "a b c d e")], k=1, max_terms=3)
+
+
+def test_bm25_repeated_query_term_collapses(spark, docs_df):
+    once = bm25_topk(docs_df, [("q", "fox")], k=8).collect()
+    thrice = bm25_topk(docs_df, [("q", "fox fox FOX")], k=8).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, thrice))
