@@ -1480,7 +1480,38 @@ def q_vocab_topk(spark, sf_dir):
         F.col("doc_id"),
         F.col("score_units").alias("units"),
     )
-    return vocab_part.unionByName(bm25_part)
+    # hybrid retrieval (round 9): pseudo-relevance feedback — each BM25
+    # top-1 document's embedding becomes the dense query, its cosine
+    # top-5 fuses with the keyword ranking via integer-unit RRF
+    # (``rrf_fuse``; units = 1e6 div (60 + rank), engine-exact).
+    from tape_spark.operators import cosine_topk, rrf_fuse
+
+    top1 = {
+        r["query_id"]: r["doc_id"]
+        for r in hits.filter(F.col("rank") == 1).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin(list(top1.values()))).collect()
+    }  # bounded: at most one row per query
+    qvecs = [(qid, seeds[d]) for qid, d in sorted(top1.items()) if d in seeds]
+    lists = [hits.select("query_id", "doc_id", "rank")]
+    if qvecs:
+        qdf = spark.createDataFrame(qvecs, "query_id string, embedding array<float>")
+        lists.append(
+            cosine_topk(emb, qdf, k=5).select(
+                "query_id", F.col("corpus_id").alias("doc_id"), "rank"
+            )
+        )
+    rrf_part = rrf_fuse(lists, k=5).select(
+        F.lit("rrf").alias("part"),
+        F.col("query_id").alias("key"),
+        F.col("rank"),
+        F.col("doc_id"),
+        F.col("rrf_units").alias("units"),
+    )
+    return vocab_part.unionByName(bm25_part).unionByName(rrf_part)
 
 
 def q_day_gap_offset(spark, sf_dir):
@@ -3002,9 +3033,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM qterms q JOIN tf f ON f.term = q.term JOIN idf i ON i.term = q.term JOIN dl d ON d.doc_id = f.doc_id "
             "GROUP BY q.query_id, f.doc_id), "
             "bt AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY units DESC, doc_id ASC) AS BIGINT) AS rank, "
-            "doc_id, units FROM sc WHERE units > 0 QUALIFY rank <= 5) "
+            "doc_id, units FROM sc WHERE units > 0 QUALIFY rank <= 5), "
+            # hybrid RRF replay: dense query = embedding of the BM25 top-1
+            # doc; cosine rank ties break on id; RRF units are integer
+            # division so the fusion is engine-exact given the ranks
+            "b1 AS (SELECT query_id, doc_id FROM bt WHERE rank = 1), "
+            "qv AS (SELECT b1.query_id, e.embedding FROM b1 JOIN embeddings e ON e.vec_id = b1.doc_id), "
+            "dsc AS (SELECT qv.query_id, c.vec_id AS doc_id, "
+            "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(qv.embedding AS DOUBLE[])) AS sim "
+            "FROM embeddings c, qv), "
+            "dr AS (SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id ASC) AS BIGINT) AS rank "
+            "FROM dsc QUALIFY rank <= 5), "
+            "un AS (SELECT query_id, doc_id, 1000000 // (60 + rank) AS u FROM bt "
+            "UNION ALL SELECT query_id, doc_id, 1000000 // (60 + rank) AS u FROM dr), "
+            "fu AS (SELECT query_id, doc_id, CAST(sum(u) AS BIGINT) AS units FROM un GROUP BY query_id, doc_id), "
+            "rf AS (SELECT query_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY units DESC, doc_id ASC) AS BIGINT) AS rank, "
+            "doc_id, units FROM fu QUALIFY rank <= 5) "
             "SELECT 'vocab' AS part, word AS key, rank, CAST(-1 AS BIGINT) AS doc_id, CAST(freq AS BIGINT) AS units FROM v "
-            "UNION ALL SELECT 'bm25' AS part, query_id AS key, rank, doc_id, units FROM bt"
+            "UNION ALL SELECT 'bm25' AS part, query_id AS key, rank, doc_id, units FROM bt "
+            "UNION ALL SELECT 'rrf' AS part, query_id AS key, rank, doc_id, units FROM rf"
         ),
         "events_running_stats": (
             "SELECT user_id, count(value) AS n, round(avg(value), 6) AS mean, "

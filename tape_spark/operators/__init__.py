@@ -40,7 +40,7 @@ from .similarity import train_spherical_kmeans
 from .langmodel import BigramLM, perplexity_score, train_bigram_lm
 from .classifier import NBClassifier, nb_score, train_nb_classifier
 from .dsir import dsir_logweights, dsir_select
-from .retrieval import bm25_topk
+from .retrieval import bm25_topk, rrf_fuse
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, knn_classify, lsh_cosine_topk
 from .text import (
@@ -64,6 +64,7 @@ from .text import (
 
 __all__ = [
     "bm25_topk",
+    "rrf_fuse",
     "dsir_logweights",
     "dsir_select",
     "knn_classify",

@@ -200,3 +200,56 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "doc_id", "score_units")
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several per-query
+    rankings — the standard hybrid-retrieval combiner (e.g. BM25 + dense
+    cosine): each appearance contributes ``scale div (c + rank)`` —
+    INTEGER division, so fused scores are engine-exact — and documents
+    are re-ranked by the summed units.
+
+    Each input frame needs ``(query_col, id_col, rank_col)``; extra
+    columns are ignored. A document missing from one list simply gets no
+    contribution from it (``n_lists`` reports how many lists carried it).
+    Ties break by ascending document id.
+
+    Scale shape: inputs are already top-k-per-query (tiny relative to the
+    corpus), so the union + one hash aggregate + one window shuffle touch
+    O(Σ list sizes) rows only.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if c < 0 or scale <= 0:
+        raise ValueError("rrf_fuse needs c >= 0 and scale > 0")
+    units = F.expr(f"{int(scale)}L div ({int(c)}L + {rank_col})")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col).cast("long").alias(id_col),
+            units.alias("units"),
+        )
+        for r in rankings
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy(query_col, id_col).agg(
+        F.sum("units").alias("rrf_units"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_units"), F.asc(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_col, "rank", id_col, "rrf_units", "n_lists")
+    )

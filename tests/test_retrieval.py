@@ -146,3 +146,67 @@ def test_bm25_repeated_query_term_collapses(spark, docs_df):
     once = bm25_topk(docs_df, [("q", "fox")], k=8).collect()
     thrice = bm25_topk(docs_df, [("q", "fox fox FOX")], k=8).collect()
     assert sorted(map(tuple, once)) == sorted(map(tuple, thrice))
+
+
+# ---------------------------------------------------------------- rrf_fuse
+
+from tape_spark.operators import rrf_fuse  # noqa: E402
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(rows, "query_id string, doc_id long, rank long")
+
+
+def _brute_rrf(lists, k, c=60, scale=1_000_000):
+    agg = {}
+    for rows in lists:
+        for qid, d, r in rows:
+            u, n = agg.get((qid, d), (0, 0))
+            agg[(qid, d)] = (u + scale // (c + r), n + 1)
+    out = []
+    by_q = {}
+    for (qid, d), (u, n) in agg.items():
+        by_q.setdefault(qid, []).append((d, u, n))
+    for qid, items in by_q.items():
+        items.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (d, u, n) in enumerate(items[:k], 1):
+            out.append((qid, rank, d, u, n))
+    return sorted(out)
+
+
+def test_rrf_matches_brute_force(spark):
+    a = [("q1", 1, 1), ("q1", 2, 2), ("q1", 3, 3), ("q2", 9, 1)]
+    b = [("q1", 2, 1), ("q1", 4, 2), ("q2", 9, 1), ("q2", 7, 2)]
+    got = sorted(
+        tuple(r)
+        for r in rrf_fuse([_rank_df(spark, a), _rank_df(spark, b)], k=3).collect()
+    )
+    assert got == _brute_rrf([a, b], k=3)
+    # doc 2 appears in both lists (ranks 2 and 1) and must beat doc 1
+    g = {(r[0], r[3]): r for r in got}
+    top_q1 = [r for r in got if r[0] == "q1" and r[1] == 1][0]
+    assert top_q1[2] == 2 and top_q1[4] == 2
+
+
+def test_rrf_integer_units_and_ties(spark):
+    # identical contributions → tie broken by doc_id ascending
+    a = [("q", 5, 1), ("q", 3, 2)]
+    b = [("q", 3, 1), ("q", 5, 2)]
+    rows = (
+        rrf_fuse([_rank_df(spark, a), _rank_df(spark, b)], k=5)
+        .orderBy("rank")
+        .collect()
+    )
+    assert rows[0]["doc_id"] == 3 and rows[1]["doc_id"] == 5
+    assert rows[0]["rrf_units"] == rows[1]["rrf_units"]
+    assert rows[0]["rrf_units"] == 1_000_000 // 61 + 1_000_000 // 62
+
+
+def test_rrf_single_list_and_validation(spark):
+    a = [("q", 1, 1), ("q", 2, 2)]
+    rows = rrf_fuse([_rank_df(spark, a)], k=1).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1 and rows[0]["n_lists"] == 1
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+    with pytest.raises(ValueError):
+        rrf_fuse([_rank_df(spark, a)], c=-1)
