@@ -859,7 +859,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
-def _ann_recall(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
+def _ann_recall(spark, sf_dir, approx_fn, floor: float, extras=()) -> DataFrame:
     """Exact brute-force top-k rows joined with the approximate index's
     per-query recall contract.
 
@@ -897,12 +897,35 @@ def _ann_recall(spark, sf_dir, approx_fn, floor: float) -> DataFrame:
         "query_id",
         (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k_eff") >= floor).alias("recall_ok"),
     )
-    return brute.select(
+    out = brute.select(
         "query_id",
         "corpus_id",
         F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     ).join(recall, "query_id")
+    # extras: additional (col_name, approx_fn, floor) contracts sharing the
+    # same brute reference — each adds one boolean column per query
+    for col_name, fn, fl in extras:
+        ahits = fn(emb, queries_df, k).select("query_id", "corpus_id").join(
+            brute.select("query_id", "corpus_id"), ["query_id", "corpus_id"]
+        )
+        aq = (
+            brute.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("k_eff"))
+            .join(
+                ahits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+                "query_id",
+                "left",
+            )
+            .select(
+                "query_id",
+                (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("k_eff") >= fl).alias(
+                    col_name
+                ),
+            )
+        )
+        out = out.join(aq, "query_id")
+    return out
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -924,14 +947,31 @@ def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k, checked by its recall contract against exact
     brute force. The k-means training sample is drawn by
     ``orderBy(xxhash64(id))`` so the index — and hence the recall — is
-    fully deterministic."""
-    from tape_spark.operators import ivf_cosine_topk
+    fully deterministic.
+
+    Round 9 attaches the memory-compressed ANN path as a second contract
+    column: ``pq_cosine_topk`` (product quantization — byte codes + ADC
+    scan + exact rerank of the 8k shortlist, ``operators/quantization.py``)
+    must recover ≥ 0.7 of the exact top-10 per query (measured min at
+    sf0.001/sf0.01: 0.9/1.0 with m=8, 128 centroids, rerank 8). Both
+    indexes are fully seeded, so the booleans are deterministic; a recall
+    regression flips them on otherwise-hash-identical rows."""
+    from tape_spark.operators import ivf_cosine_topk, pq_cosine_topk
 
     return _ann_recall(
         spark,
         sf_dir,
         lambda c, q, k: ivf_cosine_topk(c, q, k=k, num_clusters=16, nprobe=8),
         floor=0.6,
+        extras=[
+            (
+                "pq_recall_ok",
+                lambda c, q, k: pq_cosine_topk(
+                    c, q, k=k, m=8, num_centroids=128, rerank_factor=8
+                ),
+                0.7,
+            )
+        ],
     )
 
 
@@ -2224,6 +2264,13 @@ FROM scored
 QUALIFY rank <= 10
 """
 
+# the IVF row additionally carries the product-quantization recall
+# contract (pq_recall_ok); the oracle asserts it holds, the Spark side
+# computes it for real
+_ANN_RECALL_PQ_SQL = _ANN_RECALL_SQL.replace(
+    "true AS recall_ok", "true AS recall_ok, true AS pq_recall_ok"
+)
+
 # Replays the payload packaging (length + sha256 checksum) and all three
 # stub media kernels' byte arithmetic: decode geometry from payload bytes,
 # the fixed resize geometry (min(16*8, 65536) = 128 bytes always), and
@@ -2988,7 +3035,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _ANN_RECALL_SQL,
-        "ann_ivf_topk": _ANN_RECALL_SQL,
+        "ann_ivf_topk": _ANN_RECALL_PQ_SQL,
         "text_signals": _TEXT_SIGNALS_SQL,
         "doc_fingerprint": _DOC_FINGERPRINT_SQL,
         "multimodal_pipeline": _MM_PIPELINE_SQL,

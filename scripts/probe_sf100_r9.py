@@ -394,6 +394,35 @@ def main():
             "logw_units_range": [sel_stats[1], sel_stats[2]],
         })
 
+    elif phase == "bm25":
+        # bm25_topk at 5M docs: one corpus-stats aggregate (N, sumdl,
+        # per-term df) + one candidate pass with map-side WindowGroupLimit
+        # before the single top-k exchange. Queries drawn from the ranked
+        # vocabulary exactly like the driver row.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import bm25_topk, vocab_topk
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        vocab = {r["rank"]: r["word"]
+                 for r in vocab_topk(docs, k=31).collect()}
+        queries = [
+            ("q1", vocab[7]),
+            ("q2", vocab[3] + " " + vocab[18]),
+            ("q3", vocab[12] + " " + vocab[24] + " " + vocab[30]),
+        ]
+        reps = []
+        nrows = None
+        for _ in range(REPS):
+            t0 = time.time()
+            res = bm25_topk(docs, queries, k=10)
+            agg = res.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("score_units").alias("u")).collect()[0]
+            nrows = (agg["n"], agg["u"])
+            reps.append(round(time.time() - t0, 1))
+        emit(phase, {"n_docs": docs.count(), "queries": 3, "k": 10,
+                     "secs": reps, "rows": nrows[0], "sum_units": nrows[1]})
+
     elif phase == "knn":
         # knn_classify at 2M corpus vectors x 64 queries: the vote adds
         # two tiny aggregations on top of cosine_topk's one BLAS pass.

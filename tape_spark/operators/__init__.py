@@ -41,6 +41,7 @@ from .langmodel import BigramLM, perplexity_score, train_bigram_lm
 from .classifier import NBClassifier, nb_score, train_nb_classifier
 from .dsir import dsir_logweights, dsir_select
 from .retrieval import bm25_topk, rrf_fuse
+from .quantization import pq_cosine_topk, pq_encode, train_pq_codebooks
 from .lightcurve_sim import lightcurve_embeddings, similar_lightcurves
 from .similarity import cosine_topk, ivf_cosine_topk, knn_classify, lsh_cosine_topk
 from .text import (
@@ -65,6 +66,9 @@ from .text import (
 __all__ = [
     "bm25_topk",
     "rrf_fuse",
+    "pq_cosine_topk",
+    "pq_encode",
+    "train_pq_codebooks",
     "dsir_logweights",
     "dsir_select",
     "knn_classify",

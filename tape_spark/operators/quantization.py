@@ -1,0 +1,281 @@
+"""Product quantization (PQ) for embedding search at 100 TB scale.
+
+No reference counterpart — this extends the ANN family in
+``similarity.py`` (brute / IVF / LSH) with the memory-compressed path:
+a 64-dim float32 embedding (256 B) compresses to ``m`` one-byte codes
+(8 B at m=8), so a corpus whose raw vectors would spill out of executor
+memory scans as a narrow binary column instead (Jégou et al. 2011,
+"Product Quantization for Nearest Neighbor Search").
+
+Scale shape:
+- **Train** driver-side on a bounded deterministic sample (same
+  xxhash64-ordered draw as the IVF coarse quantizer): one independent
+  euclidean k-means per subspace.
+- **Encode** is one narrow Arrow pass (``mapInPandas``): per batch, one
+  BLAS distance matrix per subspace, argmin → byte codes. No shuffle.
+- **Search** (asymmetric distance computation): the query builds an
+  ``m × k`` lookup table; scanning a batch is ``m`` vectorized gathers
+  and an add — no BLAS against the corpus, no decompression. Local
+  top-k per batch, global resolve over the tiny union of local winners
+  (the same O(k·|queries|) per-executor output contract as
+  ``cosine_topk``).
+- **Rerank** (optional, the standard ADC+rerank pipeline): the PQ
+  shortlist (``rerank_factor × k`` ids per query) joins back to the
+  corpus for exact JVM-side cosines — the join's left side is tiny by
+  construction, so Spark broadcasts it.
+
+Vectors are L2-normalized before subspace split (spherical convention
+shared with the rest of the ANN family), so the ADC score approximates
+the cosine. NULL embeddings are excluded from encoding (they are not
+searchable); zero vectors score 0 everywhere instead of NaN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    num_centroids: int = 256,
+    train_sample: int = 8192,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Train ``m`` independent euclidean k-means codebooks, one per
+    subspace, on a bounded deterministic corpus sample (xxhash64-ordered
+    draw — reproducible and decorrelated from storage order, planned as
+    a per-partition heap). Returns ``(m, k_eff, dim/m)`` float64; k_eff
+    is capped by the sample size so a tiny corpus still trains.
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+    if num_centroids < 1 or num_centroids > 256:
+        raise ValueError("num_centroids must be in [1, 256] (one byte per code)")
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__h"), F.col(id_col))
+        .orderBy("__h", id_col)
+        .limit(train_sample)
+        .select(vec_col)
+        .collect()
+    )
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    if sample.size == 0:
+        return np.zeros((0, 0, 0))
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide the embedding dim {dim}")
+    dsub = dim // m
+    sample = _normalize(sample)
+    rng = np.random.default_rng(seed)
+    k_eff = min(num_centroids, len(sample))
+    books = np.zeros((m, k_eff, dsub))
+    for s in range(m):
+        sub = sample[:, s * dsub : (s + 1) * dsub]
+        cents = sub[rng.choice(len(sub), k_eff, replace=False)]
+        for _ in range(kmeans_iters):
+            # argmin ||x-c||^2 == argmax (x·c - ||c||^2/2)
+            assign = (sub @ cents.T - 0.5 * (cents**2).sum(axis=1)).argmax(axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every non-NULL vector to ``m`` byte codes (one narrow Arrow
+    pass, zero shuffle). Returns ``(id_col, pq_code binary)`` —
+    ``length(pq_code) == m``.
+    """
+    books = np.asarray(codebooks, dtype=np.float64)
+    if books.ndim != 3 or books.size == 0:
+        raise ValueError("codebooks must be a non-empty (m, k, dsub) array")
+    m, _, dsub = books.shape
+    # per-subspace squared-norm halves, precomputed once for the argmin
+    half_sq = 0.5 * (books**2).sum(axis=2)  # (m, k)
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField("pq_code", T.BinaryType())]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            codes = np.empty((len(pdf), m), dtype=np.uint8)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                codes[:, s] = (sub @ books[s].T - half_sq[s]).argmax(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pq_code": [c.tobytes() for c in codes]}
+            )
+
+    src = corpus.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    return src.mapInPandas(encode, out_schema)
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: Optional[np.ndarray] = None,
+    m: int = 8,
+    num_centroids: int = 256,
+    train_sample: int = 8192,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ asymmetric distance computation.
+
+    With ``rerank_factor > 0`` the PQ scan produces a
+    ``rerank_factor × k`` shortlist per query which is re-scored with
+    EXACT cosines JVM-side (the shortlist side is tiny, so the join back
+    to the corpus broadcasts) — the standard ADC+rerank pipeline: PQ
+    bounds the scan cost, exact math fixes the final order.
+
+    Returns ``(query_id, corpus_id, score, rank)``; ``score`` is the ADC
+    approximation (or the exact cosine after reranking). Ties break on
+    corpus id. Pass caller-owned ``codebooks`` (from
+    :func:`train_pq_codebooks`) to amortize training across sessions —
+    the warehouse pattern shared with ``semantic_dedup(centroids=…)``.
+    """
+    if rerank_factor < 0:
+        raise ValueError("rerank_factor must be >= 0")
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            m=m,
+            num_centroids=num_centroids,
+            train_sample=train_sample,
+            kmeans_iters=kmeans_iters,
+            seed=seed,
+        )
+    books = np.asarray(codebooks, dtype=np.float64)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("corpus_id", corpus.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    spark = corpus.sparkSession
+    if not q_rows or books.size == 0:
+        return (
+            spark.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1).cast("long"))
+            .limit(0)
+        )
+    m_eff, _, dsub = books.shape
+    q_ids = [r[0] for r in q_rows]
+    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    # per-query ADC lookup tables: (nq, m, k) — built once on the driver
+    luts = np.stack(
+        [q_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m_eff)],
+        axis=1,
+    )
+    n_short = k * rerank_factor if rerank_factor else k
+
+    codes_df = pq_encode(corpus, books, vec_col=vec_col, id_col=id_col)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8
+            ).reshape(len(pdf), m_eff)
+            scores = np.zeros((len(q_ids), len(pdf)))
+            for s in range(m_eff):
+                scores += luts[:, s, :][:, codes[:, s]]
+            ids = pdf[id_col].to_numpy()
+            take = min(n_short, len(pdf))
+            for qi, qid in enumerate(q_ids):
+                # local top-n_short by (score desc, id asc)
+                order = np.lexsort((ids, -scores[qi]))[:take]
+                yield pd.DataFrame(
+                    {
+                        "query_id": [qid] * take,
+                        "corpus_id": ids[order],
+                        "score": scores[qi][order],
+                    }
+                )
+
+    local = codes_df.mapInPandas(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    short = (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n_short)
+    )
+    if not rerank_factor:
+        return short.filter(F.col("rank") <= k)
+
+    # exact rerank: fetch the shortlist's true vectors (broadcast the tiny
+    # shortlist into the corpus scan) and re-score with JVM-side cosine
+    qlit = F.map_from_arrays(
+        F.array(*[F.lit(q) for q in q_ids]),
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in q_mat[i]])
+                for i in range(len(q_ids))
+            ]
+        ),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("__v")
+    )
+    joined = (
+        F.broadcast(short.select("query_id", "corpus_id"))
+        .join(vecs, "corpus_id")
+        .withColumn("__q", qlit[F.col("query_id")])
+    )
+    dot = F.aggregate(
+        F.zip_with("__v", "__q", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("__v", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    exact = joined.select(
+        "query_id",
+        "corpus_id",
+        (dot / F.greatest(norm, F.lit(1e-300))).alias("score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
