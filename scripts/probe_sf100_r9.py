@@ -423,6 +423,49 @@ def main():
         emit(phase, {"n_docs": docs.count(), "queries": 3, "k": 10,
                      "secs": reps, "rows": nrows[0], "sum_units": nrows[1]})
 
+    elif phase == "pq":
+        # Product quantization at 2M x 64-dim vectors: codebook train
+        # (bounded sample), full-corpus encode (256B float32 -> 8B codes,
+        # one Arrow pass), ADC scan for 64 queries with and without the
+        # exact rerank, plus recall vs the brute reference.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import (
+            cosine_topk,
+            pq_cosine_topk,
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(64)
+        q = emb.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = time.time()
+        books = train_pq_codebooks(emb, m=8, num_centroids=256)
+        train_sec = round(time.time() - t0, 1)
+        t0 = time.time()
+        n_codes = pq_encode(emb, books).count()
+        encode_sec = round(time.time() - t0, 1)
+        brute = {(r["query_id"], r["corpus_id"])
+                 for r in cosine_topk(emb, q, k=10).collect()}
+        out = {}
+        for name, rf in (("adc_only", 0), ("adc_rerank8", 8)):
+            reps = []
+            hits = None
+            for _ in range(REPS):
+                t0 = time.time()
+                rows = pq_cosine_topk(
+                    emb, q, k=10, codebooks=books, rerank_factor=rf
+                ).collect()
+                reps.append(round(time.time() - t0, 1))
+                hits = {(r["query_id"], r["corpus_id"]) for r in rows}
+            out[name] = {"secs": reps,
+                         "recall": round(len(hits & brute) / len(brute), 3)}
+        emit(phase, {"n_vectors": n_codes, "n_queries": 64,
+                     "train_sec": train_sec, "encode_sec": encode_sec,
+                     "bytes_per_vec": {"raw_f32": 256, "pq": 8}, **out})
+
     elif phase == "knn":
         # knn_classify at 2M corpus vectors x 64 queries: the vote adds
         # two tiny aggregations on top of cosine_topk's one BLAS pass.
