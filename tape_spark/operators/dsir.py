@@ -202,24 +202,48 @@ def dsir_select(
     # so the draw is finite (md5_unit can emit exactly 0.0)
     u = F.greatest(md5_unit(F.col(id_col), salt), F.lit(2.0 ** -52))
     g_units = F.floor(-F.log(-F.log(u)) * F.lit(_UNIT) + F.lit(0.5)).cast("long")
-    scored = scored.withColumn(
-        "__score", (F.col("logw_units") + g_units).cast("long")
+    # Selection needs several actions (count, percentile probe, candidate
+    # check, rank) — each would otherwise replay BOTH gram-count passes
+    # and the occurrence shuffle through dsir_logweights' lineage (~4x
+    # pure-JVM work at sf100). Persist only the NARROW per-doc score
+    # frame (~16 B/row) for the probes, then materialize the k-row
+    # selection and release the cache before returning (the SF² combine
+    # cache-lifecycle precedent: eager small result frees the big cache).
+    from pyspark.storagelevel import StorageLevel
+
+    scores = (
+        scored.select(
+            F.col(id_col),
+            F.col("logw_units"),
+            (F.col("logw_units") + g_units).cast("long").alias("__score"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n = scored.count()
-    if n > k:
-        # estimate the k-th largest score, prefilter with margin
-        frac = min(1.0, margin * k / n)
-        thr_row = scored.agg(
-            F.percentile_approx("__score", F.lit(1.0 - frac), F.lit(10000)).alias("t")
-        ).collect()[0]
-        cand = scored.filter(F.col("__score") >= F.lit(int(thr_row["t"])))
-        if cand.count() < k:  # probe undershot: deterministic fallback
-            cand = scored
-    else:
-        cand = scored
-    w = Window.orderBy(F.col("__score").desc(), F.col(id_col))
-    return (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .drop("__score")
-    )
+    try:
+        n = scores.count()
+        if n > k:
+            # estimate the k-th largest score, prefilter with margin
+            frac = min(1.0, margin * k / n)
+            thr_row = scores.agg(
+                F.percentile_approx(
+                    "__score", F.lit(1.0 - frac), F.lit(10000)
+                ).alias("t")
+            ).collect()[0]
+            cand = scores.filter(F.col("__score") >= F.lit(int(thr_row["t"])))
+            if cand.count() < k:  # probe undershot: deterministic fallback
+                cand = scores
+        else:
+            cand = scores
+        w = Window.orderBy(F.col("__score").desc(), F.col(id_col))
+        sel = (
+            cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "logw_units", "rank")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        sel.count()
+    finally:
+        scores.unpersist(blocking=False)
+    # reattach the full raw rows: the selection side is k rows, so AQE
+    # converts this to a broadcast join at runtime; column order matches
+    # the pre-r9 contract ([id, raw..., logw_units, rank])
+    return raw.join(sel, id_col)
