@@ -130,11 +130,19 @@ def bm25_topk(
             .cast("long"),
         ),
     )
+    # The stats aggregate and the candidate scan would each re-tokenize
+    # the full corpus through this projection's lineage; persist the
+    # NARROW (doc_id, dl, tfs) frame (~16 + 8·T B/row — at 100 TB of
+    # text this is the difference between scanning the text column once
+    # or twice) and release it after the top-k materializes (the same
+    # cache lifecycle as dsir_select / SF² combine mode).
+    from pyspark.storagelevel import StorageLevel
+
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(toks).cast("long").alias("dl"),
         tfs.alias("tfs"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # ONE corpus-stats row: N, Σdl, per-term document frequency.
     stats = base.agg(
@@ -146,12 +154,11 @@ def bm25_topk(
         ],
     ).collect()[0]
     n_docs = int(stats["n"])
-    if n_docs == 0:
-        return spark.createDataFrame([], out_schema)
     sumdl = int(stats["sumdl"] or 0)
-    avgdl = (sumdl * 1.0) / n_docs
-    if avgdl == 0.0:
+    if n_docs == 0 or sumdl == 0:
+        base.unpersist(blocking=False)
         return spark.createDataFrame([], out_schema)
+    avgdl = (sumdl * 1.0) / n_docs
 
     idf = []
     for i in range(nterms):
@@ -184,6 +191,7 @@ def bm25_topk(
             )
         )
     if not per_query:
+        base.unpersist(blocking=False)
         return spark.createDataFrame([], out_schema)
 
     cand = (
@@ -195,11 +203,17 @@ def bm25_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score_units"), F.asc("doc_id")
     )
-    return (
+    out = (
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "doc_id", "score_units")
     )
+    # the top-k is ≤ k × |queries| rows: materialize it eagerly so the
+    # corpus-sized tf cache can be released before returning
+    out = out.persist()
+    out.count()
+    base.unpersist(blocking=False)
+    return out
 
 
 def rrf_fuse(
