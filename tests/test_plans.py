@@ -350,3 +350,53 @@ def test_interval_overlap_join_single_join_exchanges(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bm25_scoring_plan_no_python_single_topk_exchange(spark):
+    """BM25's candidate/scoring stage is pure codegen (no Python
+    evaluators) and its only exchange is the per-query top-k window —
+    with a map-side WindowGroupLimit pushed below it."""
+    from tape_spark.operators import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * (1 + i % 3)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    res = bm25_topk(docs, [("q", "alpha gamma")], k=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_rrf_fuse_no_python_no_nested_loop(spark):
+    """RRF is a union + one hash aggregate + one window: no Python, no
+    joins at all."""
+    from tape_spark.operators import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query_id string, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [("q", 2, 1), ("q", 3, 2)], "query_id string, doc_id long, rank long"
+    )
+    plan = rrf_fuse([a, b], k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_pq_encode_no_shuffle(spark):
+    """PQ encoding is one narrow Arrow pass: zero exchanges on top of
+    the input scan."""
+    import numpy as np
+
+    from tape_spark.operators import pq_encode, train_pq_codebooks
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    books = train_pq_codebooks(emb, m=4, num_centroids=8, train_sample=64)
+    plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
