@@ -955,8 +955,48 @@ def q_ann_ivf_topk(spark, sf_dir):
     must recover ≥ 0.7 of the exact top-10 per query (measured min at
     sf0.001/sf0.01: 0.9/1.0 with m=8, 128 centroids, rerank 8). Both
     indexes are fully seeded, so the booleans are deterministic; a recall
-    regression flips them on otherwise-hash-identical rows."""
-    from tape_spark.operators import ivf_cosine_topk, pq_cosine_topk
+    regression flips them on otherwise-hash-identical rows.
+
+    ``cb_ok`` (round 9) gates ``cluster_balanced_sample``: the
+    equal-quota md5-smallest draw over the embedding clusters is replayed
+    INDEPENDENTLY in-Spark (a per-cluster row_number window over the
+    ``cluster_assign`` output, quotas recomputed from scratch) and must
+    equal the operator's selected set exactly."""
+    from pyspark.sql import Window
+
+    from tape_spark.operators import (
+        cluster_assign,
+        cluster_balanced_sample,
+        ivf_cosine_topk,
+        pq_cosine_topk,
+        train_spherical_kmeans,
+    )
+    from tape_spark.utils.hashing import md5_unit
+
+    emb = _emb(spark, sf_dir)
+    books = train_spherical_kmeans(emb, num_clusters=8)
+    sel = cluster_balanced_sample(emb, k=32, centroids=books).select("vec_id")
+    assigned = cluster_assign(emb, books).filter(F.col("cluster") >= 0)
+    present = sorted(
+        r[0] for r in assigned.select("cluster").distinct().collect()
+    )
+    bq, rem = divmod(32, len(present))
+    quotas = {c: bq + (1 if i < rem else 0) for i, c in enumerate(present)}
+    qmap = F.create_map(*[F.lit(x) for kv in quotas.items() for x in kv])
+    w_cb = Window.partitionBy("cluster").orderBy(
+        md5_unit(F.col("vec_id"), ""), F.col("vec_id")
+    )
+    replay = (
+        assigned.withColumn("__r", F.row_number().over(w_cb))
+        .filter(F.col("__r") <= qmap[F.col("cluster")])
+        .select("vec_id")
+    )
+    n_sel = sel.count()
+    cb_ok = bool(
+        n_sel > 0
+        and n_sel == replay.count()
+        and n_sel == sel.join(replay, "vec_id").count()
+    )
 
     return _ann_recall(
         spark,
@@ -972,7 +1012,7 @@ def q_ann_ivf_topk(spark, sf_dir):
                 0.7,
             )
         ],
-    )
+    ).withColumn("cb_ok", F.lit(cb_ok))
 
 
 def q_text_signals(spark, sf_dir):
@@ -2268,7 +2308,7 @@ QUALIFY rank <= 10
 # contract (pq_recall_ok); the oracle asserts it holds, the Spark side
 # computes it for real
 _ANN_RECALL_PQ_SQL = _ANN_RECALL_SQL.replace(
-    "true AS recall_ok", "true AS recall_ok, true AS pq_recall_ok"
+    "true AS recall_ok", "true AS recall_ok, true AS pq_recall_ok, true AS cb_ok"
 )
 
 # Replays the payload packaging (length + sha256 checksum) and all three

@@ -401,3 +401,116 @@ def knn_classify(
         .join(totals, "query_id")
         .select("query_id", "pred_label", "votes", "k_eff")
     )
+
+
+def cluster_assign(
+    df: DataFrame,
+    centroids: "np.ndarray | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    num_clusters: int = 16,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """Attach the nearest-centroid cluster id to every row — the exposed
+    primitive behind IVF probing and ``semantic_dedup``'s coarse
+    quantizer (one narrow Arrow pass against the broadcast centroid
+    matrix, zero shuffle).
+
+    Pass caller-owned ``centroids`` (from :func:`train_spherical_kmeans`)
+    to amortize training across sessions; otherwise a quantizer is
+    trained on the bounded deterministic sample. Rows with NULL vectors
+    get cluster ``-1`` (they have no geometry to assign); ties take the
+    lowest cluster id (numpy argmax convention), so the assignment is
+    deterministic for fixed centroids.
+    """
+    if centroids is None:
+        centroids = train_spherical_kmeans(
+            df, vec_col, id_col, num_clusters, train_sample, kmeans_iters, seed
+        )
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cents.size == 0:
+        return df.withColumn(cluster_col, F.lit(-1).cast("int"))
+    cent_T = cents.T.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        mask = vs.notna()
+        out = np.full(len(vs), -1, dtype=np.int32)
+        if mask.any():
+            mat = np.array(vs[mask].tolist(), dtype=np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            out[mask.to_numpy()] = (mat @ cent_T).argmax(axis=1).astype(np.int32)
+        return pd.Series(out)
+
+    return df.withColumn(cluster_col, nearest(F.col(vec_col)))
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    k: int,
+    centroids: "np.ndarray | None" = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_clusters: int = 16,
+    train_sample: int = 4096,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+    salt: str = "",
+) -> DataFrame:
+    """Equal-representation sample across embedding clusters — the
+    diversity-curation pattern: assign every row to its nearest centroid
+    (:func:`cluster_assign`), split ``k`` into per-cluster quotas
+    (``k // n`` each, remainder to the lowest non-empty cluster ids),
+    then draw each quota content-addressed (the md5-smallest ids per
+    cluster, via ``stratified_sample_exact``) so the kept set is a pure
+    function of the ids present — partitioning- and engine-independent.
+
+    NULL-vector rows (cluster ``-1``) are never sampled. A cluster
+    holding fewer rows than its quota contributes everything it has
+    (total may come up short rather than borrowing from denser clusters
+    — balance is the point). Returns the sampled rows with ``cluster``
+    attached.
+
+    Scale shape: one narrow Arrow assignment pass, two O(#clusters)
+    driver aggregates, one narrow threshold filter, and a window over
+    only ~margin·k candidate rows (``stratified_sample_exact``'s
+    skew-safe plan).
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    from .curation import stratified_sample_exact
+
+    assigned = cluster_assign(
+        df,
+        centroids=centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+        num_clusters=num_clusters,
+        train_sample=train_sample,
+        kmeans_iters=kmeans_iters,
+        seed=seed,
+    )
+    present = sorted(
+        r[0]
+        for r in assigned.filter(F.col("cluster") >= 0)
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    if not present:
+        return assigned.limit(0)
+    base, rem = divmod(k, len(present))
+    counts = {c: base + (1 if i < rem else 0) for i, c in enumerate(present)}
+    counts = {c: q for c, q in counts.items() if q > 0}
+    return stratified_sample_exact(
+        assigned.filter(F.col("cluster") >= 0),
+        strata_col="cluster",
+        counts=counts,
+        id_col=id_col,
+        salt=salt,
+    )
