@@ -466,6 +466,36 @@ def main():
                      "train_sec": train_sec, "encode_sec": encode_sec,
                      "bytes_per_vec": {"raw_f32": 256, "pq": 8}, **out})
 
+    elif phase == "cbs":
+        # cluster_balanced_sample at 2M vectors: one Arrow assignment
+        # pass + the exact-k sampler's two tiny aggregates + narrow
+        # filter + small window. k=100k over 64 clusters.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import cluster_balanced_sample, train_spherical_kmeans
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(64)
+        t0 = time.time()
+        books = train_spherical_kmeans(emb, num_clusters=64)
+        train_sec = round(time.time() - t0, 1)
+        reps = []
+        stats = None
+        for _ in range(REPS):
+            t0 = time.time()
+            sel = cluster_balanced_sample(emb, k=100000, centroids=books)
+            agg = sel.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).agg(
+                F.count(F.lit(1)).alias("clusters"),
+                F.sum("n").alias("total"),
+                F.min("n").alias("min_q"),
+                F.max("n").alias("max_q"),
+            ).collect()[0]
+            stats = (agg["clusters"], agg["total"], agg["min_q"], agg["max_q"])
+            reps.append(round(time.time() - t0, 1))
+        emit(phase, {"n_vectors": emb.count(), "k": 100000,
+                     "train_sec": train_sec, "secs": reps,
+                     "clusters": stats[0], "total": stats[1],
+                     "quota_range": [stats[2], stats[3]]})
+
     elif phase == "knn":
         # knn_classify at 2M corpus vectors x 64 queries: the vote adds
         # two tiny aggregations on top of cosine_topk's one BLAS pass.
