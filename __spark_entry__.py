@@ -1374,16 +1374,53 @@ def q_align_bands(spark, sf_dir):
     payload plus the matched timestamp and dt: lineitem can hold several
     band-R rows at the same (id, t) whose PAYLOAD choice under ties is
     engine-specific, but the matched timestamp itself is tie-invariant,
-    so the compare stays exact without weakening the join."""
+    so the compare stays exact without weakening the join.
+
+    Round 9 unions in the grid-resampling part (``part='rs'``):
+    ``resample_timeseries`` puts the band-R curves of every 97th object
+    onto a 30-day uniform grid with linear interpolation (simultaneous
+    observations collapse to MIN — the order-free convention), and the
+    oracle replays the whole chain — span, integer grid, BOTH as-of
+    directions (DuckDB native ASOF again), and the interpolation
+    expression in the same IEEE association order. The interpolated
+    value quantizes via floor(x*1e6+0.5)/1e6 on BOTH sides — interpolating
+    2-decimal prices lands exactly on .xxxxxx5 boundaries where Spark's
+    HALF_UP round and DuckDB's banker's-rounding round() disagree (found
+    by a real 1-ULP mismatch at sf0.01). Columns are
+    generic (v1..v3) because the two parts carry different payloads:
+    align = (price, matched-t, dt); rs = (interpolated value, t-prev,
+    t-next)."""
+    from tape_spark.operators import resample_timeseries
+
     ens = _ensemble(spark, sf_dir)
     out = ens.align_bands("A", "R", direction="backward", tolerance=2592000.0)
-    return out.select(
+    align = out.select(
+        F.lit("align").alias("part"),
         "l_orderkey",
         F.round("t", 6).alias("t"),
-        "l_extendedprice",
-        F.round("t_b", 6).alias("t_b"),
-        F.round("dt", 6).alias("dt"),
+        F.col("l_extendedprice").cast("double").alias("v1"),
+        F.round("t_b", 6).alias("v2"),
+        F.round("dt", 6).alias("v3"),
     )
+    rs = resample_timeseries(
+        ens.source.filter(
+            (F.col("l_orderkey") % 97 == F.lit(1)) & (F.col("l_returnflag") == "R")
+        ),
+        on="t",
+        value_col="l_extendedprice",
+        step=2592000.0,
+        by="l_orderkey",
+    )
+    rs_part = rs.select(
+        F.lit("rs").alias("part"),
+        "l_orderkey",
+        F.round("t", 6).alias("t"),
+        (F.floor(F.col("l_extendedprice") * F.lit(1000000.0) + F.lit(0.5))
+         / F.lit(1000000.0)).alias("v1"),
+        F.round("t_prev", 6).alias("v2"),
+        F.round("t_next", 6).alias("v3"),
+    )
+    return align.unionByName(rs_part)
 
 
 def q_periodogram_fold(spark, sf_dir):
@@ -3013,10 +3050,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_returnflag = 'A'), "
             "b AS (SELECT l_orderkey, epoch(l_shipdate) AS t FROM lineitem WHERE l_returnflag = 'R'), "
             "j AS (SELECT a.l_orderkey, a.t, a.l_extendedprice, b.t AS tb "
-            "FROM a ASOF LEFT JOIN b ON a.l_orderkey = b.l_orderkey AND a.t >= b.t) "
-            "SELECT l_orderkey, round(t, 6) AS t, l_extendedprice, "
-            "round(CASE WHEN t - tb <= 2592000.0 THEN tb END, 6) AS t_b, "
-            "round(CASE WHEN t - tb <= 2592000.0 THEN tb - t END, 6) AS dt FROM j"
+            "FROM a ASOF LEFT JOIN b ON a.l_orderkey = b.l_orderkey AND a.t >= b.t), "
+            # resample replay: MIN-deduped band-R curves of every 97th
+            # object, 30-day integer grid, native ASOF both directions,
+            # interpolation mirrored in the operator's association order
+            "robs AS (SELECT l_orderkey AS id, epoch(l_shipdate) AS t, min(l_extendedprice) AS v "
+            "FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey % 97 = 1 GROUP BY id, epoch(l_shipdate)), "
+            "rspan AS (SELECT id, min(t) AS tmin, max(t) AS tmax FROM robs GROUP BY id), "
+            "rgrid AS (SELECT id, i * 2592000.0 AS tg FROM rspan, "
+            "UNNEST(range(CAST(ceil(tmin / 2592000.0) AS BIGINT), CAST(floor(tmax / 2592000.0) AS BIGINT) + 1)) AS g(i)), "
+            "rprev AS (SELECT g.id, g.tg, o.t AS tp, o.v AS vp FROM rgrid g ASOF LEFT JOIN robs o "
+            "ON g.id = o.id AND g.tg >= o.t), "
+            "rnext AS (SELECT g.id, g.tg, o.t AS tn, o.v AS vn FROM rgrid g ASOF LEFT JOIN robs o "
+            "ON g.id = o.id AND g.tg <= o.t), "
+            "rsj AS (SELECT p.id, p.tg, p.tp, p.vp, n.tn, n.vn FROM rprev p JOIN rnext n "
+            "ON p.id = n.id AND p.tg = n.tg) "
+            "SELECT 'align' AS part, l_orderkey, round(t, 6) AS t, "
+            "CAST(l_extendedprice AS DOUBLE) AS v1, "
+            "round(CASE WHEN t - tb <= 2592000.0 THEN tb END, 6) AS v2, "
+            "round(CASE WHEN t - tb <= 2592000.0 THEN tb - t END, 6) AS v3 FROM j "
+            "UNION ALL "
+            "SELECT 'rs' AS part, id AS l_orderkey, round(tg, 6) AS t, "
+            "floor((CASE WHEN tp IS NULL OR tn IS NULL THEN NULL "
+            "WHEN tn = tp THEN vp "
+            "ELSE vp + (vn - vp) * ((tg - tp) / (tn - tp)) END) * 1000000.0 + 0.5) / 1000000.0 AS v1, "
+            "round(tp, 6) AS v2, round(tn, 6) AS v3 FROM rsj"
         ),
         # the planted period is re-derived independently; `recovered` = TRUE
         # is the planted-period contract the Spark Lomb-Scargle must meet,

@@ -1306,6 +1306,42 @@ class Ensemble:
         )
         return out.withColumn("dt", F.col(t_col + suffix) - F.col(t_col))
 
+    def resample_lightcurves(
+        self,
+        step: float,
+        band: Optional[str] = None,
+        method: str = "linear",
+        max_gap: Optional[float] = None,
+    ) -> DataFrame:
+        """Resample every light curve onto the uniform time grid of
+        integer multiples of ``step`` (one band slice if ``band`` is
+        given, else per (object, band)) — the standard preparation for
+        sequence models over unevenly sampled curves. Thin wrapper over
+        :func:`tape_spark.operators.joins.resample_timeseries`; see it
+        for interpolation methods, the simultaneous-observation MIN
+        convention, and the two-as-of-join scale shape.
+
+        Beyond-reference: the reference has no resampling surface; its
+        kernels consume the irregular epochs directly.
+        """
+        from .operators.joins import resample_timeseries
+
+        src = self.source
+        by = [self._id_col]
+        if band is not None:
+            src = src.filter(F.col(self._band_col) == band)
+        else:
+            by.append(self._band_col)
+        return resample_timeseries(
+            src,
+            on=self._time_col,
+            value_col=self._flux_col,
+            step=step,
+            by=by,
+            method=method,
+            max_gap=max_gap,
+        )
+
     # ------------------------------------------------------------------ #
     # sorts / physical layout                                            #
     # ------------------------------------------------------------------ #

@@ -30,7 +30,7 @@ from typing import List, Optional, Sequence, Tuple, Union
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "interval_overlap_join"]
+__all__ = ["asof_join", "interval_join", "interval_overlap_join", "resample_timeseries"]
 
 
 def _as_list(keys: Union[None, str, Sequence[str]]) -> List[str]:
@@ -429,3 +429,100 @@ def interval_overlap_join(
     if how == "inner":
         return inner
     return _attach_unmatched_left(left, inner, row_col)
+
+
+def resample_timeseries(
+    df: DataFrame,
+    on: str,
+    value_col: str,
+    step: float,
+    by: Union[None, str, Sequence[str]] = None,
+    method: str = "linear",
+    max_gap: Optional[float] = None,
+) -> DataFrame:
+    """Resample an irregular time series onto the uniform grid of integer
+    multiples of ``step`` covering each series' observed span — the
+    standard preparation for sequence models over unevenly sampled data
+    (light curves, sensor streams): two as-of joins attach the nearest
+    observation at-or-before and at-or-after every grid point, and the
+    value is interpolated between them.
+
+    ``method``: ``linear`` (default) interpolates
+    ``v_prev + (v_next - v_prev) * ((t - t_prev) / (t_next - t_prev))``;
+    ``previous`` holds the last observation; ``nearest`` takes whichever
+    side is closer (ties to the earlier one). Grid points with either
+    side missing (before the first / after the last observation under
+    ``linear``) — or spanning a gap wider than ``max_gap`` — yield NULL.
+
+    Simultaneous observations (several rows at one (series, t)) collapse
+    to their MIN value first: an order-free convention that replays
+    engine-exactly (a mean would depend on float summation order).
+
+    Returns ``(by..., on, value_col, on + '_prev', on + '_next')`` —
+    ``on`` holding the grid time. Scale shape: one ≤|series|-row span
+    aggregate + grid explode, then two as-of joins, each ONE hash
+    exchange on ``by`` (see :func:`asof_join`); interpolation is a
+    codegen projection. Pass ``by`` for any large input — a global grid
+    without it serializes the as-of scan.
+    """
+    if step <= 0:
+        raise ValueError("step must be > 0")
+    if method not in ("linear", "previous", "nearest"):
+        raise ValueError(f"method must be linear|previous|nearest, got {method!r}")
+    if max_gap is not None and max_gap <= 0:
+        raise ValueError("max_gap must be > 0")
+    by = _as_list(by)
+    keys = by + [on]
+    obs = (
+        df.filter(F.col(on).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(*keys)
+        .agg(F.min(value_col).alias(value_col))
+    )
+    span = obs.groupBy(*by if by else [F.lit(1).alias("__g")]).agg(
+        F.min(on).alias("__tmin"), F.max(on).alias("__tmax")
+    )
+    lo = F.ceil(F.col("__tmin") / F.lit(step))
+    hi = F.floor(F.col("__tmax") / F.lit(step))
+    grid = (
+        span.filter(lo <= hi)  # sequence(a, b) with a > b counts DOWN — guard
+        .select(
+            *(by or []),
+            F.explode(F.sequence(lo, hi)).alias("__i"),
+        )
+        .select(*(by or []), (F.col("__i") * F.lit(step)).alias(on))
+    )
+    prev_side = obs.select(
+        *by, F.col(on), F.col(value_col).alias("__vp")
+    )
+    next_side = obs.select(
+        *by, F.col(on), F.col(value_col).alias("__vn")
+    )
+    g = asof_join(grid, prev_side, on=on, by=by or None,
+                  direction="backward", suffix="_prev")
+    g = asof_join(g, next_side, on=on, by=by or None,
+                  direction="forward", suffix="_next")
+    tp, tn = F.col(on + "_prev"), F.col(on + "_next")
+    vp, vn = F.col("__vp"), F.col("__vn")
+    both = tp.isNotNull() & tn.isNotNull()
+    if method == "linear":
+        val = F.when(
+            both & (tn == tp), vp
+        ).when(
+            both, vp + (vn - vp) * ((F.col(on) - tp) / (tn - tp))
+        )
+    elif method == "previous":
+        val = F.when(tp.isNotNull(), vp)
+    else:  # nearest
+        val = F.when(
+            both,
+            F.when(F.col(on) - tp <= tn - F.col(on), vp).otherwise(vn),
+        ).when(tp.isNotNull(), vp).when(tn.isNotNull(), vn)
+    if max_gap is not None and method != "previous":
+        val = F.when(both & ((tn - tp) > F.lit(max_gap)), F.lit(None)).otherwise(val)
+    return g.select(
+        *(by or []),
+        F.col(on),
+        val.alias(value_col),
+        tp.alias(on + "_prev"),
+        tn.alias(on + "_next"),
+    )
