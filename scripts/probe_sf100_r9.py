@@ -466,6 +466,38 @@ def main():
                      "train_sec": train_sec, "encode_sec": encode_sec,
                      "bytes_per_vec": {"raw_f32": 256, "pq": 8}, **out})
 
+    elif phase == "resample":
+        # resample_timeseries over the bucketed 600M-row lineitem: every
+        # 1000th object's band-R curve onto a 30-day grid (the slice keeps
+        # the grid ~10M rows; the full-corpus variant is a grid-size
+        # decision, not an operator limit). Scan + filter + MIN dedup +
+        # span agg + two as-of joins + codegen interpolation.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import resample_timeseries
+
+        li = spark.table("lineitem_sf100_b").filter(
+            (F.col("l_orderkey") % 1000 == 1) & (F.col("l_returnflag") == "R")
+        )
+        reps = []
+        stats = None
+        for _ in range(REPS):
+            t0 = time.time()
+            rs = resample_timeseries(
+                li, on="t", value_col="l_extendedprice",
+                step=2592000.0, by="l_orderkey",
+            )
+            agg = rs.agg(
+                F.count(F.lit(1)).alias("grid"),
+                F.sum(F.col("l_extendedprice").isNotNull().cast("long")).alias("interp"),
+                F.countDistinct("l_orderkey").alias("objs"),
+            ).collect()[0]
+            stats = (agg["grid"], agg["interp"], agg["objs"])
+            reps.append(round(time.time() - t0, 1))
+        emit(phase, {"secs": reps, "grid_rows": stats[0],
+                     "interpolated": stats[1], "objects": stats[2],
+                     "step_days": 30})
+
     elif phase == "cbs":
         # cluster_balanced_sample at 2M vectors: one Arrow assignment
         # pass + the exact-k sampler's two tiny aggregates + narrow
