@@ -423,6 +423,30 @@ def main():
         emit(phase, {"n_docs": docs.count(), "queries": 3, "k": 10,
                      "secs": reps, "rows": nrows[0], "sum_units": nrows[1]})
 
+    elif phase == "bm25_hot":
+        # adversarial: the rank-1 corpus token as the query — EVERY doc
+        # is a candidate, so the top-k window's input is the full corpus.
+        # The map-side WindowGroupLimit must bound the exchange to
+        # k rows per partition, keeping the hot query within a small
+        # factor of the selective ones.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import bm25_topk, vocab_topk
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        vocab = {r["rank"]: r["word"] for r in vocab_topk(docs, k=2).collect()}
+        reps = []
+        stats = None
+        for _ in range(REPS):
+            t0 = time.time()
+            res = bm25_topk(docs, [("hot", vocab[1])], k=10)
+            agg = res.agg(F.count(F.lit(1)).alias("n"),
+                          F.sum("score_units").alias("u")).collect()[0]
+            stats = (agg["n"], agg["u"])
+            reps.append(round(time.time() - t0, 1))
+        emit(phase, {"hot_term": vocab[1], "secs": reps,
+                     "rows": stats[0], "sum_units": stats[1]})
+
     elif phase == "pq":
         # Product quantization at 2M x 64-dim vectors: codebook train
         # (bounded sample), full-corpus encode (256B float32 -> 8B codes,
