@@ -187,6 +187,13 @@ def dsir_select(
     (count comes up short) the selection deterministically falls back to
     ranking all rows, so the result never depends on ``margin`` or the
     probe's approximation.
+
+    NOTE: this function is EAGER — the scoring pass runs at call time
+    (the probe actions need it), the k-row (id, logw_units, rank)
+    selection is materialized and stays persisted, and the returned
+    frame is a lazy join of ``raw`` against it. The alternative — a
+    fully lazy plan — re-runs both gram-count passes and the occurrence
+    shuffle once per downstream action (measured 3.3× at sf100).
     """
     if k <= 0:
         raise ValueError("k must be > 0")

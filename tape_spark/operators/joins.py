@@ -452,7 +452,11 @@ def resample_timeseries(
     ``previous`` holds the last observation; ``nearest`` takes whichever
     side is closer (ties to the earlier one). Grid points with either
     side missing (before the first / after the last observation under
-    ``linear``) — or spanning a gap wider than ``max_gap`` — yield NULL.
+    ``linear``) yield NULL. ``max_gap`` bounds how far interpolation may
+    reach: under ``linear`` the bracketing span ``t_next - t_prev``,
+    under ``previous`` the hold distance ``t - t_prev``, under
+    ``nearest`` the distance to the chosen observation — beyond it the
+    value is NULL.
 
     Simultaneous observations (several rows at one (series, t)) collapse
     to their MIN value first: an order-free convention that replays
@@ -510,15 +514,24 @@ def resample_timeseries(
         ).when(
             both, vp + (vn - vp) * ((F.col(on) - tp) / (tn - tp))
         )
+        if max_gap is not None:
+            val = F.when((tn - tp) > F.lit(max_gap), F.lit(None)).otherwise(val)
     elif method == "previous":
         val = F.when(tp.isNotNull(), vp)
+        if max_gap is not None:
+            val = F.when(
+                (F.col(on) - tp) > F.lit(max_gap), F.lit(None)
+            ).otherwise(val)
     else:  # nearest
+        take_prev = F.col(on) - tp <= tn - F.col(on)
         val = F.when(
-            both,
-            F.when(F.col(on) - tp <= tn - F.col(on), vp).otherwise(vn),
+            both, F.when(take_prev, vp).otherwise(vn)
         ).when(tp.isNotNull(), vp).when(tn.isNotNull(), vn)
-    if max_gap is not None and method != "previous":
-        val = F.when(both & ((tn - tp) > F.lit(max_gap)), F.lit(None)).otherwise(val)
+        if max_gap is not None:
+            dist = F.when(both, F.when(take_prev, F.col(on) - tp).otherwise(tn - F.col(on))) \
+                .when(tp.isNotNull(), F.col(on) - tp) \
+                .when(tn.isNotNull(), tn - F.col(on))
+            val = F.when(dist > F.lit(max_gap), F.lit(None)).otherwise(val)
     return g.select(
         *(by or []),
         F.col(on),

@@ -88,6 +88,12 @@ def bm25_topk(
     module docstring. Documents sharing no term with a query never enter
     the ranking shuffle. A query whose text yields no tokens returns no
     rows.
+
+    NOTE: this function is EAGER — the corpus stats and the top-k run at
+    call time and the (≤ k × |queries|)-row result is materialized and
+    stays persisted, so the narrow per-document tf cache can be released
+    before returning (a lazy plan would re-tokenize the corpus once for
+    the stats and again per downstream action; measured 2.3× at sf100).
     """
     if isinstance(queries, DataFrame):
         qrows = [

@@ -116,6 +116,32 @@ def test_previous_and_nearest_methods(spark, ts_df):
     assert near[("a", 6.0)] == 4.0  # |6-4| < |9.5-6|
 
 
+def test_max_gap_previous_and_nearest(spark, ts_df):
+    # previous: hold distance t - t_prev bounded
+    prev = {
+        (r["sid"], r["t"]): r["v"]
+        for r in resample_timeseries(
+            ts_df, on="t", value_col="v", step=2.0, by="sid",
+            method="previous", max_gap=3.0,
+        ).collect()
+    }
+    # series c: obs at 2 and 20; grid 2..20 — holds only within 3.0
+    assert prev[("c", 2.0)] == 1.0 and prev[("c", 4.0)] == 1.0
+    assert prev[("c", 6.0)] is None and prev[("c", 18.0)] is None
+    assert prev[("c", 20.0)] == 10.0
+    # nearest: distance to the CHOSEN side bounded
+    near = {
+        (r["sid"], r["t"]): r["v"]
+        for r in resample_timeseries(
+            ts_df, on="t", value_col="v", step=2.0, by="sid",
+            method="nearest", max_gap=3.0,
+        ).collect()
+    }
+    assert near[("c", 4.0)] == 1.0       # 2.0 away from t=2
+    assert near[("c", 10.0)] is None     # 8 from both sides
+    assert near[("c", 18.0)] == 10.0     # 2.0 away from t=20
+
+
 def test_validation_and_nulls(spark, ts_df):
     with pytest.raises(ValueError):
         resample_timeseries(ts_df, on="t", value_col="v", step=0.0, by="sid")
