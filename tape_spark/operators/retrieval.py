@@ -239,9 +239,12 @@ def rrf_fuse(
     are re-ranked by the summed units.
 
     Each input frame needs ``(query_col, id_col, rank_col)``; extra
-    columns are ignored. A document missing from one list simply gets no
-    contribution from it (``n_lists`` reports how many lists carried it).
-    Ties break by ascending document id.
+    columns are ignored, and rows with a NULL or non-positive rank are
+    dropped (a rank of ``-c`` would otherwise divide by zero into a
+    silent NULL that still inflated ``n_lists``). A document missing
+    from one list simply gets no contribution from it (``n_lists``
+    reports how many lists carried it). Ties break by ascending
+    document id.
 
     Scale shape: inputs are already top-k-per-query (tiny relative to the
     corpus), so the union + one hash aggregate + one window shuffle touch
@@ -253,7 +256,7 @@ def rrf_fuse(
         raise ValueError("rrf_fuse needs c >= 0 and scale > 0")
     units = F.expr(f"{int(scale)}L div ({int(c)}L + {rank_col})")
     parts = [
-        r.select(
+        r.filter(F.col(rank_col) >= 1).select(
             F.col(query_col),
             F.col(id_col).cast("long").alias(id_col),
             units.alias("units"),

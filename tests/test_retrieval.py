@@ -210,3 +210,15 @@ def test_rrf_single_list_and_validation(spark):
         rrf_fuse([])
     with pytest.raises(ValueError):
         rrf_fuse([_rank_df(spark, a)], c=-1)
+
+
+def test_rrf_drops_invalid_ranks(spark):
+    # NULL / zero / negative ranks (incl. rank == -c, the div-by-zero
+    # case) are dropped, never silent-NULL contributions or n_lists hits
+    bad = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, None), ("q", 3, 0), ("q", 4, -60)],
+        "query_id string, doc_id long, rank long",
+    )
+    rows = rrf_fuse([bad], k=10).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["n_lists"] == 1 and rows[0]["rrf_units"] == 1_000_000 // 61
