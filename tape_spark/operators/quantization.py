@@ -111,6 +111,12 @@ def pq_encode(
     books = np.asarray(codebooks, dtype=np.float64)
     if books.ndim != 3 or books.size == 0:
         raise ValueError("codebooks must be a non-empty (m, k, dsub) array")
+    if books.shape[1] > 256:
+        raise ValueError(
+            f"codebooks have {books.shape[1]} centroids per subspace; the "
+            "one-byte code format holds at most 256 (caller-provided "
+            "codebooks would otherwise overflow uint8 silently)"
+        )
     m, _, dsub = books.shape
     # per-subspace squared-norm halves, precomputed once for the argmin
     half_sq = 0.5 * (books**2).sum(axis=2)  # (m, k)

@@ -128,6 +128,14 @@ def test_pq_rerank_matches_brute_exactly(spark, corpus):
     assert all(top1[q] == q for q, _ in q_rows)
 
 
+def test_pq_encode_rejects_oversized_codebooks(spark, corpus):
+    # caller-owned codebooks with >256 centroids would overflow the
+    # one-byte codes silently — must raise instead
+    books = np.zeros((M, 300, DIM // M))
+    with pytest.raises(ValueError, match="256"):
+        pq_encode(corpus, books)
+
+
 def test_pq_empty_edges(spark, corpus):
     books = train_pq_codebooks(corpus, m=M, num_centroids=8)
     empty_q = spark.createDataFrame([], "query_id long, embedding array<float>")
