@@ -483,6 +483,8 @@ def cluster_balanced_sample(
     """
     if k <= 0:
         raise ValueError("k must be > 0")
+    from pyspark.storagelevel import StorageLevel
+
     from .curation import stratified_sample_exact
 
     assigned = cluster_assign(
@@ -495,22 +497,34 @@ def cluster_balanced_sample(
         kmeans_iters=kmeans_iters,
         seed=seed,
     )
-    present = sorted(
-        r[0]
-        for r in assigned.filter(F.col("cluster") >= 0)
-        .select("cluster")
-        .distinct()
-        .collect()
+    # The quota machinery fires several actions (distinct clusters,
+    # per-stratum counts, candidate counts, final draw) — each would
+    # re-run the full BLAS assignment pass through the lineage. Persist
+    # the NARROW (id, cluster) frame for them, materialize the k-row
+    # selection, release the cache, and rejoin the caller's rows (the
+    # dsir_select / bm25_topk cache lifecycle).
+    narrow = (
+        assigned.select(F.col(id_col), F.col("cluster"))
+        .filter(F.col("cluster") >= 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if not present:
-        return assigned.limit(0)
-    base, rem = divmod(k, len(present))
-    counts = {c: base + (1 if i < rem else 0) for i, c in enumerate(present)}
-    counts = {c: q for c, q in counts.items() if q > 0}
-    return stratified_sample_exact(
-        assigned.filter(F.col("cluster") >= 0),
-        strata_col="cluster",
-        counts=counts,
-        id_col=id_col,
-        salt=salt,
-    )
+    try:
+        present = sorted(
+            r[0] for r in narrow.select("cluster").distinct().collect()
+        )
+        if not present:
+            return assigned.limit(0)
+        base, rem = divmod(k, len(present))
+        counts = {c: base + (1 if i < rem else 0) for i, c in enumerate(present)}
+        counts = {c: q for c, q in counts.items() if q > 0}
+        sel = stratified_sample_exact(
+            narrow,
+            strata_col="cluster",
+            counts=counts,
+            id_col=id_col,
+            salt=salt,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sel.count()
+    finally:
+        narrow.unpersist(blocking=False)
+    return df.join(sel, id_col)
