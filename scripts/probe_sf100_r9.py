@@ -423,6 +423,47 @@ def main():
         emit(phase, {"n_docs": docs.count(), "queries": 3, "k": 10,
                      "secs": reps, "rows": nrows[0], "sum_units": nrows[1]})
 
+    elif phase == "hybrid":
+        # the full driver-row retrieval chain at sf100: vocab ranks ->
+        # 3 BM25 queries over 5M docs -> top-1 seeds pull their
+        # embeddings -> dense cosine top-5 over 2M vectors -> integer
+        # RRF fusion. End-to-end wall time for the whole hybrid stack.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import bm25_topk, cosine_topk, rrf_fuse, vocab_topk
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(64)
+        reps = []
+        stats = None
+        for _ in range(REPS):
+            t0 = time.time()
+            vocab = {r["rank"]: r["word"] for r in vocab_topk(docs, k=31).collect()}
+            queries = [
+                ("q1", vocab[7]),
+                ("q2", vocab[3] + " " + vocab[18]),
+                ("q3", vocab[12] + " " + vocab[24] + " " + vocab[30]),
+            ]
+            hits = bm25_topk(docs, queries, k=5)
+            top1 = {r["query_id"]: r["doc_id"]
+                    for r in hits.filter(F.col("rank") == 1).collect()}
+            seeds = {r["vec_id"]: r["embedding"]
+                     for r in emb.filter(F.col("vec_id").isin(list(top1.values()))).collect()}
+            qvecs = [(q, seeds[d]) for q, d in sorted(top1.items()) if d in seeds]
+            lists = [hits.select("query_id", "doc_id", "rank")]
+            if qvecs:
+                qdf = spark.createDataFrame(qvecs, "query_id string, embedding array<float>")
+                lists.append(cosine_topk(emb, qdf, k=5).select(
+                    "query_id", F.col("corpus_id").alias("doc_id"), "rank"))
+            fused = rrf_fuse(lists, k=5)
+            agg = fused.agg(F.count(F.lit(1)).alias("n"),
+                            F.sum("rrf_units").alias("u")).collect()[0]
+            stats = (agg["n"], agg["u"], len(qvecs))
+            reps.append(round(time.time() - t0, 1))
+        emit(phase, {"n_docs": 5000000, "n_vectors": 2000000,
+                     "secs": reps, "fused_rows": stats[0],
+                     "sum_units": stats[1], "dense_queries": stats[2]})
+
     elif phase == "bm25_hot":
         # adversarial: the rank-1 corpus token as the query — EVERY doc
         # is a candidate, so the top-k window's input is the full corpus.
