@@ -968,6 +968,7 @@ def q_ann_ivf_topk(spark, sf_dir):
         cluster_assign,
         cluster_balanced_sample,
         ivf_cosine_topk,
+        ivfpq_cosine_topk,
         pq_cosine_topk,
         train_spherical_kmeans,
     )
@@ -1010,7 +1011,19 @@ def q_ann_ivf_topk(spark, sf_dir):
                     c, q, k=k, m=8, num_centroids=128, rerank_factor=8
                 ),
                 0.7,
-            )
+            ),
+            # the IVF+PQ composition (FAISS IVFADC shape): coarse probe
+            # prunes the scan, byte codes score it, exact rerank fixes
+            # the order; measured min per-query recall 0.8/0.7 at
+            # sf0.001/sf0.01 with these parameters — floor 0.5
+            (
+                "ivfpq_recall_ok",
+                lambda c, q, k: ivfpq_cosine_topk(
+                    c, q, k=k, num_clusters=16, nprobe=8,
+                    m=8, num_centroids=128, rerank_factor=8,
+                ),
+                0.5,
+            ),
         ],
     ).withColumn("cb_ok", F.lit(cb_ok))
 
@@ -2345,7 +2358,7 @@ QUALIFY rank <= 10
 # contract (pq_recall_ok); the oracle asserts it holds, the Spark side
 # computes it for real
 _ANN_RECALL_PQ_SQL = _ANN_RECALL_SQL.replace(
-    "true AS recall_ok", "true AS recall_ok, true AS pq_recall_ok, true AS cb_ok"
+    "true AS recall_ok", "true AS recall_ok, true AS pq_recall_ok, true AS ivfpq_recall_ok, true AS cb_ok"
 )
 
 # Replays the payload packaging (length + sha256 checksum) and all three

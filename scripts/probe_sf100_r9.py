@@ -593,6 +593,43 @@ def main():
                      "clusters": stats[0], "total": stats[1],
                      "quota_range": [stats[2], stats[3]]})
 
+    elif phase == "ivfpq":
+        # the composed IVF+PQ index at 2M vectors: scan cost should be
+        # ~nprobe/num_clusters of the full-PQ scan.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import (
+            cosine_topk,
+            ivfpq_cosine_topk,
+            train_pq_codebooks,
+            train_spherical_kmeans,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(64)
+        q = emb.filter(F.col("vec_id") < 64).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = time.time()
+        coarse = train_spherical_kmeans(emb, num_clusters=64)
+        books = train_pq_codebooks(emb, m=8, num_centroids=256)
+        train_sec = round(time.time() - t0, 1)
+        brute = {(r["query_id"], r["corpus_id"])
+                 for r in cosine_topk(emb, q, k=10).collect()}
+        reps = []
+        rec = None
+        for _ in range(REPS):
+            t0 = time.time()
+            rows = ivfpq_cosine_topk(
+                emb, q, k=10, coarse_centroids=coarse, codebooks=books,
+                nprobe=8, rerank_factor=8,
+            ).collect()
+            reps.append(round(time.time() - t0, 1))
+            hits = {(r["query_id"], r["corpus_id"]) for r in rows}
+            rec = round(len(hits & brute) / len(brute), 3)
+        emit(phase, {"n_vectors": 2000000, "n_queries": 64,
+                     "num_clusters": 64, "nprobe": 8,
+                     "train_sec": train_sec, "secs": reps, "recall": rec})
+
     elif phase == "knn":
         # knn_classify at 2M corpus vectors x 64 queries: the vote adds
         # two tiny aggregations on top of cosine_topk's one BLAS pass.

@@ -285,3 +285,218 @@ def pq_cosine_topk(
         exact.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_clusters: int = 64,
+    nprobe: int = 8,
+    coarse_centroids: Optional[np.ndarray] = None,
+    codebooks: Optional[np.ndarray] = None,
+    m: int = 8,
+    num_centroids: int = 256,
+    train_sample: int = 8192,
+    kmeans_iters: int = 10,
+    seed: int = 11,
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """IVF + PQ — the textbook composition (FAISS's IVFADC): a coarse
+    spherical k-means quantizer routes each query to its ``nprobe``
+    nearest clusters, and only THOSE clusters' one-byte PQ codes are
+    ADC-scored. Relative to :func:`pq_cosine_topk` the scan touches
+    ``~nprobe / num_clusters`` of the corpus; relative to
+    ``ivf_cosine_topk`` the probed partitions hold 8-byte codes instead
+    of raw vectors.
+
+    One narrow Arrow pass encodes (cluster, code) per corpus vector; the
+    query→cluster probe list is a driver-side matmul over the collected
+    (small) query matrix; candidate selection is ONE equi-join on the
+    cluster id; scoring is the same lookup-table gather as
+    ``pq_cosine_topk``; ``rerank_factor > 0`` re-scores the shortlist
+    with exact JVM-side cosines. Pass caller-owned ``coarse_centroids``
+    / ``codebooks`` to amortize training (the warehouse pattern).
+
+    Returns ``(query_id, corpus_id, score, rank)``; ties break on
+    corpus id. Like the other seeded indexes, results are fully
+    deterministic for a fixed corpus.
+    """
+    from .similarity import train_spherical_kmeans
+
+    if rerank_factor < 0:
+        raise ValueError("rerank_factor must be >= 0")
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    if coarse_centroids is None:
+        coarse_centroids = train_spherical_kmeans(
+            corpus, vec_col, id_col, num_clusters, train_sample, kmeans_iters, seed
+        )
+    coarse = np.asarray(coarse_centroids, dtype=np.float64)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus,
+            vec_col=vec_col,
+            id_col=id_col,
+            m=m,
+            num_centroids=num_centroids,
+            train_sample=train_sample,
+            kmeans_iters=kmeans_iters,
+            seed=seed,
+        )
+    books = np.asarray(codebooks, dtype=np.float64)
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("corpus_id", corpus.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    spark = corpus.sparkSession
+    if not q_rows or books.size == 0 or coarse.size == 0:
+        return (
+            spark.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1).cast("long"))
+            .limit(0)
+        )
+    m_eff, k_codes, dsub = books.shape
+    if k_codes > 256:
+        raise ValueError("codebooks have more than 256 centroids per subspace")
+    q_ids = [r[0] for r in q_rows]
+    q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
+    luts = np.stack(
+        [q_mat[:, s * dsub : (s + 1) * dsub] @ books[s].T for s in range(m_eff)],
+        axis=1,
+    )
+    # driver-side probe lists: nprobe nearest coarse cells per query
+    sims = q_mat @ coarse.T
+    n_probe_eff = min(nprobe, coarse.shape[0])
+    probe = np.argsort(-sims, axis=1)[:, :n_probe_eff]
+    n_short = k * rerank_factor if rerank_factor else k
+    qi_by_id = {qid: i for i, qid in enumerate(q_ids)}
+
+    # one narrow pass: (id, cluster, code)
+    half_sq = 0.5 * (books**2).sum(axis=2)
+    coarse_T = coarse.T.copy()
+    id_type = corpus.schema[id_col].dataType
+    enc_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("pq_code", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            cl = (mat @ coarse_T).argmax(axis=1).astype(np.int32)
+            codes = np.empty((len(pdf), m_eff), dtype=np.uint8)
+            for s in range(m_eff):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                codes[:, s] = (sub @ books[s].T - half_sq[s]).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": cl,
+                    "pq_code": [c.tobytes() for c in codes],
+                }
+            )
+
+    enc = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .mapInPandas(encode, enc_schema)
+    )
+    # (query, probed cluster) pairs — tiny; the equi-join prunes the scan
+    pairs = spark.createDataFrame(
+        [(q_ids[qi], int(c)) for qi in range(len(q_ids)) for c in probe[qi]],
+        T.StructType(
+            [
+                T.StructField("query_id", queries.schema[query_id_col].dataType),
+                T.StructField("cluster", T.IntegerType()),
+            ]
+        ),
+    )
+    cand = enc.join(F.broadcast(pairs), "cluster").select(
+        "query_id", F.col(id_col).alias("corpus_id"), "pq_code"
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8
+            ).reshape(len(pdf), m_eff)
+            qidx = pdf["query_id"].map(qi_by_id).to_numpy()
+            scores = np.zeros(len(pdf))
+            for s in range(m_eff):
+                scores += luts[qidx, s, codes[:, s]]
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "corpus_id": pdf["corpus_id"],
+                    "score": scores,
+                }
+            )
+            # local top-n_short per query inside the batch
+            out = out.sort_values(
+                ["query_id", "score", "corpus_id"],
+                ascending=[True, False, True],
+            ).groupby("query_id", sort=False).head(n_short)
+            yield out
+
+    local = cand.mapInPandas(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    short = (
+        local.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n_short)
+    )
+    if not rerank_factor:
+        return short.filter(F.col("rank") <= k)
+    qlit = F.map_from_arrays(
+        F.array(*[F.lit(q) for q in q_ids]),
+        F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in q_mat[i]])
+                for i in range(len(q_ids))
+            ]
+        ),
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("__v")
+    )
+    joined = (
+        F.broadcast(short.select("query_id", "corpus_id"))
+        .join(vecs, "corpus_id")
+        .withColumn("__q", qlit[F.col("query_id")])
+    )
+    dot = F.aggregate(
+        F.zip_with("__v", "__q", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("__v", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    exact = joined.select(
+        "query_id",
+        "corpus_id",
+        (dot / F.greatest(norm, F.lit(1e-300))).alias("score"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

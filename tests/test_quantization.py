@@ -5,9 +5,11 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from tape_spark.operators import (
     cosine_topk,
+    ivfpq_cosine_topk,
     pq_cosine_topk,
     pq_encode,
     train_pq_codebooks,
@@ -148,3 +150,65 @@ def test_pq_empty_edges(spark, corpus):
     # zero query vector: scores are finite (0), no NaN poisoning
     rows = pq_cosine_topk(corpus, q, k=3, codebooks=books).collect()
     assert len(rows) == 3 and all(np.isfinite(r["score"]) for r in rows)
+
+
+def test_ivfpq_rerank_matches_brute_with_full_probe(spark, corpus):
+    # nprobe == num_clusters makes the coarse stage lossless, so the
+    # ADC+rerank composition must reproduce the brute order exactly
+    rows = _clustered()
+    q_rows = [(r[0], r[1]) for r in rows[:3]]
+    queries = spark.createDataFrame(
+        [(int(q), v) for q, v in q_rows], "query_id long, embedding array<float>"
+    )
+    res = ivfpq_cosine_topk(
+        corpus, queries, k=5, num_clusters=8, nprobe=8,
+        m=M, num_centroids=32, rerank_factor=8,
+    )
+    got = {}
+    for r in res.orderBy("query_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append(r["corpus_id"])
+    brute = _brute_topk(rows, q_rows, k=5)
+    for qid, want in brute.items():
+        assert got[qid] == want, f"query {qid}: {got[qid]} vs {want}"
+
+
+def test_ivfpq_narrow_probe_stays_in_cluster(spark, corpus):
+    # nprobe=1 on well-separated clusters: every hit lies in the query's
+    # own cluster block, and results are deterministic across calls
+    rows = _clustered()
+    q_rows = [(r[0], r[1]) for r in rows[:4]]
+    queries = spark.createDataFrame(
+        [(int(q), v) for q, v in q_rows], "query_id long, embedding array<float>"
+    )
+    r1 = ivfpq_cosine_topk(
+        corpus, queries, k=10, num_clusters=8, nprobe=1, m=M, num_centroids=32
+    ).collect()
+    got = {}
+    for r in r1:
+        got.setdefault(r["query_id"], set()).add(r["corpus_id"])
+    for qid, _ in q_rows:
+        assert len(got[qid]) == 10
+        assert all(cid // 40 == qid // 40 for cid in got[qid])
+    r2 = ivfpq_cosine_topk(
+        corpus, queries, k=10, num_clusters=8, nprobe=1, m=M, num_centroids=32
+    ).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+
+def test_ivfpq_caller_owned_indexes_and_edges(spark, corpus):
+    from tape_spark.operators import train_spherical_kmeans
+
+    coarse = train_spherical_kmeans(corpus, num_clusters=8, train_sample=200)
+    books = train_pq_codebooks(corpus, m=M, num_centroids=16)
+    q = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = ivfpq_cosine_topk(
+        corpus, q, k=3, coarse_centroids=coarse, codebooks=books,
+        nprobe=2, rerank_factor=4,
+    ).collect()
+    assert len(rows) == 3 and rows[0]["corpus_id"] == 0  # self top-1 after rerank
+    empty_q = spark.createDataFrame([], "query_id long, embedding array<float>")
+    assert ivfpq_cosine_topk(corpus, empty_q, k=3).count() == 0
+    with pytest.raises(ValueError):
+        ivfpq_cosine_topk(corpus, q, k=3, nprobe=0)
