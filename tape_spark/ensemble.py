@@ -161,6 +161,12 @@ class Ensemble:
         # persist_synced cache lifecycle (two generations, see _sync_tables)
         self._auto_persisted: List[DataFrame] = []
         self._retired_persists: List[DataFrame] = []
+        # frames THIS instance pinned via explicit persist(); unpersist()
+        # releases only these (plus the auto generations above), never
+        # self.frames directly — a _copy() shares frame objects with its
+        # original, and evicting shared frames from the copy would pull
+        # caches out from under the original
+        self._explicit_persists: List[DataFrame] = []
 
         # Lightcurve cohesion: true when every object's rows are known to be
         # co-located in one source partition (established at ingest by
@@ -884,17 +890,21 @@ class Ensemble:
         """Pin frames in executor memory (parity: ``ensemble.py:512-522``)."""
         labels = [SOURCE_FRAME_LABEL, OBJECT_FRAME_LABEL] if table == "all" else [table]
         for label in labels:
-            self.frames[label] = self._table_df(label).persist()
+            pinned = self._table_df(label).persist()
+            self.frames[label] = pinned
+            self._explicit_persists.append(pinned)
         return self
 
     def unpersist(self, blocking: bool = False) -> "Ensemble":
-        """Release every cache this ensemble pinned: explicit
-        :meth:`persist` pins on the current frames plus both
-        ``persist_synced`` generations. Safe to call repeatedly."""
-        for df in self.frames.values():
+        """Release every cache THIS instance pinned: explicit
+        :meth:`persist` pins plus both ``persist_synced`` generations.
+        Ownership-scoped on purpose — a :meth:`_copy` shares DataFrame
+        objects with its original, so unpersisting ``self.frames``
+        wholesale from a copy would evict caches the original still
+        reads through. Safe to call repeatedly."""
+        for df in self._explicit_persists + self._retired_persists + self._auto_persisted:
             df.unpersist(blocking=blocking)
-        for df in self._retired_persists + self._auto_persisted:
-            df.unpersist(blocking=blocking)
+        self._explicit_persists = []
         self._retired_persists = []
         self._auto_persisted = []
         return self
@@ -917,6 +927,7 @@ class Ensemble:
         # to evict pins the original still reads through
         new._auto_persisted = []
         new._retired_persists = []
+        new._explicit_persists = []
         new._source_dirty = self._source_dirty
         new._object_dirty = self._object_dirty
         new._source_temp = list(self._source_temp)

@@ -24,6 +24,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _guarded_toks_sql(text_col: str) -> str:
+    """The ONE whitespace tokenizer the span family shares: NULL /
+    empty / whitespace-only text tokenizes to an EMPTY array. An
+    unguarded ``split(trim(lower(text)), '\\s+')`` yields ``['']`` — one
+    phantom token — so at ``span_tokens=1`` the detection half and the
+    rebuild half of exact-substring dedup would disagree about whether a
+    whitespace-only document has a position 0 at all. Both halves of
+    :func:`repeated_spans` / :func:`remove_repeated_spans` (and the
+    per-document census in :func:`repeated_span_stats`) go through this
+    helper so positions always align."""
+    inner = f"trim(lower(coalesce({text_col}, '')))"
+    return (
+        f"CASE WHEN length({inner}) = 0 "
+        f"THEN cast(array() as array<string>) "
+        f"ELSE split({inner}, '\\\\s+') END"
+    )
+
+
 def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
@@ -890,7 +908,7 @@ def repeated_spans(
     if span_tokens < 1 or stride < 1:
         raise ValueError("span_tokens and stride must be >= 1")
     toks = df.select(
-        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
+        F.col(id_col), F.expr(_guarded_toks_sql(text_col)).alias("__toks")
     )
     # window start positions 0, stride, 2·stride … while a full span fits
     pos_expr = F.expr(
@@ -939,7 +957,7 @@ def repeated_span_stats(
     ratio 0.0.
     """
     toks = df.select(
-        F.col(id_col), F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
+        F.col(id_col), F.expr(_guarded_toks_sql(text_col)).alias("__toks")
     )
     n_spans = F.when(
         F.size("__toks") >= span_tokens,
@@ -1010,12 +1028,9 @@ def remove_repeated_spans(
             F.count(F.lit(1)).alias("__n_rm"),
         )
     )
-    toks_sql = (
-        f"CASE WHEN length(trim(lower(coalesce({text_col}, '')))) = 0 "
-        f"THEN cast(array() as array<string>) "
-        f"ELSE split(trim(lower(coalesce({text_col}, ''))), '\\\\s+') END"
+    staged = df.select(
+        F.col(id_col), F.expr(_guarded_toks_sql(text_col)).alias("__toks")
     )
-    staged = df.select(F.col(id_col), F.expr(toks_sql).alias("__toks"))
     joined = staged.join(removals, id_col, "left").select(
         F.col(id_col),
         "__toks",

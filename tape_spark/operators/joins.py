@@ -297,11 +297,26 @@ def interval_join(
 
 def _with_row_id(left: DataFrame) -> Tuple[DataFrame, str]:
     """Attach a synthetic monotonic row id for the left-outer complement
-    protocol, picking a name that cannot clash with user columns."""
+    protocol, picking a name that cannot clash with user columns.
+
+    The id-bearing frame is lazily local-checkpointed before it fans out
+    into the match branch and the complement branch. Without this, the
+    two branches each re-evaluate the left lineage independently and
+    ``monotonically_increasing_id`` — documented nondeterministic — can
+    assign DIFFERENT ids to the same row (unstable upstream shuffle
+    order, ``sample()``, AQE re-plans, task retries), silently dropping
+    or duplicating left rows in the complement anti-join. The lazy
+    checkpoint pins both branches to ONE underlying RDD (plan-level
+    reuse by RDD identity: within a job Spark computes a shared RDD's
+    partitions once), so the ids the anti-join compares are, by
+    construction, the ids the match branch emitted. ``eager=False``
+    keeps the operator lazy — nothing materializes until the caller
+    runs an action."""
     row_col = "__lrow"
     while row_col in left.columns:
         row_col += "_"
-    return left.withColumn(row_col, F.monotonically_increasing_id()), row_col
+    with_id = left.withColumn(row_col, F.monotonically_increasing_id())
+    return with_id.localCheckpoint(eager=False), row_col
 
 
 def _attach_unmatched_left(
@@ -318,10 +333,10 @@ def _attach_unmatched_left(
     with ``eqNullSafe`` — for a wide left table the complement join
     would otherwise carry full rows as shuffle keys, and all-column
     equality also can't distinguish genuinely identical left rows. The
-    branch contract: both the match branch and the complement branch
-    recompute the id from the SAME lineage and partition layout, so the
-    values agree — ``monotonically_increasing_id`` is deterministic per
-    (partition id, row position)."""
+    branch contract: ``_with_row_id`` local-checkpoints the id-bearing
+    frame, so both branches read one shared RDD and the ids agree by
+    construction (never re-derived from a possibly-nondeterministic
+    lineage)."""
     unmatched = left_with_id.join(inner.select(row_col), row_col, "left_anti")
     for c in inner.columns:
         if c not in left_with_id.columns:

@@ -95,6 +95,20 @@ def bm25_topk(
     before returning (a lazy plan would re-tokenize the corpus once for
     the stats and again per downstream action; measured 2.3× at sf100).
     """
+    # Validate the doc-id dtype up front: the pipeline keys ranks and
+    # tie-breaks on a LONG doc_id, and a silent cast('long') would turn a
+    # non-numeric string id into NULL — corrupting ranks without any
+    # error. Refuse anything that isn't an integral column.
+    from pyspark.sql import types as T
+
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"bm25_topk requires an integral id column; {id_col!r} is "
+            f"{id_type.simpleString()}. Map your ids to long first (e.g. "
+            "a dense id via zipWithIndex at ingest, or xxhash64 of the "
+            "string id if collision-tolerant)."
+        )
     if isinstance(queries, DataFrame):
         qrows = [
             (r[query_id_col], r[query_text_col])

@@ -354,9 +354,14 @@ def knn_classify(
 
     Ties are deterministic end-to-end: neighbor ranking breaks on corpus
     id (inherited from ``cosine_topk``), the vote breaks on the smaller
-    label. Returns one row per query: ``(query_id, pred_label, votes,
-    k_eff)`` where ``k_eff`` is the number of neighbors that actually
-    voted (< k only when the corpus runs out of rows).
+    label. NULL corpus labels never vote — they are filtered before the
+    aggregation (a NULL "class" is an absence of ground truth, and
+    engines disagree on NULL ordering, so letting it into the tie-break
+    would be both meaningless and non-portable). Returns one row per
+    query: ``(query_id, pred_label, votes, k_eff)`` where ``k_eff`` is
+    the number of neighbors that actually voted (< k when the corpus
+    runs out of rows or some neighbors are unlabeled; a query whose
+    every neighbor is unlabeled emits no row).
 
     Scale: no new exchange beyond ``cosine_topk``'s — the vote shuffles
     at most ``k * |queries|`` rows, and the label join hashes on the
@@ -380,12 +385,17 @@ def knn_classify(
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+    # NULL corpus labels carry no class information and are excluded from
+    # the vote BEFORE aggregation — without this, the vote tie-break
+    # (ORDER BY __lbl ASC) sorts NULL first in Spark but LAST in ANSI
+    # engines like DuckDB, so a nullable label column would win ties
+    # differently cross-engine and could emit a NULL prediction.
     labeled = tk.join(
         corpus.select(
             F.col(id_col).alias("corpus_id"), F.col(label_col).alias("__lbl")
         ),
         "corpus_id",
-    )
+    ).filter(F.col("__lbl").isNotNull())
     votes = labeled.groupBy("query_id", "__lbl").agg(
         F.count(F.lit(1)).alias("votes")
     )

@@ -126,3 +126,30 @@ def test_empty_queries(corpus):
 def test_validation(corpus):
     with pytest.raises(ValueError):
         knn_classify(corpus, _queries(corpus, [0]), k=0)
+
+
+def test_null_labels_never_vote(spark):
+    """NULL corpus labels are excluded from the vote (ADVICE r9): Spark
+    sorts NULL first on ASC while ANSI engines sort it last, so a NULL
+    label in the tie-break would diverge cross-engine — and a NULL
+    'prediction' is meaningless anyway."""
+    rows = [
+        (0, [1.0, 0.0], None),
+        (1, [0.9, 0.1], None),
+        (2, [1.0, 0.1], 7),
+        (3, [0.95, 0.0], 7),
+    ]
+    schema = "vec_id long, embedding array<double>, label long"
+    corpus = spark.createDataFrame(rows, schema)
+    q = spark.createDataFrame(
+        pd.DataFrame({"query_id": [99], "embedding": [[1.0, 0.05]]})
+    )
+    r = knn_classify(corpus, q, k=4).collect()
+    assert len(r) == 1
+    # the two NULL neighbors don't vote: label 7 wins 2-0, k_eff counts voters
+    assert r[0]["pred_label"] == 7 and r[0]["votes"] == 2 and r[0]["k_eff"] == 2
+    # all-NULL corpus => no prediction row at all, never a NULL prediction
+    all_null = spark.createDataFrame(
+        [(i, e, None) for i, e, _ in rows], schema
+    )
+    assert knn_classify(all_null, q, k=4).count() == 0

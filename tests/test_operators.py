@@ -1396,3 +1396,60 @@ def test_nb_classifier_pickle_roundtrip():
     m2 = pickle.loads(pickle.dumps(m))
     assert m2.logodds(["good", "zzz"]) == m.logodds(["good", "zzz"])
     assert m2.vocab_size == m.vocab_size
+
+
+class TestSpanTokenizerAlignment:
+    def test_whitespace_only_doc_span_tokens_1(self, spark):
+        """Detection and rebuild halves share ONE guarded tokenizer
+        (ADVICE r9): a whitespace-only document tokenizes to an EMPTY
+        array in BOTH, so at span_tokens=1 it emits no spans and its
+        removal counters stay zero instead of skewing on a phantom ''
+        token position."""
+        from tape_spark.operators import remove_repeated_spans, repeated_spans
+
+        docs = spark.createDataFrame(
+            [(0, "   "), (1, None), (2, "dup dup"), (3, "dup")],
+            "doc_id long, text string",
+        )
+        spans = repeated_spans(
+            docs, span_tokens=1, stride=1, min_docs=2
+        ).toPandas()
+        # only the real 'dup' token repeats; no span from the blank docs
+        assert set(spans["doc_id"]) == {2, 3}
+        out = {
+            r["doc_id"]: r
+            for r in remove_repeated_spans(
+                docs, span_tokens=1, stride=1, min_docs=2
+            ).collect()
+        }
+        for d in (0, 1):
+            r = out[d]
+            assert r["n_tokens"] == 0 and r["n_removed_tokens"] == 0
+            assert r["n_spans_removed"] == 0 and list(r["pieces"]) == []
+        # keeper is the globally smallest (id, pos): doc 2 pos 0 survives
+        assert out[2]["n_removed_tokens"] == 1 and out[3]["n_removed_tokens"] == 1
+
+    def test_detection_and_rebuild_agree_on_edge_whitespace(self, spark):
+        """trim() strips SPACES only (identically in Spark and DuckDB —
+        the cross-engine convention all ws-token operators share), so a
+        tab-edged blank still yields phantom '' tokens; what the shared
+        tokenizer guarantees is that detection positions and rebuild
+        positions come from the SAME array either way."""
+        from tape_spark.operators import remove_repeated_spans
+
+        docs = spark.createDataFrame(
+            [(0, "  \t "), (1, " \t  "), (2, "x")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in remove_repeated_spans(
+                docs, span_tokens=1, stride=1, min_docs=2
+            ).collect()
+        }
+        # both blanks tokenize to ['', ''] in BOTH halves: the repeated
+        # '' span is detected AND removed at aligned positions (keeper =
+        # doc 0 pos 0; three other occurrences removed), never skewed
+        assert out[0]["n_tokens"] == 2 and out[0]["n_removed_tokens"] == 1
+        assert out[1]["n_tokens"] == 2 and out[1]["n_removed_tokens"] == 2
+        assert out[2]["n_removed_tokens"] == 0

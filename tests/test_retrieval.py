@@ -222,3 +222,14 @@ def test_rrf_drops_invalid_ranks(spark):
     rows = rrf_fuse([bad], k=10).collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["n_lists"] == 1 and rows[0]["rrf_units"] == 1_000_000 // 61
+
+
+def test_bm25_rejects_non_integral_id(spark):
+    """A non-numeric string id must raise, not silently cast to NULL
+    doc_id (ADVICE r9)."""
+    docs = spark.createDataFrame(
+        [("a1", "spark shuffles data"), ("b2", "bm25 ranks docs")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(TypeError, match="integral id column"):
+        bm25_topk(docs, [("q1", "spark")], k=1)

@@ -143,3 +143,21 @@ def test_persist_synced_off_by_default(ramp_ensemble):
     ens.source.count()
     assert ens._auto_persisted == []
     assert not ens.frames["source"].storageLevel.useMemory
+
+
+def test_unpersist_on_copy_leaves_original_pins(ramp_ensemble):
+    """A _copy() shares DataFrame objects with its original; calling
+    unpersist() on the copy must NOT evict frames the original pinned
+    (ownership-scoped cache release — ADVICE r9)."""
+    ens = ramp_ensemble
+    ens.persist("source")
+    ens.source.count()
+    assert ens.frames["source"].storageLevel.useMemory
+    twin = ens.sample(frac=0.5, method="hash")  # goes through _copy()
+    twin.unpersist()
+    # the original's explicit pin survives the copy's release
+    assert ens.frames["source"].storageLevel.useMemory
+    # and the original can still release its own pin
+    ens.unpersist()
+    assert not ens.frames["source"].storageLevel.useMemory
+    assert ens._explicit_persists == []
