@@ -20,6 +20,7 @@ flux=l_extendedprice, err=l_quantity, band=l_returnflag.
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 import numpy as np
@@ -420,7 +421,61 @@ def q_save_load_roundtrip(spark, sf_dir):
     # fixed dirname: save_ensemble overwrites, so repeated gate runs reuse
     # one bounded directory instead of littering one copy per pid
     root = ens.save_ensemble(os.path.join(_REPO_DIR, ".tmp"), "ens_rt")
-    return read_ensemble(root, spark=spark).source
+    src = read_ensemble(root, spark=spark).source
+
+    # Bucketed-storage contract leg (checklist #30, folded in round 10):
+    # the SAME appended table goes through save_bucketed → from_table,
+    # and two hash-gated contract booleans ride every row — the oracle
+    # asserts both TRUE, so a silent row drop/dup in the bucketed writer
+    # or a reappearing exchange turns this row red on values:
+    #   bucketed_match — order-insensitive xxhash64 checksum of the full
+    #     bucketed table equals the parquet-roundtrip path's checksum;
+    #   bucketed_no_exchange — a groupBy(id) aggregate over the
+    #     from_table frame plans with ZERO Exchange nodes (the bucketed
+    #     scan satisfies the id-hash distribution at rest).
+    from tape_spark import ColumnMapper, Ensemble
+
+    # a fresh session's in-memory catalog doesn't know about a previous
+    # run's managed-table LOCATION, so overwrite alone can't reclaim it:
+    # drop the entry if registered, then clear any stale directory
+    spark.sql("DROP TABLE IF EXISTS ens_rt_bucketed")
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    shutil.rmtree(os.path.join(wh, "ens_rt_bucketed"), ignore_errors=True)
+    ens.save_bucketed("ens_rt_bucketed", num_buckets=8)
+    cm = ColumnMapper(
+        id_col="l_orderkey",
+        time_col="t",
+        flux_col="l_extendedprice",
+        err_col="l_quantity",
+        band_col="l_returnflag",
+    )
+    bsrc = Ensemble(spark).from_table(
+        "ens_rt_bucketed", column_mapper=cm
+    ).source.select(*src.columns)
+
+    def _checksum(frame):
+        # decimal(38,0) sum: ±2^63-scale row hashes summed over any
+        # realistic row count stay well inside 38 digits, where a plain
+        # long sum overflows under ANSI
+        row = frame.agg(
+            F.sum(
+                F.xxhash64(*[F.col(c) for c in src.columns]).cast("decimal(38,0)")
+            ).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return (row["h"], row["n"])
+
+    match = _checksum(bsrc) == _checksum(src)
+    agg_plan = (
+        bsrc.groupBy("l_orderkey").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    no_exchange = "Exchange" not in agg_plan
+    return src.withColumn("bucketed_match", F.lit(bool(match))).withColumn(
+        "bucketed_no_exchange", F.lit(bool(no_exchange))
+    )
 
 
 def q_stetson_j(spark, sf_dir):
@@ -2922,9 +2977,14 @@ def oracle_sql() -> dict[str, str]:
             "TRUE AS sorted_ok, TRUE AS cohesive_ok "
             "FROM lineitem"
         ),
+        # the two bucketed-storage contract booleans (checklist #30) are
+        # Spark-side assertions — checksum equality across the parquet
+        # and bucketed paths, zero-exchange id aggregation — that the
+        # oracle pins to TRUE
         "save_load_roundtrip": (
-            _CRITICAL_SELECT
-            + " UNION ALL SELECT * FROM (VALUES (1, 0.0, 123.5, 1.0, 'Z'), (2, 1.0, 456.5, 2.0, 'Z'))"
+            "SELECT *, TRUE AS bucketed_match, TRUE AS bucketed_no_exchange FROM ("
+            + _CRITICAL_SELECT
+            + " UNION ALL SELECT * FROM (VALUES (1, 0.0, 123.5, 1.0, 'Z'), (2, 1.0, 456.5, 2.0, 'Z')))"
         ),
         # replays find_day_gap_offset: occupancy per hour-of-day, then the
         # longest run of empty hours over a doubled (wraparound) 48-slot

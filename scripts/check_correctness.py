@@ -98,7 +98,15 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+        # tolerate scale dirs that ship only a table subset (.benchdata/sf1
+        # has documents/embeddings/events/lineitem) and Spark-written
+        # DIRECTORY parquet (needs a /*.parquet glob for DuckDB)
+        path = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -2216,18 +2216,18 @@ class Ensemble:
     @staticmethod
     def _materialize_and_release(result: DataFrame, *caches: DataFrame) -> DataFrame:
         """Persist and eagerly compute a (small) result, then unpersist the
-        given upstream caches.
+        given upstream caches — the shared audited cache lifecycle
+        (``utils/caching.py``; dsir_select / bm25_topk /
+        cluster_balanced_sample run the same discipline).
 
         Combine-mode SF² persists an O(Σnᵢ²) difference table that the lazy
         result plan keeps alive; on a long-lived session, leaking one such
         cache per call exhausts executor storage. The binned output is tiny,
         so materializing it to free the big cache is the right trade.
         """
-        result = result.persist()
-        result.count()
-        for c in caches:
-            c.unpersist()
-        return result
+        from .utils.caching import materialize_and_release
+
+        return materialize_and_release(result, *caches)
 
     # ------------------------------------------------------------------ #
     # persistence                                                        #

@@ -200,13 +200,23 @@ def split_contaminated(
       tokens (normalized: the original inter-token whitespace is NOT
       preserved, same convention as ``remove_boilerplate``'s rebuild).
 
-    Plan shape at 100 TB: tokenization, n-gram derivation, the window
-    cover test (an ``exists`` over the per-document hit-start array) and
-    piece rebuilding are ALL whole-stage-codegen expressions; the only
-    join is doc-n-grams against the broadcast benchmark set (8-byte
-    hashed keys, same as ``decontaminate``), followed by one
-    partial-aggregated ``collect_list`` shuffle of the (rare) hit
-    positions per document. No Python anywhere.
+    Plan shape at 100 TB — gated so CLEAN documents never pay the
+    surgical machinery (the common production regime is a near-zero hit
+    rate): stage 1 is exactly ``decontaminate``'s plan — distinct doc
+    n-grams against the broadcast benchmark set (8-byte hashed keys) —
+    but keeps WHICH grams hit (one partial-aggregated ``collect_list``
+    of the rare per-doc hit keys instead of a count). Stage 2 re-attaches
+    that tiny hit-set to the corpus and derives the hit START POSITIONS
+    INLINE (``filter(sequence, i -> array_contains(hitset, key(gram_i)))``
+    — no positional explode, no second join): a positional gram is in
+    the benchmark iff its key is in the doc's own hit-set, because the
+    hit-set is by construction ``distinct(doc grams) ∩ benchmark``. The
+    window cover test and the marker/regex piece rebuild then run ONLY
+    on documents with ≥ 1 hit; a clean document short-circuits to a
+    codegen identity projection (count + single re-join). All stages
+    whole-stage-codegen; no Python anywhere. (r10: the ungated version
+    cost 422 s at sf100 with ZERO collisions — tokenize + positional
+    n-grams + marker rebuild ran on every document regardless.)
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -214,6 +224,7 @@ def split_contaminated(
         raise ValueError("radius must be >= 0")
     bench_text = bench_text_col or text_col
     key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+    key_sql = (lambda e: f"xxhash64({e})") if hashed else (lambda e: e)
 
     bench_grams = (
         benchmark.select(F.explode(_ngram_array(bench_text, n)).alias("__gram"))
@@ -221,38 +232,40 @@ def split_contaminated(
         .distinct()
     )
 
+    # stage 1 (gate): per-document HIT-SET — the doc's distinct n-gram
+    # keys that appear in the benchmark. Empty-result-biased: in the
+    # rare-hit regime this frame has almost no rows, so the stage-2
+    # re-attach join broadcasts it (AQE) and clean docs flow straight
+    # through the identity branch.
+    hitsets = (
+        docs.select(F.col(id_col), F.explode(_ngram_array(text_col, n)).alias("__gram"))
+        .select(F.col(id_col), key(F.col("__gram")).alias("__dg"))
+        .join(F.broadcast(bench_grams), F.col("__dg") == F.col("__bg"), "inner")
+        .groupBy(id_col)
+        .agg(F.collect_list("__dg").alias("__hitset"))
+    )
+
     toks_sql = (
         f"CASE WHEN length(trim(lower(coalesce({text_col}, '')))) = 0 "
         f"THEN cast(array() as array<string>) "
         f"ELSE split(trim(lower(coalesce({text_col}, ''))), '\\\\s+') END"
     )
-    # positional (NON-distinct) n-grams: start index i, gram string
-    grams_sql = (
-        f"CASE WHEN size({toks_sql}) >= {n} THEN "
-        f"transform(sequence(0, size({toks_sql}) - {n}), "
-        f"i -> struct(i as s, array_join(slice({toks_sql}, i + 1, {n}), ' ') as g)) "
-        f"ELSE cast(array() as array<struct<s:int,g:string>>) END"
-    )
-    staged = docs.select(
-        F.col(id_col),
-        F.expr(toks_sql).alias("__toks"),
-        F.expr(grams_sql).alias("__grams"),
-    )
+    staged = docs.select(F.col(id_col), F.expr(toks_sql).alias("__toks"))
+    joined = staged.join(hitsets, id_col, "left")
 
-    hits = (
-        staged.select(F.col(id_col), F.explode("__grams").alias("__pg"))
-        .select(F.col(id_col), F.col("__pg.s").alias("__s"), key(F.col("__pg.g")).alias("__dg"))
-        .join(F.broadcast(bench_grams), F.col("__dg") == F.col("__bg"), "inner")
-        .groupBy(id_col)
-        .agg(F.collect_list("__s").alias("__hits"))
+    # hit start positions, derived inline only when the hit-set is
+    # non-empty; identical to joining every positional gram against the
+    # benchmark (see docstring), including hash-collision behavior —
+    # both sides compare the same key() of the same gram string
+    gram_i = f"array_join(slice(__toks, i + 1, {n}), ' ')"
+    hits_expr = (
+        f"CASE WHEN __hitset IS NULL OR size(__toks) < {n} "
+        f"THEN cast(array() as array<int>) "
+        f"ELSE filter(sequence(0, size(__toks) - {n}), "
+        f"i -> array_contains(__hitset, {key_sql(gram_i)})) END"
     )
-
-    joined = staged.join(hits, id_col, "left").select(
-        F.col(id_col),
-        "__toks",
-        F.coalesce(F.col("__hits"), F.expr("cast(array() as array<int>)")).alias(
-            "__hits"
-        ),
+    positioned = joined.select(
+        F.col(id_col), "__toks", F.expr(hits_expr).alias("__hits")
     )
 
     # removed[t] = exists hit s: s - radius <= t <= s + n - 1 + radius;
@@ -261,14 +274,21 @@ def split_contaminated(
     lo, hi = radius, n - 1 + radius
     # the empty-doc guard lives INSIDE each expression: sequence(0, -1)
     # would otherwise produce a DESCENDING [0, -1] and element_at(.., 0)
-    # raises under ANSI — and `when` evaluates both branches
+    # raises under ANSI — and `when` evaluates both branches. The
+    # size(__hits) = 0 arm is the clean-document short-circuit: no cover
+    # test, no marker string, no regex split — one array_join, which the
+    # output piece needs anyway (filtered: a blank-token doc rebuilds to
+    # no pieces, same as the marker path).
     removed_expr = (
-        f"CASE WHEN size(__toks) = 0 THEN 0L ELSE "
+        f"CASE WHEN size(__hits) = 0 THEN 0L ELSE "
         f"size(filter(sequence(0, size(__toks) - 1), "
         f"t -> exists(__hits, s -> t >= s - {lo} AND t <= s + {hi}))) END"
     )
     pieces_expr = (
-        "CASE WHEN size(__toks) = 0 THEN cast(array() as array<string>) ELSE "
+        "CASE WHEN size(__toks) = 0 THEN cast(array() as array<string>) "
+        "WHEN size(__hits) = 0 THEN "
+        "filter(array(array_join(__toks, ' ')), p -> p != '') "
+        "ELSE "
         "filter("
         "split("
         f"array_join(transform(sequence(0, size(__toks) - 1), "
@@ -277,7 +297,7 @@ def split_contaminated(
         "'( ?\\u0000 ?)+'), "
         "p -> p != '') END"
     )
-    return joined.select(
+    return positioned.select(
         F.col(id_col),
         F.size("__toks").cast("long").alias("n_tokens"),
         F.expr(removed_expr).cast("long").alias("n_removed_tokens"),

@@ -158,6 +158,36 @@ def dsir_logweights(
     )
 
 
+def _two_phase_topk(
+    cand: DataFrame, k: int, score_col: str, id_col: str
+) -> DataFrame:
+    """Global top-``k`` by ``(score desc, id asc)`` with a ``rank``
+    column, as TWO rank windows: Catalyst's ``InferWindowGroupLimit``
+    never fires for an UNPARTITIONED window (verified: empty partition
+    spec → plain Window node, no map-side pruning), so a single global
+    rank funnels every candidate row into one sorting task. Phase 1
+    pre-prunes each partition to its local top-k — the partitioned
+    window DOES get ``WindowGroupLimit`` (Partial before the exchange),
+    so each map task ships ≤ k rows and the global sort ranks ≤ k·P
+    rows. Exact and partitioning-independent: the global top-k is
+    always a subset of the union of per-partition top-ks, and both
+    phases break ties on (score desc, id)."""
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    pruned = (
+        cand.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= k)
+        .drop("__pr")
+    )
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return pruned.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,
@@ -212,20 +242,20 @@ def dsir_select(
     # Selection needs several actions (count, percentile probe, candidate
     # check, rank) — each would otherwise replay BOTH gram-count passes
     # and the occurrence shuffle through dsir_logweights' lineage (~4x
-    # pure-JVM work at sf100). Persist only the NARROW per-doc score
-    # frame (~16 B/row) for the probes, then materialize the k-row
-    # selection and release the cache before returning (the SF² combine
-    # cache-lifecycle precedent: eager small result frees the big cache).
-    from pyspark.storagelevel import StorageLevel
+    # pure-JVM work at sf100). The narrow-persist lifecycle (persist the
+    # ~16 B/row score frame for the probes, materialize the k-row
+    # selection, release the cache — even on a probe error) lives in ONE
+    # audited helper shared with bm25_topk / cluster_balanced_sample /
+    # SF² combine.
+    from ..utils.caching import materialized_small_result
 
-    scores = (
-        scored.select(
-            F.col(id_col),
-            F.col("logw_units"),
-            (F.col("logw_units") + g_units).cast("long").alias("__score"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+    narrow = scored.select(
+        F.col(id_col),
+        F.col("logw_units"),
+        (F.col("logw_units") + g_units).cast("long").alias("__score"),
     )
-    try:
+
+    def _build(scores: DataFrame) -> DataFrame:
         n = scores.count()
         if n > k:
             # estimate the k-th largest score, prefilter with margin
@@ -240,16 +270,11 @@ def dsir_select(
                 cand = scores
         else:
             cand = scores
-        w = Window.orderBy(F.col("__score").desc(), F.col(id_col))
-        sel = (
-            cand.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select(id_col, "logw_units", "rank")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        return _two_phase_topk(cand, k, "__score", id_col).select(
+            id_col, "logw_units", "rank"
         )
-        sel.count()
-    finally:
-        scores.unpersist(blocking=False)
+
+    sel = materialized_small_result(narrow, _build)
     # reattach the full raw rows: the selection side is k rows, so AQE
     # converts this to a broadcast join at runtime; column order matches
     # the pre-r9 contract ([id, raw..., logw_units, rank])

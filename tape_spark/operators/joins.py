@@ -454,6 +454,7 @@ def resample_timeseries(
     by: Union[None, str, Sequence[str]] = None,
     method: str = "linear",
     max_gap: Optional[float] = None,
+    max_grid_rows: Optional[int] = None,
 ) -> DataFrame:
     """Resample an irregular time series onto the uniform grid of integer
     multiples of ``step`` covering each series' observed span — the
@@ -483,6 +484,15 @@ def resample_timeseries(
     exchange on ``by`` (see :func:`asof_join`); interpolation is a
     codegen projection. Pass ``by`` for any large input — a global grid
     without it serializes the as-of scan.
+
+    The output size is the CALLER'S grid choice — ``Σ⌈span/step⌉`` over
+    all series — and a fine ``step`` over long spans silently multiplies
+    the input (all objects at step=0.001 over year-long spans is ~2 B
+    rows by design, not by accident). ``max_grid_rows`` makes that
+    explicit: when set, the grid size is estimated from the same
+    ≤|series|-row span aggregate the grid is built from (one tiny eager
+    action — the only action this operator ever fires) and a grid larger
+    than the bound raises with the number, BEFORE any as-of join work.
     """
     if step <= 0:
         raise ValueError("step must be > 0")
@@ -490,6 +500,8 @@ def resample_timeseries(
         raise ValueError(f"method must be linear|previous|nearest, got {method!r}")
     if max_gap is not None and max_gap <= 0:
         raise ValueError("max_gap must be > 0")
+    if max_grid_rows is not None and max_grid_rows <= 0:
+        raise ValueError("max_grid_rows must be > 0")
     by = _as_list(by)
     keys = by + [on]
     obs = (
@@ -502,6 +514,20 @@ def resample_timeseries(
     )
     lo = F.ceil(F.col("__tmin") / F.lit(step))
     hi = F.floor(F.col("__tmax") / F.lit(step))
+    if max_grid_rows is not None:
+        est_row = span.select(
+            F.sum(
+                F.when(lo <= hi, hi - lo + F.lit(1)).otherwise(F.lit(0))
+            ).alias("__g")
+        ).collect()[0]["__g"]
+        est = int(est_row or 0)
+        if est > max_grid_rows:
+            raise ValueError(
+                f"resample grid would emit {est:,} rows "
+                f"(max_grid_rows={max_grid_rows:,}): step={step} is too "
+                "fine for the observed spans — coarsen step, restrict "
+                "the input series, or raise max_grid_rows if you mean it"
+            )
     grid = (
         span.filter(lo <= hi)  # sequence(a, b) with a > b counts DOWN — guard
         .select(

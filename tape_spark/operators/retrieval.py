@@ -134,105 +134,112 @@ def bm25_topk(
         return spark.createDataFrame([], out_schema)
 
     nterms = len(terms)
-    terms_lit = F.array(*[F.lit(t) for t in terms])
     toks = _doc_tokens(text_col)
     # One pass over the token array builds the whole tf vector, so the
     # regex split cannot be re-evaluated per term by projection collapse.
+    # Each token resolves its term slot through ONE literal map lookup
+    # (early-exit key scan) instead of a T-wide transform; the
+    # accumulator array is rebuilt only on a HIT, so a token that isn't
+    # a query term costs a lookup and nothing else. (r9 shape rebuilt
+    # the T-slot array per token — O(|terms|) compares + an allocation
+    # per token occurrence, the worst case at max_terms=256.)
+    tmap = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in terms]),
+        F.array(*[F.lit(i).cast("int") for i in range(nterms)]),
+    )
     zeros = F.array(*[F.lit(0).cast("long") for _ in range(nterms)])
     tfs = F.aggregate(
-        toks,
+        F.transform(toks, lambda x: F.element_at(tmap, x)),
         zeros,
-        lambda acc, x: F.transform(
-            acc,
-            lambda v, i: v
-            + F.when(F.element_at(terms_lit, i + F.lit(1)) == x, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long"),
+        lambda acc, i: F.when(i.isNull(), acc).otherwise(
+            F.transform(
+                acc,
+                lambda v, j: F.when(j == i, v + F.lit(1).cast("long")).otherwise(v),
+            )
         ),
     )
     # The stats aggregate and the candidate scan would each re-tokenize
     # the full corpus through this projection's lineage; persist the
     # NARROW (doc_id, dl, tfs) frame (~16 + 8·T B/row — at 100 TB of
     # text this is the difference between scanning the text column once
-    # or twice) and release it after the top-k materializes (the same
-    # cache lifecycle as dsir_select / SF² combine mode).
-    from pyspark.storagelevel import StorageLevel
+    # or twice) and release it after the top-k materializes — the shared
+    # audited lifecycle (dsir_select / cluster_balanced_sample / SF²
+    # combine use the same helper).
+    from ..utils.caching import materialized_small_result
 
-    base = docs.select(
+    narrow = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(toks).cast("long").alias("dl"),
         tfs.alias("tfs"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    # ONE corpus-stats row: N, Σdl, per-term document frequency.
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("sumdl"),
-        *[
-            F.sum((F.element_at("tfs", i + 1) > 0).cast("long")).alias(f"df{i}")
-            for i in range(nterms)
-        ],
-    ).collect()[0]
-    n_docs = int(stats["n"])
-    sumdl = int(stats["sumdl"] or 0)
-    if n_docs == 0 or sumdl == 0:
-        base.unpersist(blocking=False)
-        return spark.createDataFrame([], out_schema)
-    avgdl = (sumdl * 1.0) / n_docs
+    def _build(base: DataFrame) -> "DataFrame | None":
+        # ONE corpus-stats row: N, Σdl, per-term document frequency.
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("sumdl"),
+            *[
+                F.sum((F.element_at("tfs", i + 1) > 0).cast("long")).alias(f"df{i}")
+                for i in range(nterms)
+            ],
+        ).collect()[0]
+        n_docs = int(stats["n"])
+        sumdl = int(stats["sumdl"] or 0)
+        if n_docs == 0 or sumdl == 0:
+            return None
+        avgdl = (sumdl * 1.0) / n_docs
 
-    idf = []
-    for i in range(nterms):
-        df_t = int(stats[f"df{i}"])
-        raw = math.log(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))
-        idf.append(math.floor(raw * 1000000.0 + 0.5) / 1000000.0)
+        idf = []
+        for i in range(nterms):
+            df_t = int(stats[f"df{i}"])
+            raw = math.log(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))
+            idf.append(math.floor(raw * 1000000.0 + 0.5) / 1000000.0)
 
-    def term_units(i: int):
-        tf = F.element_at("tfs", i + 1).cast("double")
-        num = tf * (F.lit(k1) + F.lit(1.0))
-        den = tf + F.lit(k1) * (
-            (F.lit(1.0) - F.lit(b)) + ((F.lit(b) * F.col("dl").cast("double")) / F.lit(avgdl))
-        )
-        units = F.floor(((F.lit(1000000.0) * F.lit(idf[i])) * num) / den + F.lit(0.5))
-        return F.when(F.element_at("tfs", i + 1) > 0, units).otherwise(F.lit(0))
-
-    term_idx = {t: i for i, t in enumerate(terms)}
-    per_query = []
-    for qid, ts in qterms.items():
-        if not ts:
-            continue
-        score = None
-        for t in ts:
-            u = term_units(term_idx[t])
-            score = u if score is None else score + u
-        per_query.append(
-            F.struct(
-                F.lit(qid).alias(query_id_col),
-                score.cast("long").alias("score_units"),
+        def term_units(i: int):
+            tf = F.element_at("tfs", i + 1).cast("double")
+            num = tf * (F.lit(k1) + F.lit(1.0))
+            den = tf + F.lit(k1) * (
+                (F.lit(1.0) - F.lit(b)) + ((F.lit(b) * F.col("dl").cast("double")) / F.lit(avgdl))
             )
-        )
-    if not per_query:
-        base.unpersist(blocking=False)
-        return spark.createDataFrame([], out_schema)
+            units = F.floor(((F.lit(1000000.0) * F.lit(idf[i])) * num) / den + F.lit(0.5))
+            return F.when(F.element_at("tfs", i + 1) > 0, units).otherwise(F.lit(0))
 
-    cand = (
-        base.filter(F.exists("tfs", lambda tf: tf > 0))
-        .select("doc_id", F.explode(F.array(*per_query)).alias("s"))
-        .select("doc_id", f"s.{query_id_col}", "s.score_units")
-        .filter(F.col("score_units") > 0)
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("score_units"), F.asc("doc_id")
-    )
-    out = (
-        cand.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "rank", "doc_id", "score_units")
-    )
-    # the top-k is ≤ k × |queries| rows: materialize it eagerly so the
-    # corpus-sized tf cache can be released before returning
-    out = out.persist()
-    out.count()
-    base.unpersist(blocking=False)
+        term_idx = {t: i for i, t in enumerate(terms)}
+        per_query = []
+        for qid, ts in qterms.items():
+            if not ts:
+                continue
+            score = None
+            for t in ts:
+                u = term_units(term_idx[t])
+                score = u if score is None else score + u
+            per_query.append(
+                F.struct(
+                    F.lit(qid).alias(query_id_col),
+                    score.cast("long").alias("score_units"),
+                )
+            )
+        if not per_query:
+            return None
+
+        cand = (
+            base.filter(F.exists("tfs", lambda tf: tf > 0))
+            .select("doc_id", F.explode(F.array(*per_query)).alias("s"))
+            .select("doc_id", f"s.{query_id_col}", "s.score_units")
+            .filter(F.col("score_units") > 0)
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.desc("score_units"), F.asc("doc_id")
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, "rank", "doc_id", "score_units")
+        )
+
+    out = materialized_small_result(narrow, _build)
+    if out is None:
+        return spark.createDataFrame([], out_schema)
     return out
 
 

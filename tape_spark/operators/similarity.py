@@ -493,8 +493,7 @@ def cluster_balanced_sample(
     """
     if k <= 0:
         raise ValueError("k must be > 0")
-    from pyspark.storagelevel import StorageLevel
-
+    from ..utils.caching import materialized_small_result
     from .curation import stratified_sample_exact
 
     assigned = cluster_assign(
@@ -509,32 +508,32 @@ def cluster_balanced_sample(
     )
     # The quota machinery fires several actions (distinct clusters,
     # per-stratum counts, candidate counts, final draw) — each would
-    # re-run the full BLAS assignment pass through the lineage. Persist
-    # the NARROW (id, cluster) frame for them, materialize the k-row
-    # selection, release the cache, and rejoin the caller's rows (the
-    # dsir_select / bm25_topk cache lifecycle).
-    narrow = (
-        assigned.select(F.col(id_col), F.col("cluster"))
-        .filter(F.col("cluster") >= 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # re-run the full BLAS assignment pass through the lineage. The
+    # narrow (id, cluster) persist + materialize-k-rows + release
+    # lifecycle is the shared audited helper (dsir_select / bm25_topk /
+    # SF² combine).
+    narrow = assigned.select(F.col(id_col), F.col("cluster")).filter(
+        F.col("cluster") >= 0
     )
-    try:
+
+    def _build(pinned: DataFrame) -> "DataFrame | None":
         present = sorted(
-            r[0] for r in narrow.select("cluster").distinct().collect()
+            r[0] for r in pinned.select("cluster").distinct().collect()
         )
         if not present:
-            return assigned.limit(0)
+            return None
         base, rem = divmod(k, len(present))
         counts = {c: base + (1 if i < rem else 0) for i, c in enumerate(present)}
         counts = {c: q for c, q in counts.items() if q > 0}
-        sel = stratified_sample_exact(
-            narrow,
+        return stratified_sample_exact(
+            pinned,
             strata_col="cluster",
             counts=counts,
             id_col=id_col,
             salt=salt,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        sel.count()
-    finally:
-        narrow.unpersist(blocking=False)
+        )
+
+    sel = materialized_small_result(narrow, _build)
+    if sel is None:  # every vector was NULL: nothing is sampleable
+        return assigned.limit(0)
     return df.join(sel, id_col)

@@ -361,6 +361,62 @@ def text_signals(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    output_col: Optional[str] = None,
+    form: Optional[str] = "NFC",
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+) -> DataFrame:
+    """Canonical text normalization — the step every corpus pipeline runs
+    BEFORE dedup/fingerprinting (two byte-wise different encodings of the
+    same accented word must hash identically, or exact dedup silently
+    under-merges): strip C0/DEL control characters, Unicode-normalize to
+    ``form`` (``NFC``/``NFKC``/``NFD``/``NFKD``; ``None`` skips), optional
+    lowercase, collapse whitespace runs to single spaces and trim. NULL
+    text normalizes to the empty string (the same convention the
+    tokenizing operators use).
+
+    Writes ``output_col`` (default: replaces ``text_col``); every other
+    column passes through.
+
+    Scale shape: control-strip / lowercase / whitespace-collapse are
+    JVM ``regexp_replace``/``lower`` (whole-stage codegen). Unicode
+    normalization is the ONLY Python step — one Arrow-batched pandas
+    UDF with an ASCII fast path (``str.isascii`` is a C check; every
+    Unicode form is the identity on pure ASCII, so typical English web
+    text never pays the normalizer). With ``form=None`` the whole plan
+    is codegen with no Python stage at all.
+    """
+    if form is not None and form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC|NFKC|NFD|NFKD|None, got {form!r}")
+    out = output_col or text_col
+    col = F.coalesce(F.col(text_col), F.lit(""))
+    if strip_control:
+        col = F.regexp_replace(col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    if form is not None:
+        nf = form  # bind for the closure
+
+        @F.pandas_udf(T.StringType())
+        def _unicode_normalize(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(
+                lambda x: x
+                if x is None or x.isascii()
+                else unicodedata.normalize(nf, x)
+            )
+
+        col = _unicode_normalize(col)
+    if lowercase:
+        col = F.lower(col)
+    if collapse_whitespace:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return df.withColumn(out, col)
+
+
 def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
     """Corpus-wide vocabulary heavy hitters: the ``k`` most frequent
     whitespace tokens as ``(word, freq, rank)``.

@@ -195,3 +195,26 @@ def test_logweights_plan_no_python(raw_df, target_df):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # B-row ratio table broadcast into scoring
+
+
+def test_two_phase_topk_plan_and_parity(spark):
+    """The final rank is two-phase (VERDICT r9 #3): the partitioned
+    phase-1 window gets WindowGroupLimit (map-side prune to k), the
+    unpartitioned global rank then sorts <= k*P rows — and the selection
+    is bit-identical to a single global rank."""
+    from pyspark.sql import Window, functions as F
+
+    from tape_spark.operators.dsir import _two_phase_topk
+
+    df = spark.range(20000).repartition(8).select(
+        F.col("id"), (F.col("id") * 2654435761 % 65537).cast("long").alias("sc")
+    )
+    two = _two_phase_topk(df, 9, "sc", "id")
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    w = Window.orderBy(F.col("sc").desc(), F.col("id"))
+    ref = (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 9)
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, ref.collect()))

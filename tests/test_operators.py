@@ -1453,3 +1453,59 @@ class TestSpanTokenizerAlignment:
         assert out[0]["n_tokens"] == 2 and out[0]["n_removed_tokens"] == 1
         assert out[1]["n_tokens"] == 2 and out[1]["n_removed_tokens"] == 2
         assert out[2]["n_removed_tokens"] == 0
+
+
+class TestNormalizeText:
+    def test_matches_python_unicodedata(self, spark):
+        import unicodedata
+
+        from tape_spark.operators import normalize_text
+
+        rows = [
+            (0, "café CRÈME"),       # decomposed accents
+            (1, "ﬁne ﬂour"),            # fi/fl ligatures (NFKC-only)
+            (2, "plain ascii text"),
+            (3, None),
+            (4, "tabs\tand\x07bells\x00here"),
+            (5, "  spaced   out  "),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for form in ("NFC", "NFKC"):
+            got = {
+                r["doc_id"]: r["norm"]
+                for r in normalize_text(
+                    df, output_col="norm", form=form, lowercase=True
+                ).collect()
+            }
+            for d, t in rows:
+                x = t or ""
+                x = "".join(
+                    c for c in x
+                    if not (ord(c) <= 8 or ord(c) in (11, 12) or 14 <= ord(c) <= 31 or ord(c) == 127)
+                )
+                x = unicodedata.normalize(form, x).lower()
+                x = " ".join(x.split())
+                assert got[d] == x, (form, d)
+        # NFKC folds the ligatures, NFC must not
+        nfc = {r["doc_id"]: r["norm"] for r in normalize_text(df, output_col="norm").collect()}
+        assert "ﬁ" in nfc[1]
+
+    def test_form_none_is_pure_codegen(self, spark):
+        from tape_spark.operators import normalize_text
+
+        df = spark.createDataFrame([(0, " a  b ")], "doc_id long, text string")
+        out = normalize_text(df, form=None, lowercase=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert out.collect()[0]["text"] == "a b"
+
+    def test_validation_and_passthrough(self, spark):
+        import pytest as _pytest
+
+        from tape_spark.operators import normalize_text
+
+        df = spark.createDataFrame([(0, "x", 9)], "doc_id long, text string, extra int")
+        with _pytest.raises(ValueError, match="form must be"):
+            normalize_text(df, form="NFX")
+        out = normalize_text(df).collect()[0]
+        assert out["extra"] == 9 and out["text"] == "x"

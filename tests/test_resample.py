@@ -168,3 +168,31 @@ def test_ensemble_wrapper(spark, ramp_ensemble):
     per_band = ramp_ensemble.resample_lightcurves(step=7.0)
     assert per_band.columns[:2] == ["id", "band"]
     assert per_band.count() > 0
+
+
+def test_max_grid_rows_guard(spark):
+    """The output size is the caller's grid choice; max_grid_rows turns a
+    silent 'step too fine' blow-up into an error WITH the estimated row
+    count, computed from the tiny span aggregate (VERDICT r9 #7)."""
+    import pytest as _pytest
+
+    from tape_spark.operators import resample_timeseries
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0), (1, 100.0, 2.0), (2, 0.0, 5.0), (2, 50.0, 6.0)],
+        "sid long, t double, v double",
+    )
+    # grid = 101 + 51 = 152 points at step=1
+    with _pytest.raises(ValueError, match="152 rows"):
+        resample_timeseries(
+            df, on="t", value_col="v", step=1.0, by="sid", max_grid_rows=100
+        )
+    # exactly at the bound passes and produces that many rows
+    out = resample_timeseries(
+        df, on="t", value_col="v", step=1.0, by="sid", max_grid_rows=152
+    )
+    assert out.count() == 152
+    with _pytest.raises(ValueError, match="max_grid_rows must be > 0"):
+        resample_timeseries(
+            df, on="t", value_col="v", step=1.0, by="sid", max_grid_rows=0
+        )

@@ -187,3 +187,68 @@ def test_bpe_train_from_corpus_bounded(spark):
     b = train_bpe_from_corpus(docs, num_merges=40, sample_fraction=0.3, max_docs=20)
     assert a.merges == b.merges and len(a.merges) > 0
     assert a.encode("document words") == b.encode("document words")
+
+
+# ------------------------------------------------------------------ caching
+class TestCachingLifecycle:
+    def test_materialized_small_result_releases_narrow(self, spark):
+        from pyspark.storagelevel import StorageLevel
+
+        from tape_spark.utils.caching import materialized_small_result
+
+        narrow = spark.range(100).withColumnRenamed("id", "x")
+        seen = {}
+
+        def build(pinned):
+            seen["level"] = pinned.storageLevel
+            seen["pinned"] = pinned
+            return pinned.groupBy().sum("x")
+
+        out = materialized_small_result(narrow, build)
+        # the narrow frame was pinned during probes and released after
+        assert seen["level"] == StorageLevel.MEMORY_AND_DISK
+        assert not seen["pinned"].storageLevel.useMemory
+        # the result is persisted, already computed, and correct
+        assert out.storageLevel.useMemory
+        assert out.collect()[0][0] == 4950
+
+    def test_release_runs_even_when_build_raises(self, spark):
+        from tape_spark.utils.caching import materialized_small_result
+
+        narrow = spark.range(10)
+        seen = {}
+
+        def build(pinned):
+            seen["pinned"] = pinned
+            pinned.count()
+            raise RuntimeError("probe blew up")
+
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="probe blew up"):
+            materialized_small_result(narrow, build)
+        assert not seen["pinned"].storageLevel.useMemory
+
+    def test_none_result_passthrough_still_releases(self, spark):
+        from tape_spark.utils.caching import materialized_small_result
+
+        narrow = spark.range(10)
+        seen = {}
+
+        def build(pinned):
+            seen["pinned"] = pinned
+            return None
+
+        assert materialized_small_result(narrow, build) is None
+        assert not seen["pinned"].storageLevel.useMemory
+
+    def test_materialize_and_release_tail_half(self, spark):
+        from tape_spark.utils.caching import materialize_and_release
+
+        cache = spark.range(50).persist()
+        cache.count()
+        assert cache.storageLevel.useMemory
+        result = materialize_and_release(cache.groupBy().count(), cache)
+        assert result.storageLevel.useMemory
+        assert not cache.storageLevel.useMemory
+        assert result.collect()[0][0] == 50
