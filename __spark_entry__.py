@@ -696,19 +696,32 @@ def q_dedup_clusters(spark, sf_dir):
     resolve_duplicates keeps (highest n_chars, ties → smallest id). The
     oracle replays the pairs, resolves components with a recursive
     transitive-closure CTE — tractable at sf0.01 scale, exact — and
-    re-ranks the survivors with the same window."""
-    from tape_spark.operators import dedup_clusters, resolve_duplicates
+    re-ranks the survivors with the same window.
+
+    Round 10 folds in leakage_safe_split (the group-cohesive train/eval
+    guard): every cluster member draws the SAME md5-boundary split from
+    its component id, so near-duplicates can never straddle train/val -
+    the oracle replays the draw and the boundaries (0.75 / 0.875: exact
+    binary fractions, so the two engines compare identical doubles)."""
+    from tape_spark.operators import (
+        dedup_clusters,
+        leakage_safe_split,
+        resolve_duplicates,
+    )
 
     docs = _docs(spark, sf_dir)
     clusters = dedup_clusters(docs, n=2, threshold=0.2)
     kept = resolve_duplicates(docs, clusters, quality_col="n_chars").select(
         "doc_id", F.lit(True).alias("is_canonical")
     )
-    return clusters.join(kept, "doc_id", "left").select(
+    out = clusters.join(kept, "doc_id", "left").select(
         "doc_id",
         "component",
         "cluster_size",
         F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+    )
+    return leakage_safe_split(
+        out, {"train": 0.75, "val": 0.125, "test": 0.125}, group_col="component"
     )
 
 
@@ -1107,6 +1120,7 @@ def q_text_signals(spark, sf_dir):
     boolean."""
     from tape_spark.operators import (
         detect_pii,
+        normalize_text,
         perplexity_score,
         redact_pii,
         text_signals,
@@ -1137,10 +1151,14 @@ def q_text_signals(spark, sf_dir):
     clean = detect_pii(redact_pii(aug)).select(
         "doc_id", F.col("n_pii").alias("n_pii_after_redact")
     )
+    norm = normalize_text(
+        docs, output_col="__norm", form="NFC", lowercase=True
+    ).select("doc_id", F.sha2("__norm", 256).alias("norm_sha"))
     return (
         s.join(pii, "doc_id")
         .join(clean, "doc_id")
         .join(ppl, "doc_id")
+        .join(norm, "doc_id")
         .select(
             "doc_id",
             "pred_lang",
@@ -1159,6 +1177,7 @@ def q_text_signals(spark, sf_dir):
             "n_pii_after_redact",
             "n_lm_tokens",
             F.round("ppl", 6).alias("ppl"),
+            "norm_sha",
         )
     )
 
@@ -2087,7 +2106,14 @@ SELECT node AS doc_id, component,
        row_number() OVER (
          PARTITION BY component
          ORDER BY d.n_chars DESC NULLS LAST, node ASC
-       ) = 1 AS is_canonical
+       ) = 1 AS is_canonical,
+       -- leakage_safe_split replay: one md5 draw per COMPONENT against
+       -- exact-binary boundaries (0.75, 0.875), so all members agree
+       CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 13))::BIGINT
+                 / 4503599627370496.0 < 0.75 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 13))::BIGINT
+                 / 4503599627370496.0 < 0.875 THEN 'val'
+            ELSE 'test' END AS split
 FROM comp JOIN documents d ON d.doc_id = comp.node
 """
 
@@ -2369,8 +2395,14 @@ lm_stats AS (
 )
 SELECT sig.*,
        coalesce(l.n_lm_tokens, 0) AS n_lm_tokens,
-       round(l.ppl, 6) AS ppl
+       round(l.ppl, 6) AS ppl,
+       -- normalize_text replay: strip C0/DEL controls -> NFC -> lower ->
+       -- collapse whitespace + trim, then sha256 (r10 fold)
+       sha256(trim(regexp_replace(lower(nfc_normalize(
+         regexp_replace(coalesce(d.text, ''), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))),
+         '\\s+', ' ', 'g'))) AS norm_sha
 FROM sig LEFT JOIN lm_stats l USING (doc_id)
+JOIN documents d USING (doc_id)
 """
 
 # Replays the SimHash bit-vote with the md5-derived 60-bit token hash

@@ -155,16 +155,17 @@ def main():
         chk = None
         for _ in range(REPS):
             t0 = time.time()
-            sel = dsir_select(raw, target, k=100_000, seed=7)
+            sel = dsir_select(raw, target, k=100_000, num_buckets=65536)
             agg = sel.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("doc_id").alias("idsum"),
-                F.xxhash64(F.concat_ws(",", F.collect_list(
-                    F.col("doc_id").cast("string")))).alias("h"),
+                F.min("logw_units").alias("wmin"),
+                F.max("logw_units").alias("wmax"),
             ).collect()[0]
-            chk = (agg["n"], agg["idsum"])
+            chk = (agg["n"], agg["idsum"], agg["wmin"], agg["wmax"])
             reps.append(round(time.time() - t0, 1))
-        emit(phase, {"secs": reps, "selected": chk[0], "idsum": chk[1]})
+        emit(phase, {"secs": reps, "selected": chk[0], "idsum": chk[1],
+                     "logw_units_range": [chk[2], chk[3]]})
 
     elif phase == "ivfpq_sweep":
         # IVFPQ recall@10 and warm scan time vs num_clusters x nprobe at

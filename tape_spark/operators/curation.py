@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "decontaminate",
     "split_contaminated",
+    "leakage_safe_split",
     "stratified_sample",
     "stratified_sample_exact",
     "shuffle_corpus",
@@ -401,6 +402,60 @@ def _hash_unit(id_col: str, salt: str):
     from ..utils.hashing import md5_unit
 
     return md5_unit(F.col(id_col), salt)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    fractions: Dict[str, float],
+    group_col: str,
+    split_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Group-cohesive train/validation/test assignment: every row of a
+    GROUP lands in the same split, so near-duplicates (a dedup cluster),
+    pages of one domain, or shards of one source document can never
+    straddle the train/eval boundary — the standard leakage guard a
+    per-ROW random split silently violates (a validation doc whose
+    near-copy sits in train measures memorization, not generalization).
+
+    ``group_col`` is whatever cohesion unit the caller curated — e.g.
+    ``group_id`` from :func:`~tape_spark.operators.dedup.dedup_clusters`
+    or :func:`semantic_dedup`, a domain column, or the doc id itself for
+    a plain (non-cohesive) split. ``fractions`` maps split name →
+    fraction; they must sum to 1 (±1e-9). The group's md5 draw (the same
+    content-addressed [0,1) primitive as :func:`stratified_sample`) is
+    compared against the cumulative boundaries in ``fractions``'s
+    insertion order, so the assignment is a pure function of the group
+    key: stable across runs, engines, partitionings, and cluster sizes,
+    and rows added to a group later land in the SAME split. NULL group
+    keys draw as the empty-string group (they all stay together).
+
+    Returns ``df`` with ``split_col`` attached. One narrow codegen
+    projection — zero shuffles, zero actions.
+    """
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {frac}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    if split_col in df.columns:
+        raise ValueError(f"column {split_col!r} already exists")
+    from ..utils.hashing import md5_unit
+
+    u = md5_unit(F.coalesce(F.col(group_col).cast("string"), F.lit("")), salt)
+    names = list(fractions)
+    expr = F.lit(names[-1])  # the last split absorbs u up to 1.0 exactly
+    cum = 0.0
+    bounds = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bounds.append((name, cum))
+    for name, bound in reversed(bounds):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
 
 
 def stratified_sample(

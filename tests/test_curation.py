@@ -753,3 +753,63 @@ def test_temperature_mix_upweights_low_resource(spark):
     assert got["small"] > 0 and got["big"] > 0
     k2 = corpus_mix(df, "lang", w, total_rows=200).groupBy("lang").count()
     assert {r["lang"]: r["count"] for r in k2.collect()} == got  # deterministic
+
+
+# --------------------------------------------------------- leakage_safe_split
+def _py_split_expected(gid, fractions, salt=""):
+    seed = str(gid) + (":" + salt if salt else "")
+    u = int(hashlib.md5(seed.encode()).hexdigest()[:13], 16) / float(1 << 52)
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        if u < cum:
+            return name
+    return names[-1]
+
+
+def test_leakage_safe_split_group_cohesion_and_replay(spark):
+    from tape_spark.operators import leakage_safe_split
+
+    rows = [(i, i % 37, f"doc {i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, group_id long, text string")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(df, fr, group_col="group_id").collect()
+    # every group lands whole in one split, and it is the md5 replay
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    for g, splits in by_group.items():
+        assert splits == {_py_split_expected(g, fr)}
+    # all three splits are populated at this group count
+    assert {s for ss in by_group.values() for s in ss} == set(fr)
+
+
+def test_leakage_safe_split_null_groups_stay_together(spark):
+    from tape_spark.operators import leakage_safe_split
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None), (2, 7)], "doc_id long, group_id long"
+    )
+    out = leakage_safe_split(df, {"a": 0.5, "b": 0.5}, group_col="group_id")
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert got[0] == got[1] == _py_split_expected("", {"a": 0.5, "b": 0.5})
+
+
+def test_leakage_safe_split_salt_and_validation(spark):
+    import pytest as _pytest
+
+    from tape_spark.operators import leakage_safe_split
+
+    df = spark.createDataFrame([(i, i) for i in range(200)], "doc_id long, g long")
+    a = {r["doc_id"]: r["split"] for r in leakage_safe_split(df, {"x": 0.5, "y": 0.5}, "g").collect()}
+    b = {r["doc_id"]: r["split"] for r in leakage_safe_split(df, {"x": 0.5, "y": 0.5}, "g", salt="s2").collect()}
+    assert a != b  # decorrelated draws
+    with _pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(df, {"x": 0.5, "y": 0.4}, "g")
+    with _pytest.raises(ValueError, match="at least one"):
+        leakage_safe_split(df, {}, "g")
+    with _pytest.raises(ValueError, match="already exists"):
+        leakage_safe_split(df, {"x": 1.0}, "g", split_col="g")
+    plan = leakage_safe_split(df, {"x": 1.0}, "g")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
