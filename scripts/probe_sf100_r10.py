@@ -208,6 +208,59 @@ def main():
                 print(json.dumps(grid[-1]))
         emit(phase, {"grid": grid, "queries": len(qrows)})
 
+    elif phase == "ivfpq_sweep_hard":
+        # Same grid, HARD queries: corpus vectors perturbed with
+        # deterministic Gaussian noise to cos~0.9 from their source, so
+        # queries land near coarse-cell boundaries and the nprobe knee
+        # becomes visible (the corpus-member sweep is flat at 1.0 on the
+        # easy synthetic geometry). Ground truth is brute force on the
+        # SAME perturbed queries.
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import cosine_topk
+        from tape_spark.operators.quantization import ivfpq_cosine_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(64)
+        emb = emb.persist()
+        emb.count()
+        qrows = emb.filter(F.col("vec_id") % 31337 == 0).limit(64).collect()
+        sigma = 0.484  # |noise|/|v| for E[cos] ~ 0.9 at high dim
+        qs, cosims = [], []
+        for r in qrows:
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            rng = np.random.default_rng(int(r["vec_id"]) + 17)
+            g = rng.standard_normal(v.shape)
+            g = g / np.linalg.norm(g) * sigma * np.linalg.norm(v)
+            q = v + g
+            cosims.append(float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v))))
+            qs.append((int(r["vec_id"]), [float(x) for x in q]))
+        qdf = spark.createDataFrame(qs, "query_id long, embedding array<double>")
+        truth = {
+            (r["query_id"], r["corpus_id"])
+            for r in cosine_topk(emb, qdf, k=10).collect()
+        }
+        grid = []
+        for num_clusters in (64, 256, 1024):
+            for nprobe in (1, 4, 8, 16):
+                t0 = time.time()
+                got = ivfpq_cosine_topk(
+                    emb, qdf, k=10, num_clusters=num_clusters, nprobe=nprobe,
+                ).collect()
+                dt = round(time.time() - t0, 1)
+                hits = sum(
+                    1 for r in got if (r["query_id"], r["corpus_id"]) in truth
+                )
+                grid.append({
+                    "num_clusters": num_clusters, "nprobe": nprobe,
+                    "secs": dt, "recall_at_10": round(hits / len(truth), 4),
+                })
+                print(json.dumps(grid[-1]))
+        emit(phase, {
+            "grid": grid, "queries": len(qs),
+            "mean_query_source_cos": round(sum(cosims) / len(cosims), 4),
+        })
+
     elif phase == "resample_guard":
         # the max_grid_rows estimator: its cost must be one tiny span
         # aggregate over the bucketed events table, not a full resample
