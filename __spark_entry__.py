@@ -1584,11 +1584,18 @@ def q_corpus_filter(spark, sf_dir):
     SQL: same md5 sample draw, vocabulary rule, Laplace smoothing, and
     the order-safe integer-unit score sum, term for term). The label is
     ``source <= 'src4'`` — arbitrary but deterministic; the contract is
-    the scoring mechanics, not the labelling."""
+    the scoring mechanics, not the labelling.
+
+    Round 10 folds in select_by_budget — the token-budget greedy prefix
+    over the NB score (histogram-pruned: wholesale buckets + one
+    boundary-bucket window, never a global sort). ``in_budget`` rides
+    every row and the oracle replays the walk as a single
+    cumulative-sum window against the same integer budget."""
     from tape_spark.operators import (
         corpus_filter,
         nb_score,
         remove_boilerplate,
+        select_by_budget,
         train_nb_classifier,
     )
 
@@ -1634,6 +1641,14 @@ def q_corpus_filter(spark, sf_dir):
         F.round("nb_logodds", 6).alias("nb_logodds"),
         "nb_label",
     )
+    # select_by_budget fold (r10): the greedy budget walk over the NB
+    # quality score, budget = exactly 40% of the corpus's nb tokens
+    # (integer arithmetic, SF-independent); the oracle replays it as one
+    # cumulative-sum window. in_budget rides every row.
+    total_w = scored.agg(F.sum("n_nb_tokens").alias("t")).collect()[0]["t"]
+    kept = select_by_budget(
+        scored, int(total_w) * 2 // 5, "nb_logodds", "n_nb_tokens"
+    ).select("doc_id", F.lit(True).alias("in_budget"))
     return gate.join(
         cleaned.select(
             "doc_id",
@@ -1641,7 +1656,9 @@ def q_corpus_filter(spark, sf_dir):
             "n_lines_removed",
         ),
         "doc_id",
-    ).join(scored, "doc_id")
+    ).join(scored, "doc_id").join(kept, "doc_id", "left").withColumn(
+        "in_budget", F.coalesce("in_budget", F.lit(False))
+    )
 
 
 def q_vocab_topk(spark, sf_dir):
@@ -2255,6 +2272,10 @@ nb_out AS (
   FROM nb_docs d LEFT JOIN nb_sum s USING (doc_id) CROSS JOIN nb_prior p
 )
 SELECT j.doc_id, j.reasons = '' AS keep, j.reasons,
+       -- select_by_budget replay (r10): greedy prefix of the NB-score
+       -- walk, inclusive integer running sum vs 40% of total nb tokens
+       SUM(nb.n_nb_tokens) OVER (ORDER BY nb.nb_logodds DESC, j.doc_id)
+         <= (SELECT sum(n_nb_tokens) FROM nb_out) * 2 // 5 AS in_budget,
        c.clean_sha, CAST(c.n_lines_removed AS BIGINT) AS n_lines_removed,
        nb.n_nb_tokens, nb.nb_logodds, nb.nb_label
 FROM j JOIN clean c USING (doc_id) JOIN nb_out nb USING (doc_id)

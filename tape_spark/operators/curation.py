@@ -44,6 +44,7 @@ __all__ = [
     "decontaminate",
     "split_contaminated",
     "leakage_safe_split",
+    "select_by_budget",
     "stratified_sample",
     "stratified_sample_exact",
     "shuffle_corpus",
@@ -707,3 +708,114 @@ def weighted_sample(
         w.isNotNull() & ~F.isnan(w.cast("double")) & (w > 0)
         & (_hash_unit(id_col, salt) < keep_p)
     )
+
+
+def select_by_budget(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    weight_col: str,
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Budget-constrained greedy selection: walk documents in
+    ``(score DESC, id ASC)`` order and keep each row while the running
+    ``weight_col`` total stays within ``budget`` — the "take the best
+    documents until the token budget is spent" step every pretraining
+    mix ends with. A row is kept iff its INCLUSIVE running weight is
+    <= budget: with non-negative weights the running sum is monotone,
+    so the kept set is exactly the maximal prefix of the walk (the
+    first row that would overflow the budget stops the selection —
+    deterministic, and identical to the one-line SQL replay
+    ``SUM(w) OVER (ORDER BY score DESC, id) <= budget``).
+
+    Returns the kept rows with all input columns (set semantics — the
+    kept set is a pure function of (score, weight, id) triples, so it
+    replays engine-exactly as a SQL cumulative-sum window).
+
+    Scale shape — the naive plan is a GLOBAL sort + running-sum window,
+    one task over 100 TB. Instead, the same histogram-prune discipline
+    as ``stratified_sample_exact``/``dsir_select``:
+
+    1. ONE aggregate: total weight (fast path: everything fits) and an
+       approx-quantile score histogram (``num_buckets`` cut points).
+    2. Rows bucket by score against the cut literals (codegen, O(B) int
+       compares/row); ONE small groupBy gives per-bucket weight sums.
+    3. The driver cumsums <= B rows to find the boundary bucket: every
+       higher bucket is kept WHOLESALE (a narrow filter, no sort, no
+       window), and only the boundary bucket's rows — ~N/B of the data —
+       pay the exact running-sum window, seeded with the higher buckets'
+       exact weight total.
+
+    Equal scores always land in one bucket (buckets cut on score alone),
+    so the exact window sees every row that can straddle the boundary
+    and the kept set is IDENTICAL to the naive global walk. NULL or
+    negative weights raise (a budget walk over signed weights is
+    ill-defined); NULL scores sort last (kept only if budget remains).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    if num_buckets < 2:
+        raise ValueError("num_buckets must be >= 2")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    s = F.col(score_col).cast("double")
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("tw"),
+        F.min(w).alias("wmin"),
+        F.sum(w.isNull().cast("int")).alias("wnull"),
+        F.percentile_approx(
+            s, F.array(*[F.lit((i + 1) / num_buckets) for i in range(num_buckets - 1)]),
+            F.lit(10000),
+        ).alias("cuts"),
+    ).collect()[0]
+    if int(stats["n"] or 0) == 0:
+        return df
+    if int(stats["wnull"] or 0) > 0 or (stats["wmin"] is not None and stats["wmin"] < 0):
+        raise ValueError(
+            f"{weight_col!r} must be non-negative and non-NULL for a budget walk"
+        )
+    if float(stats["tw"] or 0.0) <= budget:
+        return df  # fast path: the whole corpus fits — no sort at all
+    cuts = sorted({float(c) for c in (stats["cuts"] or []) if c is not None})
+    cuts_lit = F.array(*[F.lit(c) for c in cuts]) if cuts else F.array()
+    # bucket = number of cuts <= score; NULL score -> bucket -1 (sorts last)
+    bucket = F.when(
+        s.isNull(), F.lit(-1)
+    ).otherwise(
+        F.aggregate(
+            cuts_lit, F.lit(0),
+            lambda acc, c: acc + F.when(c <= s, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    staged = df.withColumn("__bkt", bucket)
+    per_bucket = {
+        r["__bkt"]: float(r["bw"])
+        for r in staged.groupBy("__bkt").agg(F.sum(w).alias("bw")).collect()
+    }
+    spent = 0.0
+    boundary = None
+    for b in sorted(per_bucket, reverse=True):  # highest scores first; -1 last
+        if spent + per_bucket[b] <= budget:
+            spent += per_bucket[b]
+        else:
+            boundary = b
+            break
+    if boundary is None:
+        return staged.drop("__bkt")  # defensive; total > budget was checked
+    kept_whole = staged.filter(F.col("__bkt") > F.lit(boundary)) if boundary >= 0 \
+        else staged.filter(F.col("__bkt") >= F.lit(0))
+    # exact walk over ONLY the boundary bucket, seeded with the exact
+    # weight the wholesale buckets already spent
+    edge = staged.filter(F.col("__bkt") == F.lit(boundary))
+    win = Window.orderBy(s.desc_nulls_last(), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    edge_kept = (
+        edge.withColumn("__cum", F.sum(w).over(win))
+        .filter(F.col("__cum") + F.lit(spent) <= F.lit(float(budget)))
+        .drop("__cum")
+    )
+    return kept_whole.unionByName(edge_kept).drop("__bkt")

@@ -813,3 +813,65 @@ def test_leakage_safe_split_salt_and_validation(spark):
         leakage_safe_split(df, {"x": 1.0}, "g", split_col="g")
     plan = leakage_safe_split(df, {"x": 1.0}, "g")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ------------------------------------------------------------ select_by_budget
+def _py_budget_prefix(rows, budget):
+    """rows: (id, score, weight); returns kept id set per the greedy prefix."""
+    order = sorted(rows, key=lambda r: (-(r[1] if r[1] is not None else float("-inf")), r[0]))
+    # NULL scores last: python key above puts None last via -inf
+    kept, cum = set(), 0.0
+    for i, s, w in order:
+        if cum + w <= budget:
+            kept.add(i)
+            cum += w
+        else:
+            break
+    return kept
+
+
+def test_select_by_budget_matches_naive_walk(spark):
+    from tape_spark.operators import select_by_budget
+
+    rows = [
+        (i, float((i * 2654435761) % 1000) / 10.0, float(1 + (i * 37) % 50))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, w double").repartition(8)
+    for budget in (500, 5000, 20000):
+        got = {
+            r["doc_id"]
+            for r in select_by_budget(df, budget, "score", "w", num_buckets=16).collect()
+        }
+        assert got == _py_budget_prefix(rows, budget), budget
+    # fast path: budget >= total keeps everything without sorting
+    total = sum(w for _, _, w in rows)
+    assert select_by_budget(df, int(total) + 1, "score", "w").count() == 2000
+
+
+def test_select_by_budget_ties_and_null_scores(spark):
+    from tape_spark.operators import select_by_budget
+
+    rows = [(0, 5.0, 10.0), (1, 5.0, 10.0), (2, 5.0, 10.0), (3, None, 1.0), (4, 9.0, 10.0)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, w double")
+    # budget 25: doc4 (10), then ties in id order: doc0 (20), doc1 would hit 30 -> stop
+    got = {r["doc_id"] for r in select_by_budget(df, 25, "score", "w", num_buckets=2).collect()}
+    assert got == {4, 0}
+    # big budget reaches the NULL-score row last
+    got = {r["doc_id"] for r in select_by_budget(df, 41, "score", "w", num_buckets=2).collect()}
+    assert got == {4, 0, 1, 2, 3}
+
+
+def test_select_by_budget_validation(spark):
+    import pytest as _pytest
+
+    from tape_spark.operators import select_by_budget
+
+    df = spark.createDataFrame([(0, 1.0, -2.0)], "doc_id long, score double, w double")
+    with _pytest.raises(ValueError, match="non-negative"):
+        select_by_budget(df, 10, "score", "w")
+    with _pytest.raises(ValueError, match="budget must be"):
+        select_by_budget(df, 0, "score", "w")
+    dfn = spark.createDataFrame([(0, 1.0, None)], "doc_id long, score double, w double")
+    with _pytest.raises(ValueError, match="non-NULL"):
+        select_by_budget(dfn, 10, "score", "w")
