@@ -287,6 +287,92 @@ def main():
             reps.append(round(time.time() - t0, 1))
         emit(phase, {"secs": reps, "raised": err})
 
+    elif phase == "longdoc":
+        # Adversarial long-document skew: ONE 5M-token giant (~25 MB of
+        # text, built JVM-side) unioned into the 5M-doc corpus. The
+        # per-document array operators (tokenize, inline positional
+        # grams, tf aggregate) each hold one giant row in one task —
+        # this measures that the skew degrades that task linearly, not
+        # the job catastrophically.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import bm25_topk, split_contaminated
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        giant = spark.range(1).select(
+            F.lit(6_000_000_000).alias("doc_id"),
+            F.array_join(
+                F.array_repeat(F.lit("alpha beta gamma delta"), 1_250_000), " "
+            ).alias("text"),
+        )
+        train = docs.select("doc_id", "text").unionByName(giant)
+        bench_rare = docs.filter(F.col("doc_id") % 23 == 0).select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                    lambda t: F.concat(t, F.lit("_q")),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        out = {}
+        t0 = time.time()
+        # CONSUME pieces (concat_ws forces the rebuild) — summing only
+        # counters lets Catalyst prune the rebuild entirely (r7 lesson)
+        agg = split_contaminated(train, bench_rare, n=3, radius=1).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("toks"),
+            F.sum("n_pieces").alias("pieces"),
+            F.sum(F.length(F.concat_ws(" ", "pieces"))).alias("piece_chars"),
+        ).collect()[0]
+        out["split_rare_secs"] = round(time.time() - t0, 1)
+        out["split_docs"] = agg["docs"]
+        out["split_tokens"] = agg["toks"]
+        out["split_piece_chars"] = agg["piece_chars"]
+        for name, frame in (("bm25_with_giant", train),
+                            ("bm25_no_giant", docs.select("doc_id", "text"))):
+            t0 = time.time()
+            top = bm25_topk(frame, [("q1", "alpha gamma"), ("q2", "beta")], k=10)
+            r = top.agg(F.count(F.lit(1)).alias("rows"),
+                        F.sum("score_units").alias("units")).collect()[0]
+            out[f"{name}_secs"] = round(time.time() - t0, 1)
+            out[f"{name}_rows"] = r["rows"]
+        emit(phase, out)
+
+    elif phase == "budget_sf100":
+        # select_by_budget over 5M docs: score = a cheap quality proxy,
+        # weight = whitespace token count, budget = 40% of total tokens.
+        # The action CONSUMES the kept set (count + weight sum + id
+        # checksum) so the prune/window work is actually measured.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import select_by_budget
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        scored = docs.select(
+            "doc_id",
+            (F.xxhash64("doc_id") % 1000003).cast("double").alias("score"),
+            F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+            .cast("long").alias("w"),
+        )
+        total = scored.agg(F.sum("w").alias("t")).collect()[0]["t"]
+        budget = int(total) * 2 // 5
+        reps = []
+        chk = None
+        for _ in range(REPS):
+            t0 = time.time()
+            kept = select_by_budget(scored, budget, "score", "w")
+            agg = kept.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("w").alias("kw"),
+                F.sum("doc_id").alias("idsum"),
+            ).collect()[0]
+            chk = (agg["n"], agg["kw"], agg["idsum"])
+            reps.append(round(time.time() - t0, 1))
+        emit(phase, {"secs": reps, "total_tokens": int(total), "budget": budget,
+                     "kept": chk[0], "kept_tokens": chk[1], "idsum": chk[2]})
+
     else:
         raise SystemExit(f"unknown phase {phase!r}")
 

@@ -53,22 +53,35 @@ __all__ = [
 ]
 
 
-def _ngram_array(text_col: str, n: int):
-    """Distinct word ``n``-grams of a text column as an array<string>.
-
-    Tokens are lowercased whitespace tokens; a document with fewer than
-    ``n`` tokens (including empty/NULL text) yields an empty array. Pure
-    built-in expressions (split / sequence / slice / array_join /
-    array_distinct) — whole-stage codegen, no Python.
-    """
-    toks_sql = (
+def _toks_sql(text_col: str) -> str:
+    """Guarded whitespace tokenizer (NULL/empty/space-only → empty array)."""
+    return (
         f"CASE WHEN length(trim(lower(coalesce({text_col}, '')))) = 0 THEN array() "
         f"ELSE split(trim(lower(coalesce({text_col}, ''))), '\\\\s+') END"
     )
+
+
+def _ngram_array(toks_name: str, n: int):
+    """Distinct word ``n``-grams from an ALREADY-STAGED token-array
+    column as an array<string>. Pure built-in expressions (sequence /
+    slice / array_join / array_distinct) — whole-stage codegen, no
+    Python.
+
+    The tokens MUST be a bound column, never the split expression
+    inlined: an expression inside the ``transform`` lambda re-evaluates
+    per element, so inlining the regex split makes gram derivation
+    O(tokens²) per document — invisible on ~55-token synthetic docs,
+    catastrophic on a single 5 M-token document (found by the round-10
+    long-doc skew probe: one task pinned a core indefinitely re-splitting
+    27 MB of text 5 M times). Callers stage the tokenizer through a
+    projection; Catalyst's CollapseProject keeps the boundary because
+    the token column is referenced more than once by a non-cheap
+    producer (the same discipline as ``dedup._word_shingles``).
+    """
     grams = F.expr(
-        f"CASE WHEN size({toks_sql}) >= {n} THEN "
-        f"transform(sequence(0, size({toks_sql}) - {n}), "
-        f"i -> array_join(slice({toks_sql}, i + 1, {n}), ' ')) "
+        f"CASE WHEN size({toks_name}) >= {n} THEN "
+        f"transform(sequence(0, size({toks_name}) - {n}), "
+        f"i -> array_join(slice({toks_name}, i + 1, {n}), ' ')) "
         f"ELSE cast(array() as array<string>) END"
     )
     return F.array_distinct(grams)
@@ -134,7 +147,8 @@ def decontaminate(
     key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
 
     bench_grams = (
-        benchmark.select(F.explode(_ngram_array(bench_text, n)).alias("__gram"))
+        benchmark.select(F.expr(_toks_sql(bench_text)).alias("__tk"))
+        .select(F.explode(_ngram_array("__tk", n)).alias("__gram"))
         .select(key(F.col("__gram")).alias("__bg"))
         .distinct()
     )
@@ -142,8 +156,10 @@ def decontaminate(
     # guard the key derivation because xxhash64(NULL) is the seed value,
     # not NULL, which would miscount the placeholder as a real n-gram
     doc_grams = docs.select(
+        F.col(id_col), F.expr(_toks_sql(text_col)).alias("__tk")
+    ).select(
         F.col(id_col),
-        F.explode_outer(_ngram_array(text_col, n)).alias("__gram"),
+        F.explode_outer(_ngram_array("__tk", n)).alias("__gram"),
     ).select(
         F.col(id_col),
         F.when(F.col("__gram").isNotNull(), key(F.col("__gram"))).alias("__dg"),
@@ -229,7 +245,8 @@ def split_contaminated(
     key_sql = (lambda e: f"xxhash64({e})") if hashed else (lambda e: e)
 
     bench_grams = (
-        benchmark.select(F.explode(_ngram_array(bench_text, n)).alias("__gram"))
+        benchmark.select(F.expr(_toks_sql(bench_text)).alias("__tk"))
+        .select(F.explode(_ngram_array("__tk", n)).alias("__gram"))
         .select(key(F.col("__gram")).alias("__bg"))
         .distinct()
     )
@@ -240,7 +257,8 @@ def split_contaminated(
     # re-attach join broadcasts it (AQE) and clean docs flow straight
     # through the identity branch.
     hitsets = (
-        docs.select(F.col(id_col), F.explode(_ngram_array(text_col, n)).alias("__gram"))
+        docs.select(F.col(id_col), F.expr(_toks_sql(text_col)).alias("__tk"))
+        .select(F.col(id_col), F.explode(_ngram_array("__tk", n)).alias("__gram"))
         .select(F.col(id_col), key(F.col("__gram")).alias("__dg"))
         .join(F.broadcast(bench_grams), F.col("__dg") == F.col("__bg"), "inner")
         .groupBy(id_col)

@@ -55,28 +55,36 @@ def _quant_ln(col: Column) -> Column:
     return F.floor(F.log(col) * F.lit(_UNIT) + F.lit(0.5)).cast("long")
 
 
-def _gram_buckets(text_col: str, num_buckets: int) -> Column:
-    """All word-unigram + word-bigram occurrences of a text column,
-    hashed to md5 buckets — array<long>, with multiplicity (DSIR counts
-    occurrences, unlike decontamination's distinct-gram sets).
-
-    Tokens are lowercased whitespace tokens; empty/NULL text yields an
-    empty array. Buckets use the shared 52-bit md5 prefix
-    (``('0x' || substr(md5(g), 1, 13))::BIGINT % B`` in DuckDB), so the
-    feature hash replays exactly cross-engine.
-    """
-    toks = (
+def _toks_sql(text_col: str) -> str:
+    """Guarded whitespace tokenizer (NULL/empty/space-only → empty array)."""
+    return (
         f"CASE WHEN length(trim(lower(coalesce({text_col}, '')))) = 0 "
         f"THEN cast(array() as array<string>) "
         f"ELSE split(trim(lower(coalesce({text_col}, ''))), '\\\\s+') END"
     )
+
+
+def _gram_buckets(toks_name: str, num_buckets: int) -> Column:
+    """All word-unigram + word-bigram occurrences from an ALREADY-STAGED
+    token-array column, hashed to md5 buckets — array<long>, with
+    multiplicity (DSIR counts occurrences, unlike decontamination's
+    distinct-gram sets).
+
+    The tokens MUST be a bound column: inlining the split expression
+    inside the ``transform`` lambda re-evaluates the regex per element —
+    O(tokens²) per document (the round-10 long-doc probe caught the
+    sibling bug in curation's gram builder pinning a core on one
+    5 M-token document). Buckets use the shared 52-bit md5 prefix
+    (``('0x' || substr(md5(g), 1, 13))::BIGINT % B`` in DuckDB), so the
+    feature hash replays exactly cross-engine.
+    """
     bigrams = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(0, size({toks}) - 2), "
-        f"i -> array_join(slice({toks}, i + 1, 2), ' ')) "
+        f"CASE WHEN size({toks_name}) >= 2 THEN "
+        f"transform(sequence(0, size({toks_name}) - 2), "
+        f"i -> array_join(slice({toks_name}, i + 1, 2), ' ')) "
         f"ELSE cast(array() as array<string>) END"
     )
-    grams = f"concat({toks}, {bigrams})"
+    grams = f"concat({toks_name}, {bigrams})"
     return F.expr(
         f"transform({grams}, "
         f"g -> cast(conv(substring(md5(g), 1, 13), 16, 10) as bigint) "
@@ -88,7 +96,8 @@ def _bucket_counts(df: DataFrame, text_col: str, num_buckets: int) -> DataFrame:
     """(bucket, n) occurrence counts over a corpus — at most B rows out;
     map-side combine keeps the exchange tiny regardless of corpus size."""
     return (
-        df.select(F.explode(_gram_buckets(text_col, num_buckets)).alias("bucket"))
+        df.select(F.expr(_toks_sql(text_col)).alias("__tk"))
+        .select(F.explode(_gram_buckets("__tk", num_buckets)).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -145,9 +154,10 @@ def dsir_logweights(
         )
     )
     doc_scores = (
-        raw.select(
+        raw.select(F.col(id_col), F.expr(_toks_sql(text_col)).alias("__tk"))
+        .select(
             F.col(id_col),
-            F.explode(_gram_buckets(text_col, num_buckets)).alias("bucket"),
+            F.explode(_gram_buckets("__tk", num_buckets)).alias("bucket"),
         )
         .join(F.broadcast(ratios), "bucket")
         .groupBy(id_col)
