@@ -235,6 +235,15 @@ def split_contaminated(
     whole-stage-codegen; no Python anywhere. (r10: the ungated version
     cost 422 s at sf100 with ZERO collisions — tokenize + positional
     n-grams + marker rebuild ran on every document regardless.)
+
+    Per-document bound: the inline positional probe costs
+    O(positions × |hit-set|) for a DIRTY document (``array_contains``
+    scans the hit-set per position), and the cover/rebuild expressions
+    are O(tokens × hits) — fine for web-scale documents, but a single
+    multi-million-token document that is also heavily contaminated
+    concentrates that product in one task. Chunk pathological giants
+    first (``chunk_documents``); clean giants cost one tokenize pass
+    regardless of length.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
