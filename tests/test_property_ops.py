@@ -318,3 +318,44 @@ def test_interval_overlap_join_property(spark, seed, width):
     cols = ["key", "ls", "le", "lv", "rs", "re", "lab"]
     assert len(got) == len(exp)
     pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+
+
+# --------------------------------------------------------------------- #
+# select_by_budget vs the naive sorted greedy prefix                     #
+# --------------------------------------------------------------------- #
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-50, max_value=50, allow_nan=False),  # score
+            st.floats(min_value=0, max_value=20, allow_nan=False),    # weight
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    budget=st.integers(min_value=1, max_value=400),
+    nb=st.sampled_from([2, 3, 7]),
+)
+@settings(max_examples=12, deadline=None)
+def test_select_by_budget_prefix_property(spark, rows, budget, nb):
+    """Histogram-pruned selection == the naive (score desc, id) greedy
+    prefix for arbitrary score/weight shapes, bucket counts, and budgets
+    (incl. all-equal scores, zero weights, and boundary-straddling
+    ties)."""
+    from tape_spark.operators import select_by_budget
+
+    data = [(i, s, w) for i, (s, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, score double, w double").repartition(4)
+    got = {
+        r["doc_id"]
+        for r in select_by_budget(df, budget, "score", "w", num_buckets=nb).collect()
+    }
+    kept, cum = set(), 0.0
+    for i, s, w in sorted(data, key=lambda r: (-r[1], r[0])):
+        if cum + w <= budget:
+            kept.add(i)
+            cum += w
+        else:
+            break
+    assert got == kept
