@@ -1644,11 +1644,22 @@ def q_corpus_filter(spark, sf_dir):
     # select_by_budget fold (r10): the greedy budget walk over the NB
     # quality score, budget = exactly 40% of the corpus's nb tokens
     # (integer arithmetic, SF-independent); the oracle replays it as one
-    # cumulative-sum window. in_budget rides every row.
-    total_w = scored.agg(F.sum("n_nb_tokens").alias("t")).collect()[0]["t"]
-    kept = select_by_budget(
-        scored, int(total_w) * 2 // 5, "nb_logodds", "n_nb_tokens"
-    ).select("doc_id", F.lit(True).alias("in_budget"))
+    # cumulative-sum window. in_budget rides every row. The total-weight
+    # probe, the operator's own stats/bucket aggregates, and the final
+    # walk would each replay the NB-scoring lineage — the narrow-persist
+    # lifecycle (utils/caching) pins the 3-column scored frame for all
+    # of them and releases it once the kept flags materialize.
+    from tape_spark.utils.caching import materialized_small_result
+
+    def _kept(pinned):
+        total_w = pinned.agg(F.sum("n_nb_tokens").alias("t")).collect()[0]["t"]
+        return select_by_budget(
+            pinned, int(total_w) * 2 // 5, "nb_logodds", "n_nb_tokens"
+        ).select("doc_id", F.lit(True).alias("in_budget"))
+
+    kept = materialized_small_result(
+        scored.select("doc_id", "nb_logodds", "n_nb_tokens"), _kept
+    )
     return gate.join(
         cleaned.select(
             "doc_id",

@@ -55,10 +55,9 @@ __all__ = [
 
 def _toks_sql(text_col: str) -> str:
     """Guarded whitespace tokenizer (NULL/empty/space-only → empty array)."""
-    return (
-        f"CASE WHEN length(trim(lower(coalesce({text_col}, '')))) = 0 THEN array() "
-        f"ELSE split(trim(lower(coalesce({text_col}, ''))), '\\\\s+') END"
-    )
+    from ..utils.tokens import ws_tokens_sql
+
+    return ws_tokens_sql(text_col)
 
 
 def _ngram_array(toks_name: str, n: int):
@@ -242,8 +241,10 @@ def split_contaminated(
     are O(tokens × hits) — fine for web-scale documents, but a single
     multi-million-token document that is also heavily contaminated
     concentrates that product in one task. Chunk pathological giants
-    first (``chunk_documents``); clean giants cost one tokenize pass
-    regardless of length.
+    first (``chunk_documents``); a clean giant costs the gate —
+    two tokenize passes (hit-set stage + rebuild stage) plus the
+    distinct-gram derivation and broadcast probe — linear in length,
+    never the positional machinery.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -274,12 +275,9 @@ def split_contaminated(
         .agg(F.collect_list("__dg").alias("__hitset"))
     )
 
-    toks_sql = (
-        f"CASE WHEN length(trim(lower(coalesce({text_col}, '')))) = 0 "
-        f"THEN cast(array() as array<string>) "
-        f"ELSE split(trim(lower(coalesce({text_col}, ''))), '\\\\s+') END"
+    staged = docs.select(
+        F.col(id_col), F.expr(_toks_sql(text_col)).alias("__toks")
     )
-    staged = docs.select(F.col(id_col), F.expr(toks_sql).alias("__toks"))
     joined = staged.join(hitsets, id_col, "left")
 
     # hit start positions, derived inline only when the hit-set is
@@ -792,7 +790,10 @@ def select_by_budget(
         F.count(F.lit(1)).alias("n"),
         F.sum(w).alias("tw"),
         F.min(w).alias("wmin"),
-        F.sum(w.isNull().cast("int")).alias("wnull"),
+        # NaN poisons every cumulative comparison downstream and Spark's
+        # min() treats NaN as the LARGEST double, so it must be counted
+        # explicitly alongside NULL
+        F.sum((w.isNull() | F.isnan(w)).cast("int")).alias("wnull"),
         F.percentile_approx(
             s, F.array(*[F.lit((i + 1) / num_buckets) for i in range(num_buckets - 1)]),
             F.lit(10000),
@@ -802,7 +803,8 @@ def select_by_budget(
         return df
     if int(stats["wnull"] or 0) > 0 or (stats["wmin"] is not None and stats["wmin"] < 0):
         raise ValueError(
-            f"{weight_col!r} must be non-negative and non-NULL for a budget walk"
+            f"{weight_col!r} must be non-negative, non-NULL and non-NaN "
+            "for a budget walk"
         )
     if float(stats["tw"] or 0.0) <= budget:
         return df  # fast path: the whole corpus fits — no sort at all
@@ -832,8 +834,9 @@ def select_by_budget(
             break
     if boundary is None:
         return staged.drop("__bkt")  # defensive; total > budget was checked
-    kept_whole = staged.filter(F.col("__bkt") > F.lit(boundary)) if boundary >= 0 \
-        else staged.filter(F.col("__bkt") >= F.lit(0))
+    # boundary == -1 (the NULL-score bucket) reduces to __bkt >= 0, so one
+    # comparison covers both cases
+    kept_whole = staged.filter(F.col("__bkt") > F.lit(boundary))
     # exact walk over ONLY the boundary bucket, seeded with the exact
     # weight the wholesale buckets already spent
     edge = staged.filter(F.col("__bkt") == F.lit(boundary))

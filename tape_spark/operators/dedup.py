@@ -26,7 +26,11 @@ from pyspark.sql import types as T
 
 def _guarded_toks_sql(text_col: str) -> str:
     """The ONE whitespace tokenizer the span family shares: NULL /
-    empty / whitespace-only text tokenizes to an EMPTY array. An
+    empty / SPACE-only text tokenizes to an EMPTY array (``trim`` strips
+    0x20 only — identically in Spark and DuckDB, the cross-engine
+    convention — so a tab/newline-edged blank still yields phantom ''
+    tokens; what the shared helper guarantees is that BOTH halves see
+    the same array either way). An
     unguarded ``split(trim(lower(text)), '\\s+')`` yields ``['']`` — one
     phantom token — so at ``span_tokens=1`` the detection half and the
     rebuild half of exact-substring dedup would disagree about whether a
@@ -34,12 +38,9 @@ def _guarded_toks_sql(text_col: str) -> str:
     :func:`repeated_spans` / :func:`remove_repeated_spans` (and the
     per-document census in :func:`repeated_span_stats`) go through this
     helper so positions always align."""
-    inner = f"trim(lower(coalesce({text_col}, '')))"
-    return (
-        f"CASE WHEN length({inner}) = 0 "
-        f"THEN cast(array() as array<string>) "
-        f"ELSE split({inner}, '\\\\s+') END"
-    )
+    from ..utils.tokens import ws_tokens_sql
+
+    return ws_tokens_sql(text_col)
 
 
 def _word_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

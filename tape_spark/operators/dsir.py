@@ -56,12 +56,11 @@ def _quant_ln(col: Column) -> Column:
 
 
 def _toks_sql(text_col: str) -> str:
-    """Guarded whitespace tokenizer (NULL/empty/space-only → empty array)."""
-    return (
-        f"CASE WHEN length(trim(lower(coalesce({text_col}, '')))) = 0 "
-        f"THEN cast(array() as array<string>) "
-        f"ELSE split(trim(lower(coalesce({text_col}, ''))), '\\\\s+') END"
-    )
+    """Guarded whitespace tokenizer — the ONE shared helper
+    (:func:`tape_spark.utils.tokens.ws_tokens_sql`)."""
+    from ..utils.tokens import ws_tokens_sql
+
+    return ws_tokens_sql(text_col)
 
 
 def _gram_buckets(toks_name: str, num_buckets: int) -> Column:

@@ -25,6 +25,7 @@ a range predicate into join keys exactly like the LSH banding in
 from __future__ import annotations
 
 import warnings
+from functools import reduce
 from typing import List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import DataFrame, Window
@@ -256,9 +257,6 @@ def interval_join(
     by = _as_list(by)
     w = float(bucket_width)
 
-    row_col = None
-    if how == "left":
-        left, row_col = _with_row_id(left)
     l_b = left.withColumn("__bucket", F.floor(F.col(left_ts) / F.lit(w)))
     r_b = right.withColumn(
         "__bucket",
@@ -285,65 +283,70 @@ def interval_join(
         return out.drop(r_b["__bucket"]).drop(l_b["__bucket"]).drop(
             *[r_b[k] for k in by]
         )
-    # left-outer: run the inner match, then re-attach the never-matched
-    # left rows (an outer equi-join on buckets alone would duplicate a
-    # left row per colliding-but-not-containing interval).
-    inner = l_b.join(r_b, cond, "inner").filter(contain)
-    inner = inner.drop(r_b["__bucket"]).drop(l_b["__bucket"]).drop(
+    # left-outer: ONE structural left join with the containment predicate
+    # INSIDE the join condition. A left row owns exactly one bucket, so
+    # an unmatched row null-extends exactly once — no synthetic row ids,
+    # no checkpoint, no complement branch, fully lazy. (Containment as a
+    # post-join FILTER would instead turn colliding-but-not-containing
+    # pairs into rows and need the complement machinery; as part of the
+    # join condition, Spark evaluates it during the hash-join probe and
+    # null-extends correctly.)
+    out = l_b.join(r_b, reduce(lambda a, b: a & b, cond) & contain, "left")
+    return out.drop(r_b["__bucket"]).drop(l_b["__bucket"]).drop(
         *[r_b[k] for k in by]
     )
-    return _attach_unmatched_left(left, inner, row_col)
 
 
 def _with_row_id(left: DataFrame) -> Tuple[DataFrame, str]:
     """Attach a synthetic monotonic row id for the left-outer complement
     protocol, picking a name that cannot clash with user columns.
 
-    The id-bearing frame is lazily local-checkpointed before it fans out
-    into the match branch and the complement branch. Without this, the
-    two branches each re-evaluate the left lineage independently and
+    The id-bearing frame is EAGERLY local-checkpointed before it fans
+    out into the match branch and the complement branch. Without this,
+    the two branches each re-evaluate the left lineage independently and
     ``monotonically_increasing_id`` — documented nondeterministic — can
     assign DIFFERENT ids to the same row (unstable upstream shuffle
     order, ``sample()``, AQE re-plans, task retries), silently dropping
-    or duplicating left rows in the complement anti-join. The lazy
-    checkpoint pins both branches to ONE underlying RDD (plan-level
-    reuse by RDD identity: within a job Spark computes a shared RDD's
-    partitions once), so the ids the anti-join compares are, by
-    construction, the ids the match branch emitted. ``eager=False``
-    keeps the operator lazy — nothing materializes until the caller
-    runs an action."""
+    or duplicating left rows in the complement anti-join. Eager (not
+    lazy) on purpose: a lazily-checkpointed RDD shared by two branch
+    stages can still be computed concurrently on DIFFERENT executors
+    before either publishes blocks, and the racing copies may disagree.
+    Materializing under one job before the fan-out closes that window.
+    Cost: the left table computes at call time and its blocks stay
+    pinned until the returned frame is GC'd — callers with table-sized
+    left frames should pass their own unique ``left_id`` instead (the
+    zero-caching path)."""
     row_col = "__lrow"
     while row_col in left.columns:
         row_col += "_"
     with_id = left.withColumn(row_col, F.monotonically_increasing_id())
-    return with_id.localCheckpoint(eager=False), row_col
+    return with_id.localCheckpoint(eager=True), row_col
 
 
 def _attach_unmatched_left(
-    left_with_id: DataFrame, inner: DataFrame, row_col: str
+    left_with_id: DataFrame, inner: DataFrame, row_col: str, drop_id: bool
 ) -> DataFrame:
-    """Left-outer completion for the bucketed joins: re-attach the left
-    rows that produced no inner match, with NULL right columns. A plain
-    outer equi-join on buckets would instead duplicate a left row per
-    colliding-but-not-matching interval, so the match runs inner and the
-    complement comes from an anti-join.
+    """Left-outer completion for the exploded-left bucketed join:
+    re-attach the left rows that produced no inner match, with NULL
+    right columns. A plain outer equi-join on buckets would instead
+    null-extend a left row once per unmatched bucket COPY, so the match
+    runs inner and the complement comes from an anti-join.
 
-    The anti-join keys on ONE synthetic long column (``_with_row_id``,
-    attached before the match branch) rather than on every left column
-    with ``eqNullSafe`` — for a wide left table the complement join
-    would otherwise carry full rows as shuffle keys, and all-column
-    equality also can't distinguish genuinely identical left rows. The
-    branch contract: ``_with_row_id`` local-checkpoints the id-bearing
-    frame, so both branches read one shared RDD and the ids agree by
-    construction (never re-derived from a possibly-nondeterministic
-    lineage)."""
+    The anti-join keys on ONE id column — the caller's unique
+    ``left_id`` (lazy, zero caching) or the synthetic eager-checkpointed
+    ``_with_row_id`` column — rather than on every left column with
+    ``eqNullSafe``: a wide left table would otherwise carry full rows as
+    shuffle keys, and all-column equality can't distinguish genuinely
+    identical left rows. ``drop_id`` is True only for the synthetic
+    column (a caller's id stays in the output)."""
     unmatched = left_with_id.join(inner.select(row_col), row_col, "left_anti")
     for c in inner.columns:
         if c not in left_with_id.columns:
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(inner.schema[c].dataType)
             )
-    return inner.unionByName(unmatched).drop(row_col)
+    out = inner.unionByName(unmatched)
+    return out.drop(row_col) if drop_id else out
 
 
 def interval_overlap_join(
@@ -357,6 +360,7 @@ def interval_overlap_join(
     bucket_width: Optional[float] = 3600.0,
     how: str = "inner",
     min_overlap: float = 0.0,
+    left_id: Optional[str] = None,
 ) -> DataFrame:
     """Join every left interval to the right intervals it OVERLAPS:
     ``left_start <= right_end AND right_start <= left_end`` (inclusive —
@@ -381,6 +385,15 @@ def interval_overlap_join(
     O(1)-row aggregate per side) — the longer population dominates
     per-row bucket replication, so matching it bounds the explode factor
     at O(1) for the typical interval. ``how`` is ``inner`` or ``left``.
+
+    For ``how='left'``, pass ``left_id`` — the name of a UNIQUE id
+    column on ``left`` — whenever one exists: the unmatched-row
+    complement then anti-joins on it lazily with zero caching (the
+    100 TB path; a duplicated id would make a match on one row drop its
+    duplicates, so uniqueness is the caller's contract). Without
+    ``left_id`` a synthetic id is attached and the left table is
+    eagerly local-checkpointed at call time (see ``_with_row_id`` for
+    why lazy isn't safe) — fine for session-scale frames.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
@@ -413,9 +426,28 @@ def interval_overlap_join(
             ),
         )
 
+    # how='left' needs a per-left-row identity for the complement
+    # anti-join (a span-vs-span left-outer can't be structural: the left
+    # side explodes across buckets, so a direct outer join would
+    # null-extend once per unmatched bucket COPY). Two paths:
+    # - the caller names a unique ``left_id`` column: the complement
+    #   keys on it — fully lazy, zero caching, the 100 TB path;
+    # - no ``left_id``: a synthetic id is attached and the id-bearing
+    #   frame is EAGERLY local-checkpointed so both branches read one
+    #   materialized RDD (a lazy checkpoint still allows two branches on
+    #   different executors to race duplicate partition computations and
+    #   diverge the nondeterministic ids). Eager = the left table
+    #   materializes at call time and stays pinned until the returned
+    #   frame is garbage-collected — fine for session-scale frames;
+    #   pass ``left_id`` for big ones.
     row_col = None
     if how == "left":
-        left, row_col = _with_row_id(left)
+        if left_id is not None:
+            if left_id not in left.columns:
+                raise ValueError(f"left_id column {left_id!r} not in left")
+            row_col = left_id
+        else:
+            left, row_col = _with_row_id(left)
     l_b = _explode(left, left_start, left_end)
     r_b = _explode(right, right_start, right_end)
     clash = {
@@ -443,7 +475,7 @@ def interval_overlap_join(
     )
     if how == "inner":
         return inner
-    return _attach_unmatched_left(left, inner, row_col)
+    return _attach_unmatched_left(left, inner, row_col, drop_id=left_id is None)
 
 
 def resample_timeseries(

@@ -875,3 +875,12 @@ def test_select_by_budget_validation(spark):
     dfn = spark.createDataFrame([(0, 1.0, None)], "doc_id long, score double, w double")
     with _pytest.raises(ValueError, match="non-NULL"):
         select_by_budget(dfn, 10, "score", "w")
+    # NaN weights must raise, not silently truncate the kept set: min()
+    # treats NaN as the largest double, and a NaN-poisoned cumulative
+    # sum would fail every <= budget comparison after the NaN row
+    nan_df = spark.createDataFrame(
+        [(0, 10.0, 5.0), (1, 9.0, float("nan")), (2, 8.0, 5.0)],
+        "doc_id long, score double, w double",
+    )
+    with _pytest.raises(ValueError, match="non-NaN"):
+        select_by_budget(nan_df, 12, "score", "w")

@@ -659,10 +659,11 @@ def test_interval_overlap_join_no_nested_loop(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
-def test_left_outer_complement_anti_joins_on_row_id(spark):
-    """The left-outer complement must anti-join on the single synthetic
-    row-id column (8-byte shuffle key), not on every left column with
-    eqNullSafe (verdict r8 item 7)."""
+def test_interval_left_outer_is_structural(spark):
+    """interval_join how='left' is ONE structural left join (containment
+    inside the join condition): no synthetic row ids, no anti-join
+    branch, no checkpoint — a left row owns exactly one bucket, so an
+    unmatched row null-extends exactly once (r10 redesign)."""
     from tape_spark.operators import interval_join
 
     left = spark.createDataFrame(
@@ -674,15 +675,40 @@ def test_left_outer_complement_anti_joins_on_row_id(spark):
     out = interval_join(left, right, "ts", "rs", "re", by="key",
                         bucket_width=100.0, how="left")
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in plan
-    # the anti-join condition names only the row-id column, none of the
-    # payload columns
-    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln][0]
-    assert "__lrow" in anti
-    for payload in ("p1", "p2", "p3"):
-        assert payload not in anti
-    # and the row id never leaks into the output
+    assert "LeftAnti" not in plan and "LeftOuter" in plan
     assert all(not c.startswith("__lrow") for c in out.columns)
+
+
+def test_overlap_left_outer_caller_id_path(spark):
+    """interval_overlap_join how='left' with a caller-named unique id:
+    the complement anti-joins on that column lazily — zero caching, no
+    synthetic ids, and the id column survives in the output."""
+    from tape_spark.operators import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(10, 1, 0.0, 5.0), (11, 1, 50.0, 60.0)],
+        "rid long, key long, s double, e double",
+    )
+    right = spark.createDataFrame(
+        [(1, 4.0, 6.0, "x")], "key long, rs double, re double, lab string"
+    )
+    out = interval_overlap_join(
+        left, right, "s", "e", "rs", "re", by="key",
+        bucket_width=10.0, how="left", left_id="rid",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln][0]
+    assert "rid" in anti and "lab" not in anti
+    rows = {r["rid"]: r for r in out.collect()}
+    assert rows[10]["lab"] == "x" and rows[11]["lab"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="left_id column"):
+        interval_overlap_join(
+            left, right, "s", "e", "rs", "re", by="key", how="left",
+            left_id="nope",
+        )
 
 
 def test_left_outer_duplicate_left_rows_survive(spark):
