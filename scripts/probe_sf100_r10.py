@@ -261,6 +261,35 @@ def main():
             "mean_query_source_cos": round(sum(cosims) / len(cosims), 4),
         })
 
+    elif phase == "normalize":
+        # normalize_text over 5M docs: NFC form (one Arrow stage with the
+        # ASCII fast path — the synthetic corpus is pure ASCII, so this
+        # measures the fast path) vs form=None (pure codegen). The action
+        # consumes the normalized text (length sum + one sha).
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import normalize_text
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64)
+        out = {}
+        for name, form in (("nfc_arrow", "NFC"), ("codegen_only", None)):
+            reps = []
+            chk = None
+            for _ in range(REPS):
+                t0 = time.time()
+                agg = normalize_text(
+                    docs, output_col="__n", form=form, lowercase=True
+                ).agg(
+                    F.sum(F.length("__n")).alias("chars"),
+                    F.sum(F.xxhash64("__n").cast("decimal(38,0)")).alias("h"),
+                ).collect()[0]
+                chk = (int(agg["chars"]), str(agg["h"]))
+                reps.append(round(time.time() - t0, 1))
+            out[name] = {"secs": reps, "chars": chk[0], "checksum": chk[1]}
+        # ASCII corpus: both paths must normalize identically
+        out["paths_agree"] = out["nfc_arrow"]["checksum"] == out["codegen_only"]["checksum"]
+        emit(phase, out)
+
     elif phase == "resample_guard":
         # the max_grid_rows estimator: its cost must be one tiny span
         # aggregate over the bucketed events table, not a full resample
