@@ -400,3 +400,23 @@ def test_pq_encode_no_shuffle(spark):
     books = train_pq_codebooks(emb, m=4, num_centroids=8, train_sample=64)
     plan = pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gram_derivation_stays_staged(spark):
+    """The regex split must appear ONCE per corpus side in the optimized
+    plan — staged as a token column the transform lambdas reference. If
+    a refactor (or a CollapseProject behavior change) re-inlines the
+    split into the gram lambdas, it re-evaluates PER ELEMENT —
+    O(tokens^2) per document, the round-10 long-doc bug (decontaminate
+    3.7x / split_contaminated 6.1x / dsir 3.0x at sf100 came from
+    fixing exactly this). Re-inlined plans show 3x+ the split count."""
+    from tape_spark.operators import decontaminate, dsir_logweights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "c d e f g")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "c d e")], "doc_id long, text string")
+    p = decontaminate(docs, bench, n=3)._jdf.queryExecution().optimizedPlan().toString()
+    assert p.count("split(") <= 3, "decontaminate gram split re-inlined into a lambda"
+    p = dsir_logweights(docs, bench)._jdf.queryExecution().optimizedPlan().toString()
+    assert p.count("split(") <= 7, "dsir gram split re-inlined into a lambda"
