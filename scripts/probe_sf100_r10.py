@@ -261,6 +261,58 @@ def main():
             "mean_query_source_cos": round(sum(cosims) / len(cosims), 4),
         })
 
+    elif phase == "overlap_left":
+        # interval_overlap_join how='left' at 100M events: per-user
+        # sessions (30-min gap) left-joined to 15-min outage windows
+        # every 4h — BOTH complement paths: the caller-id lazy anti-join
+        # (sessions have a unique (user, start) -> synthesize one id
+        # column) and the synthetic-id eager-checkpoint fallback. Both
+        # must agree on the match/unmatched split.
+        from pyspark.sql import Window, functions as F
+
+        from tape_spark.operators import interval_overlap_join
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "user_id", F.col("ts").cast("timestamp_ltz").cast("double").alias("t")
+        )
+        gap = F.col("t") - F.lag("t").over(
+            Window.partitionBy("user_id").orderBy("t")
+        )
+        sess = (
+            ev.withColumn("__new", (gap.isNull() | (gap > 1800)).cast("int"))
+            .withColumn("__sid", F.sum("__new").over(
+                Window.partitionBy("user_id").orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("user_id", "__sid")
+            .agg(F.min("t").alias("ss"), F.max("t").alias("se"))
+            .withColumn("rid", F.xxhash64("user_id", "__sid"))
+        )
+        bounds = sess.agg(
+            F.floor(F.min("ss") / 14400.0).cast("long").alias("k0"),
+            F.floor(F.max("se") / 14400.0).cast("long").alias("k1"),
+        )
+        outages = bounds.select(F.explode(F.sequence("k0", "k1")).alias("k")).select(
+            (F.col("k") * 14400.0).alias("os"),
+            (F.col("k") * 14400.0 + 900.0).alias("oe"),
+        )
+        out = {}
+        for name, kw in (("caller_id", {"left_id": "rid"}), ("synthetic", {})):
+            t0 = time.time()
+            r = interval_overlap_join(
+                sess, outages, "ss", "se", "os", "oe",
+                by=None, bucket_width=14400.0, how="left", **kw,
+            ).agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.col("os").isNull().cast("long")).alias("unmatched"),
+            ).collect()[0]
+            out[name] = {"secs": round(time.time() - t0, 1),
+                         "rows": r["rows"], "unmatched": r["unmatched"]}
+        out["paths_agree"] = (
+            out["caller_id"]["rows"] == out["synthetic"]["rows"]
+            and out["caller_id"]["unmatched"] == out["synthetic"]["unmatched"]
+        )
+        emit(phase, out)
+
     elif phase == "normalize":
         # normalize_text over 5M docs: NFC form (one Arrow stage with the
         # ASCII fast path — the synthetic corpus is pure ASCII, so this
