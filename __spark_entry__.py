@@ -1641,25 +1641,49 @@ def q_corpus_filter(spark, sf_dir):
         F.round("nb_logodds", 6).alias("nb_logodds"),
         "nb_label",
     )
-    # select_by_budget fold (r10): the greedy budget walk over the NB
-    # quality score, budget = exactly 40% of the corpus's nb tokens
-    # (integer arithmetic, SF-independent); the oracle replays it as one
-    # cumulative-sum window. in_budget rides every row. The total-weight
-    # probe, the operator's own stats/bucket aggregates, and the final
-    # walk would each replay the NB-scoring lineage — the narrow-persist
-    # lifecycle (utils/caching) pins the 3-column scored frame for all
-    # of them and releases it once the kept flags materialize.
+    # select_by_budget fold (r10, reshaped r11): the greedy budget walk
+    # over the NB quality score, budget = exactly 40% of the corpus's nb
+    # tokens (integer arithmetic, SF-independent); the oracle replays it
+    # as one cumulative-sum window. in_budget rides every row. The r10
+    # shape materialized the kept ~40% of doc_ids through
+    # materialized_small_result — the one caller that violated the
+    # helper's smallness contract (a corpus-scale frame stayed pinned
+    # for the rest of the session at sf100). The kept set is a greedy
+    # PREFIX in (score DESC, doc_id ASC) order, so its membership is
+    # fully described by the CUTOFF KEY — two driver scalars collected
+    # inside the pinned lifecycle; in_budget is then a codegen
+    # comparison against those literals: nothing stays pinned and the
+    # corpus-scale membership join disappears from the plan.
     from tape_spark.utils.caching import materialized_small_result
 
-    def _kept(pinned):
-        total_w = pinned.agg(F.sum("n_nb_tokens").alias("t")).collect()[0]["t"]
-        return select_by_budget(
-            pinned, int(total_w) * 2 // 5, "nb_logodds", "n_nb_tokens"
-        ).select("doc_id", F.lit(True).alias("in_budget"))
+    cutref = {}
 
-    kept = materialized_small_result(
-        scored.select("doc_id", "nb_logodds", "n_nb_tokens"), _kept
+    def _budget_cutoff(pinned):
+        total_w = pinned.agg(F.sum("n_nb_tokens").alias("t")).collect()[0]["t"]
+        kept = select_by_budget(
+            pinned, int(total_w) * 2 // 5, "nb_logodds", "n_nb_tokens"
+        )
+        smin = kept.agg(F.min("nb_logodds").alias("s")).collect()[0]["s"]
+        if smin is None:  # degenerate: nothing fits the budget
+            return None
+        idcut = (
+            kept.filter(F.col("nb_logodds") == F.lit(float(smin)))
+            .agg(F.max("doc_id").alias("m"))
+            .collect()[0]["m"]
+        )
+        cutref.update(scut=float(smin), idcut=int(idcut))
+        return None
+
+    materialized_small_result(
+        scored.select("doc_id", "nb_logodds", "n_nb_tokens"), _budget_cutoff
     )
+    if cutref:
+        in_budget = (F.col("nb_logodds") > F.lit(cutref["scut"])) | (
+            (F.col("nb_logodds") == F.lit(cutref["scut"]))
+            & (F.col("doc_id") <= F.lit(cutref["idcut"]))
+        )
+    else:
+        in_budget = F.lit(False)
     return gate.join(
         cleaned.select(
             "doc_id",
@@ -1667,9 +1691,7 @@ def q_corpus_filter(spark, sf_dir):
             "n_lines_removed",
         ),
         "doc_id",
-    ).join(scored, "doc_id").join(kept, "doc_id", "left").withColumn(
-        "in_budget", F.coalesce("in_budget", F.lit(False))
-    )
+    ).join(scored, "doc_id").withColumn("in_budget", in_budget)
 
 
 def q_vocab_topk(spark, sf_dir):

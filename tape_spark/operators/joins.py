@@ -361,6 +361,7 @@ def interval_overlap_join(
     how: str = "inner",
     min_overlap: float = 0.0,
     left_id: Optional[str] = None,
+    validate_left_id: bool = False,
 ) -> DataFrame:
     """Join every left interval to the right intervals it OVERLAPS:
     ``left_start <= right_end AND right_start <= left_end`` (inclusive —
@@ -401,6 +402,14 @@ def interval_overlap_join(
     to pin, and the default when its lineage is expensive. (Callers
     with an expensive lineage AND a unique id can also persist the left
     frame themselves and pass ``left_id``.)
+
+    The uniqueness contract fails SILENTLY if violated — a duplicated
+    ``left_id`` value whose one copy matches hides its unmatched
+    duplicates from the anti-join complement, producing a wrong
+    left-outer result with no error. ``validate_left_id=True`` spends
+    one aggregate (count vs count-distinct over the id column, a cheap
+    partial-agg scan) to raise on duplicates instead; leave it off on
+    trusted ids in the 100 TB hot path.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left, got {how!r}")
@@ -452,6 +461,21 @@ def interval_overlap_join(
         if left_id is not None:
             if left_id not in left.columns:
                 raise ValueError(f"left_id column {left_id!r} not in left")
+            if validate_left_id:
+                chk = left.agg(
+                    F.count(left_id).alias("n"),
+                    F.countDistinct(left_id).alias("d"),
+                    F.sum(F.col(left_id).isNull().cast("long")).alias("nulls"),
+                ).collect()[0]
+                if int(chk["nulls"] or 0) or int(chk["n"]) != int(chk["d"]):
+                    raise ValueError(
+                        f"left_id {left_id!r} violates the uniqueness contract "
+                        f"({int(chk['n'])} non-null rows, {int(chk['d'])} distinct, "
+                        f"{int(chk['nulls'] or 0)} NULLs): a duplicated id whose "
+                        "one copy matches silently DROPS its unmatched duplicates "
+                        "from the left-outer complement — dedup or synthesize a "
+                        "unique id (or omit left_id for the checkpointed path)"
+                    )
             row_col = left_id
         else:
             left, row_col = _with_row_id(left)

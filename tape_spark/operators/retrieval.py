@@ -148,8 +148,12 @@ def bm25_topk(
         F.array(*[F.lit(i).cast("int") for i in range(nterms)]),
     )
     zeros = F.array(*[F.lit(0).cast("long") for _ in range(nterms)])
+    # try_element_at (not element_at): a token that is not a query term
+    # must yield NULL under EVERY ANSI setting — element_at's missing-map-key
+    # contract has varied across Spark versions/settings (MAP_KEY_DOES_NOT_EXIST
+    # under some ANSI configurations), and nearly every corpus token misses.
     tfs = F.aggregate(
-        F.transform(toks, lambda x: F.element_at(tmap, x)),
+        F.transform(toks, lambda x: F.try_element_at(tmap, x)),
         zeros,
         lambda acc, i: F.when(i.isNull(), acc).otherwise(
             F.transform(

@@ -884,3 +884,12 @@ def test_select_by_budget_validation(spark):
     )
     with _pytest.raises(ValueError, match="non-NaN"):
         select_by_budget(nan_df, 12, "score", "w")
+    # NaN SCORES must raise too: Spark sorts NaN above +inf, so a
+    # NaN-scored row would silently win the walk and consume budget
+    # first, and replay engines order NaN differently
+    nan_score = spark.createDataFrame(
+        [(0, 10.0, 5.0), (1, float("nan"), 5.0), (2, 8.0, 5.0)],
+        "doc_id long, score double, w double",
+    )
+    with _pytest.raises(ValueError, match="NaN value"):
+        select_by_budget(nan_score, 12, "score", "w")

@@ -709,6 +709,33 @@ def test_overlap_left_outer_caller_id_path(spark):
             left, right, "s", "e", "rs", "re", by="key", how="left",
             left_id="nope",
         )
+    # the uniqueness contract fails SILENTLY when violated (a matched
+    # duplicate hides its unmatched copies from the complement), so the
+    # opt-in validator must catch both duplicates and NULL ids
+    dup = spark.createDataFrame(
+        [(10, 1, 0.0, 5.0), (10, 1, 50.0, 60.0)],
+        "rid long, key long, s double, e double",
+    )
+    with _pytest.raises(ValueError, match="uniqueness contract"):
+        interval_overlap_join(
+            dup, right, "s", "e", "rs", "re", by="key", how="left",
+            left_id="rid", validate_left_id=True,
+        )
+    nulls = spark.createDataFrame(
+        [(None, 1, 0.0, 5.0), (11, 1, 50.0, 60.0)],
+        "rid long, key long, s double, e double",
+    )
+    with _pytest.raises(ValueError, match="uniqueness contract"):
+        interval_overlap_join(
+            nulls, right, "s", "e", "rs", "re", by="key", how="left",
+            left_id="rid", validate_left_id=True,
+        )
+    # and a clean id passes through the validator unchanged
+    ok = interval_overlap_join(
+        left, right, "s", "e", "rs", "re", by="key",
+        bucket_width=10.0, how="left", left_id="rid", validate_left_id=True,
+    )
+    assert {r["rid"] for r in ok.collect()} == {10, 11}
 
 
 def test_left_outer_duplicate_left_rows_survive(spark):
