@@ -98,6 +98,7 @@ def decontaminate(
     method: str = "broadcast",
     bloom_bits_per_key: int = 10,
     bloom_num_hashes: int = 7,
+    max_doc_tokens: Optional[int] = None,
 ) -> DataFrame:
     """Per-document benchmark-overlap statistics for eval decontamination.
 
@@ -142,6 +143,9 @@ def decontaminate(
         raise ValueError(f"method must be broadcast|bloom, got {method!r}")
     if method == "bloom" and not hashed:
         raise ValueError("method='bloom' requires hashed=True")
+    from ..utils.tokens import assert_max_doc_tokens
+
+    assert_max_doc_tokens(docs, text_col, max_doc_tokens, "decontaminate")
     bench_text = bench_text_col or text_col
     key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
 
@@ -196,6 +200,7 @@ def split_contaminated(
     n: int = 3,
     radius: int = 0,
     hashed: bool = True,
+    max_doc_tokens: Optional[int] = None,
 ) -> DataFrame:
     """Surgical decontamination: instead of dropping a contaminated
     document whole, remove a window around every benchmark n-gram
@@ -250,6 +255,9 @@ def split_contaminated(
         raise ValueError("n must be >= 1")
     if radius < 0:
         raise ValueError("radius must be >= 0")
+    from ..utils.tokens import assert_max_doc_tokens
+
+    assert_max_doc_tokens(docs, text_col, max_doc_tokens, "split_contaminated")
     bench_text = bench_text_col or text_col
     key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
     key_sql = (lambda e: f"xxhash64({e})") if hashed else (lambda e: e)

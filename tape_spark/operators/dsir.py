@@ -109,6 +109,7 @@ def dsir_logweights(
     id_col: str = "doc_id",
     num_buckets: int = 8192,
     smoothing: float = 0.1,
+    max_doc_tokens: "int | None" = None,
 ) -> DataFrame:
     """Attach ``logw_units`` — the DSIR log importance weight in integer
     1e-12 units — to every row of ``raw``.
@@ -129,6 +130,9 @@ def dsir_logweights(
         raise ValueError("num_buckets must be > 0")
     if smoothing <= 0:
         raise ValueError("smoothing must be > 0 (additive smoothing)")
+    from ..utils.tokens import assert_max_doc_tokens
+
+    assert_max_doc_tokens(raw, text_col, max_doc_tokens, "dsir_logweights")
     a = float(smoothing)
     ab = a * num_buckets
 
@@ -207,6 +211,7 @@ def dsir_select(
     smoothing: float = 0.1,
     salt: str = "",
     margin: float = 2.0,
+    max_doc_tokens: "int | None" = None,
 ) -> DataFrame:
     """Draw ``k`` documents from ``raw`` without replacement with
     probability proportional to their DSIR importance weight, via the
@@ -238,6 +243,11 @@ def dsir_select(
         raise ValueError("k must be > 0")
     if margin <= 1.0:
         raise ValueError("margin must be > 1.0")
+    # the guard runs here (not via the dsir_logweights call below) so a
+    # giant document raises before ANY pass over raw starts
+    from ..utils.tokens import assert_max_doc_tokens
+
+    assert_max_doc_tokens(raw, text_col, max_doc_tokens, "dsir_select")
     from pyspark.sql import Window
 
     scored = dsir_logweights(

@@ -74,6 +74,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_terms: int = 256,
+    max_doc_tokens: Optional[int] = None,
 ) -> DataFrame:
     """Okapi BM25 top-``k`` documents per query.
 
@@ -95,6 +96,9 @@ def bm25_topk(
     before returning (a lazy plan would re-tokenize the corpus once for
     the stats and again per downstream action; measured 2.3× at sf100).
     """
+    from ..utils.tokens import assert_max_doc_tokens
+
+    assert_max_doc_tokens(docs, text_col, max_doc_tokens, "bm25_topk")
     # Validate the doc-id dtype up front: the pipeline keys ranks and
     # tie-breaks on a LONG doc_id, and a silent cast('long') would turn a
     # non-numeric string id into NULL — corrupting ranks without any

@@ -893,3 +893,41 @@ def test_select_by_budget_validation(spark):
     )
     with _pytest.raises(ValueError, match="NaN value"):
         select_by_budget(nan_score, 12, "score", "w")
+
+
+# ------------------------------------------------------- max_doc_tokens guard
+def test_max_doc_tokens_guard(spark):
+    """The giant-document guard (the max_grid_rows treatment for token
+    operators): a pathological doc pays an interpreted-HOF one-task
+    floor (~25 ns/token/expr — measured ~126 s for ONE 5 M-token doc at
+    sf100), so the opt-in guard must raise BEFORE any per-token work,
+    naming the offender count, and stay a no-op by default."""
+    import pytest as _pytest
+
+    from tape_spark.operators import (
+        bm25_topk,
+        decontaminate,
+        dsir_logweights,
+        dsir_select,
+        split_contaminated,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, " ".join(["w"] * 40))], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "c d e")], "doc_id long, text string")
+    for call in (
+        lambda: decontaminate(docs, bench, n=3, max_doc_tokens=10),
+        lambda: split_contaminated(docs, bench, n=3, max_doc_tokens=10),
+        lambda: dsir_logweights(docs, bench, max_doc_tokens=10),
+        lambda: dsir_select(docs, bench, k=1, max_doc_tokens=10),
+        lambda: bm25_topk(docs, [("q1", "c d")], max_doc_tokens=10),
+    ):
+        with _pytest.raises(ValueError, match="1 document\\(s\\) exceed"):
+            call()
+    with _pytest.raises(ValueError, match="must be positive"):
+        decontaminate(docs, bench, n=3, max_doc_tokens=0)
+    # under the bound (and by default) outputs are unchanged
+    a = decontaminate(docs, bench, n=3).orderBy("doc_id").collect()
+    b = decontaminate(docs, bench, n=3, max_doc_tokens=50).orderBy("doc_id").collect()
+    assert a == b
