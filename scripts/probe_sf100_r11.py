@@ -1,0 +1,329 @@
+#!/usr/bin/env python
+"""Round-11 sf100 probes (each phase its own process, per the sf100
+shuffle-reclaim convention). Phases:
+
+  python scripts/probe_sf100_r11.py overlap_left3   # third complement path: persist + left_id (r10 verdict ask #5)
+  python scripts/probe_sf100_r11.py budget_sweep    # select_by_budget num_buckets sweep + edge-bucket share (ask #8)
+  python scripts/probe_sf100_r11.py budget_coarse   # the coarse-score repro the r10 verdict demanded (ask #1 done=)
+  python scripts/probe_sf100_r11.py streaming       # real micro-batch run over 100M events, state-store metrics (ask #7)
+  python scripts/probe_sf100_r11.py bm25_zipf       # bm25 on the Zipf corpus: the df<<N selective regime (ask #4)
+
+Emits one JSON line per phase and appends to BENCH_sf100_r11.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("PROBE_SF_DIR", os.path.join(REPO, ".benchdata", "sf100"))
+ZIPF_DIR = os.environ.get("PROBE_ZIPF_DIR", os.path.join(REPO, ".benchdata", "sf100_zipf"))
+OUT = os.path.join(REPO, "BENCH_sf100_r11.json")
+REPS = int(os.environ.get("PROBE_REPS", "2"))
+
+
+def session(extra=None):
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "96g"))
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR", "/tmp/spark-probe"))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def emit(phase, payload):
+    rec = {"phase": phase, "sf_dir": SF_DIR, **payload}
+    line = json.dumps(rec)
+    print(line, flush=True)
+    existing = []
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            existing = [json.loads(l) for l in fh if l.strip()]
+    existing = [r for r in existing if r.get("phase") != phase]
+    existing.append(rec)
+    with open(OUT, "w") as fh:
+        for r in existing:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _sessions_frame(spark):
+    """95M per-user sessions derived from 100M events — the expensive-
+    lineage left side shared by all overlap_left variants (two windows +
+    a groupBy before the join ever starts)."""
+    from pyspark.sql import Window, functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp_ltz").cast("double").alias("t")
+    )
+    gap = F.col("t") - F.lag("t").over(Window.partitionBy("user_id").orderBy("t"))
+    return (
+        ev.withColumn("__new", (gap.isNull() | (gap > 1800)).cast("int"))
+        .withColumn(
+            "__sid",
+            F.sum("__new").over(
+                Window.partitionBy("user_id")
+                .orderBy("t")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "__sid")
+        .agg(F.min("t").alias("ss"), F.max("t").alias("se"))
+        .withColumn("rid", F.xxhash64("user_id", "__sid"))
+    )
+
+
+def main():
+    phase = sys.argv[1]
+    spark = session()
+
+    if phase == "overlap_left3":
+        # r10 measured lazy left_id (106.3s: lineage evaluated in BOTH the
+        # join and the anti-join complement branch) vs synthetic-id eager
+        # localCheckpoint (47.2s: computed once, pinned to executor disk).
+        # The docstring names a third path — the CALLER persists the left
+        # frame and passes left_id — predicted to beat both when the left
+        # fits memory. Measure it with the persist build time broken out.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import interval_overlap_join
+
+        out = {}
+        for name in ("caller_id_lazy", "synthetic_checkpoint", "persist_caller_id"):
+            sess = _sessions_frame(spark)
+            t0 = time.time()
+            build_s = 0.0
+            kw = {}
+            if name == "persist_caller_id":
+                sess = sess.persist()
+                sess.count()  # materialize once, both branches read cache
+                build_s = round(time.time() - t0, 1)
+                kw = {"left_id": "rid"}
+            elif name == "caller_id_lazy":
+                kw = {"left_id": "rid"}
+            bounds = sess.agg(
+                F.floor(F.min("ss") / 14400.0).cast("long").alias("k0"),
+                F.floor(F.max("se") / 14400.0).cast("long").alias("k1"),
+            )
+            outages = bounds.select(
+                F.explode(F.sequence("k0", "k1")).alias("k")
+            ).select(
+                (F.col("k") * 14400.0).alias("os"),
+                (F.col("k") * 14400.0 + 900.0).alias("oe"),
+            )
+            r = (
+                interval_overlap_join(
+                    sess, outages, "ss", "se", "os", "oe",
+                    by=None, bucket_width=14400.0, how="left", **kw,
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.col("os").isNull().cast("long")).alias("unmatched"),
+                )
+                .collect()[0]
+            )
+            total = round(time.time() - t0, 1)
+            out[name] = {
+                "secs_total": total,
+                "secs_persist_build": build_s,
+                "rows": r["rows"],
+                "unmatched": r["unmatched"],
+            }
+            if name == "persist_caller_id":
+                sess.unpersist()
+        out["paths_agree"] = (
+            len({(v["rows"], v["unmatched"]) for v in out.values() if isinstance(v, dict)}) == 1
+        )
+        emit(phase, out)
+
+    elif phase in ("budget_sweep", "budget_coarse"):
+        # ask #8 (sweep) and the ask-#1 done-condition repro (coarse):
+        # 5M docs, integer 0-5 quality score (~N/6 in the boundary bucket),
+        # 40% token budget. Before the r11 prefix-sum fix this was ONE
+        # Window.orderBy task over ~830k rows; now the boundary walk is
+        # range-partitioned. The sweep records the edge(=boundary)-bucket
+        # row share per num_buckets — the residual tuning knob.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import select_by_budget
+
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .repartition(64)
+            .withColumn("toks", F.size(F.split(F.trim("text"), r"\s+")))
+            .withColumn("quality", F.pmod(F.xxhash64("doc_id"), F.lit(6)).cast("int"))
+            .select("doc_id", "quality", "toks")
+            .persist()
+        )
+        total = docs.agg(F.sum("toks").alias("t")).collect()[0]["t"]
+        budget = int(total * 0.4)
+        grid = []
+        for nb in (64, 256, 1024) if phase == "budget_sweep" else (256,):
+            reps = []
+            kept = n_boundary = None
+            for _ in range(REPS):
+                t0 = time.time()
+                sel = select_by_budget(
+                    docs, budget, "quality", "toks", id_col="doc_id", num_buckets=nb
+                )
+                kept = sel.count()
+                reps.append(round(time.time() - t0, 1))
+            # boundary bucket share: with 6 distinct scores every cut grid
+            # collapses to the same 6 effective buckets; measure the share
+            # of rows carrying the cutoff score (the exact-walk population)
+            cutoff = (
+                select_by_budget(docs, budget, "quality", "toks", num_buckets=nb)
+                .agg(F.min("quality").alias("q"))
+                .collect()[0]["q"]
+            )
+            n_boundary = docs.filter(F.col("quality") == cutoff).count()
+            grid.append({
+                "num_buckets": nb,
+                "secs": reps,
+                "kept_rows": kept,
+                "boundary_rows": n_boundary,
+                "boundary_share": round(n_boundary / docs.count(), 4),
+            })
+        emit(phase, {
+            "docs": docs.count(), "distinct_scores": 6,
+            "budget_tokens": budget, "grid": grid,
+        })
+        docs.unpersist()
+
+    elif phase == "streaming":
+        # ask #7: a REAL trigger-by-trigger Structured Streaming run over
+        # the 100M-event table (file source, bounded files/trigger), a
+        # 1-day tumbling window x event_type with a 1-hour watermark in
+        # append mode, state-store metrics from every progress event, and
+        # a batch-parity assertion on the emitted (closed) windows.
+        from pyspark.sql import functions as F
+
+        from tape_spark.streaming.windows import read_event_stream, tumbling_window_agg
+
+        ev_path = f"{SF_DIR}/events.parquet"
+        schema = spark.read.parquet(ev_path).schema
+        stream = read_event_stream(
+            spark, ev_path, schema, max_files_per_trigger=2
+        )
+        agg = tumbling_window_agg(
+            stream, ts_col="ts", window="1 day", keys=["event_type"],
+            value_col="value", watermark="1 hour",
+        )
+        t0 = time.time()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("ev_windows")
+            .outputMode("append")
+            .option("checkpointLocation", "/tmp/spark-probe/ckpt-ev")
+            .trigger(availableNow=True)
+            .start()
+        )
+        progress = []
+        while q.isActive:
+            time.sleep(2)
+        q.awaitTermination()
+        wall = round(time.time() - t0, 1)
+        for p in q.recentProgress:
+            so = (p["stateOperators"] or [{}])[0]
+            progress.append({
+                "batch": p["batchId"],
+                "input_rows": p["numInputRows"],
+                "state_rows": so.get("numRowsTotal"),
+                "state_mem_bytes": so.get("memoryUsedBytes"),
+                "rows_dropped_by_watermark": so.get("numRowsDroppedByWatermark"),
+            })
+        emitted = spark.table("ev_windows")
+        batch = tumbling_window_agg(
+            spark.read.parquet(ev_path), ts_col="ts", window="1 day",
+            keys=["event_type"], value_col="value",
+        )
+        # every emitted (closed) window must match the batch row exactly
+        j = emitted.alias("s").join(
+            batch.alias("b"), ["window_start", "window_end", "event_type"], "left"
+        )
+        mism = j.filter(
+            (F.col("s.n") != F.col("b.n"))
+            | (F.abs(F.col("s.avg_value") - F.col("b.avg_value")) > 1e-9)
+            | F.col("b.n").isNull()
+        ).count()
+        emit(phase, {
+            "wall_secs": wall,
+            "micro_batches": len(progress),
+            "emitted_windows": emitted.count(),
+            "batch_windows": batch.count(),
+            "emitted_mismatches": mism,
+            "max_state_rows": max((p["state_rows"] or 0) for p in progress),
+            "max_state_mem_mb": round(
+                max((p["state_mem_bytes"] or 0) for p in progress) / 1e6, 1
+            ),
+            "total_dropped_by_watermark": sum(
+                p["rows_dropped_by_watermark"] or 0 for p in progress
+            ),
+            "batches": progress,
+        })
+
+    elif phase == "bm25_zipf":
+        # ask #4's probe: on the 31-word corpus every term has df~N (the
+        # easiest pruning geometry — nothing is selective). The Zipf corpus
+        # has a 10k-word heavy-tailed vocabulary: mid/tail query terms hit
+        # df<<N, so the "documents sharing no query term never enter the
+        # ranking shuffle" claim is finally exercised for real. Record df/N
+        # per term band and bm25 wall time for head vs tail query mixes.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import bm25_topk
+
+        docs = spark.read.parquet(f"{ZIPF_DIR}/documents.parquet").repartition(64).persist()
+        n_docs = docs.count()
+        out = {"docs": n_docs}
+        for name, words in (
+            ("head_terms", ["w00001", "w00002", "w00003", "w00005", "w00008"]),
+            ("tail_terms", ["w04217", "w06533", "w07911", "w08864", "w09427"]),
+        ):
+            dfreq = (
+                docs.select(
+                    F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("w")
+                )
+                .filter(F.col("w").isin(words))
+                .groupBy("w")
+                .count()
+                .collect()
+            )
+            dfmap = {r["w"]: r["count"] for r in dfreq}
+            reps = []
+            nrows = None
+            for _ in range(REPS):
+                t0 = time.time()
+                r = bm25_topk(docs, [("q0", " ".join(words))], k=10)
+                nrows = r.count()
+                reps.append(round(time.time() - t0, 1))
+            out[name] = {
+                "df": {w: dfmap.get(w, 0) for w in words},
+                "df_over_n": {w: round(dfmap.get(w, 0) / n_docs, 5) for w in words},
+                "secs": reps,
+                "rows": nrows,
+            }
+        docs.unpersist()
+        emit(phase, out)
+
+    else:
+        print(f"unknown phase {phase}")
+        return 2
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
