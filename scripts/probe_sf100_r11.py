@@ -214,9 +214,11 @@ def main():
 
         ev_path = f"{SF_DIR}/events.parquet"
         schema = spark.read.parquet(ev_path).schema
+        # parquet timestamps load as TIMESTAMP_NTZ; watermarks require
+        # TIMESTAMP (ltz) — cast on both the stream and the batch side
         stream = read_event_stream(
             spark, ev_path, schema, max_files_per_trigger=2
-        )
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
         agg = tumbling_window_agg(
             stream, ts_col="ts", window="1 day", keys=["event_type"],
             value_col="value", watermark="1 hour",
@@ -246,8 +248,10 @@ def main():
             })
         emitted = spark.table("ev_windows")
         batch = tumbling_window_agg(
-            spark.read.parquet(ev_path), ts_col="ts", window="1 day",
-            keys=["event_type"], value_col="value",
+            spark.read.parquet(ev_path).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            ),
+            ts_col="ts", window="1 day", keys=["event_type"], value_col="value",
         )
         # every emitted (closed) window must match the batch row exactly
         j = emitted.alias("s").join(
@@ -317,6 +321,93 @@ def main():
             }
         docs.unpersist()
         emit(phase, out)
+
+    elif phase == "dedup_zipf":
+        # MinHash-LSH over the 5M-doc Zipf corpus: realistic heavy-tailed
+        # vocabulary (not the 31-word degenerate case) with KNOWN planted
+        # structure — every doc_id%10==9 is an exact copy of id-1, every
+        # doc_id%10==5 a ~8%-mutated near copy. Recall is measured against
+        # the planted pairs' EXACT bigram Jaccard (a linear paired join —
+        # no quadratic all-pairs replay), split by similarity band.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import minhash_near_duplicates
+
+        docs = spark.read.parquet(f"{ZIPF_DIR}/documents.parquet").repartition(64).persist()
+        n_docs = docs.count()
+        # signature_bits=32 is the documented payload knob: the band-entry
+        # exchange carries the signature on both join sides (~45 GB at 64-bit
+        # over 5M docs — more than this host's free disk once join-side sort
+        # spill doubles it); 32-bit halves it, est_jaccard granularity is
+        # unchanged (still 1/num_hashes) and per-position collisions are 2^-32
+        t0 = time.time()
+        pairs = minhash_near_duplicates(
+            docs, num_hashes=64, bands=16, threshold=0.3, signature_bits=32
+        ).select("id_a", "id_b").persist()
+        n_pairs = pairs.count()
+        lsh_secs = round(time.time() - t0, 1)
+
+        grams = docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 1), "
+                    "i -> array_join(slice(split(trim(lower(text)), '\\\\s+'), i, 2), ' '))"
+                )
+            ).alias("g"),
+        )
+        planted = (
+            docs.select(F.col("doc_id").alias("id_b"))
+            .filter(F.pmod("id_b", F.lit(10)).isin(5, 9))
+            .withColumn("id_a", F.col("id_b") - 1)
+            .withColumn(
+                "kind",
+                F.when(F.pmod("id_b", F.lit(10)) == 5, "near").otherwise("exact"),
+            )
+        )
+        withj = (
+            planted.join(grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga")), "id_a")
+            .join(grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb")), "id_b")
+            .withColumn(
+                "j",
+                F.size(F.array_intersect("ga", "gb"))
+                / F.size(F.array_union("ga", "gb")),
+            )
+            .withColumn("found", F.lit(False))
+            .drop("ga", "gb")
+        )
+        hit = withj.drop("found").join(pairs, ["id_a", "id_b"], "left_semi").withColumn(
+            "found", F.lit(True)
+        )
+        merged = withj.join(
+            hit.select("id_a", "id_b", F.col("found").alias("f2")), ["id_a", "id_b"], "left"
+        ).withColumn("found", F.coalesce("f2", F.lit(False)))
+        bands_out = [
+            {
+                "band": r["band"],
+                "pairs": r["n"],
+                "found": r["nf"],
+                "recall": round(r["nf"] / r["n"], 4) if r["n"] else None,
+            }
+            for r in merged.withColumn(
+                "band",
+                F.when(F.col("j") >= 0.999, "exact(J=1.0)")
+                .when(F.col("j") >= 0.7, "J>=0.7")
+                .when(F.col("j") >= 0.5, "0.5<=J<0.7")
+                .otherwise("J<0.5"),
+            )
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("found").cast("long")).alias("nf"))
+            .collect()
+        ]
+        pairs.unpersist()
+        docs.unpersist()
+        emit(phase, {
+            "docs": n_docs,
+            "lsh_secs": lsh_secs,
+            "lsh_pairs": n_pairs,
+            "planted_bands": sorted(bands_out, key=lambda r: r["band"]),
+        })
 
     else:
         print(f"unknown phase {phase}")
