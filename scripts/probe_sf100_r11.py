@@ -409,6 +409,98 @@ def main():
             "planted_bands": sorted(bands_out, key=lambda r: r["band"]),
         })
 
+    elif phase == "jaccard_cap":
+        # estimate_stop_shingles + max_doc_frequency on REALISTIC data:
+        # on the Zipf corpus the head bigrams ("w00001 w00001" and kin)
+        # have df in the tens of thousands at 50k docs, so the uncapped
+        # shingle self-join's candidate volume sum(C(df,2)) explodes.
+        # Measure that sum EXACTLY (one cheap aggregation — no need to
+        # run the explosion), then run the capped pipeline and its
+        # planted-pair recall (exact J >= 0.7 pairs, linear paired join).
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import ngram_jaccard_pairs
+
+        sf1_zipf = os.environ.get(
+            "PROBE_SF1_ZIPF_DIR", os.path.join(REPO, ".benchdata", "sf1_zipf")
+        )
+        docs = spark.read.parquet(f"{sf1_zipf}/documents.parquet").repartition(32).persist()
+        n_docs = docs.count()
+        toks = F.split(F.trim(F.lower("text")), r"\s+")
+        sh = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 1), "
+                        "i -> array_join(slice(split(trim(lower(text)), '\\\\s+'), i, 2), ' '))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+        dfstats = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.count(F.lit(1)).alias("distinct_shingles"),
+                F.max("df").alias("max_df"),
+                F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("uncapped_pair_rows"),
+                F.sum(
+                    F.when(F.col("df") <= 100, F.col("df") * (F.col("df") - 1) / 2)
+                    .otherwise(F.lit(0))
+                ).alias("capped_pair_rows"),
+            )
+            .collect()[0]
+        )
+        t0 = time.time()
+        pairs = ngram_jaccard_pairs(
+            docs, n=2, threshold=0.5,
+            max_doc_frequency=100, stop_shingle_sample=0.02,
+        ).persist()
+        n_pairs = pairs.count()
+        capped_secs = round(time.time() - t0, 1)
+        # planted recall: exact J from the arithmetic pair ids (linear)
+        grams = docs.select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(trim(lower(text)), '\\\\s+')) - 1), "
+                    "i -> array_join(slice(split(trim(lower(text)), '\\\\s+'), i, 2), ' '))"
+                )
+            ).alias("g"),
+        )
+        planted = (
+            docs.select(F.col("doc_id").alias("id_b"))
+            .filter(F.pmod("id_b", F.lit(10)).isin(5, 9))
+            .withColumn("id_a", F.col("id_b") - 1)
+        )
+        withj = (
+            planted.join(grams.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga")), "id_a")
+            .join(grams.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb")), "id_b")
+            .withColumn(
+                "j",
+                F.size(F.array_intersect("ga", "gb")) / F.size(F.array_union("ga", "gb")),
+            )
+            .select("id_a", "id_b", "j")
+            .filter(F.col("j") >= 0.7)
+        )
+        n_planted = withj.count()
+        n_found = withj.join(pairs, ["id_a", "id_b"], "left_semi").count()
+        pairs.unpersist()
+        docs.unpersist()
+        emit(phase, {
+            "docs": n_docs,
+            "distinct_shingles": int(dfstats["distinct_shingles"]),
+            "max_shingle_df": int(dfstats["max_df"]),
+            "uncapped_pair_rows": int(dfstats["uncapped_pair_rows"]),
+            "capped_pair_rows": int(dfstats["capped_pair_rows"]),
+            "capped_secs": capped_secs,
+            "pairs_found": n_pairs,
+            "planted_j07_pairs": n_planted,
+            "planted_j07_found": n_found,
+            "planted_recall": round(n_found / n_planted, 4) if n_planted else None,
+        })
+
     else:
         print(f"unknown phase {phase}")
         return 2
