@@ -36,6 +36,18 @@ def read_event_stream(
 
 def _maybe_watermark(df: DataFrame, ts_col: str, watermark: Optional[str]) -> DataFrame:
     if watermark and df.isStreaming:
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+            # Externally-written parquet (DuckDB, Hive, pandas) loads
+            # timestamps as TIMESTAMP_NTZ, and EventTimeWatermark rejects
+            # NTZ outright — every watermarked stream over such a source
+            # would fail at start(). Under the engine's session-tz-UTC
+            # convention the cast is a pure reinterpretation (no
+            # wall-clock shift), and without a watermark the NTZ column
+            # flows through unchanged, so this converts an always-error
+            # into the only sensible reading.
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         return df.withWatermark(ts_col, watermark)
     return df
 
@@ -162,7 +174,7 @@ def stream_dedup(
     cols = list(keys) if keys else df.columns
     streaming = df.isStreaming
     if streaming and watermark:
-        df = df.withWatermark(ts_col, watermark)
+        df = _maybe_watermark(df, ts_col, watermark)
         if not within_watermark and ts_col not in cols:
             # dropDuplicates state is only evicted when the event-time
             # column is part of the key set. Silently appending it would

@@ -279,3 +279,49 @@ def test_stream_dedup_requires_event_time_key_with_watermark(spark, events_df, t
         stream, keys=["user_id"], ts_col="ts", watermark="10 minutes", within_watermark=True
     )
     assert out.isStreaming
+
+
+def test_tumbling_window_watermark_on_ntz_stream(spark, events_df, tmp_path):
+    """Externally-written parquet (DuckDB, pandas) loads timestamps as
+    TIMESTAMP_NTZ, which EventTimeWatermark rejects outright — the
+    watermark path must reinterpret NTZ as UTC (the session convention)
+    instead of failing at start(), and the emitted windows must match the
+    batch aggregate."""
+    src_dir = str(tmp_path / "ntz_src")
+    events_df.withColumn("ts", F.col("ts").cast("timestamp_ntz")).repartition(
+        2
+    ).write.parquet(src_dir)
+
+    ntz_schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = read_event_stream(spark, src_dir, ntz_schema, max_files_per_trigger=1)
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampNTZType)
+    agg = tumbling_window_agg(
+        stream, window="15 minutes", keys=["user_id"], watermark="1 hour"
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("ntz_tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = (
+        spark.table("ntz_tumbling_test")
+        .toPandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        tumbling_window_agg(events_df, window="15 minutes", keys=["user_id"])
+        .toPandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, expected, check_dtype=False)
