@@ -501,6 +501,59 @@ def main():
             "planted_recall": round(n_found / n_planted, 4) if n_planted else None,
         })
 
+    elif phase == "bm25_indexed":
+        # index-once-query-many vs the per-call scan: build the inverted
+        # index over the 5M-doc Zipf corpus once (term-bucket-partitioned
+        # parquet), then run the same head/tail query mixes as bm25_zipf
+        # through bm25_topk_indexed. The tail mix should collapse to the
+        # matched-postings sliver (sum(df) ~ 30k rows) via tbucket
+        # partition pruning + the pushed term filter.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import (
+            bm25_build_index,
+            bm25_load_index,
+            bm25_save_index,
+            bm25_topk,
+            bm25_topk_indexed,
+        )
+
+        docs = spark.read.parquet(f"{ZIPF_DIR}/documents.parquet").repartition(64)
+        idx_path = os.path.join(REPO, ".benchdata", "bm25_idx_zipf")
+        t0 = time.time()
+        postings, stats = bm25_build_index(docs, num_term_buckets=64)
+        bm25_save_index(postings, stats, idx_path)
+        build_secs = round(time.time() - t0, 1)
+        p2, s2 = bm25_load_index(spark, idx_path)
+        n_postings = p2.count()
+        out = {"build_secs": build_secs, "postings_rows": n_postings}
+        docs_p = docs.persist()
+        docs_p.count()
+        for name, words in (
+            ("head_terms", ["w00001", "w00002", "w00003", "w00005", "w00008"]),
+            ("tail_terms", ["w04217", "w06533", "w07911", "w08864", "w09427"]),
+        ):
+            q = [("q0", " ".join(words))]
+            reps_idx, reps_scan = [], []
+            idx_rows = scan_rows = None
+            for _ in range(REPS):
+                t0 = time.time()
+                r = bm25_topk_indexed(p2, s2, q, k=10)
+                idx_rows = sorted(tuple(x) for x in r.collect())
+                reps_idx.append(round(time.time() - t0, 1))
+            for _ in range(REPS):
+                t0 = time.time()
+                r = bm25_topk(docs_p, q, k=10)
+                scan_rows = sorted(tuple(x) for x in r.collect())
+                reps_scan.append(round(time.time() - t0, 1))
+            out[name] = {
+                "indexed_secs": reps_idx,
+                "scan_secs": reps_scan,
+                "results_identical": idx_rows == scan_rows,
+            }
+        docs_p.unpersist()
+        emit(phase, out)
+
     else:
         print(f"unknown phase {phase}")
         return 2

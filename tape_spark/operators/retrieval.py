@@ -251,6 +251,238 @@ def bm25_topk(
     return out
 
 
+def bm25_build_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_term_buckets: int = 64,
+    max_doc_tokens: Optional[int] = None,
+) -> Tuple[DataFrame, DataFrame]:
+    """Build a caller-owned BM25 inverted index: index ONCE, query many.
+
+    :func:`bm25_topk` rebuilds per-query-term corpus statistics on every
+    call — the right trade for ad-hoc queries, but a repeated-query
+    workload (eval-set retrieval, dedup-by-query, RAG batch scoring)
+    re-tokenizes the full corpus each time. This is the
+    ``minhash_near_duplicates(signatures=...)`` pattern applied to
+    retrieval: the expensive pass is materialized once, its lifecycle is
+    the CALLER's, and queries touch only the slivers they need.
+
+    Returns ``(postings, stats)``:
+
+    - ``postings``: ``(tbucket int, term string, doc_id long, tf long,
+      dl long)`` — one row per distinct (document, term). ``dl`` (the
+      document's token count) is DENORMALIZED onto every posting, the
+      classic inverted-index trade: +8 bytes/row buys query-time scoring
+      with NO corpus-scale join back to a doc-length table. ``tbucket``
+      is ``pmod(xxhash64(term), num_term_buckets)``, the partition key
+      for :func:`bm25_save_index` — a query then prunes to the ≤|terms|
+      buckets its terms hash into and never reads the rest of the index.
+    - ``stats``: ONE row ``(n long, sumdl long, num_term_buckets int)`` —
+      corpus size, total token count, and the bucket modulus, so the index
+      is self-describing: queries re-derive each term's partition without
+      scanning anything.
+
+    At 100 TB the postings table is the thing you'd write to storage
+    partitioned by ``tbucket`` (and optionally bucketed by doc_id within
+    partitions); the build is one explode + one (doc, term) aggregate —
+    a single shuffle, no Python.
+    """
+    from pyspark.sql import types as T
+
+    from ..utils.tokens import assert_max_doc_tokens
+
+    assert_max_doc_tokens(docs, text_col, max_doc_tokens, "bm25_build_index")
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"bm25_build_index requires an integral id column; {id_col!r} is "
+            f"{id_type.simpleString()}"
+        )
+    if num_term_buckets < 1:
+        raise ValueError("num_term_buckets must be >= 1")
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        _doc_tokens(text_col).alias("__toks"),
+    ).select("doc_id", F.size("__toks").cast("long").alias("dl"), "__toks")
+    postings = (
+        base.select("doc_id", "dl", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(num_term_buckets))
+            .cast("int")
+            .alias("tbucket"),
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+        )
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
+    ).withColumn("num_term_buckets", F.lit(int(num_term_buckets)))
+    return postings, stats
+
+
+def bm25_save_index(postings: DataFrame, stats: DataFrame, path: str) -> None:
+    """Write the index to ``path``: postings PARTITIONED BY ``tbucket``
+    (so query-term buckets partition-prune at read time) plus the 1-row
+    stats table."""
+    postings.write.partitionBy("tbucket").mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_load_index(spark, path: str) -> Tuple[DataFrame, DataFrame]:
+    """Read back a saved index as ``(postings, stats)``."""
+    return (
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/stats"),
+    )
+
+
+def bm25_topk_indexed(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: Union[DataFrame, Sequence[Tuple[str, str]]],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_terms: int = 256,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` against a prebuilt index — scores are
+    BIT-IDENTICAL to :func:`bm25_topk` on the same corpus (same
+    micro-unit quantization, same association order, same tie-break).
+
+    Query cost is proportional to Σ df(term) — the matched posting rows —
+    NOT corpus size: the term filter prunes to the query terms' partitions
+    (``tbucket`` pushdown on a saved index), per-term document frequencies
+    are the ≤``max_terms`` matched group counts, and scoring is a codegen
+    projection over matched postings followed by one (query, doc)
+    aggregate and the WindowGroupLimit-capped top-k. On the measured Zipf
+    corpus a tail-term query touches ~30 k postings out of 5 M documents
+    (df/N ≈ 0.001, `BENCH_sf100_r11.json`) — the selective regime where an
+    index beats the scan by orders of magnitude.
+    """
+    spark = postings.sparkSession
+    if isinstance(queries, DataFrame):
+        qrows = [
+            (r[query_id_col], r[query_text_col])
+            for r in queries.select(query_id_col, query_text_col).collect()
+        ]
+    else:
+        qrows = list(queries)
+    qterms = {qid: _query_terms(qtext) for qid, qtext in qrows}
+    terms = sorted({t for ts in qterms.values() for t in ts})
+    if len(terms) > max_terms:
+        raise ValueError(
+            f"query term universe has {len(terms)} distinct terms; "
+            f"bound is max_terms={max_terms}"
+        )
+    out_schema = (
+        f"{query_id_col} string, rank bigint, doc_id bigint, score_units bigint"
+    )
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+
+    srow = stats.collect()[0]
+    n_docs = int(srow["n"] or 0)
+    sumdl = int(srow["sumdl"] or 0)
+    if n_docs == 0 or sumdl == 0:
+        return spark.createDataFrame([], out_schema)
+    avgdl = (sumdl * 1.0) / n_docs
+
+    # Partition pruning: tbucket = pmod(xxhash64(term), B) with B carried
+    # in the stats row (the index is self-describing — no scan, no
+    # guessing). The terms' buckets come from one tiny driver job
+    # (≤max_terms rows, same JVM xxhash64 the build used); the bucket
+    # IN-list is a partition filter on a saved index, so a query reads
+    # only the ≤|terms| partitions its terms hash into.
+    bcol = "num_term_buckets" in stats.columns
+    if bcol and "tbucket" in postings.columns and srow["num_term_buckets"]:
+        bmod = int(srow["num_term_buckets"])
+        tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+        tb = sorted(
+            {
+                int(r["tb"])
+                for r in tdf.select(
+                    F.pmod(F.xxhash64("term"), F.lit(bmod)).alias("tb")
+                ).collect()
+            }
+        )
+        matched = postings.filter(
+            F.col("tbucket").isin(tb) & F.col("term").isin(list(terms))
+        )
+    else:
+        matched = postings.filter(F.col("term").isin(list(terms)))
+
+    dfs = {
+        r["term"]: int(r["df"])
+        for r in matched.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    idf = {}
+    for t in terms:
+        df_t = dfs.get(t, 0)
+        if df_t == 0:
+            continue  # no postings — the term contributes nothing anywhere
+        raw = math.log(1.0 + ((n_docs - df_t) + 0.5) / (df_t + 0.5))
+        idf[t] = math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+    if not idf:
+        return spark.createDataFrame([], out_schema)
+
+    live = sorted(idf)
+    idf_map = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in live]),
+        F.array(*[F.lit(idf[t]) for t in live]),
+    )
+    # term -> the query ids that contain it (fan one posting row out to
+    # every query scoring it)
+    qmap = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in live]),
+        F.array(
+            *[
+                F.array(
+                    *[F.lit(qid) for qid, ts in qterms.items() if t in ts]
+                )
+                for t in live
+            ]
+        ),
+    )
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    num = tf_d * (F.lit(k1) + F.lit(1.0))
+    den = tf_d + F.lit(k1) * (
+        (F.lit(1.0) - F.lit(b)) + ((F.lit(b) * dl_d) / F.lit(avgdl))
+    )
+    units = F.floor(
+        ((F.lit(1000000.0) * F.try_element_at(idf_map, F.col("term"))) * num) / den
+        + F.lit(0.5)
+    )
+    scored = (
+        matched.filter(F.try_element_at(idf_map, F.col("term")).isNotNull())
+        .select(
+            "doc_id",
+            units.cast("long").alias("u"),
+            F.explode(F.try_element_at(qmap, F.col("term"))).alias(query_id_col),
+        )
+        .groupBy(query_id_col, "doc_id")
+        .agg(F.sum("u").alias("score_units"))
+        .filter(F.col("score_units") > 0)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score_units"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "doc_id", "score_units")
+    )
+
+
 def rrf_fuse(
     rankings: Sequence[DataFrame],
     *,

@@ -233,3 +233,127 @@ def test_bm25_rejects_non_integral_id(spark):
     )
     with pytest.raises(TypeError, match="integral id column"):
         bm25_topk(docs, [("q1", "spark")], k=1)
+
+
+# ---------------------------------------------------------------------------
+# bm25_build_index / bm25_topk_indexed: index-once-query-many parity
+# ---------------------------------------------------------------------------
+
+
+def test_indexed_bm25_bit_identical_to_scan(spark, docs_df):
+    from tape_spark.operators import bm25_build_index, bm25_topk_indexed
+
+    postings, stats = bm25_build_index(docs_df, num_term_buckets=8)
+    got = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(postings, stats, QUERIES, k=3, k1=K1, b=B).collect()
+    )
+    want = sorted(
+        tuple(r) for r in bm25_topk(docs_df, QUERIES, k=3, k1=K1, b=B).collect()
+    )
+    assert got == want  # ranks, doc ids AND integer micro-unit scores
+    assert want == sorted(_brute_bm25(DOCS, QUERIES, k=3))
+
+
+def test_indexed_bm25_postings_shape(spark, docs_df):
+    from tape_spark.operators import bm25_build_index
+
+    postings, stats = bm25_build_index(docs_df, num_term_buckets=8)
+    rows = postings.collect()
+    # one row per distinct (doc, term); dl is denormalized per doc
+    assert len(rows) == len({(r["doc_id"], r["term"]) for r in rows})
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["dl"])
+        assert 0 <= r["tbucket"] < 8
+        assert r["tf"] >= 1
+    assert all(len(v) == 1 for v in by_doc.values())
+    s = stats.collect()[0]
+    assert s["n"] == len(DOCS)
+    assert s["num_term_buckets"] == 8
+    assert s["sumdl"] == sum(len(_tok(t)) for _, t in DOCS)
+
+
+def test_indexed_bm25_save_load_roundtrip_and_pruning(spark, docs_df, tmp_path):
+    from tape_spark.operators import (
+        bm25_build_index,
+        bm25_load_index,
+        bm25_save_index,
+        bm25_topk_indexed,
+    )
+
+    postings, stats = bm25_build_index(docs_df, num_term_buckets=8)
+    path = str(tmp_path / "bm25_idx")
+    bm25_save_index(postings, stats, path)
+    p2, s2 = bm25_load_index(spark, path)
+    got = sorted(
+        tuple(r) for r in bm25_topk_indexed(p2, s2, QUERIES, k=3, k1=K1, b=B).collect()
+    )
+    want = sorted(
+        tuple(r) for r in bm25_topk(docs_df, QUERIES, k=3, k1=K1, b=B).collect()
+    )
+    assert got == want
+    # the term filter must reach the scan as a tbucket PartitionFilter —
+    # a query reads only the partitions its terms hash into
+    from pyspark.sql import functions as F
+
+    plan = (
+        p2.filter(F.col("tbucket").isin([1, 3]) & F.col("term").isin(["fox"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "tbucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_indexed_bm25_empty_cases(spark, docs_df):
+    from tape_spark.operators import bm25_build_index, bm25_topk_indexed
+
+    postings, stats = bm25_build_index(docs_df)
+    assert bm25_topk_indexed(postings, stats, [], k=3).count() == 0
+    assert (
+        bm25_topk_indexed(postings, stats, [("q", "zzzunseen")], k=3).count() == 0
+    )
+    empty_docs = docs_df.limit(0)
+    p0, s0 = bm25_build_index(empty_docs)
+    assert bm25_topk_indexed(p0, s0, QUERIES, k=3).count() == 0
+
+
+def test_indexed_bm25_property_random_corpora(spark):
+    """Index-vs-scan bit-identity on randomized corpora (hypothesis):
+    any divergence in idf quantization, association order, dl
+    denormalization, or tie-breaks would surface as a score or rank
+    mismatch."""
+    from hypothesis import given, settings, strategies as st
+
+    from tape_spark.operators import bm25_build_index, bm25_topk_indexed
+
+    words = st.sampled_from(
+        ["fox", "dog", "cat", "run", "red", "big", "a1", "b2", "zz"]
+    )
+    docs_strategy = st.lists(
+        st.lists(words, min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+
+    @given(
+        texts=docs_strategy,
+        qwords=st.lists(words, min_size=1, max_size=4),
+        nb=st.sampled_from([1, 2, 7]),
+    )
+    @settings(max_examples=8, deadline=None)
+    def _check(texts, qwords, nb):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        queries = [("q", " ".join(qwords))]
+        postings, stats = bm25_build_index(docs, num_term_buckets=nb)
+        got = sorted(
+            tuple(r)
+            for r in bm25_topk_indexed(postings, stats, queries, k=5).collect()
+        )
+        want = sorted(tuple(r) for r in bm25_topk(docs, queries, k=5).collect())
+        assert got == want
+
+    _check()
