@@ -98,7 +98,13 @@ def bm25_topk(
     """
     from ..utils.tokens import assert_max_doc_tokens
 
-    assert_max_doc_tokens(docs, text_col, max_doc_tokens, "bm25_topk")
+    # count with BM25's OWN grammar: a punctuation-dense giant (minified
+    # code, log spam) can hold far more [^a-z0-9]+ tokens than whitespace
+    # tokens, and the tf pass pays per BM25 token
+    assert_max_doc_tokens(
+        docs, text_col, max_doc_tokens, "bm25_topk",
+        ntok=F.size(_doc_tokens(text_col)),
+    )
     # Validate the doc-id dtype up front: the pipeline keys ranks and
     # tie-breaks on a LONG doc_id, and a silent cast('long') would turn a
     # non-numeric string id into NULL — corrupting ranks without any
@@ -293,7 +299,10 @@ def bm25_build_index(
 
     from ..utils.tokens import assert_max_doc_tokens
 
-    assert_max_doc_tokens(docs, text_col, max_doc_tokens, "bm25_build_index")
+    assert_max_doc_tokens(
+        docs, text_col, max_doc_tokens, "bm25_build_index",
+        ntok=F.size(_doc_tokens(text_col)),
+    )
     id_type = docs.schema[id_col].dataType
     if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         raise TypeError(

@@ -33,7 +33,9 @@ def ws_tokens_sql(text_col: str) -> str:
     )
 
 
-def assert_max_doc_tokens(docs, text_col: str, max_doc_tokens: Optional[int], op_name: str) -> None:
+def assert_max_doc_tokens(
+    docs, text_col: str, max_doc_tokens: Optional[int], op_name: str, ntok=None
+) -> None:
     """Opt-in giant-document guard for the token-facing operators
     (bm25/dsir/decontaminate/split_contaminated) — the ``max_grid_rows``
     treatment ``resample_timeseries`` got in round 10, applied to the
@@ -51,6 +53,15 @@ def assert_max_doc_tokens(docs, text_col: str, max_doc_tokens: Optional[int], op
     giants first (cross-chunk grams at the seams are the documented
     trade — a gram spanning a chunk boundary is not seen), or filter /
     truncate. ``None`` (the default) skips the scan entirely.
+
+    ``ntok`` lets an operator count with ITS OWN token grammar (a Column
+    of per-document token counts). The default counts WHITESPACE tokens —
+    exact for the gram operators (they tokenize on whitespace) but an
+    UNDERCOUNT for punctuation-split grammars: a minified-JS-like
+    document (rare whitespace, heavy punctuation) can hold 20x more
+    ``[^a-z0-9]+`` tokens than whitespace tokens, which is precisely the
+    kind of document this guard exists for — so BM25 passes its own
+    count rather than inheriting the proxy.
     """
     if max_doc_tokens is None:
         return
@@ -58,7 +69,8 @@ def assert_max_doc_tokens(docs, text_col: str, max_doc_tokens: Optional[int], op
         raise ValueError(f"{op_name}: max_doc_tokens must be positive, got {max_doc_tokens}")
     from pyspark.sql import functions as F
 
-    ntok = F.size(F.expr(ws_tokens_sql(text_col)))
+    if ntok is None:
+        ntok = F.size(F.expr(ws_tokens_sql(text_col)))
     row = docs.agg(
         F.sum((ntok > F.lit(int(max_doc_tokens))).cast("long")).alias("n_over"),
         F.max(ntok).alias("tmax"),

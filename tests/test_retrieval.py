@@ -357,3 +357,23 @@ def test_indexed_bm25_property_random_corpora(spark):
         assert got == want
 
     _check()
+
+
+def test_bm25_max_doc_tokens_counts_bm25_grammar(spark):
+    """The giant-doc guard must count with BM25's [^a-z0-9]+ grammar, not
+    the whitespace proxy: a punctuation-dense document (minified code, log
+    spam) has few whitespace tokens but many BM25 tokens, and the tf pass
+    pays per BM25 token."""
+    from tape_spark.operators import bm25_build_index
+
+    # ONE whitespace token, 50 BM25 tokens
+    dense = ",".join(f"t{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, dense), (2, "short text")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_doc_tokens"):
+        bm25_topk(docs, [("q", "t1")], max_doc_tokens=20)
+    with pytest.raises(ValueError, match="max_doc_tokens"):
+        bm25_build_index(docs, max_doc_tokens=20)
+    # within bound: both paths proceed
+    assert bm25_topk(docs, [("q", "t1")], max_doc_tokens=64).count() >= 1
