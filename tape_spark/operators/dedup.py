@@ -825,6 +825,7 @@ def dedup_clusters(
     n: int = 2,
     threshold: float = 0.5,
     max_doc_frequency: Optional[int] = None,
+    stop_shingle_sample: Optional[float] = None,
 ) -> DataFrame:
     """Near-duplicate clusters over a corpus: n-gram Jaccard pairs →
     connected components → ``(doc_id, component, cluster_size)``.
@@ -834,10 +835,19 @@ def dedup_clusters(
     the drop list. Only documents that belong to a ≥2-document cluster
     are returned — the complement of this result's non-canonical rows is
     the cleaned corpus.
+
+    On realistic heavy-tailed text, set ``max_doc_frequency`` (and
+    ``stop_shingle_sample`` to find the heavy hitters from a bounded
+    sample): the exact pair join is quadratic in per-shingle document
+    frequency, and the hot head of a natural vocabulary explodes it —
+    measured 47x candidate-row reduction at 50 k Zipf docs
+    (`docs/SCALING.md` §Hot-shingle caps). Both knobs forward to
+    :func:`ngram_jaccard_pairs`.
     """
     pairs = ngram_jaccard_pairs(
         df, text_col=text_col, id_col=id_col, n=n, threshold=threshold,
         max_doc_frequency=max_doc_frequency,
+        stop_shingle_sample=stop_shingle_sample,
     )
     comp = connected_components(pairs)
     w = Window.partitionBy("component")
