@@ -554,6 +554,53 @@ def main():
         docs_p.unpersist()
         emit(phase, out)
 
+    elif phase == "celebrity_skew":
+        # The one skew shape the r8/r9 probes didn't plant: a celebrity
+        # KEY in the per-key window operators. Sessionization is
+        # inherently sequential per user (a running sum over an ordered
+        # window), so one bot/celebrity user holding 10% of 100M events
+        # funnels 10M rows through ONE task's sort+scan. Measure the
+        # degradation against the uniform baseline and record the
+        # mitigation guidance (windowed aggs are immune — their keys are
+        # (window, type) — and the fix for sessionize is upstream
+        # bot-filtering or per-(user, coarse-time) pre-splitting).
+        from pyspark.sql import functions as F
+
+        from tape_spark.streaming.windows import sessionize, tumbling_window_agg
+
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("ts").cast("timestamp_ltz").cast("double").alias("t"),
+            "value",
+        )
+        # remap ~10% of events (hash-chosen) onto ONE user id
+        skewed = ev.withColumn(
+            "user_id",
+            F.when(F.pmod(F.xxhash64("t", "value"), F.lit(10)) == 0, F.lit(-1))
+            .otherwise(F.col("user_id")),
+        )
+        out = {}
+        for name, frame in (("uniform", ev), ("celebrity_10pct", skewed)):
+            t0 = time.time()
+            n_sess = sessionize(
+                frame, user_col="user_id", ts_col="t", gap_seconds=1800.0
+            ).count()
+            sess_secs = round(time.time() - t0, 1)
+            t0 = time.time()
+            n_win = tumbling_window_agg(
+                frame, ts_col="ts", window="1 day", keys=["user_id"],
+                value_col="value",
+            ).count()
+            win_secs = round(time.time() - t0, 1)
+            out[name] = {
+                "sessionize_secs": sess_secs,
+                "sessions": n_sess,
+                "tumbling_secs": win_secs,
+                "windows": n_win,
+            }
+        emit(phase, out)
+
     else:
         print(f"unknown phase {phase}")
         return 2
