@@ -304,6 +304,7 @@ def ivfpq_cosine_topk(
     kmeans_iters: int = 10,
     seed: int = 11,
     rerank_factor: int = 0,
+    encoded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF + PQ — the textbook composition (FAISS's IVFADC): a coarse
     spherical k-means quantizer routes each query to its ``nprobe``
@@ -319,7 +320,14 @@ def ivfpq_cosine_topk(
     cluster id; scoring is the same lookup-table gather as
     ``pq_cosine_topk``; ``rerank_factor > 0`` re-scores the shortlist
     with exact JVM-side cosines. Pass caller-owned ``coarse_centroids``
-    / ``codebooks`` to amortize training (the warehouse pattern).
+    / ``codebooks`` to amortize training, and ``encoded`` (an
+    :func:`ivfpq_encode` output, typically read back via
+    :func:`ivfpq_load_index`) to skip the per-call corpus encode
+    entirely — the full warehouse pattern: train once, encode once,
+    query forever. The probed-cluster set is applied as a literal
+    IN-filter, so a cluster-partitioned saved index reads only the
+    probed partitions. ``rerank_factor > 0`` still reads raw vectors
+    from ``corpus`` for the exact re-score.
 
     Returns ``(query_id, corpus_id, score, rank)``; ties break on
     corpus id. Like the other seeded indexes, results are fully
@@ -331,6 +339,13 @@ def ivfpq_cosine_topk(
         raise ValueError("rerank_factor must be >= 0")
     if nprobe < 1:
         raise ValueError("nprobe must be >= 1")
+    if encoded is not None and (coarse_centroids is None or codebooks is None):
+        # auto-training here would produce models that DIFFER from the ones
+        # the corpus was encoded with — silent wrong answers, so refuse
+        raise ValueError(
+            "encoded= requires the coarse_centroids and codebooks the "
+            "corpus was encoded with (use ivfpq_load_index)"
+        )
     if coarse_centroids is None:
         coarse_centroids = train_spherical_kmeans(
             corpus, vec_col, id_col, num_clusters, train_sample, kmeans_iters, seed
@@ -366,6 +381,17 @@ def ivfpq_cosine_topk(
     m_eff, k_codes, dsub = books.shape
     if k_codes > 256:
         raise ValueError("codebooks have more than 256 centroids per subspace")
+    if encoded is not None:
+        # caller-owned encoded corpus: the models MUST be the ones it was
+        # encoded with — they are, when all three come from
+        # ivfpq_load_index. One O(1) first-row probe catches a mismatched
+        # code width (the silent-wrong-answer failure mode).
+        probe_row = encoded.select(F.octet_length("pq_code").alias("w")).first()
+        if probe_row is not None and int(probe_row["w"]) != m_eff:
+            raise ValueError(
+                f"encoded pq_code width {int(probe_row['w'])} != codebooks "
+                f"m={m_eff}; pass the models the index was built with"
+            )
     q_ids = [r[0] for r in q_rows]
     q_mat = _normalize(np.array([r[1] for r in q_rows], dtype=np.float64))
     luts = np.stack(
@@ -409,11 +435,20 @@ def ivfpq_cosine_topk(
                 }
             )
 
-    enc = (
-        corpus.filter(F.col(vec_col).isNotNull())
-        .select(id_col, vec_col)
-        .mapInPandas(encode, enc_schema)
-    )
+    if encoded is not None:
+        enc = encoded.select(F.col(id_col), "cluster", "pq_code")
+    else:
+        enc = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(id_col, vec_col)
+            .mapInPandas(encode, enc_schema)
+        )
+    # STATIC cluster pruning: the probe lists are driver-side, so the
+    # probed-cluster set is a literal IN-filter — on a saved index
+    # (ivfpq_save_index partitions by cluster) this prunes at the parquet
+    # scan, reading only nprobe*|queries| of num_clusters partitions
+    probed_clusters = sorted({int(c) for qi in range(len(q_ids)) for c in probe[qi]})
+    enc = enc.filter(F.col("cluster").isin(probed_clusters))
     # (query, probed cluster) pairs — tiny; the equi-join prunes the scan
     pairs = spark.createDataFrame(
         [(q_ids[qi], int(c)) for qi in range(len(q_ids)) for c in probe[qi]],
@@ -500,3 +535,98 @@ def ivfpq_cosine_topk(
         exact.withColumn("rank", F.row_number().over(w2).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    coarse_centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode a corpus against trained IVFPQ models: one narrow Arrow
+    pass emitting ``(id, cluster int, pq_code binary)`` — the table a
+    warehouse persists so queries never touch raw vectors. Feed the
+    result (or :func:`ivfpq_load_index`'s read-back) to
+    :func:`ivfpq_cosine_topk` via ``encoded=``."""
+    coarse = np.asarray(coarse_centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    if coarse.size == 0 or books.size == 0:
+        raise ValueError("coarse_centroids and codebooks must be non-empty")
+    m_eff, _, dsub = books.shape
+    half_sq = 0.5 * (books**2).sum(axis=2)
+    coarse_T = coarse.T.copy()
+    enc_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("pq_code", T.BinaryType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
+            cl = (mat @ coarse_T).argmax(axis=1).astype(np.int32)
+            codes = np.empty((len(pdf), m_eff), dtype=np.uint8)
+            for s in range(m_eff):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                codes[:, s] = (sub @ books[s].T - half_sq[s]).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": cl,
+                    "pq_code": [c.tobytes() for c in codes],
+                }
+            )
+
+    return (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .mapInPandas(encode, enc_schema)
+    )
+
+
+def ivfpq_save_index(
+    encoded: DataFrame,
+    coarse_centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+) -> None:
+    """Persist an IVFPQ index: the encoded table PARTITIONED BY
+    ``cluster`` (so a query's nprobe cells partition-prune at the scan)
+    plus the two numpy models as a one-row parquet of raw bytes +
+    shapes (self-describing — :func:`ivfpq_load_index` needs no side
+    channel)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    encoded.write.partitionBy("cluster").mode("overwrite").parquet(
+        f"{path}/encoded"
+    )
+    coarse = np.ascontiguousarray(np.asarray(coarse_centroids, dtype=np.float64))
+    books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
+    pq.write_table(
+        pa.table(
+            {
+                "coarse": [coarse.tobytes()],
+                "coarse_shape": [list(coarse.shape)],
+                "books": [books.tobytes()],
+                "books_shape": [list(books.shape)],
+            }
+        ),
+        f"{path}/models.parquet",
+    )
+
+
+def ivfpq_load_index(spark, path: str):
+    """Read back ``(encoded, coarse_centroids, codebooks)`` as saved by
+    :func:`ivfpq_save_index`."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{path}/models.parquet").to_pylist()[0]
+    coarse = np.frombuffer(t["coarse"], dtype=np.float64).reshape(t["coarse_shape"])
+    books = np.frombuffer(t["books"], dtype=np.float64).reshape(t["books_shape"])
+    return spark.read.parquet(f"{path}/encoded"), coarse, books

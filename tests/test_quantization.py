@@ -212,3 +212,75 @@ def test_ivfpq_caller_owned_indexes_and_edges(spark, corpus):
     assert ivfpq_cosine_topk(corpus, empty_q, k=3).count() == 0
     with pytest.raises(ValueError):
         ivfpq_cosine_topk(corpus, q, k=3, nprobe=0)
+
+
+def test_ivfpq_encoded_path_matches_per_call_encode(spark, corpus, tmp_path):
+    """encoded= (the warehouse pattern: train once, encode once, query
+    forever) must return exactly what the per-call encode returns, both
+    in-memory and through a save/load roundtrip."""
+    from tape_spark.operators import (
+        ivfpq_encode,
+        ivfpq_load_index,
+        ivfpq_save_index,
+        train_spherical_kmeans,
+    )
+
+    coarse = train_spherical_kmeans(corpus, num_clusters=8, train_sample=200)
+    books = train_pq_codebooks(corpus, m=M, num_centroids=16)
+    q = corpus.filter("vec_id in (0, 55, 200)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run(**kw):
+        return sorted(
+            tuple(r)
+            for r in ivfpq_cosine_topk(
+                corpus, q, k=5, coarse_centroids=coarse, codebooks=books,
+                nprobe=3, **kw,
+            ).collect()
+        )
+
+    want = run()
+    enc = ivfpq_encode(corpus, coarse, books)
+    assert run(encoded=enc) == want
+
+    path = str(tmp_path / "ivfpq_idx")
+    ivfpq_save_index(enc, coarse, books, path)
+    enc2, coarse2, books2 = ivfpq_load_index(spark, path)
+    assert np.allclose(coarse2, coarse) and np.allclose(books2, books)
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_cosine_topk(
+            corpus, q, k=5, coarse_centroids=coarse2, codebooks=books2,
+            nprobe=3, encoded=enc2,
+        ).collect()
+    )
+    assert got == want
+    # rerank still works from the raw corpus alongside encoded=
+    rr = ivfpq_cosine_topk(
+        corpus, q, k=3, coarse_centroids=coarse2, codebooks=books2,
+        nprobe=3, encoded=enc2, rerank_factor=4,
+    ).collect()
+    assert any(r["corpus_id"] == r["query_id"] and r["rank"] == 1 for r in rr)
+
+
+def test_ivfpq_encoded_validations(spark, corpus):
+    from tape_spark.operators import ivfpq_encode, train_spherical_kmeans
+
+    coarse = train_spherical_kmeans(corpus, num_clusters=4, train_sample=200)
+    books = train_pq_codebooks(corpus, m=M, num_centroids=16)
+    enc = ivfpq_encode(corpus, coarse, books)
+    q = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # encoded without its models is refused
+    with pytest.raises(ValueError, match="encoded="):
+        ivfpq_cosine_topk(corpus, q, k=3, encoded=enc)
+    # mismatched code width (models with a different m) is caught by the
+    # one-row probe, not returned as silent wrong answers
+    books2 = train_pq_codebooks(corpus, m=2, num_centroids=16)
+    with pytest.raises(ValueError, match="pq_code width"):
+        ivfpq_cosine_topk(
+            corpus, q, k=3, coarse_centroids=coarse, codebooks=books2,
+            encoded=enc, m=2,
+        )
