@@ -601,6 +601,59 @@ def main():
             }
         emit(phase, out)
 
+    elif phase == "ivfpq_indexed":
+        # the dense mirror of bm25_indexed: train once, encode once
+        # (saved cluster-partitioned), then query via encoded= vs the
+        # per-call encode path. 2M vectors, 32 corpus-member queries.
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import (
+            ivfpq_cosine_topk,
+            ivfpq_encode,
+            ivfpq_load_index,
+            ivfpq_save_index,
+            train_pq_codebooks,
+            train_spherical_kmeans,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+        n_vec = emb.count()
+        q = emb.filter(F.pmod("vec_id", F.lit(62501)) == 7).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        nq = q.count()
+        t0 = time.time()
+        coarse = train_spherical_kmeans(emb, num_clusters=64, train_sample=8192)
+        books = train_pq_codebooks(emb, m=8, num_centroids=256)
+        train_secs = round(time.time() - t0, 1)
+        idx_path = os.path.join(REPO, ".benchdata", "ivfpq_idx")
+        t0 = time.time()
+        ivfpq_save_index(ivfpq_encode(emb, coarse, books), coarse, books, idx_path)
+        encode_save_secs = round(time.time() - t0, 1)
+        enc2, coarse2, books2 = ivfpq_load_index(spark, idx_path)
+        out = {
+            "vectors": n_vec, "queries": nq,
+            "train_secs": train_secs, "encode_save_secs": encode_save_secs,
+        }
+        for name, kw in (
+            ("per_call_encode", {"coarse_centroids": coarse, "codebooks": books}),
+            ("saved_index", {"coarse_centroids": coarse2, "codebooks": books2, "encoded": enc2}),
+        ):
+            reps = []
+            res = None
+            for _ in range(REPS):
+                t0 = time.time()
+                r = ivfpq_cosine_topk(emb, q, k=10, nprobe=8, **kw)
+                res = sorted(tuple(x) for x in r.collect())
+                reps.append(round(time.time() - t0, 1))
+            out[name] = {"secs": reps, "rows": len(res)}
+            out.setdefault("results", []).append(res)
+        a, b = out.pop("results")
+        out["results_identical"] = a == b
+        emb.unpersist()
+        emit(phase, out)
+
     else:
         print(f"unknown phase {phase}")
         return 2
