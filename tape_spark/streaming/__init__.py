@@ -6,6 +6,7 @@ over batch DataFrames and streams (`readStream` + watermark), for the
 ``events``-style tables a large pipeline ingests continuously.
 """
 
+from .neardup import stream_minhash_matches
 from .stateful import running_stats
 from .windows import (
     read_event_stream,
@@ -23,5 +24,6 @@ __all__ = [
     "session_window_agg",
     "sessionize",
     "stream_dedup",
+    "stream_minhash_matches",
     "running_stats",
 ]

@@ -1,0 +1,116 @@
+"""Streaming near-duplicate detection against a persisted signature store.
+
+The batch MinHash pipeline (``operators/dedup.py``) answers "which pairs
+in THIS corpus are near-duplicates"; an ingestion pipeline asks the
+incremental question instead: "is this ARRIVING document a near-dup of
+anything already in the warehouse?" — the stream-static shape Structured
+Streaming is built for. The static side is the corpus signature table
+(a persisted :func:`tape_spark.operators.minhash_signatures` output —
+the same table the batch pipeline materializes), the stream side
+computes signatures per micro-batch with the identical seeded kernel,
+and candidates come from the same banded equi-join: no all-pairs work,
+no state store, append-mode safe.
+
+Everything here is STATELESS per micro-batch (signature map → band
+explode → stream-static join → codegen verify → first-agreeing-band
+map-side dedup), so the output is an append stream of matched pairs —
+aggregation-free by design: "which corpus doc did this new doc copy"
+is per-pair information, and the caller picks the policy (drop on any
+match, keep best match, route to review) downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_minhash_matches(
+    docs: DataFrame,
+    signatures: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_id_col: str = "corpus_id",
+    num_hashes: int = 64,
+    shingle_n: int = 2,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Match arriving documents against a static corpus signature table.
+
+    ``docs`` — a (streaming or batch) frame of ``(id_col, text_col)``;
+    ``signatures`` — a STATIC ``(id, signature)`` frame built by
+    :func:`tape_spark.operators.minhash_signatures` with the SAME
+    ``num_hashes``/``shingle_n``/seed family (pass a table read back from
+    the warehouse; persist it — every micro-batch joins against it). Its
+    id column is renamed to ``corpus_id_col`` in the output.
+
+    Returns ``(id_col, corpus_id_col, est_jaccard)``: one row per
+    (arriving doc, corpus doc) pair that agrees in at least one LSH band
+    AND whose estimated Jaccard (fraction of agreeing signature
+    positions, the same unrolled codegen verify as the batch path) is at
+    least ``threshold``. Works identically on a batch frame (the parity
+    contract the tests pin); on a stream every stage is stateless, so
+    the result appends with no watermark requirement.
+
+    A mismatch between the stream kernel's signature length and the
+    static table's is caught by one O(1) probe on the static side — the
+    silent-empty-result failure mode of a num_hashes mismatch.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    probe = signatures.select(F.size("signature").alias("n")).first()
+    if probe is not None and probe["n"] != num_hashes:
+        raise ValueError(
+            f"static signatures are {probe['n']}-hash but num_hashes="
+            f"{num_hashes}; the stream kernel must match the stored table"
+        )
+    from ..operators.dedup import minhash_signatures
+
+    rows_per_band = num_hashes // bands
+    band_expr = F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, 'bucket', "
+        f"xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), b)))"
+    )
+
+    def _entries(sigs, idc, sig_alias):
+        return sigs.select(
+            F.col(idc), F.col("signature").alias(sig_alias), F.explode(band_expr).alias("e")
+        ).select(idc, sig_alias, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+
+    stream_sigs = minhash_signatures(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    s = _entries(stream_sigs, id_col, "__sig_s")
+    c = _entries(
+        signatures.select(
+            F.col(signatures.columns[0]).alias(corpus_id_col), "signature"
+        ),
+        corpus_id_col,
+        "__sig_c",
+    )
+    joined = s.join(c, on=["band", "bucket"])
+    # unrolled position-wise verify (codegen, like the batch path) and the
+    # first-agreeing-band map-side dedup — both stateless, append-safe
+    pos_eq = [F.col("__sig_s")[i] == F.col("__sig_c")[i] for i in range(num_hashes)]
+    agree = pos_eq[0].cast("int")
+    for term in pos_eq[1:]:
+        agree = agree + term.cast("int")
+    est = agree / F.lit(float(num_hashes))
+
+    def _band_agrees(bi):
+        cond = pos_eq[bi * rows_per_band]
+        for j in range(1, rows_per_band):
+            cond = cond & pos_eq[bi * rows_per_band + j]
+        return cond
+
+    first_band = F.coalesce(
+        *[F.when(_band_agrees(bi), F.lit(bi)) for bi in range(bands)]
+    )
+    return (
+        joined.filter(F.col("band") == first_band)
+        .select(id_col, corpus_id_col, est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -325,3 +325,73 @@ def test_tumbling_window_watermark_on_ntz_stream(spark, events_df, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_stream_minhash_matches_stream_equals_batch(spark, tmp_path):
+    """Streaming near-dup against a static signature store: the arriving
+    docs are matched per micro-batch with the same seeded kernel and
+    banded join as the batch path, so the appended pair stream must equal
+    the batch invocation row-for-row — and planted near-copies of corpus
+    docs must be found."""
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import stream_minhash_matches
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_rows = [
+        (100 + i, f"{base} doc{i} " + " ".join(f"c{i}w{j}" for j in range(10)))
+        for i in range(8)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    sigs = minhash_signatures(corpus).persist()
+
+    # arriving docs: 0-3 are near copies of corpus docs (shared long
+    # prefix), 4-7 are fresh vocabulary (no match)
+    arriving_rows = [
+        (i, corpus_rows[i][1] + " extra tail") for i in range(4)
+    ] + [
+        (i, " ".join(f"new{i}w{j}" for j in range(20))) for i in range(4, 8)
+    ]
+    arriving = spark.createDataFrame(arriving_rows, "doc_id long, text string")
+
+    want = sorted(
+        tuple(r)
+        for r in stream_minhash_matches(arriving, sigs, threshold=0.3).collect()
+    )
+    assert want, "planted near-copies must match in batch mode"
+    assert {r[0] for r in want} <= {0, 1, 2, 3}
+    assert all(r[0] + 100 == r[1] for r in want)  # each matches ITS source
+
+    src_dir = str(tmp_path / "neardup_src")
+    arriving.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = stream_minhash_matches(stream, sigs, threshold=0.3)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("neardup_test").collect())
+    assert got == want
+    sigs.unpersist()
+
+
+def test_stream_minhash_matches_validates_signature_length(spark):
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import stream_minhash_matches
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(corpus, num_hashes=32)
+    with pytest.raises(ValueError, match="32-hash"):
+        stream_minhash_matches(corpus, sigs, num_hashes=64)
+    with pytest.raises(ValueError, match="must divide"):
+        stream_minhash_matches(corpus, sigs, num_hashes=32, bands=5)
