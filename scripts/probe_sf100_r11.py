@@ -654,6 +654,86 @@ def main():
         emb.unpersist()
         emit(phase, out)
 
+    elif phase == "stream_neardup":
+        # stream_minhash_matches at warehouse scale: 100k arriving docs
+        # (half of them near-copies of corpus docs) streamed in micro-
+        # batches against the 5M-doc Zipf signature store. The contract
+        # under test: per-trigger cost is ONE narrow probe scan of the
+        # persisted signatures (the arriving batch's entries broadcast),
+        # zero static-side exchange — plus found-match sanity.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import minhash_signatures
+        from tape_spark.streaming import stream_minhash_matches
+
+        docs = spark.read.parquet(f"{ZIPF_DIR}/documents.parquet").repartition(64)
+        t0 = time.time()
+        sigs = minhash_signatures(docs, signature_bits=32).persist()
+        n_sigs = sigs.count()
+        sig_secs = round(time.time() - t0, 1)
+        # arriving: 50k exact/near copies (corpus docs with a tail) +
+        # 50k fresh-vocabulary docs; ids shifted above the corpus range
+        arr = (
+            docs.filter(F.col("doc_id") % 50 == 3)
+            .select(
+                (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                F.concat("text", F.lit(" arrivals tail")).alias("text"),
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 50 == 17).select(
+                    (F.col("doc_id") + 200_000_000).alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.array(*[
+                            F.concat(F.lit(f"fresh{j}x"), F.col("doc_id"))
+                            for j in range(40)
+                        ]),
+                    ).alias("text"),
+                )
+            )
+        )
+        arr_dir = "/tmp/spark-probe/neardup_arrivals"
+        arr.repartition(8).write.mode("overwrite").parquet(arr_dir)
+        n_arr = spark.read.parquet(arr_dir).count()
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(arr_dir)
+        )
+        out = stream_minhash_matches(stream, sigs, threshold=0.3)
+        t0 = time.time()
+        q = (
+            out.writeStream.format("memory")
+            .queryName("neardup_sf100")
+            .outputMode("append")
+            .option("checkpointLocation", "/tmp/spark-probe/ckpt-neardup")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = round(time.time() - t0, 1)
+        batches = [
+            {"batch": p["batchId"], "input_rows": p["numInputRows"],
+             "secs": round((p["batchDuration"] or 0) / 1000.0, 1)}
+            for p in q.recentProgress if p["numInputRows"]
+        ]
+        matches = spark.table("neardup_sf100")
+        n_match = matches.count()
+        matched_arrivals = matches.select("doc_id").distinct().count()
+        # every near-copy arrival should match its source; fresh ones not
+        copies_found = matches.filter(
+            (F.col("doc_id") - 100_000_000) == F.col("corpus_id")
+        ).count()
+        fresh_matched = matches.filter(F.col("doc_id") >= 200_000_000).count()
+        emit(phase, {
+            "corpus_sigs": n_sigs, "sig_build_secs": sig_secs,
+            "arrivals": n_arr, "stream_wall_secs": wall,
+            "micro_batches": len(batches), "batches": batches,
+            "match_pairs": n_match, "matched_arrivals": matched_arrivals,
+            "self_pairs_found": copies_found,
+            "fresh_false_matches": fresh_matched,
+        })
+
     else:
         print(f"unknown phase {phase}")
         return 2

@@ -35,6 +35,7 @@ def stream_minhash_matches(
     shingle_n: int = 2,
     bands: int = 16,
     threshold: float = 0.5,
+    broadcast_arrivals: "bool | None" = None,
 ) -> DataFrame:
     """Match arriving documents against a static corpus signature table.
 
@@ -56,9 +57,37 @@ def stream_minhash_matches(
     A mismatch between the stream kernel's signature length and the
     static table's is caught by one O(1) probe on the static side — the
     silent-empty-result failure mode of a num_hashes mismatch.
+
+    ``broadcast_arrivals`` controls the join build side. The scale-
+    critical property is that the STATIC entries (16 rows per corpus
+    doc) must never shuffle per micro-batch — a 5 M-doc store is an
+    80 M-row exchange every trigger. Broadcasting the (small) arriving
+    batch's entries makes the static side a pure probe scan: one narrow
+    pass over the persisted signature table per trigger, zero exchange.
+    Default ``None`` broadcasts exactly when ``docs.isStreaming`` (a
+    micro-batch is small by construction; a BATCH arrivals frame of
+    unknown size is left to Catalyst/AQE).
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    # The stream kernel must match the stored table's SIGNATURE WIDTH: a
+    # 32-bit store probed with 64-bit stream signatures compares int vs
+    # long minima that are never equal — every est_jaccard reads 0 and the
+    # result is silently empty (the sf100 probe caught exactly this).
+    # The width is fully determined by the table's element type, so detect
+    # it instead of trusting a parameter.
+    from pyspark.sql import types as T
+
+    elem = signatures.schema["signature"].dataType.elementType
+    if isinstance(elem, T.IntegerType):
+        signature_bits = 32
+    elif isinstance(elem, T.LongType):
+        signature_bits = 64
+    else:
+        raise ValueError(
+            f"static signature element type {elem.simpleString()} is not a "
+            "minhash_signatures output (expected int or bigint)"
+        )
     probe = signatures.select(F.size("signature").alias("n")).first()
     if probe is not None and probe["n"] != num_hashes:
         raise ValueError(
@@ -82,6 +111,7 @@ def stream_minhash_matches(
     stream_sigs = minhash_signatures(
         docs, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
+        signature_bits=signature_bits,
     )
     s = _entries(stream_sigs, id_col, "__sig_s")
     c = _entries(
@@ -91,6 +121,10 @@ def stream_minhash_matches(
         corpus_id_col,
         "__sig_c",
     )
+    if broadcast_arrivals is None:
+        broadcast_arrivals = bool(docs.isStreaming)
+    if broadcast_arrivals:
+        s = F.broadcast(s)
     joined = s.join(c, on=["band", "bucket"])
     # unrolled position-wise verify (codegen, like the batch path) and the
     # first-agreeing-band map-side dedup — both stateless, append-safe

@@ -395,3 +395,31 @@ def test_stream_minhash_matches_validates_signature_length(spark):
         stream_minhash_matches(corpus, sigs, num_hashes=64)
     with pytest.raises(ValueError, match="must divide"):
         stream_minhash_matches(corpus, sigs, num_hashes=32, bands=5)
+
+
+def test_stream_minhash_matches_detects_32bit_store(spark):
+    """A 32-bit signature store probed with the default kernel must still
+    match: the stream side derives its width from the TABLE's element
+    type (a 64-bit stream signature against 32-bit stored minima compares
+    int vs long and silently returns empty — the sf100 probe's bug)."""
+    from pyspark.sql import types as T
+
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import stream_minhash_matches
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    sigs32 = minhash_signatures(corpus, signature_bits=32)
+    assert isinstance(sigs32.schema["signature"].dataType.elementType, T.IntegerType)
+    arriving = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail")],
+        "doc_id long, text string",
+    )
+    rows = stream_minhash_matches(arriving, sigs32, threshold=0.3).collect()
+    assert len(rows) == 1 and rows[0]["corpus_id"] == 1
+    # a non-signature table is refused, not silently mismatched
+    bad = corpus.select("doc_id", F.split("text", " ").alias("signature"))
+    with pytest.raises(ValueError, match="element type"):
+        stream_minhash_matches(arriving, bad)
