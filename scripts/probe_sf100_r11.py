@@ -7,6 +7,12 @@ shuffle-reclaim convention). Phases:
   python scripts/probe_sf100_r11.py budget_coarse   # the coarse-score repro the r10 verdict demanded (ask #1 done=)
   python scripts/probe_sf100_r11.py streaming       # real micro-batch run over 100M events, state-store metrics (ask #7)
   python scripts/probe_sf100_r11.py bm25_zipf       # bm25 on the Zipf corpus: the df<<N selective regime (ask #4)
+  python scripts/probe_sf100_r11.py dedup_zipf      # MinHash-LSH over 5M realistic docs, planted-pair recall bands
+  python scripts/probe_sf100_r11.py jaccard_cap     # hot-shingle cap on the Zipf head (47x candidate reduction)
+  python scripts/probe_sf100_r11.py celebrity_skew  # one user holding 10% of events through the per-user windows
+  python scripts/probe_sf100_r11.py bm25_indexed    # inverted index vs scan: build once, query ~ sum(df)
+  python scripts/probe_sf100_r11.py ivfpq_indexed   # persisted IVFPQ index vs per-call encode
+  python scripts/probe_sf100_r11.py stream_neardup  # streaming near-dup vs the 5M-doc signature store
 
 Emits one JSON line per phase and appends to BENCH_sf100_r11.json.
 """
