@@ -337,16 +337,61 @@ def bm25_build_index(
 
 def bm25_save_index(postings: DataFrame, stats: DataFrame, path: str) -> None:
     """Write the index to ``path``: postings PARTITIONED BY ``tbucket``
-    (so query-term buckets partition-prune at read time) plus the 1-row
-    stats table."""
+    (so query-term buckets partition-prune at read time) plus the stats
+    table. Stats are APPEND-ONLY rows — readers sum ``n``/``sumdl``
+    across rows — which is what makes :func:`bm25_append_index` two
+    plain appends instead of a read-modify-write."""
     postings.write.partitionBy("tbucket").mode("overwrite").parquet(
         f"{path}/postings"
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def bm25_append_index(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_tokens: Optional[int] = None,
+) -> None:
+    """Grow a saved index with a batch of NEW documents — the warehouse
+    ingestion verb. Appends the batch's postings (encoded with the
+    bucket modulus stored in the index, so partitioning stays
+    consistent) and one more stats row; because corpus stats are pure
+    sums (N, Σdl) and df comes from the postings union, a query against
+    the appended index is BIT-IDENTICAL to one against an index rebuilt
+    from scratch on the union corpus.
+
+    Caller contracts: ``new_docs`` ids must be NEW (re-appending a
+    document double-counts it — dedup upstream), and the two appends are
+    not transactional: a failure between them leaves the new postings
+    visible with stale stats until the append is retried WITH A FRESH
+    BATCH (don't blind-retry the same one).
+    """
+    spark = new_docs.sparkSession
+    srows = spark.read.parquet(f"{path}/stats").collect()
+    mods = {int(r["num_term_buckets"]) for r in srows}
+    if len(mods) != 1:
+        raise ValueError(
+            f"index at {path!r} has inconsistent num_term_buckets {sorted(mods)}"
+        )
+    postings, stats = bm25_build_index(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_term_buckets=mods.pop(),
+        max_doc_tokens=max_doc_tokens,
+    )
+    postings.write.partitionBy("tbucket").mode("append").parquet(
+        f"{path}/postings"
+    )
+    stats.write.mode("append").parquet(f"{path}/stats")
+
+
 def bm25_load_index(spark, path: str) -> Tuple[DataFrame, DataFrame]:
-    """Read back a saved index as ``(postings, stats)``."""
+    """Read back a saved index as ``(postings, stats)``. ``stats`` holds
+    one row per save/append; consumers sum the counters."""
     return (
         spark.read.parquet(f"{path}/postings"),
         spark.read.parquet(f"{path}/stats"),
@@ -400,12 +445,27 @@ def bm25_topk_indexed(
     if not terms:
         return spark.createDataFrame([], out_schema)
 
-    srow = stats.collect()[0]
-    n_docs = int(srow["n"] or 0)
-    sumdl = int(srow["sumdl"] or 0)
+    # stats may hold one row per save/append (bm25_append_index): the
+    # counters are pure sums, and the bucket modulus must agree across
+    # every generation of the index
+    srows = stats.collect()
+    if not srows:
+        return spark.createDataFrame([], out_schema)
+    n_docs = sum(int(r["n"] or 0) for r in srows)
+    sumdl = sum(int(r["sumdl"] or 0) for r in srows)
     if n_docs == 0 or sumdl == 0:
         return spark.createDataFrame([], out_schema)
     avgdl = (sumdl * 1.0) / n_docs
+    bmods = {
+        int(r["num_term_buckets"])
+        for r in srows
+        if "num_term_buckets" in stats.columns and r["num_term_buckets"] is not None
+    }
+    if len(bmods) > 1:
+        raise ValueError(
+            f"stats rows disagree on num_term_buckets {sorted(bmods)}; the "
+            "index partitioning is ambiguous — rebuild it"
+        )
 
     # Partition pruning: tbucket = pmod(xxhash64(term), B) with B carried
     # in the stats row (the index is self-describing — no scan, no
@@ -413,9 +473,8 @@ def bm25_topk_indexed(
     # (≤max_terms rows, same JVM xxhash64 the build used); the bucket
     # IN-list is a partition filter on a saved index, so a query reads
     # only the ≤|terms| partitions its terms hash into.
-    bcol = "num_term_buckets" in stats.columns
-    if bcol and "tbucket" in postings.columns and srow["num_term_buckets"]:
-        bmod = int(srow["num_term_buckets"])
+    if bmods and "tbucket" in postings.columns:
+        bmod = bmods.pop()
         tdf = spark.createDataFrame([(t,) for t in terms], "term string")
         tb = sorted(
             {

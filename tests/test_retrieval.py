@@ -377,3 +377,45 @@ def test_bm25_max_doc_tokens_counts_bm25_grammar(spark):
         bm25_build_index(docs, max_doc_tokens=20)
     # within bound: both paths proceed
     assert bm25_topk(docs, [("q", "t1")], max_doc_tokens=64).count() >= 1
+
+
+def test_indexed_bm25_append_equals_rebuild(spark, docs_df, tmp_path):
+    """Appending a batch must be BIT-IDENTICAL to rebuilding on the union
+    corpus: N and sum(dl) are pure sums across stats rows, df comes from
+    the postings union, so every idf, unit, and tie-break agrees."""
+    from tape_spark.operators import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_load_index,
+        bm25_save_index,
+        bm25_topk_indexed,
+    )
+
+    base = docs_df.filter("doc_id <= 4")
+    delta = docs_df.filter("doc_id > 4")
+    path = str(tmp_path / "bm25_grow")
+    p0, s0 = bm25_build_index(base, num_term_buckets=8)
+    bm25_save_index(p0, s0, path)
+    bm25_append_index(delta, path)
+
+    p1, s1 = bm25_load_index(spark, path)
+    assert s1.count() == 2  # one stats row per generation
+    got = sorted(
+        tuple(r)
+        for r in bm25_topk_indexed(p1, s1, QUERIES, k=3, k1=K1, b=B).collect()
+    )
+    want = sorted(
+        tuple(r) for r in bm25_topk(docs_df, QUERIES, k=3, k1=K1, b=B).collect()
+    )
+    assert got == want
+
+    # inconsistent bucket moduli are refused, not silently mispruned
+    rows = [r.asDict() for r in s1.collect()]
+    rows[0]["num_term_buckets"] = 4
+    bad_stats = spark.createDataFrame(rows, s1.schema)
+    with pytest.raises(ValueError, match="disagree"):
+        bm25_topk_indexed(p1, bad_stats, QUERIES, k=3)
+    with pytest.raises(ValueError, match="inconsistent"):
+        # corrupt the saved stats the same way, then append
+        bad_stats.write.mode("overwrite").parquet(f"{path}/stats")
+        bm25_append_index(delta, path)
