@@ -630,3 +630,26 @@ def ivfpq_load_index(spark, path: str):
     coarse = np.frombuffer(t["coarse"], dtype=np.float64).reshape(t["coarse_shape"])
     books = np.frombuffer(t["books"], dtype=np.float64).reshape(t["books_shape"])
     return spark.read.parquet(f"{path}/encoded"), coarse, books
+
+
+def ivfpq_append_index(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Grow a saved IVFPQ index with new vectors — one append, trivially
+    consistent: ADC scores depend only on the (frozen) models, never on
+    corpus statistics, so encoding the batch with the STORED models and
+    appending its (id, cluster, pq_code) rows makes queries against the
+    grown index bit-identical to a rebuild over the union corpus.
+    Caller contract: new ids only (a re-appended vector appears twice in
+    every shortlist it reaches). Quantization drift is the one caveat —
+    models trained on an old distribution encode new out-of-distribution
+    vectors with higher error; retrain + rebuild when recall on fresh
+    data degrades."""
+    spark = new_vectors.sparkSession
+    _, coarse, books = ivfpq_load_index(spark, path)
+    ivfpq_encode(new_vectors, coarse, books, vec_col=vec_col, id_col=id_col).write.partitionBy(
+        "cluster"
+    ).mode("append").parquet(f"{path}/encoded")

@@ -284,3 +284,41 @@ def test_ivfpq_encoded_validations(spark, corpus):
             corpus, q, k=3, coarse_centroids=coarse, codebooks=books2,
             encoded=enc, m=2,
         )
+
+
+def test_ivfpq_append_equals_rebuild(spark, corpus, tmp_path):
+    from tape_spark.operators import (
+        ivfpq_append_index,
+        ivfpq_encode,
+        ivfpq_load_index,
+        ivfpq_save_index,
+        train_spherical_kmeans,
+    )
+
+    base = corpus.filter("vec_id < 200")
+    delta = corpus.filter("vec_id >= 200")
+    coarse = train_spherical_kmeans(base, num_clusters=8, train_sample=200)
+    books = train_pq_codebooks(base, m=M, num_centroids=16)
+    path = str(tmp_path / "ivfpq_grow")
+    ivfpq_save_index(ivfpq_encode(base, coarse, books), coarse, books, path)
+    ivfpq_append_index(delta, path)
+    enc, c2, b2 = ivfpq_load_index(spark, path)
+    q = corpus.filter("vec_id in (10, 250)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        tuple(r)
+        for r in ivfpq_cosine_topk(
+            corpus, q, k=5, coarse_centroids=c2, codebooks=b2,
+            nprobe=8, encoded=enc,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ivfpq_cosine_topk(
+            corpus, q, k=5, coarse_centroids=coarse, codebooks=books, nprobe=8,
+        ).collect()
+    )
+    assert got == want
+    # an appended (union-corpus) query can reach the delta vectors
+    assert any(r[1] >= 200 for r in got)
