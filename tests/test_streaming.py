@@ -423,3 +423,45 @@ def test_stream_minhash_matches_detects_32bit_store(spark):
     bad = corpus.select("doc_id", F.split("text", " ").alias("signature"))
     with pytest.raises(ValueError, match="element type"):
         stream_minhash_matches(arriving, bad)
+
+
+def test_curation_scorers_run_on_streams(spark, tmp_path):
+    """The curation scorers are codegen / broadcast-literal projections,
+    so they must run unchanged on a micro-batch stream — the 'score
+    documents as they arrive' pipeline — and append exactly the batch
+    results."""
+    from tape_spark.operators import nb_score, text_signals, train_nb_classifier
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox " * (1 + i % 4)).strip()) for i in range(24)],
+        "doc_id long, text string",
+    )
+    model = train_nb_classifier(docs, label_expr="length(text) > 40")
+    src_dir = str(tmp_path / "score_src")
+    docs.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = nb_score(stream, model).join(
+        text_signals(stream, rep_n=2).select("doc_id", "n_tokens", "pred_lang"),
+        "doc_id",
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_scores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("stream_scores").collect())
+    want = sorted(
+        tuple(r)
+        for r in nb_score(docs, model)
+        .join(text_signals(docs, rep_n=2).select("doc_id", "n_tokens", "pred_lang"), "doc_id")
+        .collect()
+    )
+    assert got == want and len(got) == 24
