@@ -826,8 +826,12 @@ def dedup_clusters(
     threshold: float = 0.5,
     max_doc_frequency: Optional[int] = None,
     stop_shingle_sample: Optional[float] = None,
+    method: str = "exact",
+    num_hashes: int = 64,
+    bands: int = 16,
+    signature_bits: int = 64,
 ) -> DataFrame:
-    """Near-duplicate clusters over a corpus: n-gram Jaccard pairs →
+    """Near-duplicate clusters over a corpus: similarity pairs →
     connected components → ``(doc_id, component, cluster_size)``.
 
     ``component`` (the smallest doc id in the cluster) is the canonical
@@ -836,19 +840,37 @@ def dedup_clusters(
     are returned — the complement of this result's non-canonical rows is
     the cleaned corpus.
 
-    On realistic heavy-tailed text, set ``max_doc_frequency`` (and
-    ``stop_shingle_sample`` to find the heavy hitters from a bounded
-    sample): the exact pair join is quadratic in per-shingle document
-    frequency, and the hot head of a natural vocabulary explodes it —
-    measured 47x candidate-row reduction at 50 k Zipf docs
-    (`docs/SCALING.md` §Hot-shingle caps). Both knobs forward to
-    :func:`ngram_jaccard_pairs`.
+    ``method`` picks the pair generator:
+
+    - ``'exact'`` (default, the oracle-replayable path): n-gram Jaccard
+      via the inverted-index self-join. On realistic heavy-tailed text,
+      set ``max_doc_frequency`` (and ``stop_shingle_sample`` to find the
+      heavy hitters from a bounded sample) — the exact pair join is
+      quadratic in per-shingle document frequency, and the hot head of a
+      natural vocabulary explodes it (measured 47x candidate-row
+      reduction at 50 k Zipf docs, `docs/SCALING.md` §Hot-shingle caps).
+    - ``'minhash'`` (the 100 TB path): banded MinHash-LSH pairs with the
+      position-agreement estimate as the similarity; ``threshold`` then
+      applies to ``est_jaccard``. Recall follows the banding S-curve
+      (0.9975 at true J >= 0.7 with 64 hashes x 16 bands, measured on
+      5 M realistic docs), so clusters can split where the exact method
+      would merge — identical on exact copies, near-identical above the
+      threshold's knee.
     """
-    pairs = ngram_jaccard_pairs(
-        df, text_col=text_col, id_col=id_col, n=n, threshold=threshold,
-        max_doc_frequency=max_doc_frequency,
-        stop_shingle_sample=stop_shingle_sample,
-    )
+    if method not in ("exact", "minhash"):
+        raise ValueError(f"method must be exact|minhash, got {method!r}")
+    if method == "minhash":
+        pairs = minhash_near_duplicates(
+            df, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, shingle_n=n, bands=bands,
+            threshold=threshold, signature_bits=signature_bits,
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            df, text_col=text_col, id_col=id_col, n=n, threshold=threshold,
+            max_doc_frequency=max_doc_frequency,
+            stop_shingle_sample=stop_shingle_sample,
+        )
     comp = connected_components(pairs)
     w = Window.partitionBy("component")
     return (
