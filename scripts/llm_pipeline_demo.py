@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("DEMO_SF_DIR", os.path.join(REPO, ".benchdata", "sf1_zipf"))
+DEDUP_METHOD = os.environ.get("DEMO_DEDUP_METHOD", "exact")
 OUT = os.path.join(REPO, "BENCH_sf100_r11.json")
 
 
@@ -86,15 +87,23 @@ def main():
 
     docs = stage("exact_dedup", _exact)
 
-    # 3. near-dup resolve: MinHash clusters -> keep the longest copy
+    # 3. near-dup resolve: similarity clusters -> keep the longest copy.
+    # DEMO_DEDUP_METHOD picks the pair generator: 'exact' (inverted-index
+    # n-gram Jaccard with the hot-shingle cap — quadratic in shingle df,
+    # the Zipf head would explode it 47x without the cap, SCALING.md) or
+    # 'minhash' (banded LSH — the 100 TB path; pair cost is bands x
+    # bucket collisions, never df^2).
     def _near():
-        # hot-shingle cap: the exact pair join is quadratic in shingle df
-        # and the Zipf head would explode it 47x (SCALING.md); the cap's
-        # one-sided error only underestimates similarity
-        clusters = dedup_clusters(
-            docs, n=2, threshold=0.5,
-            max_doc_frequency=100, stop_shingle_sample=0.02,
-        )
+        if DEDUP_METHOD == "minhash":
+            clusters = dedup_clusters(
+                docs, n=2, threshold=0.5, method="minhash",
+                num_hashes=64, bands=16,
+            )
+        else:
+            clusters = dedup_clusters(
+                docs, n=2, threshold=0.5,
+                max_doc_frequency=100, stop_shingle_sample=0.02,
+            )
         kept = resolve_duplicates(
             docs.withColumn("n_chars", F.length("text")),
             clusters,
@@ -165,6 +174,7 @@ def main():
     rec = {
         "phase": "llm_pipeline",
         "sf_dir": SF_DIR,
+        "dedup_method": DEDUP_METHOD,
         "input_rows": int(n0),
         "stages": stages,
         "total_secs": total_secs,
@@ -173,7 +183,14 @@ def main():
     if os.path.exists(OUT):
         with open(OUT) as fh:
             existing = [json.loads(l) for l in fh if l.strip()]
-    existing = [r for r in existing if r.get("phase") != "llm_pipeline"]
+    existing = [
+        r for r in existing
+        if not (
+            r.get("phase") == "llm_pipeline"
+            and r.get("sf_dir", SF_DIR) == SF_DIR
+            and r.get("dedup_method", "exact") == DEDUP_METHOD
+        )
+    ]
     existing.append(rec)
     with open(OUT, "w") as fh:
         for r in existing:

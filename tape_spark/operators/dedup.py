@@ -150,26 +150,33 @@ def dedup_keep_first(
 ) -> DataFrame:
     """Exact dedup that returns the full surviving rows (lowest id per
     distinct text) — the 'materialize the cleaned corpus' form of
-    :func:`exact_dedup`. One window over hash-partitioned text groups.
+    :func:`exact_dedup`. One ``min_by`` hash aggregation.
 
-    With ``by_hash=True`` (default, the scale path) the window partitions
-    by ``(xxhash64(text), length(text))`` so the exchange hashes and the
-    sort compares 16-byte keys instead of multi-KB documents; the rows
-    themselves shuffle either way (the output needs them), the win is key
-    comparison cost and skew bookkeeping. Output is identical to the
-    by-text window barring a 2⁻⁶⁴ collision.
+    With ``by_hash=True`` (default, the scale path) the grouping key is
+    ``(xxhash64(text), length(text))`` — 16 bytes instead of multi-KB
+    documents. The survivor row is picked with
+    ``min_by(struct(*cols), id)``, NOT a ``row_number`` window: a window
+    partition is one unsplittable sort task, so 10^8 copies of the same
+    boilerplate document (an entirely realistic 100 TB hot key) would
+    drag every copy's full row through one executor. The declarative
+    ``min_by`` partial-aggregates map-side — each input partition
+    forwards at most ONE candidate row per text group into the exchange,
+    so the hot group costs (num input partitions) rows, not 10^8.
+    Output is identical to the by-text form barring a 2⁻⁶⁴ collision.
     """
     if by_hash:
-        w = Window.partitionBy(
-            F.xxhash64(F.col(text_col)), F.length(text_col)
-        ).orderBy(F.col(id_col).asc())
+        key = [
+            F.xxhash64(F.col(text_col)).alias("__h"),
+            F.length(text_col).alias("__l"),
+        ]
     else:
-        w = Window.partitionBy(text_col).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        key = [F.col(text_col).alias("__t")]
+    packed = df.groupBy(*key).agg(
+        F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(id_col)).alias(
+            "__row"
+        )
     )
+    return packed.select("__row.*")
 
 
 def ngram_jaccard_pairs(
@@ -872,10 +879,16 @@ def dedup_clusters(
             stop_shingle_sample=stop_shingle_sample,
         )
     comp = connected_components(pairs)
-    w = Window.partitionBy("component")
-    return (
-        comp.withColumn("cluster_size", F.count(F.lit(1)).over(w))
-        .select(F.col("node").alias(id_col), "component", "cluster_size")
+    # cluster_size via groupBy+join, NOT a window: Window.partitionBy puts
+    # every member of a component through ONE sort task, and a boilerplate
+    # cluster on a 100 TB corpus can hold 10^8 documents. The aggregate is
+    # partial (map-side combine) and the join back is AQE-skew-splittable;
+    # a window partition never is.
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias(id_col), "component", "cluster_size"
     )
 
 
@@ -897,19 +910,37 @@ def resolve_duplicates(
 
     At scale the cluster table only holds documents that ARE in a ≥2
     cluster — a small fraction of the corpus — so the drop list is small
-    and the final ``left_anti`` join broadcasts; the only shuffle over
-    cluster members is one window by component.
+    and the final ``left_anti`` join broadcasts. Keeper selection is
+    deliberately NOT a ``row_number`` window by component: a window
+    partition is one unsplittable sort task, and a boilerplate cluster on
+    a 100 TB corpus can hold 10^8 members. Instead the argmax is two
+    partial-aggregable ``groupBy`` passes (max quality per component,
+    then min id among the maximal rows) whose shuffles map-side-combine
+    a giant component down to one row per partition before any exchange.
     """
     member = clusters.select(F.col(id_col), "component")
     if quality_col is not None:
         member = member.join(df.select(id_col, quality_col), id_col, "left")
-        order = [F.desc_nulls_last(quality_col), F.asc(id_col)]
+        # pass 1: best quality per component (max ignores NULLs, so NULL
+        # quality never wins unless the whole component is NULL — the
+        # same desc_nulls_last semantics as an ordered window)
+        best = (
+            member.groupBy("component")
+            .agg(F.max(quality_col).alias("__bq"))
+            .select(F.col("component").alias("__bc"), "__bq")
+        )
+        maximal = member.join(
+            best,
+            (F.col("component") == F.col("__bc"))
+            & F.col(quality_col).eqNullSafe(F.col("__bq")),
+        ).select("component", id_col)
     else:
-        order = [F.asc(id_col)]
-    w = Window.partitionBy("component").orderBy(*order)
+        maximal = member
+    # pass 2: smallest id among the maximal rows is the keeper
+    keepers = maximal.groupBy("component").agg(F.min(id_col).alias("__keep"))
     drops = (
-        member.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") > 1)
+        member.join(keepers, "component")
+        .filter(F.col(id_col) != F.col("__keep"))
         .select(id_col)
     )
     return df.join(drops, id_col, "left_anti")

@@ -224,11 +224,17 @@ def test_exact_dedup_exchange_keys_on_hash(docs_df):
     assert ex and not any("text#" in l for l in ex)
 
 
-def test_dedup_keep_first_window_keys_on_hash(docs_df):
+def test_dedup_keep_first_aggregates_not_window(docs_df):
+    """Keep-first must be a partial-aggregable min_by, NOT a row_number
+    window: a window partition is one unsplittable sort task, so a hot
+    text group (10^8 copies of one boilerplate doc at 100 TB) would drag
+    every copy through one executor. min_by map-side-combines each group
+    to one candidate row per input partition before the exchange."""
     from tape_spark.operators import dedup_keep_first
 
     plan = plan_of(dedup_keep_first(docs_df))
-    assert "xxhash64" in plan and "Window" in plan
+    assert "xxhash64" in plan and "Window" not in plan
+    assert "partial_min_by" in plan  # map-side combine precedes the shuffle
     ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert ex and not any("text#" in l for l in ex)
 
