@@ -95,9 +95,16 @@ def main():
     # bucket collisions, never df^2).
     def _near():
         if DEDUP_METHOD == "minhash":
+            # signature_bits=32: the band-entry exchange carries the
+            # signature on both join sides (~45 GB at 64-bit over 5M docs,
+            # and join-side sort spill doubles it — measured DNF on this
+            # host's disk); 32-bit halves it with est_jaccard granularity
+            # unchanged. max_bucket_size caps the skew head: a band bucket
+            # holding >2000 docs is boilerplate, not near-dup signal.
             clusters = dedup_clusters(
                 docs, n=2, threshold=0.5, method="minhash",
-                num_hashes=64, bands=16,
+                num_hashes=64, bands=16, signature_bits=32,
+                max_bucket_size=2000,
             )
         else:
             clusters = dedup_clusters(

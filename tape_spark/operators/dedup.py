@@ -837,6 +837,7 @@ def dedup_clusters(
     num_hashes: int = 64,
     bands: int = 16,
     signature_bits: int = 64,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate clusters over a corpus: similarity pairs →
     connected components → ``(doc_id, component, cluster_size)``.
@@ -862,7 +863,13 @@ def dedup_clusters(
       (0.9975 at true J >= 0.7 with 64 hashes x 16 bands, measured on
       5 M realistic docs), so clusters can split where the exact method
       would merge — identical on exact copies, near-identical above the
-      threshold's knee.
+      threshold's knee. ``max_bucket_size`` prunes over-full band
+      buckets before the pair join (the skew head — a boilerplate
+      mega-group's O(size²) candidate rows carry no near-dup signal
+      worth their shuffle; run exact dedup first), and
+      ``signature_bits=32`` halves the band-entry exchange payload
+      (est_jaccard granularity is unchanged) — both forwarded to
+      :func:`minhash_near_duplicates`.
     """
     if method not in ("exact", "minhash"):
         raise ValueError(f"method must be exact|minhash, got {method!r}")
@@ -871,6 +878,7 @@ def dedup_clusters(
             df, text_col=text_col, id_col=id_col,
             num_hashes=num_hashes, shingle_n=n, bands=bands,
             threshold=threshold, signature_bits=signature_bits,
+            max_bucket_size=max_bucket_size,
         )
     else:
         pairs = ngram_jaccard_pairs(
@@ -1075,17 +1083,27 @@ def remove_repeated_spans(
 
     Plan shape at 100 TB: span fingerprinting and counting are
     :func:`repeated_spans`'s inverted-index plan (8-byte hashes, never
-    pairs); choosing keepers is ONE window over only the repeated
-    occurrences (a tiny fraction of the corpus); the removal positions
-    come back to each document via a single partial-aggregated
-    ``collect_list`` shuffle; the cover test and piece rebuild are
-    whole-stage-codegen array expressions. No Python anywhere.
+    pairs); choosing keepers is a partial-aggregable ``min(struct(id,
+    start))`` per span hash — NOT a ``row_number`` window, whose
+    per-span-hash partition would drag all 10^8 occurrences of a hot
+    boilerplate sentence through one unsplittable sort task — and the
+    non-keepers fall out of one AQE-skew-splittable join back on the
+    hash; the removal positions come back to each document via a single
+    partial-aggregated ``collect_list`` shuffle; the cover test and
+    piece rebuild are whole-stage-codegen array expressions. No Python
+    anywhere.
     """
     occ = repeated_spans(df, text_col, id_col, span_tokens, stride, min_docs)
-    w = Window.partitionBy("span_hash").orderBy(F.col(id_col), F.col("token_start"))
+    keep = occ.groupBy("span_hash").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("token_start").alias("s")))
+        .alias("__keep")
+    )
     removals = (
-        occ.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") > 1)
+        occ.join(keep, "span_hash")
+        .filter(
+            (F.col(id_col) != F.col("__keep.i"))
+            | (F.col("token_start") != F.col("__keep.s"))
+        )
         .groupBy(id_col)
         .agg(
             F.collect_list(F.col("token_start").cast("int")).alias("__hits"),
