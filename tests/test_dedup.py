@@ -27,3 +27,24 @@ def test_dedup_clusters_minhash_method(spark):
 
     with _pytest.raises(ValueError, match="exact\\|minhash"):
         dedup_clusters(docs, method="simhash")
+
+
+def test_resolve_duplicates_null_quality_semantics(spark):
+    """NULL quality must sort last (never beat a non-NULL member) and an
+    all-NULL component must fall back to smallest id — the window
+    ordering [desc_nulls_last(q), asc(id)] the aggregation paths replaced
+    must be reproduced exactly."""
+    from tape_spark.operators import resolve_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0),        # A: tie at 9 -> keep 2
+         (10, None), (11, 3.0), (12, None),   # B: nulls last -> keep 11
+         (20, None), (21, None),              # C: all null -> keep 20
+         (30, 1.0)],                          # unclustered, untouched
+        "doc_id long, q double")
+    clusters = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (10, "B"), (11, "B"), (12, "B"),
+         (20, "C"), (21, "C")],
+        "doc_id long, component string")
+    kept = {r.doc_id for r in resolve_duplicates(docs, clusters, quality_col="q").collect()}
+    assert kept == {2, 11, 20, 30}
