@@ -48,3 +48,44 @@ def test_resolve_duplicates_null_quality_semantics(spark):
         "doc_id long, component string")
     kept = {r.doc_id for r in resolve_duplicates(docs, clusters, quality_col="q").collect()}
     assert kept == {2, 11, 20, 30}
+
+
+def test_resolve_duplicates_matches_window_replica_randomized(spark):
+    """The two-pass argmax must equal the removed row_number window plan
+    on randomized clusters with NULLs, ties, and singleton components."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from tape_spark.operators import resolve_duplicates
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(400):
+        comp = rng.randrange(40)
+        q = rng.choice([None, 0.0, 1.5, 1.5, 3.0, float(rng.randrange(5))])
+        rows.append((i, comp, q))
+    docs = spark.createDataFrame(rows, "doc_id long, comp long, q double")
+    clusters = docs.select("doc_id", F.col("comp").alias("component"))
+
+    agg_kept = {
+        r.doc_id
+        for r in resolve_duplicates(
+            docs.select("doc_id", "q"), clusters, quality_col="q"
+        ).collect()
+    }
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc_nulls_last("q"), F.asc("doc_id")
+    )
+    member = clusters.join(docs.select("doc_id", "q"), "doc_id", "left")
+    drops = (
+        member.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select("doc_id")
+    )
+    win_kept = {
+        r.doc_id
+        for r in docs.select("doc_id", "q").join(drops, "doc_id", "left_anti").collect()
+    }
+    assert agg_kept == win_kept
