@@ -95,16 +95,18 @@ def main():
     # bucket collisions, never df^2).
     def _near():
         if DEDUP_METHOD == "minhash":
-            # signature_bits=32: the band-entry exchange carries the
-            # signature on both join sides (~45 GB at 64-bit over 5M docs,
-            # and join-side sort spill doubles it — measured DNF on this
-            # host's disk); 32-bit halves it with est_jaccard granularity
-            # unchanged. max_bucket_size caps the skew head: a band bucket
-            # holding >2000 docs is boilerplate, not near-dup signal.
+            # join_mode='slim': exact dedup already ran, buckets are
+            # capped, and the threshold is high, so distinct candidates
+            # stay O(n_docs) — the regime where the 16-byte band join +
+            # per-side signature attach (~8 GB local disk at 5M docs)
+            # beats the fused signature-carrying exchange (~75 GB with
+            # join-side sort spill — measured DNF on this host, twice).
+            # signature_bits=32 halves every signature payload with
+            # est_jaccard granularity unchanged.
             clusters = dedup_clusters(
                 docs, n=2, threshold=0.5, method="minhash",
                 num_hashes=64, bands=16, signature_bits=32,
-                max_bucket_size=2000,
+                max_bucket_size=2000, join_mode="slim",
             )
         else:
             clusters = dedup_clusters(

@@ -396,6 +396,66 @@ def lsh_candidate_pairs(
     )
 
 
+def _minhash_pairs_slim(
+    sigs: DataFrame,
+    id_col: str,
+    band_expr,
+    num_hashes: int,
+    threshold: float,
+    max_bucket_size: Optional[int],
+) -> DataFrame:
+    """The slim band join: (band, bucket, id)-only entries, candidate
+    pairs deduped while still 16 bytes wide, then ONE signature attach
+    per side for the unrolled-codegen verify. See
+    :func:`minhash_near_duplicates` for when this beats the fused shape
+    (distinct candidates O(n_docs)) and when it loses (candidate
+    explosions re-shuffle sig-wide pair rows on the second attach)."""
+    entries = sigs.select(F.col(id_col), F.explode(band_expr).alias("e")).select(
+        F.col(id_col), F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
+    if max_bucket_size is not None:
+        overfull = (
+            entries.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        entries = entries.join(
+            F.broadcast(overfull), on=["band", "bucket"], how="left_anti"
+        )
+    a, b = entries.alias("a"), entries.alias("b")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a")
+    )
+    sig_b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b")
+    )
+    # same unrolled flat comparisons as the fused path (codegen, not
+    # interpreted HOFs) — identical est_jaccard by construction
+    pos_eq = [
+        (F.col("__sig_a")[i] == F.col("__sig_b")[i]).cast("int")
+        for i in range(num_hashes)
+    ]
+    agree = pos_eq[0]
+    for term in pos_eq[1:]:
+        agree = agree + term
+    est = agree / F.lit(float(num_hashes))
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -408,6 +468,7 @@ def minhash_near_duplicates(
     stop_shingles: Optional[list] = None,
     signature_bits: int = 64,
     signatures: Optional[DataFrame] = None,
+    join_mode: str = "fused",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified.
 
@@ -416,17 +477,32 @@ def minhash_near_duplicates(
     signature arrays — built-in, no re-shingling join). Returns
     ``(id_a, id_b, est_jaccard)`` above ``threshold``.
 
-    Physical plan (the round-7 fused rewrite): ONE self-join on
-    (band, bucket) whose entries carry the signature, with the Jaccard
-    estimate computed and thresholded inside the join projection, then a
-    distinct over the (narrow) surviving pairs. The previous shape —
-    slim banding join → distinct → two signature re-joins — re-shuffled
-    every candidate pair *with a 0.5 KB signature attached* on the
-    second join; at sf100 (5 M docs, 7.4e8 pre-distinct candidates,
-    measured) that stage alone wrote ~200 GB of shuffle and DNF'd a
-    60 GB disk. Fused, the wide shuffle is the 16-per-doc band-entry
-    exchange (written once, read twice via ReuseExchange) and everything
-    after the join is a map: verify costs no extra shuffle at any scale.
+    Physical plan — ``join_mode`` picks between two shapes whose costs
+    cross over on the expected candidate-pair count:
+
+    - ``'fused'`` (default, the round-7 rewrite): ONE self-join on
+      (band, bucket) whose entries carry the signature, with the Jaccard
+      estimate computed and thresholded inside the join projection, then
+      a distinct over the (narrow) surviving pairs. The wide shuffle is
+      the bands-per-doc band-entry exchange (n_docs x bands rows, each
+      carrying the signature; written once, read twice via
+      ReuseExchange) and everything after the join is a map — verify
+      costs no extra shuffle NO MATTER how many candidate pairs the
+      buckets produce. Right when candidates can explode: low
+      thresholds, no bucket cap, unknown corpora. (The pre-round-7 slim
+      shape at sf100/threshold 0.3 re-shuffled 7.4e8 candidates *with a
+      0.5 KB signature attached* — ~200 GB — and DNF'd a 60 GB disk.)
+    - ``'slim'``: the band self-join carries only (band, bucket, id) —
+      16-byte entries, a ~sig-size-fold smaller exchange — then the
+      deduped candidate pairs re-join the signature table once per side
+      for the verify. Each signature attach is a shuffle of the
+      candidates (slim, then sig_a-wide on the id_b side), so this wins
+      EXACTLY WHEN distinct candidates stay O(n_docs): high thresholds,
+      ``max_bucket_size`` capped, mostly-unique corpora. Measured at
+      5 M realistic docs / 64x32-bit signatures on one host: fused's
+      band-entry exchange + join-side sort spill needs ~75 GB of local
+      disk; slim needs ~8 GB. At 100 TB the same rule applies per
+      executor: cap the buckets, then go slim.
 
     ``max_bucket_size`` drops over-full buckets before the join via a
     broadcast anti-join (the over-full set is tiny by construction —
@@ -439,6 +515,8 @@ def minhash_near_duplicates(
     ``stop_shingles`` (see :func:`minhash_signatures`) handle them
     upstream.
     """
+    if join_mode not in ("fused", "slim"):
+        raise ValueError(f"join_mode must be fused|slim, got {join_mode!r}")
     rows_per_band = num_hashes // bands
     # The signature frame feeds the band-entry explode on both join sides;
     # persisting avoids recomputing the shingle + 64-way min pipeline. At
@@ -477,6 +555,15 @@ def minhash_near_duplicates(
         f"b -> named_struct('band', b, 'bucket', "
         f"xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), b)))"
     )
+    if join_mode == "slim":
+        result = _minhash_pairs_slim(
+            sigs, id_col, band_expr, num_hashes, threshold, max_bucket_size
+        )
+        if owns_sigs:
+            result = result.persist()
+            result.count()
+            sigs.unpersist()
+        return result
     entries = sigs.select(
         F.col(id_col), F.col("signature"), F.explode(band_expr).alias("e")
     ).select(id_col, "signature", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
@@ -838,6 +925,7 @@ def dedup_clusters(
     bands: int = 16,
     signature_bits: int = 64,
     max_bucket_size: Optional[int] = None,
+    join_mode: str = "fused",
 ) -> DataFrame:
     """Near-duplicate clusters over a corpus: similarity pairs →
     connected components → ``(doc_id, component, cluster_size)``.
@@ -878,7 +966,7 @@ def dedup_clusters(
             df, text_col=text_col, id_col=id_col,
             num_hashes=num_hashes, shingle_n=n, bands=bands,
             threshold=threshold, signature_bits=signature_bits,
-            max_bucket_size=max_bucket_size,
+            max_bucket_size=max_bucket_size, join_mode=join_mode,
         )
     else:
         pairs = ngram_jaccard_pairs(

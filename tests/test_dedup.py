@@ -89,3 +89,25 @@ def test_resolve_duplicates_matches_window_replica_randomized(spark):
         for r in docs.select("doc_id", "q").join(drops, "doc_id", "left_anti").collect()
     }
     assert agg_kept == win_kept
+
+
+def test_minhash_slim_join_mode_matches_fused(spark):
+    """join_mode='slim' (16-byte band join + per-side signature attach)
+    must return exactly the fused path's (id_a, id_b, est_jaccard) rows,
+    with and without bucket capping."""
+    from tape_spark.operators import minhash_near_duplicates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def pairs(mode, **kw):
+        out = minhash_near_duplicates(
+            docs, num_hashes=64, bands=16, threshold=0.4, join_mode=mode, **kw
+        )
+        return sorted((r.id_a, r.id_b, round(r.est_jaccard, 9)) for r in out.collect())
+
+    assert pairs("slim") == pairs("fused")
+    assert pairs("slim", max_bucket_size=50) == pairs("fused", max_bucket_size=50)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fused\\|slim"):
+        minhash_near_duplicates(docs, join_mode="wide")
