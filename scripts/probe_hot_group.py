@@ -115,7 +115,13 @@ def main():
     if os.path.exists(OUT):
         with open(OUT) as fh:
             existing = [json.loads(l) for l in fh if l.strip()]
-    existing = [r for r in existing if r.get("phase") != "hot_group"]
+    existing = [
+        r
+        for r in existing
+        if not (
+            r.get("phase") == "hot_group" and r.get("hot_copies") == HOT_COPIES
+        )
+    ]
     existing.append(rec)
     with open(OUT, "w") as fh:
         for r in existing:
