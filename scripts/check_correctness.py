@@ -86,9 +86,16 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS: every oracle row must be
+    # partition-count-INVARIANT (content-addressed sampling, deterministic
+    # tie-breaks, no spark_partition_id leaking into results) — rerunning
+    # the board at e.g. 7 and 200 partitions proves it.
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
