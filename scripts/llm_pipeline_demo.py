@@ -26,6 +26,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("DEMO_SF_DIR", os.path.join(REPO, ".benchdata", "sf1_zipf"))
 DEDUP_METHOD = os.environ.get("DEMO_DEDUP_METHOD", "exact")
+if DEDUP_METHOD not in ("exact", "minhash"):
+    # a typo must not silently run the exact path at a scale where the
+    # docs say it DNFs, then mislabel the benchmark record
+    raise SystemExit(f"DEMO_DEDUP_METHOD must be exact|minhash, got {DEDUP_METHOD!r}")
 OUT = os.path.join(REPO, "BENCH_sf100_r11.json")
 
 

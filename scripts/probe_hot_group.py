@@ -60,23 +60,32 @@ def main():
     rec = {"phase": "hot_group", "sf_dir": SF_DIR, "rows": n, "hot_copies": HOT_COPIES}
     print({"input": n, "hot": HOT_COPIES}, flush=True)
 
-    # -- keep-first: shipped min_by aggregation vs the removed window plan
+    # -- keep-first: shipped min_by aggregation vs the removed window plan.
+    # Parity is on the SURVIVOR ID SET (order-free xor of id hashes), not
+    # row counts — both paths emit one row per text group by construction,
+    # so a count comparison could never catch a wrong survivor.
+    def _id_checksum(frame):
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("doc_id")).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"] or 0)
+
     t0 = time.time()
-    agg_n = dedup_keep_first(docs).count()
+    agg_sig = _id_checksum(dedup_keep_first(docs))
     rec["keep_first_agg_secs"] = round(time.time() - t0, 1)
 
     w = Window.partitionBy(F.xxhash64(F.col("text")), F.length("text")).orderBy(
         F.col("doc_id").asc()
     )
     t0 = time.time()
-    win_n = (
+    win_sig = _id_checksum(
         docs.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
-        .count()
     )
     rec["keep_first_window_secs"] = round(time.time() - t0, 1)
-    rec["keep_first_rows_match"] = bool(agg_n == win_n)
+    rec["keep_first_rows_match"] = bool(agg_sig == win_sig)
     print({k: rec[k] for k in list(rec)[-3:]}, flush=True)
 
     # -- resolve: one component holding every hot copy
@@ -91,7 +100,9 @@ def main():
     qual.count()
 
     t0 = time.time()
-    agg_kept = resolve_duplicates(qual, clusters, quality_col="q").count()
+    agg_kept_n, agg_kept_h = _id_checksum(
+        resolve_duplicates(qual, clusters, quality_col="q")
+    )
     rec["resolve_agg_secs"] = round(time.time() - t0, 1)
 
     worder = Window.partitionBy("component").orderBy(
@@ -99,16 +110,20 @@ def main():
     )
     member = clusters.join(qual, "doc_id", "left")
     t0 = time.time()
-    win_kept = qual.join(
-        member.withColumn("__rk", F.row_number().over(worder))
-        .filter(F.col("__rk") > 1)
-        .select("doc_id"),
-        "doc_id",
-        "left_anti",
-    ).count()
+    win_kept_n, win_kept_h = _id_checksum(
+        qual.join(
+            member.withColumn("__rk", F.row_number().over(worder))
+            .filter(F.col("__rk") > 1)
+            .select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+    )
     rec["resolve_window_secs"] = round(time.time() - t0, 1)
-    rec["resolve_rows_match"] = bool(agg_kept == win_kept)
-    rec["resolve_kept"] = int(agg_kept)
+    rec["resolve_rows_match"] = bool(
+        (agg_kept_n, agg_kept_h) == (win_kept_n, win_kept_h)
+    )
+    rec["resolve_kept"] = int(agg_kept_n)
     print({k: rec[k] for k in list(rec)[-4:]}, flush=True)
 
     existing = []
@@ -119,7 +134,9 @@ def main():
         r
         for r in existing
         if not (
-            r.get("phase") == "hot_group" and r.get("hot_copies") == HOT_COPIES
+            r.get("phase") == "hot_group"
+            and r.get("hot_copies") == HOT_COPIES
+            and r.get("sf_dir", SF_DIR) == SF_DIR
         )
     ]
     existing.append(rec)

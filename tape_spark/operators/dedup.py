@@ -171,8 +171,16 @@ def dedup_keep_first(
         ]
     else:
         key = [F.col(text_col).alias("__t")]
+    # ordering key wraps the id in a struct so NULL ids sort FIRST (the
+    # removed window's asc-nulls-first semantics): a bare min_by ordinal
+    # SKIPS null rows, which would fabricate an all-NULL output row for
+    # an all-NULL-id group instead of returning a real input row
+    order_key = F.struct(
+        F.col(id_col).isNotNull().cast("int").alias("nn"),
+        F.col(id_col).alias("i"),
+    )
     packed = df.groupBy(*key).agg(
-        F.min_by(F.struct(*[F.col(c) for c in df.columns]), F.col(id_col)).alias(
+        F.min_by(F.struct(*[F.col(c) for c in df.columns]), order_key).alias(
             "__row"
         )
     )
@@ -396,41 +404,44 @@ def lsh_candidate_pairs(
     )
 
 
+def _position_agreements(sig_a: str, sig_b: str, num_hashes: int) -> list:
+    """Unrolled flat position-wise signature comparisons (codegen, not
+    interpreted HOFs — the zip_with/aggregate form measured ~250 µs/pair
+    interpreted at sf100). Shared by the fused and slim join shapes so
+    the verify semantics can never drift between them."""
+    return [F.col(sig_a)[i] == F.col(sig_b)[i] for i in range(num_hashes)]
+
+
+def _est_jaccard(pos_eq: list, num_hashes: int):
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    agree = pos_eq[0].cast("int")
+    for term in pos_eq[1:]:
+        agree = agree + term.cast("int")
+    return agree / F.lit(float(num_hashes))
+
+
 def _minhash_pairs_slim(
     sigs: DataFrame,
     id_col: str,
-    band_expr,
+    bands: int,
+    rows_per_band: int,
     num_hashes: int,
     threshold: float,
     max_bucket_size: Optional[int],
 ) -> DataFrame:
-    """The slim band join: (band, bucket, id)-only entries, candidate
-    pairs deduped while still 16 bytes wide, then ONE signature attach
-    per side for the unrolled-codegen verify. See
-    :func:`minhash_near_duplicates` for when this beats the fused shape
-    (distinct candidates O(n_docs)) and when it loses (candidate
-    explosions re-shuffle sig-wide pair rows on the second attach)."""
-    entries = sigs.select(F.col(id_col), F.explode(band_expr).alias("e")).select(
-        F.col(id_col), F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
-    )
-    if max_bucket_size is not None:
-        overfull = (
-            entries.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        entries = entries.join(
-            F.broadcast(overfull), on=["band", "bucket"], how="left_anti"
-        )
-    a, b = entries.alias("a"), entries.alias("b")
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    """The slim band join: :func:`lsh_candidate_pairs` over 16-byte
+    (band, bucket, id) entries — candidate pairs deduped while still
+    narrow — then ONE signature attach per side for the shared
+    unrolled-codegen verify. See :func:`minhash_near_duplicates` for
+    when this beats the fused shape (distinct candidates O(n_docs)) and
+    when it loses (candidate explosions re-shuffle sig-wide pair rows
+    on the second attach)."""
+    cand = lsh_candidate_pairs(
+        sigs,
+        id_col=id_col,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
     )
     sig_a = sigs.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a")
@@ -438,16 +449,7 @@ def _minhash_pairs_slim(
     sig_b = sigs.select(
         F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b")
     )
-    # same unrolled flat comparisons as the fused path (codegen, not
-    # interpreted HOFs) — identical est_jaccard by construction
-    pos_eq = [
-        (F.col("__sig_a")[i] == F.col("__sig_b")[i]).cast("int")
-        for i in range(num_hashes)
-    ]
-    agree = pos_eq[0]
-    for term in pos_eq[1:]:
-        agree = agree + term
-    est = agree / F.lit(float(num_hashes))
+    est = _est_jaccard(_position_agreements("__sig_a", "__sig_b", num_hashes), num_hashes)
     return (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
@@ -557,7 +559,8 @@ def minhash_near_duplicates(
     )
     if join_mode == "slim":
         result = _minhash_pairs_slim(
-            sigs, id_col, band_expr, num_hashes, threshold, max_bucket_size
+            sigs, id_col, bands, rows_per_band, num_hashes, threshold,
+            max_bucket_size,
         )
         if owns_sigs:
             result = result.persist()
@@ -592,14 +595,8 @@ def minhash_near_duplicates(
     # constant, so 64 GetArrayItem equality terms compile into one
     # codegen'd expression tree (~10× on the verify stage, identical
     # results — locked by tests/test_operators.py minhash parity tests).
-    pos_eq = [
-        F.col("a.signature")[i] == F.col("b.signature")[i]
-        for i in range(num_hashes)
-    ]
-    agree = pos_eq[0].cast("int")
-    for term in pos_eq[1:]:
-        agree = agree + term.cast("int")
-    est = agree / F.lit(float(num_hashes))
+    pos_eq = _position_agreements("a.signature", "b.signature", num_hashes)
+    est = _est_jaccard(pos_eq, num_hashes)
     # First-matching-band dedup: a pair that collides in k bands appears k
     # times in the join; keep it only from the first band whose signature
     # slices agree — an exact, *map-side* replacement for distinct() (at
@@ -962,11 +959,39 @@ def dedup_clusters(
     if method not in ("exact", "minhash"):
         raise ValueError(f"method must be exact|minhash, got {method!r}")
     if method == "minhash":
+        # the exact path's skew knobs must not become silent no-ops on a
+        # method switch (the engine's convention: a parameter that stops
+        # doing anything must raise, not be ignored). stop_shingle_sample
+        # maps onto the minhash kernel's stop_shingles exclusion; a bare
+        # max_doc_frequency has no minhash analogue (there is no exact
+        # df count on this path) — its skew job belongs to
+        # max_bucket_size here.
+        stop = None
+        if stop_shingle_sample is not None:
+            if max_doc_frequency is None:
+                raise ValueError(
+                    "stop_shingle_sample needs max_doc_frequency (the df "
+                    "cutoff the sampled estimate applies)"
+                )
+            stop = estimate_stop_shingles(
+                df, text_col, id_col, n,
+                max_doc_frequency=max_doc_frequency,
+                sample_fraction=stop_shingle_sample,
+            )
+        elif max_doc_frequency is not None:
+            raise ValueError(
+                "max_doc_frequency alone is an exact-path knob (it caps an "
+                "exact shingle-df count that method='minhash' never "
+                "computes); with minhash either add stop_shingle_sample "
+                "so the heavy shingles are estimated and excluded from "
+                "signatures, or cap skew with max_bucket_size"
+            )
         pairs = minhash_near_duplicates(
             df, text_col=text_col, id_col=id_col,
             num_hashes=num_hashes, shingle_n=n, bands=bands,
             threshold=threshold, signature_bits=signature_bits,
             max_bucket_size=max_bucket_size, join_mode=join_mode,
+            stop_shingles=stop or None,
         )
     else:
         pairs = ngram_jaccard_pairs(

@@ -107,7 +107,51 @@ def test_minhash_slim_join_mode_matches_fused(spark):
 
     assert pairs("slim") == pairs("fused")
     assert pairs("slim", max_bucket_size=50) == pairs("fused", max_bucket_size=50)
+    # the exact config the 5M benchmark and README recommend
+    assert pairs("slim", signature_bits=32) == pairs("fused", signature_bits=32)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="fused\\|slim"):
         minhash_near_duplicates(docs, join_mode="wide")
+
+
+def test_dedup_clusters_minhash_rejects_exact_only_knobs(spark):
+    """The exact path's skew knobs must not become silent no-ops on a
+    method switch: a bare max_doc_frequency raises with guidance, and
+    stop_shingle_sample + max_doc_frequency maps onto the minhash
+    kernel's stop-shingle exclusion (still returns the planted exact
+    copies — identical signatures agree in every band regardless of
+    which shingles are excluded corpus-wide)."""
+    import pytest as _pytest
+
+    from tape_spark.operators import dedup_clusters
+
+    rows = [(g * 10 + m, " ".join(f"g{g}w{j}" for j in range(30)))
+            for g in range(4) for m in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        dedup_clusters(docs, method="minhash", max_doc_frequency=100)
+    with _pytest.raises(ValueError, match="max_doc_frequency"):
+        dedup_clusters(docs, method="minhash", stop_shingle_sample=0.5)
+
+    out = dedup_clusters(
+        docs, n=2, threshold=0.7, method="minhash",
+        max_doc_frequency=100, stop_shingle_sample=1.0,
+    )
+    assert out.count() == 8  # all four planted pairs survive
+
+
+def test_dedup_keep_first_null_ids(spark):
+    """NULL ids must reproduce the removed window's asc-nulls-first
+    semantics: the NULL-id row survives its group, and an all-NULL-id
+    group returns a REAL input row, never a fabricated all-NULL row."""
+    from tape_spark.operators import dedup_keep_first
+
+    docs = spark.createDataFrame(
+        [(None, "shared text"), (7, "shared text"),
+         (None, "only null ids"), (None, "only null ids"),
+         (3, "unique")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.text) for r in dedup_keep_first(docs).collect()}
+    assert out == {(None, "shared text"), (None, "only null ids"), (3, "unique")}
