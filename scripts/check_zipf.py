@@ -72,6 +72,18 @@ def main() -> int:
                     "rows": int(m2.group(3)),
                     "secs": float(m2.group(4)),
                 }
+                continue
+            # error rows print without the '(N rows) [Ns]' suffix (e.g.
+            # 'FAIL name: SPARK ERROR' + traceback) — they must land in
+            # the artifact, not vanish from it
+            m3 = re.match(r"(PASS|FAIL) (\S+): (.+)", l)
+            if m3 and m3.group(2) not in rows:
+                rows[m3.group(2)] = {
+                    "status": m3.group(1),
+                    "detail": m3.group(3),
+                    "rows": None,
+                    "secs": None,
+                }
     summary = next((l for l in lines if re.match(r"\d+ pass / \d+ fail", l)), "")
     n_fail = proc.returncode
     rnd = _detect_round()

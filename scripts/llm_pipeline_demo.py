@@ -117,12 +117,13 @@ def main():
                 docs, n=2, threshold=0.5,
                 max_doc_frequency=100, stop_shingle_sample=0.02,
             )
-        kept = resolve_duplicates(
+        # resolve_duplicates returns the full surviving rows — no
+        # re-derive join needed, just drop the helper quality column
+        d = resolve_duplicates(
             docs.withColumn("n_chars", F.length("text")),
             clusters,
             quality_col="n_chars",
-        ).select("doc_id")
-        d = docs.join(kept, "doc_id", "left_semi").persist()
+        ).drop("n_chars").persist()
         return d, d.count()
 
     docs = stage("near_dedup", _near)

@@ -378,12 +378,7 @@ def lsh_candidate_pairs(
     """
     band_entries = signatures.select(
         F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> named_struct('band', b, 'bucket', xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), b)))"
-            )
-        ).alias("e"),
+        F.explode(_band_struct_expr(bands, rows_per_band)).alias("e"),
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
     if max_bucket_size is not None:
         small = (
@@ -402,6 +397,35 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def _band_struct_expr(bands: int, rows_per_band: int):
+    """The banding kernel: slice a column named ``signature`` into
+    ``bands`` runs of ``rows_per_band`` and hash each run to a bucket.
+    ONE definition shared by the fused join, the slim join
+    (:func:`lsh_candidate_pairs`) and the streaming matcher — the
+    stream==batch parity contract depends on these never diverging."""
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> named_struct('band', b, 'bucket', "
+        f"xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), b)))"
+    )
+
+
+def _first_agreeing_band(pos_eq: list, bands: int, rows_per_band: int):
+    """Index of the first band whose signature slices fully agree — the
+    exact, map-side replacement for a distinct over banded pair copies
+    (slice equality implies bucket equality, so each pair is emitted
+    from exactly one band). Shared by the fused join and the streaming
+    matcher."""
+
+    def band_agrees(bi):
+        cond = pos_eq[bi * rows_per_band]
+        for j in range(1, rows_per_band):
+            cond = cond & pos_eq[bi * rows_per_band + j]
+        return cond
+
+    return F.coalesce(*[F.when(band_agrees(bi), F.lit(bi)) for bi in range(bands)])
 
 
 def _position_agreements(sig_a: str, sig_b: str, num_hashes: int) -> list:
@@ -519,6 +543,10 @@ def minhash_near_duplicates(
     """
     if join_mode not in ("fused", "slim"):
         raise ValueError(f"join_mode must be fused|slim, got {join_mode!r}")
+    if num_hashes % bands != 0:
+        # silently banding only num_hashes - (num_hashes % bands) positions
+        # would quietly change the S-curve the caller computed recall from
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows_per_band = num_hashes // bands
     # The signature frame feeds the band-entry explode on both join sides;
     # persisting avoids recomputing the shingle + 64-way min pipeline. At
@@ -552,11 +580,7 @@ def minhash_near_duplicates(
                 f"num_hashes={num_hashes}; pass the num_hashes the "
                 f"signatures were built with"
             )
-    band_expr = F.expr(
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> named_struct('band', b, 'bucket', "
-        f"xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), b)))"
-    )
+    band_expr = _band_struct_expr(bands, rows_per_band)
     if join_mode == "slim":
         result = _minhash_pairs_slim(
             sigs, id_col, bands, rows_per_band, num_hashes, threshold,
@@ -607,15 +631,7 @@ def minhash_near_duplicates(
     # event) is dropped, which the est filter would do anyway.
     # coalesce(when(band0_agrees, 0), when(band1_agrees, 1), ...) is the
     # first (= minimum) agreeing band, again as pure codegen.
-    def _band_agrees(bi):
-        cond = pos_eq[bi * rows_per_band]
-        for j in range(1, rows_per_band):
-            cond = cond & pos_eq[bi * rows_per_band + j]
-        return cond
-
-    first_band = F.coalesce(
-        *[F.when(_band_agrees(bi), F.lit(bi)) for bi in range(bands)]
-    )
+    first_band = _first_agreeing_band(pos_eq, bands, rows_per_band)
     joined = a.join(b, on=["band", "bucket"]).filter(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )

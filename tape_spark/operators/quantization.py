@@ -405,43 +405,15 @@ def ivfpq_cosine_topk(
     n_short = k * rerank_factor if rerank_factor else k
     qi_by_id = {qid: i for i, qid in enumerate(q_ids)}
 
-    # one narrow pass: (id, cluster, code)
-    half_sq = 0.5 * (books**2).sum(axis=2)
-    coarse_T = coarse.T.copy()
-    id_type = corpus.schema[id_col].dataType
-    enc_schema = T.StructType(
-        [
-            T.StructField(id_col, id_type),
-            T.StructField("cluster", T.IntegerType()),
-            T.StructField("pq_code", T.BinaryType()),
-        ]
-    )
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-            cl = (mat @ coarse_T).argmax(axis=1).astype(np.int32)
-            codes = np.empty((len(pdf), m_eff), dtype=np.uint8)
-            for s in range(m_eff):
-                sub = mat[:, s * dsub : (s + 1) * dsub]
-                codes[:, s] = (sub @ books[s].T - half_sq[s]).argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "cluster": cl,
-                    "pq_code": [c.tobytes() for c in codes],
-                }
-            )
-
     if encoded is not None:
         enc = encoded.select(F.col(id_col), "cluster", "pq_code")
     else:
-        enc = (
-            corpus.filter(F.col(vec_col).isNotNull())
-            .select(id_col, vec_col)
-            .mapInPandas(encode, enc_schema)
+        # ONE encoder (ivfpq_encode) serves the per-call path, the saved
+        # index, and the append path — a second inline copy here could
+        # drift from the persisted encoding and break encoded= parity in
+        # a way the pq_code width probe cannot catch
+        enc = ivfpq_encode(
+            corpus, coarse, books, vec_col=vec_col, id_col=id_col
         )
     # STATIC cluster pruning: the probe lists are driver-side, so the
     # probed-cluster set is a literal IN-filter — on a saved index

@@ -94,14 +94,29 @@ def stream_minhash_matches(
             f"static signatures are {probe['n']}-hash but num_hashes="
             f"{num_hashes}; the stream kernel must match the stored table"
         )
-    from ..operators.dedup import minhash_signatures
-
-    rows_per_band = num_hashes // bands
-    band_expr = F.expr(
-        f"transform(sequence(0, {bands - 1}), "
-        f"b -> named_struct('band', b, 'bucket', "
-        f"xxhash64(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), b)))"
+    # the SAME banding / verify / first-agreeing-band kernel as the batch
+    # path — shared helpers, not a hand-synchronized copy, so the
+    # stream==batch parity contract cannot drift
+    from ..operators.dedup import (
+        _band_struct_expr,
+        _est_jaccard,
+        _first_agreeing_band,
+        _position_agreements,
+        minhash_signatures,
     )
+
+    # the store id column is resolved BY NAME (the one column that is not
+    # 'signature') — taking columns[0] positionally would alias the
+    # signature array itself to corpus_id on a (signature, id)-ordered
+    # table and silently emit garbage matches
+    other = [c for c in signatures.columns if c != "signature"]
+    if len(other) != 1:
+        raise ValueError(
+            f"signatures must be an (id, signature) frame; got columns "
+            f"{signatures.columns}"
+        )
+    rows_per_band = num_hashes // bands
+    band_expr = _band_struct_expr(bands, rows_per_band)
 
     def _entries(sigs, idc, sig_alias):
         return sigs.select(
@@ -115,9 +130,7 @@ def stream_minhash_matches(
     )
     s = _entries(stream_sigs, id_col, "__sig_s")
     c = _entries(
-        signatures.select(
-            F.col(signatures.columns[0]).alias(corpus_id_col), "signature"
-        ),
+        signatures.select(F.col(other[0]).alias(corpus_id_col), "signature"),
         corpus_id_col,
         "__sig_c",
     )
@@ -126,23 +139,9 @@ def stream_minhash_matches(
     if broadcast_arrivals:
         s = F.broadcast(s)
     joined = s.join(c, on=["band", "bucket"])
-    # unrolled position-wise verify (codegen, like the batch path) and the
-    # first-agreeing-band map-side dedup — both stateless, append-safe
-    pos_eq = [F.col("__sig_s")[i] == F.col("__sig_c")[i] for i in range(num_hashes)]
-    agree = pos_eq[0].cast("int")
-    for term in pos_eq[1:]:
-        agree = agree + term.cast("int")
-    est = agree / F.lit(float(num_hashes))
-
-    def _band_agrees(bi):
-        cond = pos_eq[bi * rows_per_band]
-        for j in range(1, rows_per_band):
-            cond = cond & pos_eq[bi * rows_per_band + j]
-        return cond
-
-    first_band = F.coalesce(
-        *[F.when(_band_agrees(bi), F.lit(bi)) for bi in range(bands)]
-    )
+    pos_eq = _position_agreements("__sig_s", "__sig_c", num_hashes)
+    est = _est_jaccard(pos_eq, num_hashes)
+    first_band = _first_agreeing_band(pos_eq, bands, rows_per_band)
     return (
         joined.filter(F.col("band") == first_band)
         .select(id_col, corpus_id_col, est.alias("est_jaccard"))

@@ -42,11 +42,22 @@ def _maybe_watermark(df: DataFrame, ts_col: str, watermark: Optional[str]) -> Da
             # Externally-written parquet (DuckDB, Hive, pandas) loads
             # timestamps as TIMESTAMP_NTZ, and EventTimeWatermark rejects
             # NTZ outright — every watermarked stream over such a source
-            # would fail at start(). Under the engine's session-tz-UTC
-            # convention the cast is a pure reinterpretation (no
-            # wall-clock shift), and without a watermark the NTZ column
-            # flows through unchanged, so this converts an always-error
-            # into the only sensible reading.
+            # would fail at start(). The cast interprets the naive value
+            # in the SESSION timezone, so it is a pure reinterpretation
+            # (no wall-clock shift) ONLY under the engine's
+            # session-tz-UTC convention — on any other session tz it
+            # would silently shift every instant and move window/eviction
+            # boundaries, so verify instead of assume.
+            tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+                raise ValueError(
+                    f"{ts_col!r} is TIMESTAMP_NTZ and the session timezone "
+                    f"is {tz!r}: casting would reinterpret every naive "
+                    "instant as local time and silently shift the "
+                    "windows. Set spark.sql.session.timeZone=UTC (the "
+                    "engine convention) or cast the column yourself with "
+                    "the timezone you mean"
+                )
             df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
         return df.withWatermark(ts_col, watermark)
     return df

@@ -465,3 +465,68 @@ def test_curation_scorers_run_on_streams(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 24
+
+
+def test_stream_minhash_matches_column_order_independent(spark):
+    """The store id column is resolved by NAME: a (signature, id)-ordered
+    table must give the same matches as (id, signature), and a store with
+    extra columns must raise instead of guessing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import stream_minhash_matches
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, id_col="doc_id").persist()
+    arriving = docs.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+
+    def run(store):
+        return sorted(
+            (r.doc_id, r.corpus_id)
+            for r in stream_minhash_matches(arriving, store, threshold=0.5).collect()
+        )
+
+    normal = run(sigs.select("doc_id", "signature"))
+    flipped = run(sigs.select("signature", "doc_id"))
+    assert normal == flipped and len(normal) == 8  # each copy matches its source
+
+    with _pytest.raises(ValueError, match="id, signature"):
+        stream_minhash_matches(arriving, sigs.withColumn("extra", F.lit(1)))
+
+
+def test_ntz_watermark_requires_utc_session(spark, tmp_path):
+    """The NTZ->timestamp watermark cast is a pure reinterpretation only
+    under session-tz UTC; any other session tz must raise instead of
+    silently shifting every window boundary."""
+    import os
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from tape_spark.streaming import read_event_stream, tumbling_window_agg
+
+    src = str(tmp_path / "ntz_tz")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        {"ts": pd.to_datetime(
+            ["2024-01-01 00:00:01", "2024-01-01 00:20:00"]
+         ).astype("datetime64[us]"),  # Spark cannot read NANOS parquet
+         "value": [1.0, 2.0]}
+    ).to_parquet(os.path.join(src, "part.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = read_event_stream(spark, src, schema)
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with _pytest.raises(ValueError, match="session timezone"):
+            tumbling_window_agg(stream, ts_col="ts", watermark="10 minutes")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # UTC session: plan builds without raising
+        tumbling_window_agg(stream, ts_col="ts", watermark="10 minutes")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
