@@ -529,6 +529,13 @@ def minhash_near_duplicates(
       band-entry exchange + join-side sort spill needs ~75 GB of local
       disk; slim needs ~8 GB. At 100 TB the same rule applies per
       executor: cap the buckets, then go slim.
+    - ``'auto'``: measure instead of guess — one narrow counting pass
+      over the (capped) band entries computes the exact candidate-pair
+      count and picks slim iff it is ≤ 8 x n_docs (well inside the
+      ~13x crossover at the default signature geometry). Costs one
+      extra (band, bucket) aggregation — and a scan of a caller-provided
+      ``signatures`` frame, so persist it — in exchange for never paying
+      the ~10x disk penalty of the wrong shape.
 
     ``max_bucket_size`` drops over-full buckets before the join via a
     broadcast anti-join (the over-full set is tiny by construction —
@@ -541,8 +548,8 @@ def minhash_near_duplicates(
     ``stop_shingles`` (see :func:`minhash_signatures`) handle them
     upstream.
     """
-    if join_mode not in ("fused", "slim"):
-        raise ValueError(f"join_mode must be fused|slim, got {join_mode!r}")
+    if join_mode not in ("fused", "slim", "auto"):
+        raise ValueError(f"join_mode must be fused|slim|auto, got {join_mode!r}")
     if num_hashes % bands != 0:
         # silently banding only num_hashes - (num_hashes % bands) positions
         # would quietly change the S-curve the caller computed recall from
@@ -580,6 +587,30 @@ def minhash_near_duplicates(
                 f"num_hashes={num_hashes}; pass the num_hashes the "
                 f"signatures were built with"
             )
+    if join_mode == "auto":
+        # measure, don't guess: one narrow counting pass over the (capped)
+        # 16-byte band entries computes the EXACT candidate-pair count
+        # C = sum over buckets of sz*(sz-1)/2. Slim's shuffle volume is
+        # ~C*(16B + sig) + 2*n_docs*sig vs fused's n_docs*bands*sig, so
+        # slim wins while C stays a small multiple of n_docs — the
+        # cutoff below (8x) sits well inside the measured ~13x crossover
+        # at 64x32-bit signatures / 16 bands. The pass costs one
+        # (band, bucket) aggregation — noise next to either join, and it
+        # prevents the ~10x local-disk mistake in either direction.
+        slim_entries = sigs.select(
+            F.explode(_band_struct_expr(bands, rows_per_band)).alias("e")
+        ).select(F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+        sizes = slim_entries.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        if max_bucket_size is not None:
+            sizes = sizes.filter(F.col("sz") <= max_bucket_size)
+        row = sizes.agg(
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("c")
+        ).first()
+        cand_est = int(row["c"] or 0)
+        n_docs = sigs.count()
+        join_mode = "slim" if cand_est <= 8 * max(n_docs, 1) else "fused"
     band_expr = _band_struct_expr(bands, rows_per_band)
     if join_mode == "slim":
         result = _minhash_pairs_slim(
@@ -938,7 +969,7 @@ def dedup_clusters(
     bands: int = 16,
     signature_bits: int = 64,
     max_bucket_size: Optional[int] = None,
-    join_mode: str = "fused",
+    join_mode: str = "auto",
 ) -> DataFrame:
     """Near-duplicate clusters over a corpus: similarity pairs →
     connected components → ``(doc_id, component, cluster_size)``.
@@ -970,7 +1001,10 @@ def dedup_clusters(
       worth their shuffle; run exact dedup first), and
       ``signature_bits=32`` halves the band-entry exchange payload
       (est_jaccard granularity is unchanged) — both forwarded to
-      :func:`minhash_near_duplicates`.
+      :func:`minhash_near_duplicates`, as is ``join_mode`` (default
+      ``'auto'`` here: the high-level API measures the candidate count
+      and picks the pair-join shape instead of asking the caller to
+      guess a ~10x disk decision).
     """
     if method not in ("exact", "minhash"):
         raise ValueError(f"method must be exact|minhash, got {method!r}")

@@ -155,3 +155,34 @@ def test_dedup_keep_first_null_ids(spark):
         "doc_id long, text string")
     out = {(r.doc_id, r.text) for r in dedup_keep_first(docs).collect()}
     assert out == {(None, "shared text"), (None, "only null ids"), (3, "unique")}
+
+
+def test_minhash_auto_join_mode(spark):
+    """join_mode='auto' must return the same pairs as either explicit
+    shape (the decision changes the plan, never the output), and the
+    measured decision must flip: a mostly-unique corpus picks slim
+    (C << n), a corpus of identical docs picks fused (C ~ n^2 >> 8n) —
+    observable only through output equality here, so assert both
+    regimes return the correct pair sets."""
+    from tape_spark.operators import minhash_near_duplicates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def pairs(frame, mode, **kw):
+        out = minhash_near_duplicates(
+            frame, num_hashes=64, bands=16, threshold=0.4, join_mode=mode, **kw
+        )
+        return sorted((r.id_a, r.id_b, round(r.est_jaccard, 9)) for r in out.collect())
+
+    assert pairs(docs, "auto") == pairs(docs, "fused")
+
+    # hot corpus: 60 identical docs -> C = 16 bands * C(60,2) >> 8 * 60
+    from pyspark.sql import functions as F
+
+    hot = spark.createDataFrame(
+        [(i, "the same boilerplate " * 5) for i in range(60)],
+        "doc_id long, text string",
+    )
+    want = {(a, b) for a in range(60) for b in range(a + 1, 60)}
+    got = {(r[0], r[1]) for r in pairs(hot, "auto")}
+    assert got == want
