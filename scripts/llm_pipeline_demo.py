@@ -99,18 +99,19 @@ def main():
     # bucket collisions, never df^2).
     def _near():
         if DEDUP_METHOD == "minhash":
-            # join_mode='slim': exact dedup already ran, buckets are
-            # capped, and the threshold is high, so distinct candidates
-            # stay O(n_docs) — the regime where the 16-byte band join +
-            # per-side signature attach (~8 GB local disk at 5M docs)
-            # beats the fused signature-carrying exchange (~75 GB with
-            # join-side sort spill — measured DNF on this host, twice).
+            # join_mode defaults to 'auto': exact dedup already ran,
+            # buckets are capped, and the threshold is high, so the
+            # measured candidate count stays O(n_docs) and auto picks the
+            # slim shape — the 16-byte band join + per-side signature
+            # attach (~8 GB local disk at 5M docs) instead of the fused
+            # signature-carrying exchange (~75 GB with join-side sort
+            # spill — measured DNF on this host, twice).
             # signature_bits=32 halves every signature payload with
             # est_jaccard granularity unchanged.
             clusters = dedup_clusters(
                 docs, n=2, threshold=0.5, method="minhash",
                 num_hashes=64, bands=16, signature_bits=32,
-                max_bucket_size=2000, join_mode="slim",
+                max_bucket_size=2000,
             )
         else:
             clusters = dedup_clusters(
