@@ -1190,8 +1190,16 @@ def q_doc_fingerprint(spark, sf_dir):
     the exact-substring dedup signal. The oracle rebuilds the span
     census on the span *strings* (Spark ships 8-byte xxhash64
     fingerprints; counts agree barring a 2⁻⁶⁴ collision, the same
-    hashed-vs-string contract as dedup_exact)."""
+    hashed-vs-string contract as dedup_exact).
+
+    Round 11 adds the content-defined-chunking profile
+    (tape_spark.operators.chunk_documents_cdc, target 16 / cap 64):
+    per doc, the chunk count, the largest chunk, and a sha over the
+    ordered chunk texts — the sha pins EVERY md5-drawn boundary and
+    every forced cap split, and the oracle recomputes the whole cut
+    with DuckDB list comprehensions over the same md5 convention."""
     from tape_spark.operators import (
+        chunk_documents_cdc,
         document_fingerprint,
         remove_repeated_spans,
         repeated_span_stats,
@@ -1214,7 +1222,29 @@ def q_doc_fingerprint(spark, sf_dir):
         F.col("n_pieces").alias("esd_pieces"),
         F.sha2(F.concat_ws("\n", "pieces"), 256).alias("esd_sha"),
     )
-    return fp.join(stats, "doc_id").join(esd, "doc_id").select(
+    cdc = (
+        chunk_documents_cdc(docs, target_tokens=16, max_tokens=64)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("cdc_chunks"),
+            F.max("n_chunk_tokens").alias("cdc_max_tokens"),
+            F.sha2(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_index", "chunk"))
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    "\n",
+                ),
+                256,
+            ).alias("cdc_sha"),
+        )
+    )
+    return fp.join(stats, "doc_id").join(esd, "doc_id").join(
+        cdc, "doc_id", "left"
+    ).select(
         "doc_id",
         "content_sha",
         "n_spans",
@@ -1224,6 +1254,9 @@ def q_doc_fingerprint(spark, sf_dir):
         "esd_spans_removed",
         "esd_pieces",
         "esd_sha",
+        F.coalesce(F.col("cdc_chunks"), F.lit(0)).cast("long").alias("cdc_chunks"),
+        F.coalesce(F.col("cdc_max_tokens"), F.lit(0)).cast("long").alias("cdc_max_tokens"),
+        F.coalesce(F.col("cdc_sha"), F.sha2(F.lit(""), 256)).alias("cdc_sha"),
     )
 
 
@@ -2800,6 +2833,44 @@ rem_pcs AS (
                      p -> p <> '') AS ps,
          n_removed
   FROM rem_marked
+),
+-- chunk_documents_cdc replay (target 16, cap 64): boundary AFTER token i
+-- iff the shared md5 draw lands in bucket 0 of 16; spans between
+-- boundaries; spans over the cap split into fixed 64-token windows
+ctoks AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\s+') END AS ct
+  FROM documents
+),
+cbnd AS (
+  SELECT doc_id, ct,
+         [0] || [i FOR i IN range(1, len(ct)+1)
+                 IF ('0x' || substr(md5(ct[i]), 1, 13))::BIGINT % 16 = 0]
+             || [len(ct)] AS bounds
+  FROM ctoks
+),
+cspan AS (
+  SELECT doc_id, ct,
+         [{'s': bounds[k]+1, 'e': bounds[k+1]}
+          FOR k IN range(1, len(bounds)) IF bounds[k+1] >= bounds[k]+1] AS spans
+  FROM cbnd
+),
+cpcs AS (
+  SELECT doc_id, ct,
+         flatten([[{'st': sp.s + j*64, 'ln': least(64, sp.e - sp.s + 1 - j*64)}
+                   FOR j IN range(0, ceil((sp.e - sp.s + 1) / 64.0)::INT)]
+                  FOR sp IN spans]) AS pieces
+  FROM cspan
+),
+ccdc AS (
+  SELECT doc_id,
+         CAST(len(pieces) AS BIGINT) AS cdc_chunks,
+         CAST(coalesce(list_max([p.ln FOR p IN pieces]), 0) AS BIGINT) AS cdc_max_tokens,
+         sha256(array_to_string(
+             [array_to_string(ct[p.st : p.st + p.ln - 1], ' ') FOR p IN pieces],
+             chr(10))) AS cdc_sha
+  FROM cpcs
 )
 SELECT d.doc_id,
   sha256(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS content_sha,
@@ -2811,11 +2882,15 @@ SELECT d.doc_id,
   CAST(coalesce(rp.n_removed, 0) AS BIGINT) AS esd_removed,
   CAST(coalesce(rc.n_rm, 0) AS BIGINT) AS esd_spans_removed,
   CAST(coalesce(len(rp.ps), 0) AS BIGINT) AS esd_pieces,
-  sha256(coalesce(array_to_string(rp.ps, chr(10)), '')) AS esd_sha
+  sha256(coalesce(array_to_string(rp.ps, chr(10)), '')) AS esd_sha,
+  cc.cdc_chunks,
+  cc.cdc_max_tokens,
+  cc.cdc_sha
 FROM documents d JOIN base b USING (doc_id)
 LEFT JOIN per_doc p USING (doc_id)
 LEFT JOIN rem_pcs rp USING (doc_id)
 LEFT JOIN rem_cnt rc USING (doc_id)
+JOIN ccdc cc USING (doc_id)
 """
 
 # replays chunk_documents' window geometry exactly: DuckDB 1-based inclusive

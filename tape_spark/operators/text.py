@@ -498,6 +498,97 @@ def chunk_documents(
     )
 
 
+def chunk_documents_cdc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_tokens: int = 64,
+    max_tokens: Optional[int] = None,
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall AFTER any token
+    whose content-addressed md5 draw lands in bucket 0 of
+    ``target_tokens`` — so expected chunk length is ``target_tokens``
+    (geometric) and, unlike fixed windows, an insertion or deletion
+    early in a document only moves the ONE boundary it touches: every
+    other chunk's text (and hash) is unchanged. That shift-resistance is
+    the point — chunk-level dedup and incremental re-ingestion of edited
+    documents keep their chunk identities where fixed windows would
+    re-cut everything downstream of the edit.
+
+    ``max_tokens`` (default ``4 * target_tokens``) bounds the tail of
+    the geometric: a boundary-free run longer than the cap is split into
+    fixed ``max_tokens`` windows (the standard min/max-capped CDC
+    compromise, stated rather than hidden: those forced cuts are
+    position-dependent and do not shift-resist). There is no minimum
+    chunk size. Empty/NULL documents yield NO chunks (unlike
+    :func:`chunk_documents`'s one-empty-chunk convention — a boundary
+    model has nothing to cut).
+
+    Output matches :func:`chunk_documents`: ``(id, chunk_index,
+    n_chunk_tokens, chunk, chunk_id)``.
+
+    Plan shape: pure built-in array expressions per document — no
+    shuffle, no Python, and the boundary draw is the engine's standard
+    md5 convention (`utils/hashing.py`), so the whole cut replays in
+    plain SQL (DuckDB: ``('0x' || substr(md5(tok), 1, 13))::BIGINT %
+    target = 0``) — the same cross-engine determinism contract as the
+    sampling operators.
+    """
+    if target_tokens <= 1:
+        raise ValueError("target_tokens must be > 1")
+    cap = max_tokens if max_tokens is not None else 4 * target_tokens
+    if cap < target_tokens:
+        raise ValueError("max_tokens must be >= target_tokens")
+    text = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    toks = F.when(F.length(text) == 0, F.array()).otherwise(F.split(text, r"\s+"))
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    # boundary AFTER 1-based position i iff md5_bucket(token_i) == 0 —
+    # the shared md5 convention, inlined as SQL so it runs inside the
+    # lambda (52 bits -> bigint is exact)
+    # size guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark, and
+    # element_at on the empty array then throws under ANSI — empty docs
+    # must produce an empty boundary list, not an error
+    bnd = (
+        f"CASE WHEN size(__toks) = 0 THEN array() ELSE "
+        f"filter(sequence(1, size(__toks)), i -> "
+        f"cast(conv(substring(md5(element_at(__toks, i)), 1, 13), 16, 10) as bigint) "
+        f"% {target_tokens} = 0) END"
+    )
+    # bounds = 0, b1, .., bk, n ; span k = (bounds[k]+1 .. bounds[k+1]),
+    # dropping empties (covers the trailing duplicate when the last token
+    # is itself a boundary, and empty documents)
+    spans = (
+        f"filter(transform(sequence(1, size(__bounds) - 1), k -> "
+        f"named_struct('s', element_at(__bounds, k) + 1, "
+        f"'e', element_at(__bounds, k + 1))), p -> p.e >= p.s)"
+    )
+    # second level: a span longer than the cap splits into fixed windows
+    pieces = (
+        f"flatten(transform(__spans, p -> "
+        f"transform(sequence(0, int(ceil((p.e - p.s + 1) / {cap})) - 1), j -> "
+        f"slice(__toks, p.s + j * {cap}, "
+        f"least({cap}, p.e - p.s + 1 - j * {cap})))))"
+    )
+    out = (
+        staged.withColumn(
+            "__bounds",
+            F.expr(f"concat(array(0), {bnd}, array(size(__toks)))"),
+        )
+        .withColumn("__spans", F.expr(spans))
+        .select(F.col(id_col), F.posexplode(F.expr(pieces)).alias("chunk_index", "__chunk"))
+    )
+    return out.select(
+        F.col(id_col),
+        "chunk_index",
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        F.array_join("__chunk", " ").alias("chunk"),
+        F.sha2(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("chunk_index").cast("string")),
+            256,
+        ).alias("chunk_id"),
+    )
+
+
 def tokenize_chunks(
     df: DataFrame,
     tokenizer=None,

@@ -1509,3 +1509,41 @@ class TestNormalizeText:
             normalize_text(df, form="NFX")
         out = normalize_text(df).collect()[0]
         assert out["extra"] == 9 and out["text"] == "x"
+
+
+def test_chunk_documents_cdc_properties(spark):
+    """Content-defined chunking: every token lands in exactly one chunk
+    (no overlap, no loss), no chunk exceeds the cap, empty/NULL docs
+    yield no chunks, and — the point of CDC — prepending tokens to a
+    document changes ONLY the chunks up to the first boundary: the
+    suffix chunk set is identical where fixed windows would re-cut
+    everything."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from tape_spark.operators import chunk_documents_cdc
+
+    base = " ".join(f"tok{i}alpha" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, base), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    out = chunk_documents_cdc(docs, target_tokens=8, max_tokens=32).toPandas()
+    assert set(out.doc_id) == {1}  # empty and NULL yield no chunks
+    d1 = out[out.doc_id == 1].sort_values("chunk_index")
+    assert " ".join(d1.chunk) == base          # exact tiling
+    assert d1.n_chunk_tokens.max() <= 32       # cap enforced
+    assert (d1.n_chunk_tokens > 0).all()
+
+    # shift-resistance: prepend 3 tokens; all chunks after the first
+    # boundary must be bit-identical (fixed windows share ~0)
+    shifted = spark.createDataFrame(
+        [(1, "x0 x1 x2 " + base)], "doc_id long, text string"
+    )
+    s1 = chunk_documents_cdc(shifted, target_tokens=8, max_tokens=32).toPandas()
+    common = set(d1.chunk) & set(s1.chunk)
+    assert len(common) >= len(d1) - 5  # only the head chunks re-cut
+
+    with _pytest.raises(ValueError, match="target_tokens"):
+        chunk_documents_cdc(docs, target_tokens=1)
+    with _pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents_cdc(docs, target_tokens=8, max_tokens=4)
