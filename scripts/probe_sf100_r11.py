@@ -661,6 +661,41 @@ def main():
         emb.unpersist()
         emit(phase, out)
 
+    elif phase == "cdc_chunking":
+        # chunk_documents_cdc at 5M realistic docs vs fixed windows: both
+        # are shuffle-free narrow maps, but CDC pays one md5 PER TOKEN
+        # inside an interpreted lambda — measure that tax, plus the
+        # property the tax buys: re-chunk the corpus with 3 tokens
+        # prepended to EVERY doc and count how many chunk ids (sha of
+        # doc-relative text) survive under each scheme.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import chunk_documents, chunk_documents_cdc
+
+        docs = spark.read.parquet(f"{ZIPF_DIR}/documents.parquet").repartition(64).persist()
+        n_docs = docs.count()
+        out = {"docs": n_docs}
+        t0 = time.time()
+        fixed = chunk_documents(docs, chunk_tokens=64).select("doc_id", "chunk")
+        out["fixed_chunks"] = fixed.count()
+        out["fixed_secs"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        cdc = chunk_documents_cdc(docs, target_tokens=64).select("doc_id", "chunk")
+        out["cdc_chunks"] = cdc.count()
+        out["cdc_secs"] = round(time.time() - t0, 1)
+        shifted = docs.withColumn("text", F.concat(F.lit("pre0 pre1 pre2 "), F.col("text")))
+        t0 = time.time()
+        f2 = chunk_documents(shifted, chunk_tokens=64).select("doc_id", "chunk")
+        out["fixed_stable_chunks"] = fixed.join(f2, ["doc_id", "chunk"], "left_semi").count()
+        out["fixed_shift_secs"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        c2 = chunk_documents_cdc(shifted, target_tokens=64).select("doc_id", "chunk")
+        out["cdc_stable_chunks"] = cdc.join(c2, ["doc_id", "chunk"], "left_semi").count()
+        out["cdc_shift_secs"] = round(time.time() - t0, 1)
+        out["fixed_stable_share"] = round(out["fixed_stable_chunks"] / max(out["fixed_chunks"], 1), 4)
+        out["cdc_stable_share"] = round(out["cdc_stable_chunks"] / max(out["cdc_chunks"], 1), 4)
+        emit(phase, out)
+
     elif phase == "stream_neardup":
         # stream_minhash_matches at warehouse scale: 100k arriving docs
         # (half of them near-copies of corpus docs) streamed in micro-
