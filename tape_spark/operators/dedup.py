@@ -944,6 +944,16 @@ def connected_components(
         if fp == prev_fp:
             break
         prev_fp = fp
+    else:
+        # alternating star rounds halve the effective diameter, so 25
+        # rounds cover ~2^25 — exhausting them means something is wrong
+        # (or a truly pathological graph), and emitting the un-propagated
+        # labels would be silently WRONG clusters: raise instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds; raise max_iterations (the edge fingerprint was still "
+            "changing, so the labels are not final)"
+        )
 
     # Converged edges form stars (node → component min). Roots appear only
     # on the v side; they label themselves.

@@ -186,3 +186,21 @@ def test_minhash_auto_join_mode(spark):
     want = {(a, b) for a in range(60) for b in range(a + 1, 60)}
     got = {(r[0], r[1]) for r in pairs(hot, "auto")}
     assert got == want
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """Exhausting max_iterations without the edge fingerprint settling
+    must raise — emitting un-propagated labels would be silently wrong
+    clusters (a long path needs ~log2(diameter) alternating rounds)."""
+    import pytest as _pytest
+
+    from tape_spark.operators import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
+    # and with room to converge the same chain is one component
+    out = connected_components(pairs, max_iterations=25)
+    assert {r.component for r in out.collect()} == {0}
