@@ -661,6 +661,37 @@ def main():
         emb.unpersist()
         emit(phase, out)
 
+    elif phase == "decon_eval_sweep":
+        # decontaminate's cost axis nobody measured: the EVAL-SET size.
+        # The 5M-doc pipeline's heaviest stage was decontaminate at 239 s
+        # against a ~130k-doc eval slice, vs r10's 49 s against a small
+        # bench set — sweep the eval size at fixed train size to separate
+        # the bloom-build term (scales with eval grams) from the
+        # probe+confirm term (scales with train grams x hit rate).
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import decontaminate
+
+        docs = spark.read.parquet(f"{ZIPF_DIR}/documents.parquet").repartition(64).persist()
+        n_docs = docs.count()
+        rows = []
+        for modulus in (500, 100, 38):  # ~10k / 50k / ~130k eval docs
+            bench = docs.filter(F.col("doc_id") % modulus == 0).persist()
+            n_bench = bench.count()
+            train = docs.filter(F.col("doc_id") % modulus != 0)
+            t0 = time.time()
+            hits = decontaminate(train, bench, n=5, method="bloom")
+            n_hit = hits.filter(F.col("n_contaminated") > 0).count()
+            rows.append({
+                "eval_docs": n_bench,
+                "train_docs": n_docs - n_bench,
+                "contaminated_docs": n_hit,
+                "secs": round(time.time() - t0, 1),
+            })
+            print(rows[-1], flush=True)
+            bench.unpersist()
+        emit(phase, {"docs": n_docs, "sweep": rows})
+
     elif phase == "cdc_chunking":
         # chunk_documents_cdc at 5M realistic docs vs fixed windows: both
         # are shuffle-free narrow maps, but CDC pays one md5 PER TOKEN
