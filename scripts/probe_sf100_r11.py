@@ -706,12 +706,15 @@ def main():
         docs = spark.read.parquet(f"{ZIPF_DIR}/documents.parquet").repartition(64).persist()
         n_docs = docs.count()
         out = {"docs": n_docs}
+        # persist both baselines: the shift semi-joins below must not
+        # recompute them, or the shift timings double-pay the cut cost
+        # (and CDC's md5-per-token pass is the expensive one)
         t0 = time.time()
-        fixed = chunk_documents(docs, chunk_tokens=64).select("doc_id", "chunk")
+        fixed = chunk_documents(docs, chunk_tokens=64).select("doc_id", "chunk").persist()
         out["fixed_chunks"] = fixed.count()
         out["fixed_secs"] = round(time.time() - t0, 1)
         t0 = time.time()
-        cdc = chunk_documents_cdc(docs, target_tokens=64).select("doc_id", "chunk")
+        cdc = chunk_documents_cdc(docs, target_tokens=64).select("doc_id", "chunk").persist()
         out["cdc_chunks"] = cdc.count()
         out["cdc_secs"] = round(time.time() - t0, 1)
         shifted = docs.withColumn("text", F.concat(F.lit("pre0 pre1 pre2 "), F.col("text")))

@@ -531,11 +531,13 @@ def minhash_near_duplicates(
       executor: cap the buckets, then go slim.
     - ``'auto'``: measure instead of guess — one narrow counting pass
       over the (capped) band entries computes the exact candidate-pair
-      count and picks slim iff it is ≤ 8 x n_docs (well inside the
-      ~13x crossover at the default signature geometry). Costs one
-      extra (band, bucket) aggregation — and a scan of a caller-provided
-      ``signatures`` frame, so persist it — in exchange for never paying
-      the ~10x disk penalty of the wrong shape.
+      count, then both shapes' shuffle-byte volumes are compared
+      directly (fused: entries x (key + sig); slim: slim entries + two
+      signature tables + candidates x (key + sig)) and the cheaper one
+      runs. Costs one extra (band, bucket) aggregation — and a scan of
+      a caller-provided ``signatures`` frame, so persist it — in
+      exchange for never paying the ~10x disk penalty of the wrong
+      shape.
 
     ``max_bucket_size`` drops over-full buckets before the join via a
     broadcast anti-join (the over-full set is tiny by construction —
@@ -590,13 +592,15 @@ def minhash_near_duplicates(
     if join_mode == "auto":
         # measure, don't guess: one narrow counting pass over the (capped)
         # 16-byte band entries computes the EXACT candidate-pair count
-        # C = sum over buckets of sz*(sz-1)/2. Slim's shuffle volume is
-        # ~C*(16B + sig) + 2*n_docs*sig vs fused's n_docs*bands*sig, so
-        # slim wins while C stays a small multiple of n_docs — the
-        # cutoff below (8x) sits well inside the measured ~13x crossover
-        # at 64x32-bit signatures / 16 bands. The pass costs one
-        # (band, bucket) aggregation — noise next to either join, and it
-        # prevents the ~10x local-disk mistake in either direction.
+        # C = sum over buckets of sz*(sz-1)/2, then the two shapes'
+        # shuffle volumes are compared directly (C is measured, not
+        # estimated, so there is no explosion risk in trusting it):
+        #   fused ~ n_docs*bands*(16 + sig_bytes)    (band entries carry sigs)
+        #   slim  ~ n_docs*bands*16 + 2*n_docs*sig_bytes   (entries + 2 sig tables)
+        #         + C*(16 + sig_bytes)               (pair dedup + sig_a re-shuffle)
+        # The pass costs one (band, bucket) aggregation — noise next to
+        # either join, and it prevents the ~10x local-disk mistake in
+        # either direction.
         slim_entries = sigs.select(
             F.explode(_band_struct_expr(bands, rows_per_band)).alias("e")
         ).select(F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
@@ -608,9 +612,19 @@ def minhash_near_duplicates(
         row = sizes.agg(
             F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("c")
         ).first()
-        cand_est = int(row["c"] or 0)
+        cand = int(row["c"] or 0)
         n_docs = sigs.count()
-        join_mode = "slim" if cand_est <= 8 * max(n_docs, 1) else "fused"
+        # width from the ACTUAL schema, not the parameter — on the
+        # caller-provided signatures path signature_bits is ignored
+        from pyspark.sql import types as _T
+
+        elem = sigs.schema["signature"].dataType.elementType
+        sig_bytes = num_hashes * (4 if isinstance(elem, _T.IntegerType) else 8)
+        fused_vol = n_docs * bands * (16 + sig_bytes)
+        slim_vol = (
+            n_docs * bands * 16 + 2 * n_docs * sig_bytes + cand * (16 + sig_bytes)
+        )
+        join_mode = "slim" if slim_vol < fused_vol else "fused"
     band_expr = _band_struct_expr(bands, rows_per_band)
     if join_mode == "slim":
         result = _minhash_pairs_slim(
@@ -913,13 +927,12 @@ def connected_components(
         ).first()
         return (row["n"], row["h"])
 
-    prev_fp = fingerprint(edges)
-    for _ in range(max_iterations):
+    def _star_round(e: DataFrame) -> DataFrame:
         # large-star: group the symmetric edge list by u; m = min of the
         # closed neighborhood; larger neighbors re-point at m.
-        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        edges = (
+        e = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -928,11 +941,11 @@ def connected_components(
         )
         # small-star: direct each edge larger→smaller, group by the larger
         # endpoint; all smaller neighbors plus the node itself point at m.
-        directed = edges.select(
+        directed = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
         mins = directed.groupBy("u").agg(F.min("v").alias("m"))
-        edges = (
+        return (
             directed.join(mins, "u")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
@@ -940,20 +953,31 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
+
+    prev_fp = fingerprint(edges)
+    for _ in range(max_iterations):
+        edges = _star_round(edges)
         fp = fingerprint(edges)
         if fp == prev_fp:
             break
         prev_fp = fp
     else:
-        # alternating star rounds halve the effective diameter, so 25
-        # rounds cover ~2^25 — exhausting them means something is wrong
-        # (or a truly pathological graph), and emitting the un-propagated
-        # labels would be silently WRONG clusters: raise instead
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            "rounds; raise max_iterations (the edge fingerprint was still "
-            "changing, so the labels are not final)"
-        )
+        # The budget is exhausted, but the LAST allowed round may itself
+        # have produced the final star forest (its fingerprint differs
+        # from the previous round's, so the loop cannot tell). One
+        # confirmation round disambiguates: unchanged -> converged on
+        # the final round, proceed; still changing -> emitting the
+        # labels would be silently WRONG clusters, raise. Alternating
+        # star rounds halve the effective diameter, so the default 25
+        # rounds cover ~2^25 before this can fire.
+        confirmed = _star_round(edges)
+        if fingerprint(confirmed) != prev_fp:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "rounds; raise max_iterations (the edge fingerprint was "
+                "still changing, so the labels are not final)"
+            )
+        edges = confirmed
 
     # Converged edges form stars (node → component min). Roots appear only
     # on the v side; they label themselves.

@@ -524,8 +524,14 @@ def chunk_documents_cdc(
     :func:`chunk_documents`'s one-empty-chunk convention — a boundary
     model has nothing to cut).
 
-    Output matches :func:`chunk_documents`: ``(id, chunk_index,
-    n_chunk_tokens, chunk, chunk_id)``.
+    Output shape matches :func:`chunk_documents` — ``(id, chunk_index,
+    n_chunk_tokens, chunk, chunk_id)`` — but ``chunk_id`` here is
+    CONTENT-addressed (``sha2(chunk text)``), not positional: a chunk
+    the edit didn't touch keeps its id even when earlier chunks
+    re-index, which is the whole point (a positional id would re-key
+    every downstream chunk after one boundary shift). Consequence:
+    identical chunk texts share an id — exactly what chunk-level dedup
+    wants; use ``(id, chunk_index)`` when a positional key is needed.
 
     Plan shape: pure built-in array expressions per document — no
     shuffle, no Python, and the boundary draw is the engine's standard
@@ -542,17 +548,20 @@ def chunk_documents_cdc(
     text = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     toks = F.when(F.length(text) == 0, F.array()).otherwise(F.split(text, r"\s+"))
     staged = df.select(F.col(id_col), toks.alias("__toks"))
+    from ..utils.hashing import md5_bucket
+
     # boundary AFTER 1-based position i iff md5_bucket(token_i) == 0 —
-    # the shared md5 convention, inlined as SQL so it runs inside the
-    # lambda (52 bits -> bigint is exact)
+    # the ONE shared md5 definition (utils/hashing.py's single-definition
+    # contract), reused inside the lambda via F.filter.
     # size guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark, and
     # element_at on the empty array then throws under ANSI — empty docs
     # must produce an empty boundary list, not an error
-    bnd = (
-        f"CASE WHEN size(__toks) = 0 THEN array() ELSE "
-        f"filter(sequence(1, size(__toks)), i -> "
-        f"cast(conv(substring(md5(element_at(__toks, i)), 1, 13), 16, 10) as bigint) "
-        f"% {target_tokens} = 0) END"
+    bnd_col = F.when(F.size("__toks") == F.lit(0), F.expr("array()")).otherwise(
+        F.filter(
+            F.sequence(F.lit(1), F.size("__toks")),
+            lambda i: md5_bucket(F.element_at("__toks", i), target_tokens)
+            == F.lit(0),
+        )
     )
     # bounds = 0, b1, .., bk, n ; span k = (bounds[k]+1 .. bounds[k+1]),
     # dropping empties (covers the trailing duplicate when the last token
@@ -572,20 +581,19 @@ def chunk_documents_cdc(
     out = (
         staged.withColumn(
             "__bounds",
-            F.expr(f"concat(array(0), {bnd}, array(size(__toks)))"),
+            F.concat(F.array(F.lit(0)), bnd_col, F.array(F.size("__toks"))),
         )
         .withColumn("__spans", F.expr(spans))
         .select(F.col(id_col), F.posexplode(F.expr(pieces)).alias("chunk_index", "__chunk"))
     )
+    # chunk_id is CONTENT-addressed (see docstring): positional ids would
+    # re-key every chunk downstream of an edit, defeating CDC's purpose
     return out.select(
         F.col(id_col),
         "chunk_index",
         F.size("__chunk").cast("long").alias("n_chunk_tokens"),
         F.array_join("__chunk", " ").alias("chunk"),
-        F.sha2(
-            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("chunk_index").cast("string")),
-            256,
-        ).alias("chunk_id"),
+        F.sha2(F.array_join("__chunk", " "), 256).alias("chunk_id"),
     )
 
 

@@ -176,9 +176,8 @@ def test_minhash_auto_join_mode(spark):
 
     assert pairs(docs, "auto") == pairs(docs, "fused")
 
-    # hot corpus: 60 identical docs -> C = 16 bands * C(60,2) >> 8 * 60
-    from pyspark.sql import functions as F
-
+    # hot corpus: 60 identical docs -> C = 16 bands * C(60,2), far past
+    # the byte-model crossover
     hot = spark.createDataFrame(
         [(i, "the same boilerplate " * 5) for i in range(60)],
         "doc_id long, text string",

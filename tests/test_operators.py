@@ -1542,6 +1542,9 @@ def test_chunk_documents_cdc_properties(spark):
     s1 = chunk_documents_cdc(shifted, target_tokens=8, max_tokens=32).toPandas()
     common = set(d1.chunk) & set(s1.chunk)
     assert len(common) >= len(d1) - 5  # only the head chunks re-cut
+    # chunk_id is CONTENT-addressed: surviving chunks keep their ids
+    # (a positional id would re-key everything downstream of the edit)
+    assert len(set(d1.chunk_id) & set(s1.chunk_id)) == len(common)
 
     with _pytest.raises(ValueError, match="target_tokens"):
         chunk_documents_cdc(docs, target_tokens=1)
