@@ -6,7 +6,13 @@ over batch DataFrames and streams (`readStream` + watermark), for the
 ``events``-style tables a large pipeline ingests continuously.
 """
 
-from .neardup import stream_minhash_matches
+from .neardup import (
+    minhash_append_store,
+    minhash_match_batch,
+    minhash_match_foreach_batch,
+    minhash_save_store,
+    stream_minhash_matches,
+)
 from .stateful import running_stats
 from .windows import (
     read_event_stream,
@@ -25,5 +31,9 @@ __all__ = [
     "sessionize",
     "stream_dedup",
     "stream_minhash_matches",
+    "minhash_save_store",
+    "minhash_append_store",
+    "minhash_match_batch",
+    "minhash_match_foreach_batch",
     "running_stats",
 ]

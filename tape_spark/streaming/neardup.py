@@ -21,6 +21,8 @@ match, keep best match, route to review) downstream.
 
 from __future__ import annotations
 
+from typing import Callable, Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,6 +72,12 @@ def stream_minhash_matches(
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    if id_col == corpus_id_col:
+        raise ValueError(
+            f"id_col and corpus_id_col are both {id_col!r}; the output pairs "
+            "(arriving id, corpus id) would carry two identically-named "
+            "columns — pass a distinct corpus_id_col"
+        )
     # The stream kernel must match the stored table's SIGNATURE WIDTH: a
     # 32-bit store probed with 64-bit stream signatures compares int vs
     # long minima that are never equal — every est_jaccard reads 0 and the
@@ -147,3 +155,370 @@ def stream_minhash_matches(
         .select(id_col, corpus_id_col, est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned near-dup store: per-trigger cost tracks arrivals, not corpus.
+#
+# `stream_minhash_matches` above probes a caller-held signature FRAME — one
+# pass over the WHOLE store per trigger, carrying every corpus signature
+# through the banded join. That is the wrong asymptote for an incremental-
+# ingest operator: at a 5 M-doc store the probe already paid 32–142 s per
+# 50 k-doc trigger, and the cost grows with the corpus, not the arrivals.
+#
+# The persisted store applies the same fix as the BM25 inverted index
+# (operators/retrieval.py: postings PARTITIONED BY pmod(xxhash64(term), B))
+# and the IVFPQ index (codes PARTITIONED BY cluster), in a SLIM two-table
+# layout:
+#
+#   path/entries/pbucket=N/  (corpus_id, band, bucket)   ~16 B/row
+#   path/sigs/sbucket=M/     (corpus_id, signature)      the wide rows
+#   path/meta/               kernel + partitioning params (one row)
+#
+# Slim, not fused: a fused store (signature denormalized onto each of the
+# `bands` entries) makes every trigger's store scan read bands× the corpus
+# signature bytes — at 5 M docs × 16 bands × 64 ints that is a ~20 GB scan
+# per micro-batch. In the slim layout the per-trigger scan touches only the
+# 16-byte entry rows; signatures are fetched ONCE PER CANDIDATE PAIR
+# (∝ arrivals, since each arriving band-bucket collides with few store
+# entries), via a second partition-pruned read of `sigs`.
+#
+# Partition pruning: each trigger collects the arriving batch's distinct
+# pbucket keys (≤ num_entry_buckets values — one narrow eager job over the
+# ARRIVALS) and pushes them as a partition IN-filter on the entries read;
+# candidates' sbucket keys prune the signature read the same way. For
+# small triggers (16·|batch| ≪ num_entry_buckets) the scan reads only the
+# partitions the arrivals can match — cost ∝ arrivals × partition size,
+# flat in corpus size when partitions are sized constant (grow the bucket
+# counts with the corpus; see `minhash_save_store`). For large triggers
+# the IN-set covers every partition and the floor is one narrow 16 B/row
+# entries scan plus one signature-table scan — bands× less I/O than the
+# frame-probe path, with the join sides still broadcast (the store never
+# shuffles).
+# ---------------------------------------------------------------------------
+
+
+def _entry_rows(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int,
+                num_entry_buckets: int) -> DataFrame:
+    """Explode a signature frame into slim partitioned store entries."""
+    from ..operators.dedup import _band_struct_expr
+
+    return (
+        sigs.select(F.col(id_col).cast("long").alias("corpus_id"), "signature")
+        .select(
+            "corpus_id",
+            F.explode(_band_struct_expr(bands, rows_per_band)).alias("e"),
+        )
+        .select(
+            "corpus_id",
+            F.col("e.band").alias("band"),
+            F.col("e.bucket").alias("bucket"),
+            F.pmod(F.xxhash64("e.band", "e.bucket"), F.lit(num_entry_buckets))
+            .cast("int")
+            .alias("pbucket"),
+        )
+    )
+
+
+def _sig_rows(sigs: DataFrame, id_col: str, num_sig_buckets: int) -> DataFrame:
+    return sigs.select(
+        F.col(id_col).cast("long").alias("corpus_id"),
+        "signature",
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(num_sig_buckets))
+        .cast("int")
+        .alias("sbucket"),
+    )
+
+
+def minhash_save_store(
+    signatures: DataFrame,
+    path: str,
+    *,
+    bands: int = 16,
+    num_entry_buckets: int = 64,
+    num_sig_buckets: int = 32,
+    shingle_n: int = 2,
+    seed: int = 13,
+) -> None:
+    """Persist a corpus signature table as a partition-pruned near-dup
+    store at ``path`` (layout and cost model in the module comment above).
+
+    ``signatures`` is a :func:`tape_spark.operators.minhash_signatures`
+    output (``(id, signature)``); the kernel parameters NOT recoverable
+    from the table itself (``shingle_n``, ``seed``) must be declared here
+    so queries rebuild the identical arriving-side kernel — the signature
+    width and element type ARE detected from the table.
+
+    Sizing rule: choose the bucket counts so one partition stays a
+    constant read (tens of MB) as the corpus grows — e.g.
+    ``num_entry_buckets ≈ bands·N·16 B / 32 MB`` — because the pruned
+    per-trigger read is (hit partitions) × (partition size): constant
+    partition size is what makes small-trigger cost flat in corpus size.
+    """
+    from pyspark.sql import types as T
+
+    if num_entry_buckets < 1 or num_sig_buckets < 1:
+        raise ValueError("bucket counts must be >= 1")
+    elem = signatures.schema["signature"].dataType.elementType
+    if isinstance(elem, T.IntegerType):
+        signature_bits = 32
+    elif isinstance(elem, T.LongType):
+        signature_bits = 64
+    else:
+        raise ValueError(
+            f"signature element type {elem.simpleString()} is not a "
+            "minhash_signatures output (expected int or bigint)"
+        )
+    other = [c for c in signatures.columns if c != "signature"]
+    if len(other) != 1:
+        raise ValueError(
+            f"signatures must be an (id, signature) frame; got columns "
+            f"{signatures.columns}"
+        )
+    probe = signatures.select(F.size("signature").alias("n")).first()
+    if probe is None:
+        raise ValueError("cannot save an empty signature table as a store")
+    num_hashes = int(probe["n"])
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    sigs = signatures.select(F.col(other[0]).alias("corpus_id"), "signature")
+    _entry_rows(sigs, "corpus_id", bands, num_hashes // bands, num_entry_buckets) \
+        .write.partitionBy("pbucket").mode("overwrite").parquet(f"{path}/entries")
+    _sig_rows(sigs, "corpus_id", num_sig_buckets) \
+        .write.partitionBy("sbucket").mode("overwrite").parquet(f"{path}/sigs")
+    spark = signatures.sparkSession
+    meta = spark.createDataFrame(
+        [(num_hashes, signature_bits, int(bands), int(num_entry_buckets),
+          int(num_sig_buckets), int(shingle_n), int(seed))],
+        "num_hashes int, signature_bits int, bands int, num_entry_buckets int, "
+        "num_sig_buckets int, shingle_n int, seed int",
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _load_store_meta(spark, path: str) -> dict:
+    rows = spark.read.parquet(f"{path}/meta").collect()
+    metas = {tuple(r) for r in rows}
+    if len(metas) != 1:
+        raise ValueError(
+            f"store at {path!r} has inconsistent meta rows: {sorted(metas)}"
+        )
+    return rows[0].asDict()
+
+
+def _arrival_signatures(docs: DataFrame, meta: dict, text_col: str, id_col: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=meta["num_hashes"],
+        shingle_n=meta["shingle_n"],
+        seed=meta["seed"],
+        signature_bits=meta["signature_bits"],
+    )
+
+
+def minhash_append_store(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Grow a saved store with NEW documents — the incremental-ingest
+    verb. Signatures are built with the kernel parameters recorded in the
+    store's meta (so they cannot drift from the stored corpus), split
+    into slim entries and signature rows with the stored partition
+    moduli, and appended.
+
+    Caller contracts mirror ``bm25_append_index``: ids must be NEW
+    (re-appending a doc makes it match itself on the next trigger), the
+    two appends are not transactional (a failure between them needs a
+    retry with the same batch — entries without signatures simply verify
+    as no-match until the sigs append lands), and a fully retried append
+    double-inserts — dedup arrivals upstream or use idempotent batch ids.
+    """
+    spark = new_docs.sparkSession
+    meta = _load_store_meta(spark, path)
+    sigs = _arrival_signatures(new_docs, meta, text_col, id_col).select(
+        F.col(id_col).alias("corpus_id"), "signature"
+    )
+    # sigs first: an entries row whose signature row is missing would
+    # produce candidates that verify against NULL (dropped pairs); a
+    # signature row with no entries is simply unreachable until retry.
+    _sig_rows(sigs, "corpus_id", meta["num_sig_buckets"]) \
+        .write.partitionBy("sbucket").mode("append").parquet(f"{path}/sigs")
+    _entry_rows(sigs, "corpus_id", meta["bands"],
+                meta["num_hashes"] // meta["bands"], meta["num_entry_buckets"]) \
+        .write.partitionBy("pbucket").mode("append").parquet(f"{path}/entries")
+
+
+def minhash_match_batch(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_id_col: str = "corpus_id",
+    threshold: float = 0.5,
+    _arrival_sigs: Optional[DataFrame] = None,
+    _cleanup: Optional[list] = None,
+) -> DataFrame:
+    """Match ONE batch of arriving documents against a saved store with
+    partition pruning on both store reads.
+
+    Three-phase plan, all store sides read-pruned and never shuffled:
+
+    1. The arrivals' band entries probe the ENTRIES table (pruned to the
+       arrivals' ``pbucket`` IN-set, collected by one narrow eager job
+       over the arrivals) via a broadcast equi-join on (band, bucket) —
+       candidate pairs, deduped while still 16 bytes wide.
+    2. Candidates are persisted (they are ∝ arrivals) and their distinct
+       ``sbucket`` keys prune the SIGS read.
+    3. The pruned signature rows attach to the broadcast candidates; the
+       shared unrolled verify + threshold run exactly as the batch path,
+       so matches equal :func:`stream_minhash_matches` row-for-row.
+
+    Returns ``(id_col, corpus_id_col, est_jaccard)``. The candidate cache
+    is ∝ arrivals and stays persisted until the returned frame is
+    materialized; :func:`minhash_match_foreach_batch` manages that
+    lifecycle per trigger — callers looping over many batches directly
+    should ``spark.catalog.clearCache()`` or go through the wrapper.
+    """
+    if id_col == corpus_id_col:
+        raise ValueError(
+            f"id_col and corpus_id_col are both {id_col!r}; pass a distinct "
+            "corpus_id_col"
+        )
+    spark = docs.sparkSession
+    meta = _load_store_meta(spark, path)
+    num_hashes = meta["num_hashes"]
+    bands = meta["bands"]
+    from ..operators.dedup import _est_jaccard, _position_agreements
+
+    sigs = _arrival_sigs
+    if sigs is None:
+        sigs = _arrival_signatures(docs, meta, text_col, id_col)
+    arr_entries = _entry_rows(sigs, id_col, bands, num_hashes // bands,
+                              meta["num_entry_buckets"]).withColumnRenamed(
+                                  "corpus_id", "__arr_id")
+    empty_schema = f"{id_col} long, {corpus_id_col} long, est_jaccard double"
+    # phase 1 eager job: the arrivals' partition IN-set (≤ num_entry_buckets
+    # values; the job scans the ARRIVALS only, never the store)
+    pbuckets = [int(r["pbucket"])
+                for r in arr_entries.select("pbucket").distinct().collect()]
+    if not pbuckets:
+        return spark.createDataFrame([], empty_schema)
+    entries = (
+        spark.read.parquet(f"{path}/entries")
+        .filter(F.col("pbucket").isin(pbuckets))
+        .select("corpus_id", "band", "bucket")
+    )
+    cand = (
+        F.broadcast(arr_entries.select("__arr_id", "band", "bucket"))
+        .join(entries, on=["band", "bucket"])
+        .select("__arr_id", "corpus_id")
+        .distinct()
+        .withColumn(
+            "sbucket",
+            F.pmod(F.xxhash64("corpus_id"), F.lit(meta["num_sig_buckets"])).cast("int"),
+        )
+        .persist()
+    )
+    if _cleanup is not None:
+        _cleanup.append(cand)
+    # phase 2 eager job: candidates' sbucket IN-set (materializes the cache)
+    sbuckets = [int(r["sbucket"]) for r in cand.select("sbucket").distinct().collect()]
+    if not sbuckets:
+        cand.unpersist()
+        return spark.createDataFrame([], empty_schema)
+    store_sigs = (
+        spark.read.parquet(f"{path}/sigs")
+        .filter(F.col("sbucket").isin(sbuckets))
+        .select("corpus_id", F.col("signature").alias("__sig_c"))
+    )
+    arr_sigs = sigs.select(
+        F.col(id_col).cast("long").alias("__arr_id"),
+        F.col("signature").alias("__sig_s"),
+    )
+    pairs = F.broadcast(cand.join(arr_sigs, on="__arr_id")).join(
+        store_sigs, on="corpus_id"
+    )
+    pos_eq = _position_agreements("__sig_s", "__sig_c", num_hashes)
+    est = _est_jaccard(pos_eq, num_hashes)
+    return (
+        pairs.select(
+            F.col("__arr_id").alias(id_col),
+            F.col("corpus_id").alias(corpus_id_col),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_match_foreach_batch(
+    path: str,
+    sink: Callable[[DataFrame, int], None],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_id_col: str = "corpus_id",
+    threshold: float = 0.5,
+    append_arrivals: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` function for streaming near-dup against
+    a partition-pruned store::
+
+        q = (docs.writeStream
+             .foreachBatch(minhash_match_foreach_batch(store, my_sink))
+             .start())
+
+    Per trigger: the arriving batch's signatures are computed ONCE and
+    persisted (bounded — one row per arriving doc), the pruned
+    :func:`minhash_match_batch` plan is handed to ``sink(matches,
+    batch_id)`` (which must materialize it — write/collect), and with
+    ``append_arrivals=True`` the batch is then appended to the store so
+    later triggers match against it — the full incremental-ingest loop.
+    Caches are released after the sink returns.
+
+    ``foreachBatch`` (not a stream-static join) is what makes the pruning
+    possible: partition IN-filters need the batch's key set, which only
+    exists once the micro-batch is materialized.
+    """
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        meta = _load_store_meta(spark, path)
+        sigs = _arrival_signatures(batch, meta, text_col, id_col).persist()
+        caches = [sigs]
+        try:
+            matches = minhash_match_batch(
+                batch,
+                path,
+                text_col=text_col,
+                id_col=id_col,
+                corpus_id_col=corpus_id_col,
+                threshold=threshold,
+                _arrival_sigs=sigs,
+                _cleanup=caches,
+            )
+            sink(matches, batch_id)
+            if append_arrivals:
+                renamed = sigs.select(
+                    F.col(id_col).alias("corpus_id"), "signature"
+                )
+                _sig_rows(renamed, "corpus_id", meta["num_sig_buckets"]) \
+                    .write.partitionBy("sbucket").mode("append") \
+                    .parquet(f"{path}/sigs")
+                _entry_rows(renamed, "corpus_id", meta["bands"],
+                            meta["num_hashes"] // meta["bands"],
+                            meta["num_entry_buckets"]) \
+                    .write.partitionBy("pbucket").mode("append") \
+                    .parquet(f"{path}/entries")
+        finally:
+            for frame in caches:
+                frame.unpersist()
+
+    return _fn

@@ -530,3 +530,169 @@ def test_ntz_watermark_requires_utc_session(spark, tmp_path):
         tumbling_window_agg(stream, ts_col="ts", watermark="10 minutes")
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned near-dup store: per-trigger cost ∝ arrivals, not corpus.
+# ---------------------------------------------------------------------------
+
+
+def _neardup_corpus(spark, n=8, id_base=100):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (id_base + i, f"{base} doc{i} " + " ".join(f"c{i}w{j}" for j in range(10)))
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_store_matches_equal_full_scan(spark, tmp_path):
+    """minhash_match_batch against the partitioned store must return
+    EXACTLY the rows stream_minhash_matches returns against the full
+    signature table — same kernel, same verify, same threshold — while
+    its store read carries a pbucket partition IN-filter."""
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_match_batch,
+        minhash_save_store,
+        stream_minhash_matches,
+    )
+
+    corpus_rows, corpus = _neardup_corpus(spark)
+    sigs = minhash_signatures(corpus).persist()
+    store = str(tmp_path / "nd_store")
+    minhash_save_store(sigs, store, num_entry_buckets=8, num_sig_buckets=4)
+
+    arriving = spark.createDataFrame(
+        [(i, corpus_rows[i][1] + " extra tail") for i in range(4)]
+        + [(i, " ".join(f"new{i}w{j}" for j in range(20))) for i in range(4, 8)],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        tuple(r) for r in stream_minhash_matches(arriving, sigs, threshold=0.3).collect()
+    )
+    assert want and {r[0] for r in want} <= {0, 1, 2, 3}
+    out = minhash_match_batch(arriving, store, threshold=0.3)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    segs = plan.split("PartitionFilters")[1:]
+    assert any("pbucket" in s[:300] for s in segs), plan
+    assert any("sbucket" in s[:300] for s in segs), plan
+    sigs.unpersist()
+
+
+def test_minhash_store_append_grows_matches(spark, tmp_path):
+    """Appending new docs to the store makes later batches match them —
+    the incremental-ingest loop — with the kernel params taken from the
+    store meta, not re-declared by the caller."""
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_append_store,
+        minhash_match_batch,
+        minhash_save_store,
+    )
+
+    corpus_rows, corpus = _neardup_corpus(spark, n=4)
+    store = str(tmp_path / "nd_store2")
+    minhash_save_store(minhash_signatures(corpus), store, num_entry_buckets=4, num_sig_buckets=4)
+
+    newdoc = spark.createDataFrame(
+        [(500, " ".join(f"fresh{j} vocab{j}" for j in range(15)))],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(9, " ".join(f"fresh{j} vocab{j}" for j in range(15)) + " tail")],
+        "doc_id long, text string",
+    )
+    assert minhash_match_batch(probe, store, threshold=0.3).count() == 0
+    minhash_append_store(newdoc, store)
+    rows = minhash_match_batch(probe, store, threshold=0.3).collect()
+    assert len(rows) == 1 and rows[0]["corpus_id"] == 500
+
+
+def test_minhash_store_foreach_batch_stream(spark, tmp_path):
+    """End-to-end streaming run through foreachBatch: matches equal the
+    full-scan batch result, and append_arrivals=True lets a later trigger
+    match a doc that arrived in an earlier one."""
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_match_foreach_batch,
+        minhash_save_store,
+        stream_minhash_matches,
+    )
+
+    corpus_rows, corpus = _neardup_corpus(spark)
+    sigs = minhash_signatures(corpus).persist()
+    store = str(tmp_path / "nd_store3")
+    minhash_save_store(sigs, store, num_entry_buckets=8, num_sig_buckets=4)
+
+    arriving = spark.createDataFrame(
+        [(i, corpus_rows[i][1] + " extra tail") for i in range(4)]
+        + [(i, " ".join(f"new{i}w{j}" for j in range(20))) for i in range(4, 8)],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in stream_minhash_matches(arriving, sigs, threshold=0.3).collect()
+    )
+
+    src_dir = str(tmp_path / "nd_src")
+    # deterministic trigger split: ids 0-3 (the matchers) first, 4-7 after
+    arriving.filter("doc_id < 4").coalesce(1).write.parquet(src_dir)
+    arriving.filter("doc_id >= 4").coalesce(1).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    got = []
+    q = (
+        stream.writeStream.foreachBatch(
+            minhash_match_foreach_batch(
+                store,
+                lambda df, bid: got.extend((r[0], r[1]) for r in df.collect()),
+                threshold=0.3,
+                append_arrivals=True,
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == want
+
+    # the arrivals were appended: a copy of arriving doc 5 now matches it
+    from tape_spark.streaming import minhash_match_batch
+
+    probe = spark.createDataFrame(
+        [(99, " ".join(f"new5w{j}" for j in range(20)) + " tail")],
+        "doc_id long, text string",
+    )
+    rows = minhash_match_batch(probe, store, threshold=0.3).collect()
+    assert [r["corpus_id"] for r in rows] == [5]
+    sigs.unpersist()
+
+
+def test_minhash_store_validations(spark, tmp_path):
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_match_batch,
+        minhash_save_store,
+        stream_minhash_matches,
+    )
+
+    _, corpus = _neardup_corpus(spark, n=2)
+    sigs = minhash_signatures(corpus)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_save_store(sigs, str(tmp_path / "bad"), bands=5)
+    with pytest.raises(ValueError, match="id, signature"):
+        minhash_save_store(
+            sigs.withColumn("extra", F.lit(1)), str(tmp_path / "bad2")
+        )
+    store = str(tmp_path / "ok")
+    minhash_save_store(sigs, store, num_entry_buckets=4, num_sig_buckets=4)
+    with pytest.raises(ValueError, match="distinct corpus_id_col"):
+        minhash_match_batch(corpus, store, corpus_id_col="doc_id")
+    with pytest.raises(ValueError, match="distinct corpus_id_col"):
+        stream_minhash_matches(corpus, sigs, id_col="doc_id", corpus_id_col="doc_id")
