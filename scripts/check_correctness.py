@@ -30,12 +30,33 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def _normalize(pdf: pd.DataFrame, cols: list) -> pd.DataFrame:
     """Driver-style normalization: round floats to 6dp, then sort rows by
-    all (name-sorted) columns so the value comparison is order-free."""
+    all (name-sorted) columns so the value comparison is order-free.
+    Returns (rounded, raw) frames in the SAME row order, so the
+    rounding-boundary tolerance below can consult the unrounded values."""
     out = pdf[cols].copy()
     for c in cols:
         if pd.api.types.is_float_dtype(out[c]):
             out[c] = out[c].astype(float).round(6)
-    return out.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    out = out.sort_values(cols, kind="mergesort")
+    raw = pdf[cols].reindex(out.index).reset_index(drop=True)
+    return out.reset_index(drop=True), raw
+
+
+# Rounding-boundary tolerance for real-valued scientific kernels: the 6dp
+# round is a step function, so two engines whose float sums differ by
+# ~1e-9 RELATIVE (legal reassociation of a large summation) can land on
+# opposite sides of a .xxxxxx5 edge and flip the rounded value by exactly
+# one 1e-6 step — a comparison artifact, not a semantics difference (seen
+# once in 54,606 sf2 rows at sf0.1). A mismatching cell is accepted iff
+# BOTH hold:
+#   (a) the RAW values agree within REL_TOL relative (1e-8 — far tighter
+#       than any semantic bug: a wrong bin or estimator moves values by
+#       >=1e-3 relative on these kernels), and
+#   (b) the ROUNDED values straddle one rounding edge (differ by exactly
+#       one 1e-6 step).
+# Integer/unit-valued columns never enter this path — exactness stays
+# contractual for them (bm25/dsir/select_by_budget score units etc.).
+REL_TOL = 1e-8
 
 
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
@@ -60,8 +81,9 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
                 return f"DTYPE col={c}: {sk} vs {ok_} (integer vs float kind)"
             if skind in "iu" and okind in "iu" and sk.itemsize != ok_.itemsize:
                 return f"DTYPE col={c}: {sk} vs {ok_} (integer width)"
-    s = _normalize(spark_pdf, s_cols)
-    o = _normalize(oracle_pdf, o_cols)
+    s, s_raw = _normalize(spark_pdf, s_cols)
+    o, o_raw = _normalize(oracle_pdf, o_cols)
+    n_boundary = 0
     for c in s_cols:
         sv, ov = s[c], o[c]
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
@@ -70,14 +92,27 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str:
             oa = ov.astype(float).to_numpy()
             ok = (sa == oa) | (np.isnan(sa) & np.isnan(oa))
             if not ok.all():
-                i = int(np.argmin(ok))
-                return f"VALUES col={c} row={i}: {sa[i]!r} vs {oa[i]!r}"
+                sr = s_raw[c].astype(float).to_numpy()
+                orr = o_raw[c].astype(float).to_numpy()
+                for i in np.flatnonzero(~ok):
+                    rel = abs(sr[i] - orr[i]) / max(abs(sr[i]), abs(orr[i]), 1e-12)
+                    # "one 1e-6 step" with float64 headroom: at magnitude
+                    # ~1e3 the subtraction itself carries ~1e-13 error
+                    # (measured 1.00000011e-6 on the sf2 case), so bound
+                    # at 1.5e-6 — still strictly below a two-step gap
+                    one_step = abs(sa[i] - oa[i]) <= 1.5e-6
+                    if rel <= REL_TOL and one_step:
+                        n_boundary += 1
+                    else:
+                        return f"VALUES col={c} row={int(i)}: {sa[i]!r} vs {oa[i]!r} (raw rel {rel:.2e})"
         else:
             sa = sv.astype(str).to_numpy()
             oa = ov.astype(str).to_numpy()
             if not (sa == oa).all():
                 i = int(np.argmin(sa == oa))
                 return f"VALUES col={c} row={i}: {sa[i]!r} vs {oa[i]!r}"
+    if n_boundary:
+        return f"OK (rounding-boundary tolerance: {n_boundary} cell(s) within {REL_TOL:g} rel across one 6dp edge)"
     return "OK"
 
 
@@ -148,7 +183,7 @@ def main():
             verdict = compare(sdf, odf)
         except Exception as exc:  # e.g. astype(float) on a mistyped oracle column
             verdict = f"COMPARE ERROR {type(exc).__name__}: {exc}"
-        status = "PASS" if verdict == "OK" else "FAIL"
+        status = "PASS" if verdict.startswith("OK") else "FAIL"
         if status == "PASS":
             n_pass += 1
         else:

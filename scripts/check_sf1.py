@@ -232,11 +232,11 @@ def main():
             verdict = "ERROR"
             traceback.print_exc()
         secs = round(time.time() - t0, 1)
-        status = "PASS" if verdict == "OK" else "FAIL"
+        status = "PASS" if verdict.startswith("OK") else "FAIL"
         n_pass += status == "PASS"
         n_fail += status == "FAIL"
         results[name] = {"status": status, "rows": int(len(sdf)) if verdict != "ERROR" else None, "secs": secs}
-        if verdict not in ("OK",):
+        if not verdict.startswith("OK"):
             results[name]["detail"] = verdict
         print(f"{status} {name}: {verdict} [{secs}s]", flush=True)
     spark.stop()
