@@ -35,8 +35,13 @@ import sys
 # within-rev (the r7→r8 "regression" was rev 1→2 measuring more).
 # rev 1 = r2–r7 actions; rev 2 = r8 consume-the-computed-columns fix
 # (q1/q6/q7/q8 stopped letting Catalyst prune the measured expressions).
+# rev 3 = r12 deterministic-ambient fix: all input tables are page-cache
+# warmed BEFORE timing (the r11 ±15% drift tracked page-cache state
+# inherited from whatever ran earlier on the host), and an IO-bound
+# calibration probe is interleaved alongside the pure-JVM one so the
+# calibration columns actually span the dimension the drift lives in.
 # The rev→round map lives in docs/SCALING.md §Bench comparability.
-BENCH_REV = 2
+BENCH_REV = 3
 import time
 
 import numpy as np
@@ -97,6 +102,23 @@ def main():
     spark.range(N_CPUS * 4, numPartitions=N_CPUS).mapInPandas(
         _noop, "id long"
     ).count()
+
+    # Deterministic ambient state: fully read every input table ONCE
+    # before timing, so the OS page-cache state the measured reps see is
+    # "inputs warm" regardless of what ran on the host earlier. Without
+    # this, a round that previously streamed tens of GB (the sf100
+    # probes) evicts the bench inputs and the first reps measure disk,
+    # not code — the r11 ±15% attribution fight. Skipped under
+    # SPARK_GRAFT_NO_PERSIST (the huge-SF probes WANT cold-ish IO and
+    # could not hold sf100 in cache anyway).
+    if not os.environ.get("SPARK_GRAFT_NO_PERSIST"):
+        for tbl in ("lineitem", "documents", "embeddings", "events"):
+            p = f"{SF_DIR}/{tbl}.parquet"
+            if os.path.exists(p):
+                df = spark.read.parquet(p)
+                # count EVERY column: column pruning would otherwise warm
+                # only a sliver of the file's byte range
+                df.agg(*[F.count(c) for c in df.columns]).collect()
 
     # .agg(count(result)) instead of .count(): consume the computed column
     # so pruning cannot drop the aggregate expression (see q7's note)
@@ -219,7 +241,20 @@ def main():
     def calibration():
         spark.range(50_000_000, numPartitions=N_CPUS).agg(F.sum("id")).collect()
 
+    # IO-bound calibration: re-read a FIXED parquet byte range end to end
+    # (documents.text dominates that table's bytes). The pure-JVM probe
+    # above is blind to page-cache/IO state by construction — r11's drift
+    # lived exactly there (its calibration ran FASTER on the slower
+    # round). Two probes per rep span both dimensions: jvm flat + io flat
+    # but queries up ⇒ code; io up too ⇒ host/IO state.
+    io_path = f"{SF_DIR}/documents.parquet"
+
+    def io_calibration():
+        spark.read.parquet(io_path).agg(F.sum(F.length("text"))).collect()
+
     probes = [("calibration", calibration)]
+    if os.path.exists(io_path):
+        probes.append(("io_calibration", io_calibration))
 
     # SPARK_GRAFT_ONLY=q1_batch_mean,q3_sf2_basic restricts the suite — for
     # huge local scale probes, run small groups in separate processes so
@@ -251,6 +286,9 @@ def main():
             "median": round(float(np.median(ts)), 3),
             "min": round(min(ts), 3),
             "max": round(max(ts), 3),
+            # per-rep series, suite order: co-movement with the query
+            # series below is what attributes drift (host vs code)
+            "samples": [round(t, 3) for t in ts],
         }
         for name, ts in samples.items()
         if any(name == p for p, _ in probes)
@@ -285,6 +323,9 @@ def main():
                 "spread": spread,
                 "min": minimums,
                 "min_total": round(sum(minimums.values()), 3),
+                "samples": {
+                    name: [round(t, 3) for t in ts] for name, ts in samples.items()
+                },
                 "calibration": calib,
             }
         )
