@@ -589,6 +589,27 @@ def minhash_near_duplicates(
                 f"num_hashes={num_hashes}; pass the num_hashes the "
                 f"signatures were built with"
             )
+    measured_cache = None
+    if join_mode == "auto" and not owns_sigs:
+        # auto mode runs TWO eager driver jobs below (the bucket-size agg
+        # and the doc count); on an unpersisted caller-provided signature
+        # frame each would re-run the full shingle+minhash pipeline. Cache
+        # it around the measurement (released right after — the caller
+        # owns the lifecycle) and say so: the RETURNED plan still
+        # recomputes signatures once unless the caller persists.
+        lvl = sigs.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            import warnings
+
+            warnings.warn(
+                "join_mode='auto' measures candidate volume with two eager "
+                "jobs; the provided signatures frame is not persisted, so it "
+                "is cached around the measurement and released. Persist it "
+                "yourself to also share that work with the returned plan.",
+                stacklevel=2,
+            )
+            sigs = sigs.persist()
+            measured_cache = sigs
     if join_mode == "auto":
         # measure, don't guess: one narrow counting pass over the (capped)
         # 16-byte band entries computes the EXACT candidate-pair count
@@ -625,6 +646,8 @@ def minhash_near_duplicates(
             n_docs * bands * 16 + 2 * n_docs * sig_bytes + cand * (16 + sig_bytes)
         )
         join_mode = "slim" if slim_vol < fused_vol else "fused"
+    if measured_cache is not None:
+        measured_cache.unpersist()
     band_expr = _band_struct_expr(bands, rows_per_band)
     if join_mode == "slim":
         result = _minhash_pairs_slim(

@@ -480,9 +480,15 @@ def ivfpq_cosine_topk(
     vecs = corpus.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("__v")
     )
+    # LEFT join + raise on a missing raw vector: with encoded= the
+    # shortlist can hold ids the caller's corpus frame does not cover
+    # (e.g. ivfpq_append_index grew the index but the caller passed only
+    # the base corpus) — an inner join would silently drop those
+    # candidates from the top-k. The guard is fused into the score
+    # expression (no extra job) and fails the query naming the id.
     joined = (
         F.broadcast(short.select("query_id", "corpus_id"))
-        .join(vecs, "corpus_id")
+        .join(vecs, "corpus_id", "left")
         .withColumn("__q", qlit[F.col("query_id")])
     )
     dot = F.aggregate(
@@ -500,7 +506,24 @@ def ivfpq_cosine_topk(
     exact = joined.select(
         "query_id",
         "corpus_id",
-        (dot / F.greatest(norm, F.lit(1e-300))).alias("score"),
+        F.when(
+            F.col("__v").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ivfpq rerank: corpus frame has no raw vector for "
+                        "encoded id "
+                    ),
+                    F.col("corpus_id").cast("string"),
+                    F.lit(
+                        " — with rerank_factor>0 the corpus must cover every "
+                        "encoded id (pass the base+appended union)"
+                    ),
+                )
+            ).cast("double"),
+        )
+        .otherwise(dot / F.greatest(norm, F.lit(1e-300)))
+        .alias("score"),
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("corpus_id"))
     return (
@@ -625,3 +648,24 @@ def ivfpq_append_index(
     ivfpq_encode(new_vectors, coarse, books, vec_col=vec_col, id_col=id_col).write.partitionBy(
         "cluster"
     ).mode("append").parquet(f"{path}/encoded")
+
+
+def ivfpq_compact_index(spark, path: str) -> dict:
+    """Compact a saved IVFPQ index after appends: N ``ivfpq_append_index``
+    calls leave N files per touched cluster partition; a probed query
+    then opens N footers per probed cluster. Rewrites the encoded table
+    as ONE file per cluster (sorted by id within). ADC scores depend
+    only on the frozen models and the (id, cluster, pq_code) rows —
+    unchanged by the rewrite — so queries are bit-identical (asserted in
+    tests). Returns ``{"encoded_files_before": n}``."""
+    from ..utils.io import compact_partitioned_parquet
+
+    id_cols = [
+        c
+        for c in spark.read.parquet(f"{path}/encoded").columns
+        if c not in ("cluster", "pq_code")
+    ]
+    n = compact_partitioned_parquet(
+        spark, f"{path}/encoded", "cluster", sort_cols=id_cols[:1]
+    )
+    return {"encoded_files_before": n}

@@ -354,6 +354,7 @@ def bm25_append_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_tokens: Optional[int] = None,
+    stats_written: bool = False,
 ) -> None:
     """Grow a saved index with a batch of NEW documents — the warehouse
     ingestion verb. Appends the batch's postings (encoded with the
@@ -364,10 +365,16 @@ def bm25_append_index(
     from scratch on the union corpus.
 
     Caller contracts: ``new_docs`` ids must be NEW (re-appending a
-    document double-counts it — dedup upstream), and the two appends are
-    not transactional: a failure between them leaves the new postings
-    visible with stale stats until the append is retried WITH A FRESH
-    BATCH (don't blind-retry the same one).
+    document double-counts it — dedup upstream). The two appends are not
+    transactional, so ORDER matters for crash recovery: stats are written
+    FIRST. A failure between the writes then leaves a stats row whose
+    postings are missing — the batch's docs count toward N/Σdl but match
+    no terms, a slight idf perturbation that HEALS when the append is
+    retried with the same batch (minus the stats row, which the retry
+    must not duplicate: pass ``stats_written=True`` on retry). The
+    reverse order would leave orphaned postings counted in df but never
+    in N — permanently inconsistent with the bit-identical-to-rebuild
+    contract and unrepairable by any retry.
     """
     spark = new_docs.sparkSession
     srows = spark.read.parquet(f"{path}/stats").collect()
@@ -383,10 +390,12 @@ def bm25_append_index(
         num_term_buckets=mods.pop(),
         max_doc_tokens=max_doc_tokens,
     )
+    # stats BEFORE postings — see the recovery contract in the docstring
+    if not stats_written:
+        stats.write.mode("append").parquet(f"{path}/stats")
     postings.write.partitionBy("tbucket").mode("append").parquet(
         f"{path}/postings"
     )
-    stats.write.mode("append").parquet(f"{path}/stats")
 
 
 def bm25_load_index(spark, path: str) -> Tuple[DataFrame, DataFrame]:
@@ -605,3 +614,41 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(query_col, "rank", id_col, "rrf_units", "n_lists")
     )
+
+
+def bm25_compact_index(spark, path: str) -> dict:
+    """Compact a saved BM25 index after appends: N ``bm25_append_index``
+    calls leave N files in every term-bucket partition (a pruned query
+    then opens N footers per bucket) and N stats rows. Rewrites postings
+    as ONE file per ``tbucket`` (sorted by ``term`` within, so a term's
+    postings are row-group-contiguous) and folds the stats rows into one
+    summed row — queries are bit-identical before and after (asserted in
+    tests; df/N/Σdl are pure unions/sums, so compaction cannot change
+    them). Returns ``{"postings_files_before": n, "stats_rows_before": m}``
+    for the caller's ingest log. Rule of thumb: compact when appends-
+    since-last-compact ≈ 10–20 (measured: query wall grows roughly
+    linearly in files-per-partition past that; see docs/SCALING.md).
+    """
+    from ..utils.io import compact_partitioned_parquet
+
+    srows = spark.read.parquet(f"{path}/stats").collect()
+    mods = {int(r["num_term_buckets"]) for r in srows}
+    if len(mods) != 1:
+        raise ValueError(
+            f"index at {path!r} has inconsistent num_term_buckets {sorted(mods)}"
+        )
+    n_files = compact_partitioned_parquet(
+        spark, f"{path}/postings", "tbucket", sort_cols=["term"]
+    )
+    merged = spark.createDataFrame(
+        [
+            (
+                sum(int(r["n"] or 0) for r in srows),
+                sum(int(r["sumdl"] or 0) for r in srows),
+                mods.pop(),
+            )
+        ],
+        "n long, sumdl long, num_term_buckets int",
+    )
+    merged.write.mode("overwrite").parquet(f"{path}/stats")
+    return {"postings_files_before": n_files, "stats_rows_before": len(srows)}

@@ -203,3 +203,40 @@ def test_connected_components_raises_when_not_converged(spark):
     # and with room to converge the same chain is one component
     out = connected_components(pairs, max_iterations=25)
     assert {r.component for r in out.collect()} == {0}
+
+
+def test_minhash_auto_warns_on_uncached_caller_signatures(spark):
+    """auto join-mode on a caller-provided UNPERSISTED signature frame
+    must warn (its measurement jobs would otherwise silently re-run the
+    shingling) and still return the correct pairs; a persisted frame
+    must not warn."""
+    import warnings
+
+    from tape_spark.operators import minhash_near_duplicates, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(10)]
+        + [(100, "a b c d e f g h i j"), (101, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = minhash_near_duplicates(
+            docs, signatures=sigs, join_mode="auto", threshold=0.5
+        ).collect()
+    assert any("not persisted" in str(w.message) for w in rec)
+    assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
+    # measurement cache must be RELEASED afterwards
+    lvl = sigs.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
+
+    cached = minhash_signatures(docs).persist()
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        out2 = minhash_near_duplicates(
+            docs, signatures=cached, join_mode="auto", threshold=0.5
+        ).collect()
+    assert not any("not persisted" in str(w.message) for w in rec2)
+    assert {(r.id_a, r.id_b) for r in out2} == {(100, 101)}
+    cached.unpersist()

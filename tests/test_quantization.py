@@ -322,3 +322,81 @@ def test_ivfpq_append_equals_rebuild(spark, corpus, tmp_path):
     assert got == want
     # an appended (union-corpus) query can reach the delta vectors
     assert any(r[1] >= 200 for r in got)
+
+
+def test_ivfpq_rerank_raises_on_uncovered_encoded_ids(spark, corpus, tmp_path):
+    """With encoded= + rerank_factor>0, a corpus frame that does not
+    cover every encoded id must FAIL naming the id, not silently drop
+    shortlist candidates from the top-k (an inner join's failure mode)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from tape_spark.operators import (
+        ivfpq_cosine_topk,
+        ivfpq_encode,
+        train_spherical_kmeans,
+    )
+
+    rows = _clustered()
+    coarse = train_spherical_kmeans(corpus, num_clusters=8, train_sample=200)
+    books = train_pq_codebooks(corpus, m=M, num_centroids=16)
+    enc = ivfpq_encode(corpus, coarse, books)
+    queries = spark.createDataFrame(
+        [(int(rows[0][0]), rows[0][1])], "query_id long, embedding array<float>"
+    )
+    # drop half the raw vectors: shortlist ids hit the hole
+    partial = corpus.filter("vec_id % 2 = 0")
+    with pytest.raises(SparkRuntimeException, match="no raw vector for encoded id"):
+        ivfpq_cosine_topk(
+            partial, queries, k=5, nprobe=8, rerank_factor=8,
+            coarse_centroids=coarse, codebooks=books, encoded=enc,
+        ).collect()
+    # full coverage still works unchanged through the left-join guard
+    ok = ivfpq_cosine_topk(
+        corpus, queries, k=5, nprobe=8, rerank_factor=8,
+        coarse_centroids=coarse, codebooks=books, encoded=enc,
+    ).collect()
+    assert len(ok) == 5
+
+
+def test_ivfpq_compact_index_preserves_queries(spark, corpus, tmp_path):
+    import glob
+    import os
+
+    from tape_spark.operators import (
+        ivfpq_append_index,
+        ivfpq_compact_index,
+        ivfpq_cosine_topk,
+        ivfpq_encode,
+        ivfpq_load_index,
+        ivfpq_save_index,
+        train_spherical_kmeans,
+    )
+
+    base = corpus.filter("vec_id < 200")
+    coarse = train_spherical_kmeans(base, num_clusters=8, train_sample=200)
+    books = train_pq_codebooks(base, m=M, num_centroids=16)
+    path = str(tmp_path / "ivfidx")
+    ivfpq_save_index(ivfpq_encode(base, coarse, books), coarse, books, path)
+    ivfpq_append_index(corpus.filter("vec_id >= 200 and vec_id < 260"), path)
+    ivfpq_append_index(corpus.filter("vec_id >= 260"), path)
+    q = corpus.filter("vec_id in (0, 100)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run():
+        enc, c2, b2 = ivfpq_load_index(spark, path)
+        return sorted(
+            tuple(r)
+            for r in ivfpq_cosine_topk(
+                corpus, q, k=5, coarse_centroids=c2, codebooks=b2,
+                nprobe=8, encoded=enc,
+            ).collect()
+        )
+
+    before = run()
+    ivfpq_compact_index(spark, path)
+    after = run()
+    assert after == before and before
+    for d in glob.glob(f"{path}/encoded/cluster=*"):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
