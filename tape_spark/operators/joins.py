@@ -50,6 +50,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: Optional[float] = None,
     suffix: str = "_r",
+    max_rows_per_key: Optional[int] = None,
 ) -> DataFrame:
     """Left as-of join: attach to every left row the single right row that
     is nearest in ``on`` — at-or-before it (``backward``, the default),
@@ -80,6 +81,12 @@ def asof_join(
     ``on`` cast to double, so integer timestamps beyond 2**53 (e.g.
     epoch-ns int64) lose ordering/tolerance precision; the matched
     timestamp itself is re-emitted at its original dtype.
+
+    Each ``by`` key's rows (BOTH sides) sort inside one window partition
+    (bound ~10⁹ rows/key — the documented celebrity-key cliff); opt-in
+    ``max_rows_per_key`` counts the union per key and raises before the
+    sort naming the hot keys (see
+    :func:`tape_spark.utils.keys.assert_max_rows_per_key`).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -93,6 +100,15 @@ def asof_join(
             "partition — a single-task sort at scale. Pass `by` keys for "
             "any large input.",
             stacklevel=2,
+        )
+    if max_rows_per_key is not None:
+        from ..utils.keys import assert_max_rows_per_key
+
+        assert_max_rows_per_key(
+            left.select(*by).unionByName(right.select(*by)),
+            by,
+            max_rows_per_key,
+            "asof_join",
         )
     # a NULL right timestamp has no position on the axis; under the
     # default asc-nulls-first ordering it would otherwise sort before

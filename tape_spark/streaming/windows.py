@@ -141,11 +141,20 @@ def sessionize(
     ts_col: str = "t",
     gap_seconds: float = 1800.0,
     order_cols: Optional[List[str]] = None,
+    max_rows_per_key: Optional[int] = None,
 ) -> DataFrame:
     """Batch sessionization over an epoch-seconds column: per user, a gap
     greater than ``gap_seconds`` starts a new session. Returns per-user
     session and event counts (the batch analog of
-    :func:`session_window_agg`, usable when time is a plain double)."""
+    :func:`session_window_agg`, usable when time is a plain double).
+
+    Each user's events sort inside one window partition (bound ~10⁹
+    events/key — the documented celebrity-key cliff); opt-in
+    ``max_rows_per_key`` raises before the sort naming the hot users
+    (see :func:`tape_spark.utils.keys.assert_max_rows_per_key`)."""
+    from ..utils.keys import assert_max_rows_per_key
+
+    assert_max_rows_per_key(df, [user_col], max_rows_per_key, "sessionize")
     w = Window.partitionBy(user_col).orderBy(*( [ts_col] + (order_cols or []) ))
     lag = F.lag(ts_col).over(w)
     flagged = df.withColumn(

@@ -766,3 +766,26 @@ def test_left_outer_duplicate_left_rows_survive(spark):
     ).toPandas()
     assert len(o2) == 3
     assert o2[o2.ls == 5.0]["lab"].tolist() == ["lab", "lab"]
+
+
+def test_asof_join_max_rows_per_key_guard(spark):
+    """Opt-in celebrity-key guard: a key whose UNION rows exceed the
+    bound must raise naming the key BEFORE the window sort; under the
+    bound the result is unchanged; validation errors are explicit."""
+    from tape_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(u, float(t), f"l{t}") for u in (1, 2) for t in range(10)],
+        "user long, t double, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, float(t) + 0.5, t) for t in range(40)] + [(2, 1.5, 99)],
+        "user long, t double, rv long",
+    )
+    with pytest.raises(ValueError, match="user=1.*50 rows"):
+        asof_join(left, right, on="t", by="user", max_rows_per_key=30).collect()
+    ok = asof_join(left, right, on="t", by="user", max_rows_per_key=1000)
+    base = asof_join(left, right, on="t", by="user")
+    assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, base.collect()))
+    with pytest.raises(ValueError, match="must be positive"):
+        asof_join(left, right, on="t", by="user", max_rows_per_key=0)

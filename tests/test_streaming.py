@@ -696,3 +696,51 @@ def test_minhash_store_validations(spark, tmp_path):
         minhash_match_batch(corpus, store, corpus_id_col="doc_id")
     with pytest.raises(ValueError, match="distinct corpus_id_col"):
         stream_minhash_matches(corpus, sigs, id_col="doc_id", corpus_id_col="doc_id")
+
+
+def test_sessionize_max_rows_per_key_guard(spark):
+    from tape_spark.streaming import sessionize
+
+    ev = spark.createDataFrame(
+        [(7, float(i)) for i in range(100)] + [(8, 1.0)],
+        "user_id long, t double",
+    )
+    with pytest.raises(ValueError, match="user_id=7.*100 rows"):
+        sessionize(ev, max_rows_per_key=50)
+    out = sessionize(ev, max_rows_per_key=500).collect()
+    assert {(r.user_id, r.n_events) for r in out} == {(7, 100), (8, 1)}
+
+
+def test_minhash_compact_store_preserves_matches(spark, tmp_path):
+    import glob
+    import os
+
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_append_store,
+        minhash_compact_store,
+        minhash_match_batch,
+        minhash_save_store,
+    )
+
+    corpus_rows, corpus = _neardup_corpus(spark)
+    store = str(tmp_path / "nd_compact")
+    minhash_save_store(
+        minhash_signatures(corpus.filter("doc_id < 104")), store,
+        num_entry_buckets=8, num_sig_buckets=4,
+    )
+    minhash_append_store(corpus.filter("doc_id >= 104 and doc_id < 106"), store)
+    minhash_append_store(corpus.filter("doc_id >= 106"), store)
+    probe = spark.createDataFrame(
+        [(i, corpus_rows[i][1] + " tail") for i in range(8)],
+        "doc_id long, text string",
+    )
+    before = sorted(tuple(r) for r in minhash_match_batch(probe, store, threshold=0.3).collect())
+    assert {r[1] for r in before} >= {100, 104, 107}  # spans all generations
+    minhash_compact_store(spark, store)
+    after = sorted(tuple(r) for r in minhash_match_batch(probe, store, threshold=0.3).collect())
+    assert after == before
+    for sub, part in (("entries", "pbucket"), ("sigs", "sbucket")):
+        for d in glob.glob(f"{store}/{sub}/{part}=*"):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, d
