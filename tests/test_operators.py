@@ -1550,3 +1550,38 @@ def test_chunk_documents_cdc_properties(spark):
         chunk_documents_cdc(docs, target_tokens=1)
     with _pytest.raises(ValueError, match="max_tokens"):
         chunk_documents_cdc(docs, target_tokens=8, max_tokens=4)
+
+
+def test_chunk_documents_cdc_arrow_draw_identical(spark):
+    """draw='md5_arrow' must cut EXACTLY the boundaries of the pure-SQL
+    md5 mode — same chunks, same content-addressed ids — on realistic,
+    repeated-token, empty and NULL documents (the memo path, the
+    boundary-at-last-token path, and the no-token path)."""
+    from tape_spark.operators import chunk_documents_cdc
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 20),
+        (2, "alpha beta gamma " * 50),
+        (3, ""),
+        (4, None),
+        (5, " ".join(f"tok{i}" for i in range(300))),
+        (6, "single"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(mode):
+        return sorted(
+            tuple(r)
+            for r in chunk_documents_cdc(
+                docs, target_tokens=8, max_tokens=32, draw=mode
+            ).collect()
+        )
+
+    a = run("md5")
+    b = run("md5_arrow")
+    assert a == b and len(a) > 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="md5|md5_arrow"):
+        chunk_documents_cdc(docs, draw="sha1")
