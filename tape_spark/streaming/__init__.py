@@ -8,6 +8,7 @@ over batch DataFrames and streams (`readStream` + watermark), for the
 
 from .neardup import (
     minhash_append_store,
+    minhash_compact_store,
     minhash_match_batch,
     minhash_match_foreach_batch,
     minhash_save_store,
@@ -33,6 +34,7 @@ __all__ = [
     "stream_minhash_matches",
     "minhash_save_store",
     "minhash_append_store",
+    "minhash_compact_store",
     "minhash_match_batch",
     "minhash_match_foreach_batch",
     "running_stats",

@@ -522,3 +522,23 @@ def minhash_match_foreach_batch(
                 frame.unpersist()
 
     return _fn
+
+
+def minhash_compact_store(spark, path: str) -> dict:
+    """Compact a near-dup store after appends: every
+    :func:`minhash_append_store` / ``append_arrivals`` trigger adds one
+    file per touched partition on BOTH tables, and a pruned match then
+    opens every generation's footers. Rewrites entries as one file per
+    ``pbucket`` (sorted by (band, bucket) — the probe keys — for
+    row-group locality) and signatures as one file per ``sbucket``.
+    Matches are bit-identical before/after (pure row unions; asserted in
+    tests). Returns the per-table file counts removed."""
+    from ..utils.io import compact_partitioned_parquet
+
+    n_entries = compact_partitioned_parquet(
+        spark, f"{path}/entries", "pbucket", sort_cols=["band", "bucket"]
+    )
+    n_sigs = compact_partitioned_parquet(
+        spark, f"{path}/sigs", "sbucket", sort_cols=["corpus_id"]
+    )
+    return {"entries_files_before": n_entries, "sigs_files_before": n_sigs}

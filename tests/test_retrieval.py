@@ -419,3 +419,39 @@ def test_indexed_bm25_append_equals_rebuild(spark, docs_df, tmp_path):
         # corrupt the saved stats the same way, then append
         bad_stats.write.mode("overwrite").parquet(f"{path}/stats")
         bm25_append_index(delta, path)
+
+
+def test_bm25_compact_index_preserves_queries(spark, docs_df, tmp_path):
+    """Append several batches, compact, and assert (a) queries are
+    bit-identical before/after, (b) each tbucket partition holds ONE
+    file after, (c) stats fold to one summed row."""
+    import glob
+    import os
+
+    from tape_spark.operators import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_compact_index,
+        bm25_load_index,
+        bm25_save_index,
+        bm25_topk_indexed,
+    )
+
+    half = docs_df.filter("doc_id % 3 = 0")
+    p, s = bm25_build_index(half, num_term_buckets=8)
+    path = str(tmp_path / "bmidx")
+    bm25_save_index(p, s, path)
+    for m in (1, 2):
+        bm25_append_index(docs_df.filter(f"doc_id % 3 = {m}"), path)
+    queries = [("q1", "the quick brown"), ("q2", "fox jumps")]
+    p2, s2 = bm25_load_index(spark, path)
+    before = sorted(tuple(r) for r in bm25_topk_indexed(p2, s2, queries, k=5).collect())
+    info = bm25_compact_index(spark, path)
+    assert info["stats_rows_before"] == 3
+    p3, s3 = bm25_load_index(spark, path)
+    after = sorted(tuple(r) for r in bm25_topk_indexed(p3, s3, queries, k=5).collect())
+    assert after == before and before
+    assert s3.count() == 1
+    for d in glob.glob(f"{path}/postings/tbucket=*"):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
