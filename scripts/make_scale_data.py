@@ -31,6 +31,17 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.benchdata/sf1"
 REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
+# optional comma-separated table subset (e.g. SCALE_TABLES=documents,events)
+# — a probe that only replays events need not pay the 600M-row lineitem
+# explode. Parts are resumable per table, so the filter composes with a
+# later unfiltered run against the same OUT.
+TABLES = {
+    t.strip()
+    for t in os.environ.get(
+        "SCALE_TABLES", "lineitem,documents,events,embeddings"
+    ).split(",")
+    if t.strip()
+}
 # batch sizes participate in part-file naming (parts encode only their
 # starting replica), so they belong to the resume grid: changing either
 # must wipe, same as changing REPLICAS
@@ -112,56 +123,63 @@ def copy_batched(select_fmt: str, out_name: str, batch: int = BATCH) -> None:
     print(out_name, "done")
 
 
-copy_batched(
-    f"""SELECT * REPLACE (l_orderkey + r.k * 150000 AS l_orderkey)
-        FROM '{SRC}/lineitem.parquet', UNNEST(range({{LO}}, {{HI}})) r(k)""",
-    "lineitem.parquet",
-)
+if "lineitem" in TABLES:
+    copy_batched(
+        f"""SELECT * REPLACE (l_orderkey + r.k * 150000 AS l_orderkey)
+            FROM '{SRC}/lineitem.parquet', UNNEST(range({{LO}}, {{HI}})) r(k)""",
+        "lineitem.parquet",
+    )
 
 # the per-token explode is REPLICAS x corpus-tokens rows; generate in
 # replica batches so 100x runs stay in bounded memory. The output is a
 # directory of parquet parts — both Spark and DuckDB glob it natively.
-doc_out = f"{OUT}/documents.parquet"
-# clear a single-file previous output; stale EXTRA parts from a larger
-# prior run are removed below (parts within range are kept for resume)
-if os.path.isfile(doc_out):
-    os.remove(doc_out)
-os.makedirs(doc_out, exist_ok=True)
-expected = {f"part-{lo:05d}.parquet" for lo in range(0, REPLICAS, DOC_BATCH)}
-for stale in set(os.listdir(doc_out)) - expected:
-    os.remove(os.path.join(doc_out, stale))  # incl. .inprogress leftovers
-for lo in range(0, REPLICAS, DOC_BATCH):
-    hi = min(lo + DOC_BATCH, REPLICAS)
-    if os.path.exists(f"{doc_out}/part-{lo:05d}.parquet"):
-        continue
-    _doc_tmp = f"{doc_out}/part-{lo:05d}.parquet.inprogress"
-    fresh_con().sql(f"""
-    COPY (
-      WITH tok AS (
-        SELECT doc_id, lang, source, n_chars,
-               regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w
-        FROM '{SRC}/documents.parquet'
-      ),
-      expl AS (
-        SELECT doc_id, r.k, lang, source, n_chars,
-               w[CAST(t.i AS BIGINT) + 1] AS tok_w,
-               hash(doc_id * 1000003 + r.k * 7919 + t.i) AS h
-        FROM tok, UNNEST(range({lo}, {hi})) r(k), UNNEST(range(0, len(w))) t(i)
-      )
-      SELECT doc_id + k * 5000 AS doc_id,
-             string_agg(tok_w, ' ' ORDER BY h, tok_w) AS text,
-             any_value(lang) AS lang,
-             any_value(source) AS source,
-             any_value(n_chars) AS n_chars
-      FROM expl GROUP BY doc_id + k * 5000
-    ) TO '{_doc_tmp}' (FORMAT PARQUET)
-    """)
-    os.replace(_doc_tmp, f"{doc_out}/part-{lo:05d}.parquet")
-    print(f"documents replicas [{lo}, {hi}) done")
-print("documents done")
+def _make_documents():
+    doc_out = f"{OUT}/documents.parquet"
+    # clear a single-file previous output; stale EXTRA parts from a larger
+    # prior run are removed below (parts within range are kept for resume)
+    if os.path.isfile(doc_out):
+        os.remove(doc_out)
+    os.makedirs(doc_out, exist_ok=True)
+    expected = {f"part-{lo:05d}.parquet" for lo in range(0, REPLICAS, DOC_BATCH)}
+    for stale in set(os.listdir(doc_out)) - expected:
+        os.remove(os.path.join(doc_out, stale))  # incl. .inprogress leftovers
+    for lo in range(0, REPLICAS, DOC_BATCH):
+        hi = min(lo + DOC_BATCH, REPLICAS)
+        if os.path.exists(f"{doc_out}/part-{lo:05d}.parquet"):
+            continue
+        _doc_tmp = f"{doc_out}/part-{lo:05d}.parquet.inprogress"
+        fresh_con().sql(f"""
+        COPY (
+          WITH tok AS (
+            SELECT doc_id, lang, source, n_chars,
+                   regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS w
+            FROM '{SRC}/documents.parquet'
+          ),
+          expl AS (
+            SELECT doc_id, r.k, lang, source, n_chars,
+                   w[CAST(t.i AS BIGINT) + 1] AS tok_w,
+                   hash(doc_id * 1000003 + r.k * 7919 + t.i) AS h
+            FROM tok, UNNEST(range({lo}, {hi})) r(k), UNNEST(range(0, len(w))) t(i)
+          )
+          SELECT doc_id + k * 5000 AS doc_id,
+                 string_agg(tok_w, ' ' ORDER BY h, tok_w) AS text,
+                 any_value(lang) AS lang,
+                 any_value(source) AS source,
+                 any_value(n_chars) AS n_chars
+          FROM expl GROUP BY doc_id + k * 5000
+        ) TO '{_doc_tmp}' (FORMAT PARQUET)
+        """)
+        os.replace(_doc_tmp, f"{doc_out}/part-{lo:05d}.parquet")
+        print(f"documents replicas [{lo}, {hi}) done")
+    print("documents done")
 
-copy_batched(
-    f"""SELECT event_id + r.k * 100000 AS event_id,
+
+if "documents" in TABLES:
+    _make_documents()
+
+if "events" in TABLES:
+    copy_batched(
+        f"""SELECT event_id + r.k * 100000 AS event_id,
                ts + to_days(CAST(r.k * 30 AS INTEGER)) AS ts,
                user_id + r.k * 1500 AS user_id,
                event_type, value, props
@@ -169,15 +187,18 @@ copy_batched(
     "events.parquet",
 )
 
-con.sql(f"""
-COPY (
-  SELECT * REPLACE (vec_id + r.k * 2000 AS vec_id)
-  FROM '{SRC}/embeddings.parquet', UNNEST(range(0, {REPLICAS})) r(k)
-) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
-""")
-print("embeddings done")
+if "embeddings" in TABLES:
+    con.sql(f"""
+    COPY (
+      SELECT * REPLACE (vec_id + r.k * 2000 AS vec_id)
+      FROM '{SRC}/embeddings.parquet', UNNEST(range(0, {REPLICAS})) r(k)
+    ) TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    print("embeddings done")
 
 for t in ("lineitem", "documents", "events", "embeddings"):
+    if t not in TABLES:
+        continue
     p = f"{OUT}/{t}.parquet"
     glob = f"{p}/*.parquet" if os.path.isdir(p) else p
     n = con.sql(f"SELECT count(*) FROM '{glob}'").fetchone()[0]

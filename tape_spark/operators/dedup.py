@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# set by minhash_near_duplicates(join_mode='auto') on every decision —
+# an observability hook for probes/tests (which shape was picked, from
+# what measured volumes), not a public API
+_LAST_AUTO_DECISION: Optional[dict] = None
+
 
 def _guarded_toks_sql(text_col: str) -> str:
     """The ONE whitespace tokenizer the span family shares: NULL /
@@ -646,6 +651,19 @@ def minhash_near_duplicates(
             n_docs * bands * 16 + 2 * n_docs * sig_bytes + cand * (16 + sig_bytes)
         )
         join_mode = "slim" if slim_vol < fused_vol else "fused"
+        # observability hook (module-level, last call wins): probes and the
+        # A/B harness need to know WHICH shape auto picked and from what
+        # measured volumes, without parsing logs or re-running the
+        # measurement pass. Not a public API.
+        global _LAST_AUTO_DECISION
+        _LAST_AUTO_DECISION = {
+            "picked": join_mode,
+            "candidate_pairs": cand,
+            "n_docs": n_docs,
+            "sig_bytes": sig_bytes,
+            "fused_vol_bytes": fused_vol,
+            "slim_vol_bytes": slim_vol,
+        }
     if measured_cache is not None:
         measured_cache.unpersist()
     band_expr = _band_struct_expr(bands, rows_per_band)

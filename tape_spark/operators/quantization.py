@@ -598,8 +598,13 @@ def ivfpq_save_index(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    encoded.write.partitionBy("cluster").mode("overwrite").parquet(
-        f"{path}/encoded"
+    # one file per cluster partition (repartition on the partition
+    # column; without it every task writes into every cluster dir)
+    (
+        encoded.repartition(F.col("cluster"))
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(f"{path}/encoded")
     )
     coarse = np.ascontiguousarray(np.asarray(coarse_centroids, dtype=np.float64))
     books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
@@ -645,9 +650,13 @@ def ivfpq_append_index(
     data degrades."""
     spark = new_vectors.sparkSession
     _, coarse, books = ivfpq_load_index(spark, path)
-    ivfpq_encode(new_vectors, coarse, books, vec_col=vec_col, id_col=id_col).write.partitionBy(
-        "cluster"
-    ).mode("append").parquet(f"{path}/encoded")
+    (
+        ivfpq_encode(new_vectors, coarse, books, vec_col=vec_col, id_col=id_col)
+        .repartition(F.col("cluster"))
+        .write.partitionBy("cluster")
+        .mode("append")
+        .parquet(f"{path}/encoded")
+    )
 
 
 def ivfpq_compact_index(spark, path: str) -> dict:

@@ -341,8 +341,16 @@ def bm25_save_index(postings: DataFrame, stats: DataFrame, path: str) -> None:
     table. Stats are APPEND-ONLY rows — readers sum ``n``/``sumdl``
     across rows — which is what makes :func:`bm25_append_index` two
     plain appends instead of a read-modify-write."""
-    postings.write.partitionBy("tbucket").mode("overwrite").parquet(
-        f"{path}/postings"
+    # one file per tbucket (repartition on the partition column —
+    # without it every upstream task writes into every bucket dir:
+    # tasks x buckets files), sorted by term so a pruned query skips
+    # row groups within the bucket too
+    (
+        postings.repartition(F.col("tbucket"))
+        .sortWithinPartitions("term")
+        .write.partitionBy("tbucket")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
     )
     stats.write.mode("overwrite").parquet(f"{path}/stats")
 
@@ -393,8 +401,14 @@ def bm25_append_index(
     # stats BEFORE postings — see the recovery contract in the docstring
     if not stats_written:
         stats.write.mode("append").parquet(f"{path}/stats")
-    postings.write.partitionBy("tbucket").mode("append").parquet(
-        f"{path}/postings"
+    # one file per TOUCHED tbucket per append (same convention as the
+    # initial save; bm25_compact_index folds the per-append generations)
+    (
+        postings.repartition(F.col("tbucket"))
+        .sortWithinPartitions("term")
+        .write.partitionBy("tbucket")
+        .mode("append")
+        .parquet(f"{path}/postings")
     )
 
 

@@ -230,6 +230,26 @@ def _sig_rows(sigs: DataFrame, id_col: str, num_sig_buckets: int) -> DataFrame:
     )
 
 
+
+def _write_partitioned(df: DataFrame, part_col: str, sort_cols, path: str,
+                       mode: str) -> None:
+    """One file per touched partition value per write: without the
+    repartition, EVERY upstream task writes into EVERY partition dir it
+    holds rows for (tasks x partitions files — the smoke probe measured
+    ~3.5k files from one 64-task save), and a pruned read then opens all
+    of them. The narrow extra shuffle at write time is the standing
+    convention of the append-able indexes (see utils/io.py); the
+    within-partition sort keeps the probe keys row-group-contiguous so
+    a pruned read skips row groups, not just files."""
+    (
+        df.repartition(F.col(part_col))
+        .sortWithinPartitions(*sort_cols)
+        .write.partitionBy(part_col)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
 def minhash_save_store(
     signatures: DataFrame,
     path: str,
@@ -282,10 +302,14 @@ def minhash_save_store(
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     sigs = signatures.select(F.col(other[0]).alias("corpus_id"), "signature")
-    _entry_rows(sigs, "corpus_id", bands, num_hashes // bands, num_entry_buckets) \
-        .write.partitionBy("pbucket").mode("overwrite").parquet(f"{path}/entries")
-    _sig_rows(sigs, "corpus_id", num_sig_buckets) \
-        .write.partitionBy("sbucket").mode("overwrite").parquet(f"{path}/sigs")
+    _write_partitioned(
+        _entry_rows(sigs, "corpus_id", bands, num_hashes // bands, num_entry_buckets),
+        "pbucket", ["band", "bucket"], f"{path}/entries", "overwrite",
+    )
+    _write_partitioned(
+        _sig_rows(sigs, "corpus_id", num_sig_buckets),
+        "sbucket", ["corpus_id"], f"{path}/sigs", "overwrite",
+    )
     spark = signatures.sparkSession
     meta = spark.createDataFrame(
         [(num_hashes, signature_bits, int(bands), int(num_entry_buckets),
@@ -348,11 +372,16 @@ def minhash_append_store(
     # sigs first: an entries row whose signature row is missing would
     # produce candidates that verify against NULL (dropped pairs); a
     # signature row with no entries is simply unreachable until retry.
-    _sig_rows(sigs, "corpus_id", meta["num_sig_buckets"]) \
-        .write.partitionBy("sbucket").mode("append").parquet(f"{path}/sigs")
-    _entry_rows(sigs, "corpus_id", meta["bands"],
-                meta["num_hashes"] // meta["bands"], meta["num_entry_buckets"]) \
-        .write.partitionBy("pbucket").mode("append").parquet(f"{path}/entries")
+    _write_partitioned(
+        _sig_rows(sigs, "corpus_id", meta["num_sig_buckets"]),
+        "sbucket", ["corpus_id"], f"{path}/sigs", "append",
+    )
+    _write_partitioned(
+        _entry_rows(sigs, "corpus_id", meta["bands"],
+                    meta["num_hashes"] // meta["bands"],
+                    meta["num_entry_buckets"]),
+        "pbucket", ["band", "bucket"], f"{path}/entries", "append",
+    )
 
 
 def minhash_match_batch(
@@ -509,14 +538,16 @@ def minhash_match_foreach_batch(
                 renamed = sigs.select(
                     F.col(id_col).alias("corpus_id"), "signature"
                 )
-                _sig_rows(renamed, "corpus_id", meta["num_sig_buckets"]) \
-                    .write.partitionBy("sbucket").mode("append") \
-                    .parquet(f"{path}/sigs")
-                _entry_rows(renamed, "corpus_id", meta["bands"],
-                            meta["num_hashes"] // meta["bands"],
-                            meta["num_entry_buckets"]) \
-                    .write.partitionBy("pbucket").mode("append") \
-                    .parquet(f"{path}/entries")
+                _write_partitioned(
+                    _sig_rows(renamed, "corpus_id", meta["num_sig_buckets"]),
+                    "sbucket", ["corpus_id"], f"{path}/sigs", "append",
+                )
+                _write_partitioned(
+                    _entry_rows(renamed, "corpus_id", meta["bands"],
+                                meta["num_hashes"] // meta["bands"],
+                                meta["num_entry_buckets"]),
+                    "pbucket", ["band", "bucket"], f"{path}/entries", "append",
+                )
         finally:
             for frame in caches:
                 frame.unpersist()

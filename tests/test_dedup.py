@@ -185,6 +185,15 @@ def test_minhash_auto_join_mode(spark):
     want = {(a, b) for a in range(60) for b in range(a + 1, 60)}
     got = {(r[0], r[1]) for r in pairs(hot, "auto")}
     assert got == want
+    # the decision hook must record the fused pick (C ~ 16*C(60,2) makes
+    # slim's candidate term dominate) with the measured volumes
+    from tape_spark.operators import dedup as _dedup
+
+    dec = _dedup._LAST_AUTO_DECISION
+    assert dec is not None and dec["picked"] == "fused"
+    assert dec["candidate_pairs"] == 16 * 60 * 59 // 2
+    assert dec["n_docs"] == 60
+    assert dec["slim_vol_bytes"] > dec["fused_vol_bytes"]
 
 
 def test_connected_components_raises_when_not_converged(spark):
