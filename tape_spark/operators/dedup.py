@@ -537,9 +537,14 @@ def minhash_near_duplicates(
     - ``'auto'``: measure instead of guess — one narrow counting pass
       over the (capped) band entries computes the exact candidate-pair
       count, then both shapes' shuffle-byte volumes are compared
-      directly (fused: entries x (key + sig); slim: slim entries + two
-      signature tables + candidates x (key + sig)) and the cheaper one
-      runs. Costs one extra (band, bucket) aggregation — and a scan of
+      (fused: entries x (key + sig); slim: slim entries + two
+      signature tables + candidates x (key + sig)) with a fitted
+      per-byte cost ratio: fused's bytes are wide-row sort-merge bytes
+      and measured ~6.6x more expensive per byte than slim's narrow
+      entries (r12 interleaved A/B, docs/SCALING.md), so slim runs
+      until its volume exceeds ~6x fused's — the regime where slim's
+      candidate spill is also the disk hazard the fused shape exists to
+      avoid. Costs one extra (band, bucket) aggregation — and a scan of
       a caller-provided ``signatures`` frame, so persist it — in
       exchange for never paying the ~10x disk penalty of the wrong
       shape.
@@ -650,7 +655,22 @@ def minhash_near_duplicates(
         slim_vol = (
             n_docs * bands * 16 + 2 * n_docs * sig_bytes + cand * (16 + sig_bytes)
         )
-        join_mode = "slim" if slim_vol < fused_vol else "fused"
+        # The two volumes are NOT like-for-like bytes: fused's are
+        # wide-row bytes through a sort-merge exchange (each band entry
+        # carries the signature through sort + join), slim's are
+        # mostly narrow 16-byte entries plus candidate rows. The r12
+        # interleaved A/B (docs/SCALING.md "auto join-mode") measured
+        # fused at ~6.6x the wall-clock cost PER MODELED BYTE (1 M Zipf
+        # docs + 2k boilerplate: fused 4.35 GB -> 85-88 s, slim
+        # 10.1 GB -> 30-31 s), so a raw byte comparison flips to fused
+        # far too early. The fitted ratio below keeps slim until its
+        # volume exceeds ~6x fused's — which re-checks correctly against
+        # BOTH measured anchors: the r12 boilerplate point (slim 2.3x
+        # fused's bytes, slim 2.9x faster -> slim) and the r11 DNF point
+        # (C=7.4e8 at 5 M docs: slim ~2.0e11 B > 6x2.2e10 B -> fused,
+        # where slim genuinely exhausted local disk).
+        _SLIM_COST_RATIO = 6.0
+        join_mode = "slim" if slim_vol < _SLIM_COST_RATIO * fused_vol else "fused"
         # observability hook (module-level, last call wins): probes and the
         # A/B harness need to know WHICH shape auto picked and from what
         # measured volumes, without parsing logs or re-running the
@@ -663,6 +683,7 @@ def minhash_near_duplicates(
             "sig_bytes": sig_bytes,
             "fused_vol_bytes": fused_vol,
             "slim_vol_bytes": slim_vol,
+            "slim_cost_ratio": _SLIM_COST_RATIO,
         }
     if measured_cache is not None:
         measured_cache.unpersist()

@@ -486,9 +486,24 @@ def ivfpq_cosine_topk(
     # the base corpus) — an inner join would silently drop those
     # candidates from the top-k. The guard is fused into the score
     # expression (no extra job) and fails the query naming the id.
+    #
+    # Join shape matters: a LeftOuter broadcast-hash join can only BUILD
+    # the right side, so hinting broadcast on the (left) shortlist is
+    # ignored and Spark falls back to shuffling the ENTIRE raw-vector
+    # corpus per query batch. Instead the corpus is first semi-joined
+    # down to the shortlist's ids (broadcast build = the tiny id set,
+    # corpus stays a pure scan), and that ≤|shortlist| slice is the
+    # BROADCAST RIGHT side of the outer join — both joins exchange-free
+    # on the corpus. The shortlist is persisted because it now backs two
+    # plan legs (the semi-probe build and the outer-join stream side);
+    # it is bounded at |queries| × n_short rows.
+    short = short.persist()
+    covered = vecs.join(
+        F.broadcast(short.select("corpus_id").distinct()), "corpus_id", "left_semi"
+    )
     joined = (
-        F.broadcast(short.select("query_id", "corpus_id"))
-        .join(vecs, "corpus_id", "left")
+        short.select("query_id", "corpus_id")
+        .join(F.broadcast(covered), "corpus_id", "left")
         .withColumn("__q", qlit[F.col("query_id")])
     )
     dot = F.aggregate(
@@ -598,14 +613,10 @@ def ivfpq_save_index(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # one file per cluster partition (repartition on the partition
-    # column; without it every task writes into every cluster dir)
-    (
-        encoded.repartition(F.col("cluster"))
-        .write.partitionBy("cluster")
-        .mode("overwrite")
-        .parquet(f"{path}/encoded")
-    )
+    from ..utils.io import write_partitioned_single_file
+
+    write_partitioned_single_file(encoded, "cluster", None, f"{path}/encoded",
+                                  "overwrite")
     coarse = np.ascontiguousarray(np.asarray(coarse_centroids, dtype=np.float64))
     books = np.ascontiguousarray(np.asarray(codebooks, dtype=np.float64))
     pq.write_table(
@@ -650,12 +661,11 @@ def ivfpq_append_index(
     data degrades."""
     spark = new_vectors.sparkSession
     _, coarse, books = ivfpq_load_index(spark, path)
-    (
-        ivfpq_encode(new_vectors, coarse, books, vec_col=vec_col, id_col=id_col)
-        .repartition(F.col("cluster"))
-        .write.partitionBy("cluster")
-        .mode("append")
-        .parquet(f"{path}/encoded")
+    from ..utils.io import write_partitioned_single_file
+
+    write_partitioned_single_file(
+        ivfpq_encode(new_vectors, coarse, books, vec_col=vec_col, id_col=id_col),
+        "cluster", None, f"{path}/encoded", "append",
     )
 
 

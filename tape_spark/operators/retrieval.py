@@ -341,18 +341,28 @@ def bm25_save_index(postings: DataFrame, stats: DataFrame, path: str) -> None:
     table. Stats are APPEND-ONLY rows — readers sum ``n``/``sumdl``
     across rows — which is what makes :func:`bm25_append_index` two
     plain appends instead of a read-modify-write."""
-    # one file per tbucket (repartition on the partition column —
-    # without it every upstream task writes into every bucket dir:
-    # tasks x buckets files), sorted by term so a pruned query skips
-    # row groups within the bucket too
-    (
-        postings.repartition(F.col("tbucket"))
-        .sortWithinPartitions("term")
-        .write.partitionBy("tbucket")
-        .mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
+    from ..utils.io import write_partitioned_single_file
+
+    # one file per tbucket, sorted by term so a pruned query skips row
+    # groups within the bucket too
+    write_partitioned_single_file(postings, "tbucket", ["term"],
+                                  f"{path}/postings", "overwrite")
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+_STATS_SCHEMA = "n long, sumdl long, num_term_buckets int, batch_id string"
+
+
+def _read_batch_markers(spark, path: str) -> set:
+    """Applied-batch ids from ``{path}/batches`` (empty if none yet)."""
+    import os as _os
+
+    if not _os.path.exists(f"{path}/batches"):
+        return set()
+    return {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{path}/batches").collect()
+    }
 
 
 def bm25_append_index(
@@ -363,6 +373,7 @@ def bm25_append_index(
     id_col: str = "doc_id",
     max_doc_tokens: Optional[int] = None,
     stats_written: bool = False,
+    batch_id: Optional[str] = None,
 ) -> None:
     """Grow a saved index with a batch of NEW documents — the warehouse
     ingestion verb. Appends the batch's postings (encoded with the
@@ -378,14 +389,32 @@ def bm25_append_index(
     FIRST. A failure between the writes then leaves a stats row whose
     postings are missing — the batch's docs count toward N/Σdl but match
     no terms, a slight idf perturbation that HEALS when the append is
-    retried with the same batch (minus the stats row, which the retry
-    must not duplicate: pass ``stats_written=True`` on retry). The
-    reverse order would leave orphaned postings counted in df but never
-    in N — permanently inconsistent with the bit-identical-to-rebuild
-    contract and unrepairable by any retry.
+    retried with the same batch. The reverse order would leave orphaned
+    postings counted in df but never in N — permanently inconsistent with
+    the bit-identical-to-rebuild contract and unrepairable by any retry.
+
+    **Pass ``batch_id`` to make the retry decision DECIDABLE.** Without
+    an identity, a caller recovering from a crash cannot tell whether the
+    stats append committed (stats rows are indistinguishable sums), so
+    the legacy ``stats_written`` flag is a guess that can itself create
+    the inconsistent state. With ``batch_id``:
+
+    - the stats row is stamped with the id, so a retry skips the stats
+      write iff the row actually landed (no guessing);
+    - a marker row is written to ``{path}/batches`` AFTER the postings
+      commit, so a retry of a fully-applied batch is a no-op;
+    - the remaining window — a crash between the postings commit and the
+      marker write — double-inserts postings on retry, the same
+      new-ids-only exposure as before but now shrunk to one commit gap.
     """
     spark = new_docs.sparkSession
-    srows = spark.read.parquet(f"{path}/stats").collect()
+    if batch_id is not None:
+        applied = _read_batch_markers(spark, path)
+        if batch_id in applied:
+            return  # fully applied; retry is a no-op
+    # explicit schema: pre-batch_id stats files lack the column and are
+    # read as NULL; plain inference could pick either file's schema
+    srows = spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()
     mods = {int(r["num_term_buckets"]) for r in srows}
     if len(mods) != 1:
         raise ValueError(
@@ -399,17 +428,22 @@ def bm25_append_index(
         max_doc_tokens=max_doc_tokens,
     )
     # stats BEFORE postings — see the recovery contract in the docstring
+    if batch_id is not None:
+        stats_written = any(r["batch_id"] == batch_id for r in srows)
+        stats = stats.withColumn("batch_id", F.lit(batch_id))
     if not stats_written:
         stats.write.mode("append").parquet(f"{path}/stats")
+    from ..utils.io import write_partitioned_single_file
+
     # one file per TOUCHED tbucket per append (same convention as the
     # initial save; bm25_compact_index folds the per-append generations)
-    (
-        postings.repartition(F.col("tbucket"))
-        .sortWithinPartitions("term")
-        .write.partitionBy("tbucket")
-        .mode("append")
-        .parquet(f"{path}/postings")
-    )
+    write_partitioned_single_file(postings, "tbucket", ["term"],
+                                  f"{path}/postings", "append")
+    if batch_id is not None:
+        # marker LAST: present == the whole append committed
+        spark.createDataFrame([(batch_id,)], "batch_id string").write.mode(
+            "append"
+        ).parquet(f"{path}/batches")
 
 
 def bm25_load_index(spark, path: str) -> Tuple[DataFrame, DataFrame]:
@@ -643,9 +677,9 @@ def bm25_compact_index(spark, path: str) -> dict:
     since-last-compact ≈ 10–20 (measured: query wall grows roughly
     linearly in files-per-partition past that; see docs/SCALING.md).
     """
-    from ..utils.io import compact_partitioned_parquet
+    from ..utils.io import atomic_replace_parquet, compact_partitioned_parquet
 
-    srows = spark.read.parquet(f"{path}/stats").collect()
+    srows = spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()
     mods = {int(r["num_term_buckets"]) for r in srows}
     if len(mods) != 1:
         raise ValueError(
@@ -664,5 +698,8 @@ def bm25_compact_index(spark, path: str) -> dict:
         ],
         "n long, sumdl long, num_term_buckets int",
     )
-    merged.write.mode("overwrite").parquet(f"{path}/stats")
+    # swap, don't overwrite-in-place: mode('overwrite') deletes the live
+    # stats dir before the new write commits — a crash in between would
+    # destroy N/Σdl permanently (they exist nowhere else)
+    atomic_replace_parquet(merged, f"{path}/stats")
     return {"postings_files_before": n_files, "stats_rows_before": len(srows)}

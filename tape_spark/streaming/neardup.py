@@ -198,6 +198,24 @@ def stream_minhash_matches(
 # ---------------------------------------------------------------------------
 
 
+def _require_integral_id(df: DataFrame, id_col: str, where: str) -> None:
+    """The store keys corpus ids as LONG (16-byte entry rows, xxhash64
+    partition buckets). A non-integral id column would be cast to NULL
+    silently — every join key NULL, every match query silently empty —
+    so refuse it loudly (the bm25 index applies the same contract to
+    doc ids)."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"{where}: id column {id_col!r} has type {dt.simpleString()}; "
+            "the near-dup store keys ids as long — cast or map to an "
+            "integral id first (a string id would cast to NULL and every "
+            "match would be silently empty)"
+        )
+
+
 def _entry_rows(sigs: DataFrame, id_col: str, bands: int, rows_per_band: int,
                 num_entry_buckets: int) -> DataFrame:
     """Explode a signature frame into slim partitioned store entries."""
@@ -233,21 +251,9 @@ def _sig_rows(sigs: DataFrame, id_col: str, num_sig_buckets: int) -> DataFrame:
 
 def _write_partitioned(df: DataFrame, part_col: str, sort_cols, path: str,
                        mode: str) -> None:
-    """One file per touched partition value per write: without the
-    repartition, EVERY upstream task writes into EVERY partition dir it
-    holds rows for (tasks x partitions files — the smoke probe measured
-    ~3.5k files from one 64-task save), and a pruned read then opens all
-    of them. The narrow extra shuffle at write time is the standing
-    convention of the append-able indexes (see utils/io.py); the
-    within-partition sort keeps the probe keys row-group-contiguous so
-    a pruned read skips row groups, not just files."""
-    (
-        df.repartition(F.col(part_col))
-        .sortWithinPartitions(*sort_cols)
-        .write.partitionBy(part_col)
-        .mode(mode)
-        .parquet(path)
-    )
+    from ..utils.io import write_partitioned_single_file
+
+    write_partitioned_single_file(df, part_col, sort_cols, path, mode)
 
 
 def minhash_save_store(
@@ -295,6 +301,7 @@ def minhash_save_store(
             f"signatures must be an (id, signature) frame; got columns "
             f"{signatures.columns}"
         )
+    _require_integral_id(signatures, other[0], "minhash_save_store")
     probe = signatures.select(F.size("signature").alias("n")).first()
     if probe is None:
         raise ValueError("cannot save an empty signature table as a store")
@@ -364,6 +371,7 @@ def minhash_append_store(
     as no-match until the sigs append lands), and a fully retried append
     double-inserts — dedup arrivals upstream or use idempotent batch ids.
     """
+    _require_integral_id(new_docs, id_col, "minhash_append_store")
     spark = new_docs.sparkSession
     meta = _load_store_meta(spark, path)
     sigs = _arrival_signatures(new_docs, meta, text_col, id_col).select(
@@ -394,6 +402,7 @@ def minhash_match_batch(
     threshold: float = 0.5,
     _arrival_sigs: Optional[DataFrame] = None,
     _cleanup: Optional[list] = None,
+    _meta: Optional[dict] = None,
 ) -> DataFrame:
     """Match ONE batch of arriving documents against a saved store with
     partition pruning on both store reads.
@@ -421,8 +430,11 @@ def minhash_match_batch(
             f"id_col and corpus_id_col are both {id_col!r}; pass a distinct "
             "corpus_id_col"
         )
+    _require_integral_id(docs, id_col, "minhash_match_batch")
     spark = docs.sparkSession
-    meta = _load_store_meta(spark, path)
+    # _meta lets the foreachBatch wrapper load the store meta ONCE per
+    # trigger instead of twice (each load is a driver-side parquet read)
+    meta = _meta if _meta is not None else _load_store_meta(spark, path)
     num_hashes = meta["num_hashes"]
     bands = meta["bands"]
     from ..operators.dedup import _est_jaccard, _position_agreements
@@ -532,6 +544,7 @@ def minhash_match_foreach_batch(
                 threshold=threshold,
                 _arrival_sigs=sigs,
                 _cleanup=caches,
+                _meta=meta,
             )
             sink(matches, batch_id)
             if append_arrivals:

@@ -25,35 +25,144 @@ import shutil
 from typing import Optional, Sequence
 
 
+def write_partitioned_single_file(
+    df,
+    part_col: str,
+    sort_cols: Optional[Sequence[str]],
+    path: str,
+    mode: str,
+) -> None:
+    """The append-able indexes' shared write convention: one file per
+    touched partition value per write. Without the repartition on the
+    partition column, EVERY upstream task writes into EVERY partition
+    dir it holds rows for (tasks × partitions files from a single save —
+    a 64-task store save measured ~3.5k files), and a pruned read then
+    opens all of them. The narrow extra shuffle at write time buys the
+    read amplification back forever; the optional within-partition sort
+    keeps the probe keys row-group-contiguous so a pruned read skips row
+    groups, not just files. Used by the BM25 postings, the IVFPQ encoded
+    table, and the near-dup store (save AND append paths), and mirrored
+    by :func:`compact_partitioned_parquet`."""
+    from pyspark.sql import functions as F
+
+    w = df.repartition(F.col(part_col))
+    if sort_cols:
+        w = w.sortWithinPartitions(*sort_cols)
+    w.write.partitionBy(part_col).mode(mode).parquet(path)
+
+
+def recover_compact_swap(dirpath: str) -> None:
+    """Repair an interrupted :func:`compact_partitioned_parquet` swap.
+
+    The swap sequence is: write ``<dir>__compact_tmp`` fully, rename the
+    live dir to ``<dir>__compact_old``, rename tmp into place, delete
+    old. A crash between the two renames leaves the live path MISSING
+    (data intact in old+tmp); a crash before any rename leaves a stale
+    tmp; a crash before the final delete leaves a stale old. All three
+    states are decidable from which directories exist, so roll forward
+    or clean up instead of failing opaquely at the next read:
+
+    - live missing, tmp present  → roll forward (tmp was complete before
+      any rename started): tmp becomes live, old is deleted.
+    - live present, old present  → the swap finished; delete stale old.
+    - live present, tmp present  → the swap never started renaming;
+      delete stale tmp (the next compaction rewrites it).
+    """
+    tmp = dirpath.rstrip("/") + "__compact_tmp"
+    old = dirpath.rstrip("/") + "__compact_old"
+    if not os.path.exists(dirpath):
+        if os.path.exists(tmp):
+            os.rename(tmp, dirpath)
+        elif os.path.exists(old):
+            # tmp already moved in and then crashed before deleting old —
+            # impossible to reach with dirpath missing unless tmp became
+            # dirpath; restore from old as the last resort
+            os.rename(old, dirpath)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
 def compact_partitioned_parquet(
     spark,
     dirpath: str,
     part_col: str,
     sort_cols: Optional[Sequence[str]] = None,
+    target_file_mb: int = 16,
 ) -> int:
     """Rewrite ``dirpath`` (a ``partitionBy(part_col)`` parquet dir) with
-    one file per partition value. Returns the number of data files
-    BEFORE compaction (so callers can log the amplification removed)."""
+    a BOUNDED number of files per partition value. Returns the number of
+    data files BEFORE compaction (so callers can log the amplification
+    removed). Crash-safe: a prior interrupted swap is repaired on entry
+    (:func:`recover_compact_swap`), and the tmp dir is fully written
+    before the first rename, so every intermediate state is recoverable.
+
+    Why not ONE file per partition: a parquet file smaller than
+    ``spark.sql.files.maxPartitionBytes`` (128 MB default) reads as ONE
+    task, so fully-fused partitions cap a pruned query's parallelism at
+    the number of partitions it touches — measured at sf100, fusing the
+    BM25 postings to one ~30-70 MB file per bucket made the 4-query mix
+    2.6× SLOWER warm (8 tasks on a 32-thread executor) even though it cut
+    1024 files to 64. Compaction's actual job is to bound the per-append
+    FILE-COUNT growth, not to minimize files, so each partition is
+    rewritten as ~``ceil(partition_bytes / target_file_mb)`` files
+    (default 16 MB — the parquet row-group convention; small enough that
+    a pruned warm read of a few partitions still fans out across an
+    executor's threads, large enough that footer cost stays negligible).
+    The
+    split salt is the hash of the probe keys (``sort_cols``), so a probe
+    key's rows land in ONE of the k files and a selective read touches
+    one file per partition — finer pruning than the fused layout, with
+    read parallelism preserved."""
+    recover_compact_swap(dirpath)
+    n_before = 0
+    bytes_before = 0
+    for root, _, files in os.walk(dirpath):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_before += 1
+                bytes_before += os.path.getsize(os.path.join(root, f))
+    part_dirs = [
+        d for d in os.listdir(dirpath)
+        if os.path.isdir(os.path.join(dirpath, d)) and d.startswith(f"{part_col}=")
+    ]
+    per_part = bytes_before / max(1, len(part_dirs))
+    k = max(1, int(per_part // (target_file_mb * 1024 * 1024)) + 1)
     from pyspark.sql import functions as F
 
-    n_before = sum(
-        1
-        for root, _, files in os.walk(dirpath)
-        for f in files
-        if f.endswith(".parquet")
-    )
     df = spark.read.parquet(dirpath)
-    # hash-repartition on the partition column: every partition value
-    # lands in exactly one task, so each partition dir gets ONE file
-    w = df.repartition(F.col(part_col))
+    tmp = dirpath.rstrip("/") + "__compact_tmp"
+    salt_cols = list(sort_cols) if sort_cols else [part_col]
+    # the seed literal matters: every index here derives part_col FROM
+    # xxhash64(sort_cols) mod B, so an unseeded xxhash64(sort_cols) mod k
+    # is CONSTANT within a partition when k divides B (same hash, smaller
+    # modulus) and the salt silently degenerates to one file — measured
+    # exactly that on the bm25 postings (tbucket = xxhash64(term) % 64)
+    w = df.repartition(
+        F.col(part_col),
+        F.pmod(F.xxhash64(F.lit("__compact_salt"), *salt_cols), F.lit(k)),
+    )
     if sort_cols:
         w = w.sortWithinPartitions(*sort_cols)
-    tmp = dirpath.rstrip("/") + "__compact_tmp"
     w.write.partitionBy(part_col).mode("overwrite").parquet(tmp)
     old = dirpath.rstrip("/") + "__compact_old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
     os.rename(dirpath, old)
     os.rename(tmp, dirpath)
     shutil.rmtree(old)
     return n_before
+
+
+def atomic_replace_parquet(df, dirpath: str) -> None:
+    """Overwrite a small parquet dir without the delete-then-write hole of
+    ``mode('overwrite')`` (which removes the live dir before the new write
+    commits — a crash in between destroys the table). Writes to
+    ``<dir>__compact_tmp`` and swaps with the same rename convention
+    :func:`recover_compact_swap` repairs."""
+    recover_compact_swap(dirpath)
+    tmp = dirpath.rstrip("/") + "__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = dirpath.rstrip("/") + "__compact_old"
+    os.rename(dirpath, old)
+    os.rename(tmp, dirpath)
+    shutil.rmtree(old)

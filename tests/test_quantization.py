@@ -400,3 +400,22 @@ def test_ivfpq_compact_index_preserves_queries(spark, corpus, tmp_path):
     for d in glob.glob(f"{path}/encoded/cluster=*"):
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, d
+
+
+def test_ivfpq_rerank_plan_never_shuffles_corpus(spark, corpus):
+    """The rerank coverage guard must not cost the broadcast: a LeftOuter
+    broadcast join can only build its RIGHT side, so the corpus slice
+    (semi-joined down to the shortlist ids) must be the broadcast build —
+    the rerank plan may not fall back to a SortMergeJoin on the corpus."""
+    rows = _clustered()
+    queries = spark.createDataFrame(
+        [(int(r[0]), r[1]) for r in rows[:3]],
+        "query_id long, embedding array<float>",
+    )
+    out = ivfpq_cosine_topk(
+        corpus, queries, k=3, num_clusters=8, nprobe=2,
+        m=M, num_centroids=32, rerank_factor=2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert out.count() > 0

@@ -455,3 +455,74 @@ def test_bm25_compact_index_preserves_queries(spark, docs_df, tmp_path):
     for d in glob.glob(f"{path}/postings/tbucket=*"):
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         assert len(files) == 1, d
+
+
+def test_bm25_append_index_batch_id_idempotent(spark, docs_df, tmp_path):
+    """With batch_id, a retry of a fully-applied append is a no-op and a
+    retry after only the stats write landed skips the duplicate stats row
+    — the recovery decision is decidable from the index itself, not a
+    caller guess."""
+    from pyspark.sql import functions as F
+
+    from tape_spark.operators import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_load_index,
+        bm25_save_index,
+        bm25_topk_indexed,
+    )
+
+    base = docs_df.filter("doc_id % 2 = 0")
+    batch = docs_df.filter("doc_id % 2 = 1")
+    p, s = bm25_build_index(base, num_term_buckets=8)
+    path = str(tmp_path / "idx")
+    bm25_save_index(p, s, path)
+    bm25_append_index(batch, path, batch_id="b1")
+    queries = [("q1", "the quick brown"), ("q2", "fox jumps")]
+
+    def snap():
+        pp, ss = bm25_load_index(spark, path)
+        return (
+            sorted(tuple(r) for r in bm25_topk_indexed(pp, ss, queries, k=5).collect()),
+            ss.count(),
+        )
+
+    want, n_stats = snap()
+    # full retry: marker present -> no-op (no duplicate stats, no duplicate postings)
+    bm25_append_index(batch, path, batch_id="b1")
+    assert snap() == (want, n_stats)
+    # simulate "stats landed, postings did not": write the stats row for a
+    # NEW batch id, then run the append with that id — the stats write must
+    # be skipped (no double count) while postings+marker land
+    _, s2 = bm25_build_index(docs_df.filter("doc_id % 7 = 3"), num_term_buckets=8)
+    s2.withColumn("batch_id", F.lit("b2")).write.mode("append").parquet(f"{path}/stats")
+    pre_stats = spark.read.parquet(f"{path}/stats").count()
+    bm25_append_index(docs_df.filter("doc_id % 7 = 3"), path, batch_id="b2")
+    assert spark.read.parquet(f"{path}/stats").count() == pre_stats
+    # and the b2 docs are now queryable: the appended index equals a rebuild
+    pp, ss = bm25_load_index(spark, path)
+    got = sorted(tuple(r) for r in bm25_topk_indexed(pp, ss, queries, k=5).collect())
+    union = base.unionByName(batch).unionByName(docs_df.filter("doc_id % 7 = 3"))
+    pr, sr = bm25_build_index(union, num_term_buckets=8)
+    want2 = sorted(tuple(r) for r in bm25_topk_indexed(pr, sr, queries, k=5).collect())
+    assert got == want2
+
+
+def test_recover_compact_swap_rolls_forward(spark, tmp_path):
+    """A crash between the two swap renames leaves the live dir missing;
+    recovery must roll the fully-written tmp forward instead of failing
+    at the next read."""
+    import os
+
+    from tape_spark.utils.io import recover_compact_swap
+
+    live = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, v string").write.parquet(live)
+    # simulate the crash window: tmp fully written, live renamed away
+    spark.read.parquet(live).write.parquet(live + "__compact_tmp")
+    os.rename(live, live + "__compact_old")
+    recover_compact_swap(live)
+    assert os.path.exists(live)
+    assert not os.path.exists(live + "__compact_old")
+    assert not os.path.exists(live + "__compact_tmp")
+    assert spark.read.parquet(live).count() == 1

@@ -744,3 +744,30 @@ def test_minhash_compact_store_preserves_matches(spark, tmp_path):
         for d in glob.glob(f"{store}/{sub}/{part}=*"):
             files = [f for f in os.listdir(d) if f.endswith(".parquet")]
             assert len(files) == 1, d
+
+
+def test_minhash_store_rejects_non_integral_ids(spark, tmp_path):
+    """String ids would cast to NULL store keys and every match would be
+    silently empty — save/append/match must refuse them loudly."""
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_append_store,
+        minhash_match_batch,
+        minhash_save_store,
+    )
+
+    str_docs = spark.createDataFrame(
+        [("doc-a", "alpha beta gamma delta"), ("doc-b", "epsilon zeta eta theta")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(TypeError, match="integral"):
+        minhash_save_store(minhash_signatures(str_docs), str(tmp_path / "s"))
+    _, corpus = _neardup_corpus(spark, n=2)
+    store = str(tmp_path / "ok")
+    minhash_save_store(
+        minhash_signatures(corpus), store, num_entry_buckets=4, num_sig_buckets=4
+    )
+    with pytest.raises(TypeError, match="integral"):
+        minhash_append_store(str_docs, store)
+    with pytest.raises(TypeError, match="integral"):
+        minhash_match_batch(str_docs, store)
