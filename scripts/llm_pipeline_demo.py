@@ -10,7 +10,8 @@ exact/near duplicates):
   -> chunk -> pack
 
 Each stage reports rows in/out and wall seconds; the end emits one JSON
-line (appended to BENCH_sf100_r11.json as phase "llm_pipeline") so the
+line (appended to the current round's BENCH_sf100_r{N}.json as phase
+"llm_pipeline") so the
 composition — not just each operator alone — has a measured artifact.
 
 Usage: python scripts/llm_pipeline_demo.py
@@ -30,7 +31,22 @@ if DEDUP_METHOD not in ("exact", "minhash"):
     # a typo must not silently run the exact path at a scale where the
     # docs say it DNFs, then mislabel the benchmark record
     raise SystemExit(f"DEMO_DEDUP_METHOD must be exact|minhash, got {DEDUP_METHOD!r}")
-OUT = os.path.join(REPO, "BENCH_sf100_r11.json")
+def _default_out():
+    """Append to the CURRENT round's sf100 artifact (highest existing
+    BENCH_sf100_r{N}.json), so re-running the demo in a later round does
+    not retro-edit a judged artifact."""
+    import glob
+    import re
+
+    best, best_n = os.path.join(REPO, "BENCH_sf100_r11.json"), 11
+    for p in glob.glob(os.path.join(REPO, "BENCH_sf100_r*.json")):
+        m = re.search(r"BENCH_sf100_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    return best
+
+
+OUT = os.environ.get("DEMO_OUT", _default_out())
 
 
 def main():

@@ -9,6 +9,7 @@ shuffle-reclaim convention). Phases close the round-11 verdict's
   python scripts/probe_sf100_r12.py cdc_ab          # ask #6 done=: CDC md5 vs md5_arrow at 5M docs, identical chunk ids
   python scripts/probe_sf100_r12.py compaction      # ask #7 done=: query wall after 16 appends, before/after compact
   python scripts/probe_sf100_r12.py celebrity_guard # ask #8 done=: max_rows_per_key raise on the 10%-hot-user frame
+  python scripts/probe_sf100_r12.py ingest_loop     # full match+append streaming-ingest loop with mid-run compaction
 
 Emits one JSON line per phase and appends to BENCH_sf100_r12.json.
 Inputs: .benchdata/sf100 (events) and .benchdata/sf100_zipf (documents)
@@ -683,6 +684,89 @@ def main():
                 100.0 * (min(walls["guarded"]) - min(walls["unguarded"]))
                 / max(min(walls["unguarded"]), 1e-9), 1,
             ),
+        })
+
+    elif phase == "ingest_loop":
+        # The FULL incremental-ingest loop the store exists for: 12
+        # triggers of 50k arriving docs, each matched against the store
+        # and THEN appended to it (append_arrivals semantics, driven via
+        # the same minhash_match_batch + minhash_append_store verbs the
+        # foreachBatch wrapper composes). The store GROWS 1M -> 1.6M docs
+        # across the run; per-trigger wall should grow only with the
+        # accumulated per-append file generations — and compacting at
+        # trigger 8 should knock the wall back down. Self-matching is the
+        # planted signal: every arrival is a near-copy of a corpus doc,
+        # and arrivals from trigger i are in the store for trigger j>i.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import minhash_signatures
+        from tape_spark.streaming import (
+            minhash_append_store,
+            minhash_compact_store,
+            minhash_match_batch,
+            minhash_save_store,
+        )
+
+        docs = spark.read.parquet(f"{ZIPF_DIR}/documents.parquet").repartition(64).persist()
+        docs.count()
+        store = f"{SCRATCH}/ingest_store"
+        if os.path.exists(store):
+            shutil.rmtree(store)
+        base = docs.filter(F.col("doc_id") < 1_000_000)
+        sigs = minhash_signatures(base, signature_bits=32)
+        minhash_save_store(sigs, store, num_entry_buckets=64, num_sig_buckets=32)
+        triggers = []
+        compact_info = None
+        for i in range(12):
+            lo = 1_000_000 + i * 50_000
+            # arrivals are near-copies of the PREVIOUS trigger's cohort
+            # (trigger 0 copies the tail of the base corpus): every
+            # trigger's matches therefore come from rows appended one
+            # trigger earlier — the cross-generation contract under test
+            arr_lo = lo - 50_000
+            arr = (
+                docs.filter(
+                    (F.col("doc_id") >= arr_lo) & (F.col("doc_id") < arr_lo + 50_000)
+                )
+                .select(
+                    (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                    F.concat("text", F.lit(" ingest tail")).alias("text"),
+                )
+                .persist()
+            )
+            arr.count()
+            caches = []
+            t0 = time.time()
+            m = minhash_match_batch(arr, store, threshold=0.5, _cleanup=caches)
+            n_matches = m.count()
+            match_secs = round(time.time() - t0, 2)
+            for c in caches:
+                c.unpersist()
+            t0 = time.time()
+            # append the ORIGINAL new docs (ids in corpus space), so later
+            # triggers can match against this trigger's cohort
+            minhash_append_store(
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50_000)),
+                store,
+            )
+            append_secs = round(time.time() - t0, 2)
+            files = sum(
+                1 for r, _, fs in os.walk(store) for f in fs if f.endswith(".parquet")
+            )
+            triggers.append({
+                "trigger": i, "store_docs": 1_000_000 + i * 50_000,
+                "matches": n_matches, "match_secs": match_secs,
+                "append_secs": append_secs, "store_files": files,
+            })
+            arr.unpersist()
+            if i == 7:
+                t0 = time.time()
+                compact_info = minhash_compact_store(spark, store)
+                compact_info["secs"] = round(time.time() - t0, 1)
+        emit(phase, {
+            "base_docs": 1_000_000, "trigger_docs": 50_000, "n_triggers": 12,
+            "compact_after_trigger": 7, "compact": compact_info,
+            "triggers": triggers,
         })
 
     else:
