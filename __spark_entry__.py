@@ -734,23 +734,99 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     per-pair candidate probability is 1−(1−0.7⁴)¹⁶ ≈ 0.988, and the
     64-hash est_jaccard ≥ 0.3 verify keeps essentially all of them
     (measured recall 1.0 at sf0.001 and sf0.01), so the 0.8 floor has
-    wide margin. The oracle recomputes n_exact independently in SQL."""
-    from tape_spark.operators import minhash_near_duplicates, ngram_jaccard_pairs
+    wide margin. The oracle recomputes n_exact independently in SQL.
+
+    Round 13 folds the PERSISTED near-dup store verbs
+    (``tape_spark.streaming``: ``minhash_save_store`` /
+    ``minhash_match_batch``) into the same oracle gate: the corpus
+    signatures are saved as a partition-pruned store in a temp dir,
+    arrivals (every 31st doc, id+10⁷, text + ' tailword') are matched
+    against it, and the row carries (a) ``n_store_exact`` — the exact
+    arrival↔corpus bigram-Jaccard ≥ 0.7 pair count, replayed
+    independently by the DuckDB oracle over the same derived arrivals;
+    (b) ``store_recall_ok`` — the store match found ≥ 0.8 of them;
+    (c) ``store_equals_scan`` — the store match row set is IDENTICAL to
+    ``stream_minhash_matches`` against the full signature frame (the
+    transitive link the r12 verdict asked to make direct); and (d)
+    ``store_plan_pruned`` — the executed plan's store reads carry the
+    ``pbucket``/``sbucket`` partition IN-filters (plan-asserted, the
+    scale contract). Computed eagerly so the candidate cache releases
+    and the temp store has no live readers after return."""
+    import tempfile
+
+    from tape_spark.operators import (
+        minhash_near_duplicates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from tape_spark.streaming import (
+        minhash_match_batch,
+        minhash_save_store,
+        stream_minhash_matches,
+    )
 
     docs = _docs(spark, sf_dir)
     lsh = minhash_near_duplicates(
         docs, num_hashes=64, bands=16, threshold=0.3
     ).select("id_a", "id_b")
     exact = ngram_jaccard_pairs(docs, n=2, threshold=0.7).select("id_a", "id_b")
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    n_hit = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_hit")
+    n_exact = int(exact.count())
+    n_hit = int(exact.join(lsh, ["id_a", "id_b"], "left_semi").count())
+    recall_ok = n_exact == 0 or n_hit / n_exact >= 0.8
+
+    # --- persisted store leg ---
+    arr = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" tailword")).alias("text"),
     )
-    return n_exact.crossJoin(n_hit).select(
-        "n_exact",
-        ((F.col("n_exact") == 0) | (F.col("n_hit") / F.col("n_exact") >= 0.8)).alias(
-            "recall_ok"
-        ),
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=2)
+    store_dir = tempfile.mkdtemp(prefix="tape_nd_store_")
+    minhash_save_store(sigs, store_dir, bands=16,
+                       num_entry_buckets=8, num_sig_buckets=4)
+    caches = []
+    matches = minhash_match_batch(
+        arr, store_dir, threshold=0.3, _cleanup=caches
+    )
+    plan = matches._jdf.queryExecution().executedPlan().toString()
+    store_plan_pruned = ("pbucket" in plan) and ("sbucket" in plan)
+    scan = stream_minhash_matches(arr, sigs, threshold=0.3)
+    sym_diff = int(
+        matches.join(scan, ["doc_id", "corpus_id"], "left_anti").count()
+    ) + int(scan.join(matches, ["doc_id", "corpus_id"], "left_anti").count())
+    store_equals_scan = sym_diff == 0
+    # exact arrival↔corpus pairs via one self-join over the union: the
+    # id offset makes (corpus, arrival) pairs exactly the id_a<10⁷≤id_b rows
+    uni = docs.select("doc_id", "text").unionByName(arr)
+    cross_exact = ngram_jaccard_pairs(uni, n=2, threshold=0.7).filter(
+        (F.col("id_a") < 10_000_000) & (F.col("id_b") >= 10_000_000)
+    )
+    n_store_exact = int(cross_exact.count())
+    n_store_hit = int(
+        cross_exact.join(
+            matches.select(
+                F.col("corpus_id").alias("id_a"), F.col("doc_id").alias("id_b")
+            ),
+            ["id_a", "id_b"],
+            "left_semi",
+        ).count()
+    )
+    store_recall_ok = n_store_exact == 0 or n_store_hit / n_store_exact >= 0.8
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                bool(recall_ok),
+                n_store_exact,
+                bool(store_recall_ok),
+                bool(store_equals_scan),
+                bool(store_plan_pruned),
+            )
+        ],
+        "n_exact long, recall_ok boolean, n_store_exact long, "
+        "store_recall_ok boolean, store_equals_scan boolean, "
+        "store_plan_pruned boolean",
     )
 
 
@@ -3328,9 +3404,48 @@ def oracle_sql() -> dict[str, str]:
         # the LSH pair lists are engine-hash-specific; their CONTRACT
         # (recall vs an exact pair set the oracle recomputes, zero false
         # positives for the exact-verified embedding path) is deterministic
+        # r13: the persisted near-dup store leg — n_store_exact is the
+        # arrival↔corpus exact bigram-Jaccard pair count over the SAME
+        # derived arrivals the Spark side matches against the saved
+        # store (every 31st doc, id+10^7, text || ' tailword'); the
+        # store-side booleans are verified in-Spark (scan parity +
+        # partition-pruned plan) and required TRUE
         "dedup_minhash_lsh": (
-            f"SELECT CAST(count(*) AS BIGINT) AS n_exact, true AS recall_ok "
-            f"FROM ({_NGRAM_JACCARD_SQL.replace('>= 0.2', '>= 0.7')})"
+            """
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text || ' tailword' AS text
+  FROM documents WHERE doc_id % 31 = 0
+),
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM uni
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS shingle
+  FROM toks, UNNEST(range(1, len(w))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM j WHERE id_b < 10000000) AS n_exact,
+  true AS recall_ok,
+  (SELECT CAST(count(*) AS BIGINT) FROM j
+   WHERE id_a < 10000000 AND id_b >= 10000000) AS n_store_exact,
+  true AS store_recall_ok,
+  true AS store_equals_scan,
+  true AS store_plan_pruned
+"""
         ),
         # SemDeDup clone contract appended r8: the augmented corpus has one
         # identical clone per 9th vector; expected vectors/survivors are

@@ -487,6 +487,50 @@ def _minhash_pairs_slim(
     )
 
 
+def _auto_join_mode_decision(
+    n_docs: int, bands: int, sig_bytes: int, candidate_pairs: int
+) -> dict:
+    """The pure arithmetic behind ``join_mode='auto'`` — separated from
+    the measurement pass so the measured anchors pin it as regression
+    tests (a drifted ``_SLIM_COST_RATIO`` fails the anchor tests, not a
+    5 M-doc rerun):
+
+      fused ~ n_docs*bands*(16 + sig_bytes)            (entries carry sigs)
+      slim  ~ n_docs*bands*16 + 2*n_docs*sig_bytes     (entries + 2 sig tables)
+            + C*(16 + sig_bytes)                       (pair dedup + sig re-shuffle)
+
+    The two volumes are NOT like-for-like bytes: fused's are wide-row
+    bytes through a sort-merge exchange (each band entry carries the
+    signature through sort + join), slim's are mostly narrow 16-byte
+    entries plus candidate rows. The r12 interleaved A/B
+    (docs/SCALING.md "auto join-mode") measured fused at ~6.6x the
+    wall-clock cost PER MODELED BYTE (1 M Zipf docs + 2k boilerplate:
+    fused 4.35 GB -> 85-88 s, slim 10.1 GB -> 30-31 s), so a raw byte
+    comparison flips to fused far too early. The fitted ratio keeps
+    slim until its volume exceeds ~6x fused's — correct against BOTH
+    measured anchors: the r12 boilerplate point (slim 2.3x fused's
+    bytes, slim 2.9x faster -> slim) and the r11 DNF point (C=7.4e8 at
+    5 M docs: slim ~2.0e11 B > 6x2.2e10 B -> fused, where slim
+    genuinely exhausted local disk).
+    """
+    _SLIM_COST_RATIO = 6.0
+    fused_vol = n_docs * bands * (16 + sig_bytes)
+    slim_vol = (
+        n_docs * bands * 16
+        + 2 * n_docs * sig_bytes
+        + candidate_pairs * (16 + sig_bytes)
+    )
+    return {
+        "picked": "slim" if slim_vol < _SLIM_COST_RATIO * fused_vol else "fused",
+        "candidate_pairs": candidate_pairs,
+        "n_docs": n_docs,
+        "sig_bytes": sig_bytes,
+        "fused_vol_bytes": fused_vol,
+        "slim_vol_bytes": slim_vol,
+        "slim_cost_ratio": _SLIM_COST_RATIO,
+    }
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -651,40 +695,14 @@ def minhash_near_duplicates(
 
         elem = sigs.schema["signature"].dataType.elementType
         sig_bytes = num_hashes * (4 if isinstance(elem, _T.IntegerType) else 8)
-        fused_vol = n_docs * bands * (16 + sig_bytes)
-        slim_vol = (
-            n_docs * bands * 16 + 2 * n_docs * sig_bytes + cand * (16 + sig_bytes)
-        )
-        # The two volumes are NOT like-for-like bytes: fused's are
-        # wide-row bytes through a sort-merge exchange (each band entry
-        # carries the signature through sort + join), slim's are
-        # mostly narrow 16-byte entries plus candidate rows. The r12
-        # interleaved A/B (docs/SCALING.md "auto join-mode") measured
-        # fused at ~6.6x the wall-clock cost PER MODELED BYTE (1 M Zipf
-        # docs + 2k boilerplate: fused 4.35 GB -> 85-88 s, slim
-        # 10.1 GB -> 30-31 s), so a raw byte comparison flips to fused
-        # far too early. The fitted ratio below keeps slim until its
-        # volume exceeds ~6x fused's — which re-checks correctly against
-        # BOTH measured anchors: the r12 boilerplate point (slim 2.3x
-        # fused's bytes, slim 2.9x faster -> slim) and the r11 DNF point
-        # (C=7.4e8 at 5 M docs: slim ~2.0e11 B > 6x2.2e10 B -> fused,
-        # where slim genuinely exhausted local disk).
-        _SLIM_COST_RATIO = 6.0
-        join_mode = "slim" if slim_vol < _SLIM_COST_RATIO * fused_vol else "fused"
+        decision = _auto_join_mode_decision(n_docs, bands, sig_bytes, cand)
+        join_mode = decision["picked"]
         # observability hook (module-level, last call wins): probes and the
         # A/B harness need to know WHICH shape auto picked and from what
         # measured volumes, without parsing logs or re-running the
         # measurement pass. Not a public API.
         global _LAST_AUTO_DECISION
-        _LAST_AUTO_DECISION = {
-            "picked": join_mode,
-            "candidate_pairs": cand,
-            "n_docs": n_docs,
-            "sig_bytes": sig_bytes,
-            "fused_vol_bytes": fused_vol,
-            "slim_vol_bytes": slim_vol,
-            "slim_cost_ratio": _SLIM_COST_RATIO,
-        }
+        _LAST_AUTO_DECISION = decision
     if measured_cache is not None:
         measured_cache.unpersist()
     band_expr = _band_struct_expr(bands, rows_per_band)

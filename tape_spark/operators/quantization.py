@@ -494,16 +494,32 @@ def ivfpq_cosine_topk(
     # down to the shortlist's ids (broadcast build = the tiny id set,
     # corpus stays a pure scan), and that ≤|shortlist| slice is the
     # BROADCAST RIGHT side of the outer join — both joins exchange-free
-    # on the corpus. The shortlist is persisted because it now backs two
-    # plan legs (the semi-probe build and the outer-join stream side);
-    # it is bounded at |queries| × n_short rows.
-    short = short.persist()
+    # on the corpus. The shortlist backs two plan legs (the semi-probe
+    # build and the outer-join stream side) and is bounded at
+    # |queries| × n_short rows, so it is materialized DRIVER-SIDE into a
+    # local relation: both legs read the local rows, nothing upstream
+    # recomputes, and no executor cache outlives the call (a persist
+    # here leaked one cached frame per rerank query for the session).
+    short_schema = short.schema
+    short_rows = short.collect()
+    short = spark.createDataFrame(short_rows, short_schema)
     covered = vecs.join(
         F.broadcast(short.select("corpus_id").distinct()), "corpus_id", "left_semi"
     )
+    # The covered slice broadcast is bounded by distinct shortlist ids ×
+    # the vector width: ≤ |queries| × n_short × dim × 8 B (plus overhead).
+    # For wide embeddings and large query batches that bound can exceed
+    # executor memory / Spark's 8 GB broadcast cap where a shuffle join
+    # would (slowly) complete — so past a conservative estimate the hint
+    # is dropped and the ≤|shortlist|-row outer join falls back to a
+    # shuffle of two small-by-contract sides.
+    dim = q_mat.shape[1]
+    est_broadcast_bytes = len({r["corpus_id"] for r in short_rows}) * dim * 8
+    if est_broadcast_bytes <= 512 * 1024 * 1024:
+        covered = F.broadcast(covered)
     joined = (
         short.select("query_id", "corpus_id")
-        .join(F.broadcast(covered), "corpus_id", "left")
+        .join(covered, "corpus_id", "left")
         .withColumn("__q", qlit[F.col("query_id")])
     )
     dot = F.aggregate(

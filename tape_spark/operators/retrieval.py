@@ -401,11 +401,13 @@ def bm25_append_index(
 
     - the stats row is stamped with the id, so a retry skips the stats
       write iff the row actually landed (no guessing);
-    - a marker row is written to ``{path}/batches`` AFTER the postings
-      commit, so a retry of a fully-applied batch is a no-op;
-    - the remaining window — a crash between the postings commit and the
-      marker write — double-inserts postings on retry, the same
-      new-ids-only exposure as before but now shrunk to one commit gap.
+    - postings land via :func:`tape_spark.utils.io.append_partitioned_batch`
+      — each data file carries a ``.batch-<id>`` name tag and a retry
+      REPLACES the batch's earlier files, so re-running the append with
+      the same batch_id converges to exactly-once (no double-insert
+      window);
+    - a marker row is written to ``{path}/batches`` LAST, so a retry of
+      a fully-applied batch is a no-op.
     """
     spark = new_docs.sparkSession
     if batch_id is not None:
@@ -433,17 +435,21 @@ def bm25_append_index(
         stats = stats.withColumn("batch_id", F.lit(batch_id))
     if not stats_written:
         stats.write.mode("append").parquet(f"{path}/stats")
-    from ..utils.io import write_partitioned_single_file
+    from ..utils.io import append_partitioned_batch, write_partitioned_single_file
 
     # one file per TOUCHED tbucket per append (same convention as the
     # initial save; bm25_compact_index folds the per-append generations)
-    write_partitioned_single_file(postings, "tbucket", ["term"],
-                                  f"{path}/postings", "append")
     if batch_id is not None:
+        # batch-tagged files: a retry replaces, never duplicates
+        append_partitioned_batch(postings, "tbucket", ["term"],
+                                 f"{path}/postings", batch_id)
         # marker LAST: present == the whole append committed
         spark.createDataFrame([(batch_id,)], "batch_id string").write.mode(
             "append"
         ).parquet(f"{path}/batches")
+    else:
+        write_partitioned_single_file(postings, "tbucket", ["term"],
+                                      f"{path}/postings", "append")
 
 
 def bm25_load_index(spark, path: str) -> Tuple[DataFrame, DataFrame]:
@@ -676,6 +682,15 @@ def bm25_compact_index(spark, path: str) -> dict:
     for the caller's ingest log. Rule of thumb: compact when appends-
     since-last-compact ≈ 10–20 (measured: query wall grows roughly
     linearly in files-per-partition past that; see docs/SCALING.md).
+
+    Refuses to run while a batched append is HALF-APPLIED (a stats row
+    stamped with a ``batch_id`` that has no marker in ``{path}/batches``):
+    folding that row into the merged stats would erase the stamp, so the
+    batch's retry could no longer see that its stats landed and would
+    append them again — permanently double-counting the batch in N/Σdl.
+    Retry (or finish) the pending append first, then compact. Markers of
+    fully-applied batches are PRESERVED, so their retries stay no-ops
+    after compaction.
     """
     from ..utils.io import atomic_replace_parquet, compact_partitioned_parquet
 
@@ -684,6 +699,22 @@ def bm25_compact_index(spark, path: str) -> dict:
     if len(mods) != 1:
         raise ValueError(
             f"index at {path!r} has inconsistent num_term_buckets {sorted(mods)}"
+        )
+    applied = _read_batch_markers(spark, path)
+    pending = sorted(
+        {
+            r["batch_id"]
+            for r in srows
+            if r["batch_id"] is not None and r["batch_id"] not in applied
+        }
+    )
+    if pending:
+        raise ValueError(
+            f"index at {path!r} has half-applied append batches {pending} "
+            "(stats row stamped, no completion marker): compacting now would "
+            "erase the stamp and a retried append would double-count the "
+            "batch in N/Σdl. Retry bm25_append_index with the same "
+            "batch_id first, then compact."
         )
     n_files = compact_partitioned_parquet(
         spark, f"{path}/postings", "tbucket", sort_cols=["term"]

@@ -351,12 +351,25 @@ def _arrival_signatures(docs: DataFrame, meta: dict, text_col: str, id_col: str)
     )
 
 
+def _read_store_markers(spark, path: str) -> set:
+    """Applied-batch ids from ``{path}/batches`` (empty if none yet)."""
+    import os as _os
+
+    if not _os.path.exists(f"{path}/batches"):
+        return set()
+    return {
+        r["batch_id"] for r in spark.read.parquet(f"{path}/batches").collect()
+    }
+
+
 def minhash_append_store(
     new_docs: DataFrame,
     path: str,
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: Optional[str] = None,
+    _sigs: Optional[DataFrame] = None,
 ) -> None:
     """Grow a saved store with NEW documents — the incremental-ingest
     verb. Signatures are built with the kernel parameters recorded in the
@@ -365,31 +378,53 @@ def minhash_append_store(
     moduli, and appended.
 
     Caller contracts mirror ``bm25_append_index``: ids must be NEW
-    (re-appending a doc makes it match itself on the next trigger), the
-    two appends are not transactional (a failure between them needs a
-    retry with the same batch — entries without signatures simply verify
-    as no-match until the sigs append lands), and a fully retried append
-    double-inserts — dedup arrivals upstream or use idempotent batch ids.
+    (re-appending a doc makes it match itself on the next trigger), and
+    without ``batch_id`` the two appends are not transactional (a
+    failure between them needs a retry with the same batch — entries
+    without signatures simply verify as no-match until the sigs append
+    lands) and a fully retried append double-inserts.
+
+    **Pass ``batch_id`` for exactly-once retries** (the streaming
+    wrapper passes the micro-batch id automatically): a fully-applied
+    batch — marker present in ``{path}/batches`` — is a no-op on retry,
+    and a half-applied one lands via
+    :func:`tape_spark.utils.io.append_partitioned_batch`, whose
+    batch-tagged files a retry REPLACES instead of duplicating. Append
+    order is still sigs before entries (an entries row whose signature
+    is missing would surface candidates that verify against NULL), and
+    the marker is written LAST.
     """
     _require_integral_id(new_docs, id_col, "minhash_append_store")
     spark = new_docs.sparkSession
+    if batch_id is not None and batch_id in _read_store_markers(spark, path):
+        return  # fully applied; retry is a no-op
     meta = _load_store_meta(spark, path)
-    sigs = _arrival_signatures(new_docs, meta, text_col, id_col).select(
-        F.col(id_col).alias("corpus_id"), "signature"
-    )
+    sigs = _sigs
+    if sigs is None:
+        sigs = _arrival_signatures(new_docs, meta, text_col, id_col).select(
+            F.col(id_col).alias("corpus_id"), "signature"
+        )
+    sig_part = _sig_rows(sigs, "corpus_id", meta["num_sig_buckets"])
+    entry_part = _entry_rows(sigs, "corpus_id", meta["bands"],
+                             meta["num_hashes"] // meta["bands"],
+                             meta["num_entry_buckets"])
+    if batch_id is not None:
+        from ..utils.io import append_partitioned_batch
+
+        append_partitioned_batch(sig_part, "sbucket", ["corpus_id"],
+                                 f"{path}/sigs", batch_id)
+        append_partitioned_batch(entry_part, "pbucket", ["band", "bucket"],
+                                 f"{path}/entries", batch_id)
+        spark.createDataFrame([(batch_id,)], "batch_id string").write.mode(
+            "append"
+        ).parquet(f"{path}/batches")
+        return
     # sigs first: an entries row whose signature row is missing would
     # produce candidates that verify against NULL (dropped pairs); a
     # signature row with no entries is simply unreachable until retry.
-    _write_partitioned(
-        _sig_rows(sigs, "corpus_id", meta["num_sig_buckets"]),
-        "sbucket", ["corpus_id"], f"{path}/sigs", "append",
-    )
-    _write_partitioned(
-        _entry_rows(sigs, "corpus_id", meta["bands"],
-                    meta["num_hashes"] // meta["bands"],
-                    meta["num_entry_buckets"]),
-        "pbucket", ["band", "bucket"], f"{path}/entries", "append",
-    )
+    _write_partitioned(sig_part, "sbucket", ["corpus_id"], f"{path}/sigs", "append")
+    _write_partitioned(entry_part, "pbucket", ["band", "bucket"],
+                       f"{path}/entries", "append")
 
 
 def minhash_match_batch(
@@ -548,18 +583,18 @@ def minhash_match_foreach_batch(
             )
             sink(matches, batch_id)
             if append_arrivals:
-                renamed = sigs.select(
-                    F.col(id_col).alias("corpus_id"), "signature"
-                )
-                _write_partitioned(
-                    _sig_rows(renamed, "corpus_id", meta["num_sig_buckets"]),
-                    "sbucket", ["corpus_id"], f"{path}/sigs", "append",
-                )
-                _write_partitioned(
-                    _entry_rows(renamed, "corpus_id", meta["bands"],
-                                meta["num_hashes"] // meta["bands"],
-                                meta["num_entry_buckets"]),
-                    "pbucket", ["band", "bucket"], f"{path}/entries", "append",
+                # keyed by Spark's micro-batch id: on restart-and-replay
+                # of an uncommitted trigger the append REPLACES its
+                # earlier partial files (exactly-once store growth); a
+                # fully-applied batch's replay is a marker-checked no-op.
+                # The SINK's replay exposure stays the caller's contract,
+                # as foreachBatch documents.
+                minhash_append_store(
+                    batch, path, text_col=text_col, id_col=id_col,
+                    batch_id=f"sb{batch_id}",
+                    _sigs=sigs.select(
+                        F.col(id_col).alias("corpus_id"), "signature"
+                    ),
                 )
         finally:
             for frame in caches:
@@ -576,9 +611,27 @@ def minhash_compact_store(spark, path: str) -> dict:
     ``pbucket`` (sorted by (band, bucket) — the probe keys — for
     row-group locality) and signatures as one file per ``sbucket``.
     Matches are bit-identical before/after (pure row unions; asserted in
-    tests). Returns the per-table file counts removed."""
-    from ..utils.io import compact_partitioned_parquet
+    tests). Returns the per-table file counts removed.
 
+    Refuses to run while a ``batch_id`` append is HALF-APPLIED (batch-
+    tagged data files present with no marker in ``{path}/batches``):
+    rewriting would erase the file tags the batch's retry uses to
+    replace-instead-of-duplicate. Retry the append first, then compact.
+    Markers of applied batches are preserved, so their retries stay
+    no-ops after compaction."""
+    from ..utils.io import compact_partitioned_parquet, list_batch_file_ids
+
+    tagged = list_batch_file_ids(f"{path}/entries") | list_batch_file_ids(
+        f"{path}/sigs"
+    )
+    pending = sorted(tagged - _read_store_markers(spark, path))
+    if pending:
+        raise ValueError(
+            f"store at {path!r} has half-applied append batches {pending} "
+            "(batch-tagged files, no completion marker): compacting now "
+            "would erase the tags their retries replace. Retry "
+            "minhash_append_store with the same batch_id first."
+        )
     n_entries = compact_partitioned_parquet(
         spark, f"{path}/entries", "pbucket", sort_cols=["band", "bucket"]
     )

@@ -117,31 +117,65 @@ def compact_partitioned_parquet(
     read parallelism preserved."""
     recover_compact_swap(dirpath)
     n_before = 0
-    bytes_before = 0
     for root, _, files in os.walk(dirpath):
         for f in files:
             if f.endswith(".parquet"):
                 n_before += 1
-                bytes_before += os.path.getsize(os.path.join(root, f))
-    part_dirs = [
-        d for d in os.listdir(dirpath)
-        if os.path.isdir(os.path.join(dirpath, d)) and d.startswith(f"{part_col}=")
-    ]
-    per_part = bytes_before / max(1, len(part_dirs))
-    k = max(1, int(per_part // (target_file_mb * 1024 * 1024)) + 1)
+    # k is computed PER PARTITION from that directory's bytes: a global
+    # k off the mean under-splits hot partitions under skewed layouts
+    # (Zipf term buckets — the BM25 postings case — run many times the
+    # mean), partially defeating the read-parallelism goal the 16 MB
+    # target exists for.
+    part_k: dict = {}
+    for d in os.listdir(dirpath):
+        pdir = os.path.join(dirpath, d)
+        if not (os.path.isdir(pdir) and d.startswith(f"{part_col}=")):
+            continue
+        pbytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(pdir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        part_k[d.split("=", 1)[1]] = max(
+            1, int(pbytes // (target_file_mb * 1024 * 1024)) + 1
+        )
     from pyspark.sql import functions as F
 
     df = spark.read.parquet(dirpath)
     tmp = dirpath.rstrip("/") + "__compact_tmp"
     salt_cols = list(sort_cols) if sort_cols else [part_col]
+    if part_k:
+        vals = sorted(part_k)
+        k_expr = F.coalesce(
+            F.try_element_at(
+                F.map_from_arrays(
+                    F.array(*[F.lit(v) for v in vals]),
+                    F.array(*[F.lit(part_k[v]) for v in vals]),
+                ),
+                F.col(part_col).cast("string"),
+            ),
+            F.lit(1),
+        )
+    else:
+        k_expr = F.lit(1)
     # the seed literal matters: every index here derives part_col FROM
     # xxhash64(sort_cols) mod B, so an unseeded xxhash64(sort_cols) mod k
     # is CONSTANT within a partition when k divides B (same hash, smaller
     # modulus) and the salt silently degenerates to one file — measured
-    # exactly that on the bm25 postings (tbucket = xxhash64(term) % 64)
+    # exactly that on the bm25 postings (tbucket = xxhash64(term) % 64).
+    # numPartitions gets explicit headroom (4x the total slot count):
+    # repartition hashes the (part, salt) tuples into the shuffle's task
+    # count, and at the session default the distinct slots collide —
+    # merging salt groups back into fewer, oversized files (the exact
+    # under-split this per-partition k exists to avoid). Collisions can
+    # still merge a slot pair (bounded at ~2x target size); file counts
+    # are bounded above by k per partition either way.
+    total_slots = max(1, sum(part_k.values()))
     w = df.repartition(
+        total_slots * 4,
         F.col(part_col),
-        F.pmod(F.xxhash64(F.lit("__compact_salt"), *salt_cols), F.lit(k)),
+        F.pmod(F.xxhash64(F.lit("__compact_salt"), *salt_cols), k_expr),
     )
     if sort_cols:
         w = w.sortWithinPartitions(*sort_cols)
@@ -151,6 +185,113 @@ def compact_partitioned_parquet(
     os.rename(tmp, dirpath)
     shutil.rmtree(old)
     return n_before
+
+
+_BATCH_ID_RE = None  # compiled lazily; import re at top kept minimal
+
+
+def _validate_batch_id(batch_id: str) -> None:
+    import re
+
+    global _BATCH_ID_RE
+    if _BATCH_ID_RE is None:
+        _BATCH_ID_RE = re.compile(r"[A-Za-z0-9._-]{1,100}")
+    if not isinstance(batch_id, str) or not _BATCH_ID_RE.fullmatch(batch_id):
+        raise ValueError(
+            f"batch_id {batch_id!r} must be 1-100 chars of [A-Za-z0-9._-] "
+            "(it becomes part of data file names)"
+        )
+
+
+def _batch_suffix(batch_id: str) -> str:
+    return f".batch-{batch_id}.parquet"
+
+
+def remove_batch_files(dirpath: str, batch_id: str) -> int:
+    """Delete every data file a prior (possibly partial) attempt of
+    ``batch_id`` moved into ``dirpath``. Returns the number removed —
+    the idempotence half of :func:`append_partitioned_batch`."""
+    _validate_batch_id(batch_id)
+    suffix = _batch_suffix(batch_id)
+    removed = 0
+    if not os.path.exists(dirpath):
+        return 0
+    for root, _, files in os.walk(dirpath):
+        for f in files:
+            if f.endswith(suffix):
+                os.remove(os.path.join(root, f))
+                removed += 1
+    return removed
+
+
+def list_batch_file_ids(dirpath: str) -> set:
+    """Batch ids tagged on data files under ``dirpath`` (appends made
+    via :func:`append_partitioned_batch`). Compaction uses this to
+    refuse while an unmarked (half-applied) batch's files are present —
+    rewriting would erase the tags the batch's retry needs."""
+    import re
+
+    ids = set()
+    if not os.path.exists(dirpath):
+        return ids
+    pat = re.compile(r"\.batch-([A-Za-z0-9._-]+)\.parquet$")
+    for root, _, files in os.walk(dirpath):
+        for f in files:
+            m = pat.search(f)
+            if m:
+                ids.add(m.group(1))
+    return ids
+
+
+def append_partitioned_batch(
+    df,
+    part_col: str,
+    sort_cols: Optional[Sequence[str]],
+    path: str,
+    batch_id: str,
+) -> int:
+    """IDEMPOTENT append to a ``partitionBy(part_col)`` parquet dir: a
+    retried append REPLACES its earlier (partial or complete) files
+    instead of duplicating rows. Returns the number of files landed.
+
+    Mechanism: the batch is fully written to a sibling staging dir with
+    the shared one-file-per-touched-partition convention
+    (:func:`write_partitioned_single_file`), any files a previous
+    attempt of the SAME ``batch_id`` already moved in are removed, and
+    the staged files are renamed into the live partition dirs with a
+    ``.batch-<id>.parquet`` name tag. Readers never see the staging dir;
+    a crash mid-move leaves some tagged files visible (the same
+    non-transactional exposure as a plain append) but the retry removes
+    exactly those files first, so re-running with the same batch_id
+    converges to exactly-once. Callers keep their own applied-batch
+    marker (written AFTER this returns) to decide whether to retry at
+    all; compaction must refuse while an unmarked batch's tagged files
+    exist (:func:`list_batch_file_ids`).
+    """
+    _validate_batch_id(batch_id)
+    tmp = f"{path.rstrip('/')}__batch_{batch_id}_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_partitioned_single_file(df, part_col, sort_cols, tmp, "overwrite")
+    remove_batch_files(path, batch_id)
+    os.makedirs(path, exist_ok=True)
+    moved = 0
+    for d in os.listdir(tmp):
+        src_dir = os.path.join(tmp, d)
+        if not (os.path.isdir(src_dir) and d.startswith(f"{part_col}=")):
+            continue
+        dst_dir = os.path.join(path, d)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in os.listdir(src_dir):
+            if not f.endswith(".parquet"):
+                continue
+            os.rename(
+                os.path.join(src_dir, f),
+                os.path.join(dst_dir, f[: -len(".parquet")] + _batch_suffix(batch_id)),
+            )
+            moved += 1
+    shutil.rmtree(tmp)
+    return moved
 
 
 def atomic_replace_parquet(df, dirpath: str) -> None:

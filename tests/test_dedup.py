@@ -249,3 +249,32 @@ def test_minhash_auto_warns_on_uncached_caller_signatures(spark):
     assert not any("not persisted" in str(w.message) for w in rec2)
     assert {(r.id_a, r.id_b) for r in out2} == {(100, 101)}
     cached.unpersist()
+
+
+def test_auto_join_mode_anchors_pinned():
+    """Regression-pin the fitted auto decision against the two MEASURED
+    anchors (docs/SCALING.md "auto join-mode"), so _SLIM_COST_RATIO
+    cannot drift silently: the r12 boilerplate corner (slim measured
+    2.9-3.3x faster despite 2.3x the modeled bytes) must pick slim, and
+    the r11 candidate-explosion point (slim exhausted local disk at 5 M
+    docs, C=7.4e8) must pick fused."""
+    from tape_spark.operators.dedup import _auto_join_mode_decision
+
+    # r12 boilerplate anchor: recorded auto_decision in BENCH_sf100_r12
+    # phase automode_ab, corpus zipf1m_boiler2k
+    boiler = _auto_join_mode_decision(
+        n_docs=1_002_000, bands=16, sig_bytes=256, candidate_pairs=34_168_328
+    )
+    assert boiler["picked"] == "slim"
+    assert boiler["fused_vol_bytes"] == 4_360_704_000
+    assert boiler["slim_vol_bytes"] == 10_063_321_216
+    # r11 disk-DNF anchor: 5 M Zipf docs, measured C = 7.4e8 candidate
+    # pairs — the regime where slim's candidate re-shuffle exhausted
+    # local disk and fused completed
+    dnf = _auto_join_mode_decision(
+        n_docs=5_000_000, bands=16, sig_bytes=256, candidate_pairs=740_000_000
+    )
+    assert dnf["picked"] == "fused"
+    # the three plain zipf1m points (C ~ 2.1-2.2e6) all stay slim
+    for cand in (2_184_328, 2_150_315, 2_119_840):
+        assert _auto_join_mode_decision(1_000_000, 16, 256, cand)["picked"] == "slim"

@@ -419,3 +419,21 @@ def test_ivfpq_rerank_plan_never_shuffles_corpus(spark, corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert out.count() > 0
+
+
+def test_ivfpq_rerank_leaves_no_cached_frames(spark, corpus):
+    """The rerank path used to persist the shortlist and never release
+    it — one leaked cached frame per query for the session. The
+    shortlist is now a driver-side local relation (bounded at
+    |queries| x n_short rows), so no persisted RDDs outlive the call."""
+    from tape_spark.operators import ivfpq_cosine_topk
+
+    queries = corpus.filter("vec_id < 3").withColumnRenamed("vec_id", "query_id")
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    res = ivfpq_cosine_topk(
+        corpus, queries, k=5, num_clusters=4, nprobe=2, m=4,
+        train_sample=256, rerank_factor=3,
+    )
+    assert res.count() > 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before

@@ -526,3 +526,84 @@ def test_recover_compact_swap_rolls_forward(spark, tmp_path):
     assert not os.path.exists(live + "__compact_old")
     assert not os.path.exists(live + "__compact_tmp")
     assert spark.read.parquet(live).count() == 1
+
+
+def test_bm25_append_batch_retry_replaces_postings(spark, docs_df, tmp_path):
+    """The one crash window batch_id used to leave open — postings landed
+    but the marker write did not — now converges on retry: batch-tagged
+    files are REPLACED, not duplicated, and the retried index equals a
+    from-scratch rebuild on the union corpus."""
+    from pyspark.sql import functions as F
+
+    from tape_spark.operators import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_load_index,
+        bm25_save_index,
+        bm25_topk_indexed,
+    )
+    from tape_spark.utils.io import append_partitioned_batch
+
+    base = docs_df.filter("doc_id % 2 = 0")
+    batch = docs_df.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "idx")
+    p, s = bm25_build_index(base, num_term_buckets=8)
+    bm25_save_index(p, s, path)
+
+    # hand-construct the half-applied state: stats stamped + postings
+    # moved in (batch-tagged), marker MISSING — i.e. a crash after the
+    # postings commit
+    bp, bs = bm25_build_index(batch, num_term_buckets=8)
+    bs.withColumn("batch_id", F.lit("bx")).write.mode("append").parquet(
+        f"{path}/stats"
+    )
+    append_partitioned_batch(bp, "tbucket", ["term"], f"{path}/postings", "bx")
+    import os
+
+    assert not os.path.exists(f"{path}/batches")
+    n_postings_half = spark.read.parquet(f"{path}/postings").count()
+
+    # retry the whole append: stats skipped (stamp present), postings
+    # REPLACED (same count, not doubled), marker lands
+    bm25_append_index(batch, path, batch_id="bx")
+    assert spark.read.parquet(f"{path}/postings").count() == n_postings_half
+    assert spark.read.parquet(f"{path}/batches").count() == 1
+
+    queries = [("q1", "the quick brown"), ("q2", "fox jumps")]
+    pp, ss = bm25_load_index(spark, path)
+    got = sorted(tuple(r) for r in bm25_topk_indexed(pp, ss, queries, k=5).collect())
+    pr, sr = bm25_build_index(base.unionByName(batch), num_term_buckets=8)
+    want = sorted(tuple(r) for r in bm25_topk_indexed(pr, sr, queries, k=5).collect())
+    assert got == want
+
+
+def test_bm25_compact_refuses_half_applied_batch(spark, docs_df, tmp_path):
+    """Compacting while a stamped stats row has no completion marker
+    would erase the stamp and let the retry double-count the batch —
+    refuse, then succeed once the append is retried to completion."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tape_spark.operators import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_compact_index,
+        bm25_save_index,
+    )
+
+    base = docs_df.filter("doc_id % 2 = 0")
+    batch = docs_df.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "idx")
+    p, s = bm25_build_index(base, num_term_buckets=8)
+    bm25_save_index(p, s, path)
+    # half-applied: stats row stamped, no postings, no marker
+    _, bs = bm25_build_index(batch, num_term_buckets=8)
+    bs.withColumn("batch_id", F.lit("bz")).write.mode("append").parquet(
+        f"{path}/stats"
+    )
+    with _pytest.raises(ValueError, match="half-applied.*bz"):
+        bm25_compact_index(spark, path)
+    # retrying the append completes the batch; compaction then proceeds
+    bm25_append_index(batch, path, batch_id="bz")
+    info = bm25_compact_index(spark, path)
+    assert info["stats_rows_before"] == 2

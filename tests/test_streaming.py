@@ -771,3 +771,138 @@ def test_minhash_store_rejects_non_integral_ids(spark, tmp_path):
         minhash_append_store(str_docs, store)
     with pytest.raises(TypeError, match="integral"):
         minhash_match_batch(str_docs, store)
+
+
+def test_minhash_append_store_batch_id_idempotent(spark, tmp_path):
+    """With batch_id the ingest verb is exactly-once under retries: a
+    full replay is a marker-checked no-op, and a half-applied retry
+    (sigs landed, entries missing) replaces instead of duplicating."""
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_append_store,
+        minhash_match_batch,
+        minhash_save_store,
+    )
+    from tape_spark.streaming.neardup import _sig_rows
+    from tape_spark.utils.io import append_partitioned_batch
+
+    from pyspark.sql import functions as F
+
+    corpus_rows, corpus = _neardup_corpus(spark, n=4)
+    store = str(tmp_path / "nd_bid")
+    minhash_save_store(
+        minhash_signatures(corpus), store, num_entry_buckets=4, num_sig_buckets=4
+    )
+    newdoc = spark.createDataFrame(
+        [(500, " ".join(f"fresh{j} vocab{j}" for j in range(15)))],
+        "doc_id long, text string",
+    )
+    minhash_append_store(newdoc, store, batch_id="t1")
+    n_sigs = spark.read.parquet(f"{store}/sigs").count()
+    n_entries = spark.read.parquet(f"{store}/entries").count()
+    # full replay: no-op
+    minhash_append_store(newdoc, store, batch_id="t1")
+    assert spark.read.parquet(f"{store}/sigs").count() == n_sigs
+    assert spark.read.parquet(f"{store}/entries").count() == n_entries
+
+    # half-applied crash window for a NEW batch: sigs landed (tagged),
+    # entries + marker missing — the retry must replace, not duplicate
+    doc2 = spark.createDataFrame(
+        [(501, " ".join(f"other{j} word{j}" for j in range(15)))],
+        "doc_id long, text string",
+    )
+    from tape_spark.streaming.neardup import _arrival_signatures, _load_store_meta
+
+    meta = _load_store_meta(spark, store)
+    sig2 = _arrival_signatures(doc2, meta, "text", "doc_id").select(
+        F.col("doc_id").alias("corpus_id"), "signature"
+    )
+    append_partitioned_batch(
+        _sig_rows(sig2, "corpus_id", meta["num_sig_buckets"]),
+        "sbucket", ["corpus_id"], f"{store}/sigs", "t2",
+    )
+    minhash_append_store(doc2, store, batch_id="t2")
+    assert (
+        spark.read.parquet(f"{store}/sigs").filter("corpus_id = 501").count() == 1
+    )
+    probe = spark.createDataFrame(
+        [(9, " ".join(f"other{j} word{j}" for j in range(15)) + " tail")],
+        "doc_id long, text string",
+    )
+    rows = minhash_match_batch(probe, store, threshold=0.3).collect()
+    assert [r["corpus_id"] for r in rows] == [501]
+
+
+def test_minhash_compact_refuses_half_applied_batch(spark, tmp_path):
+    """Compacting while a batch's tagged files lack a completion marker
+    would erase the tags its retry needs — refuse, then succeed after
+    the retry completes the batch."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_append_store,
+        minhash_compact_store,
+        minhash_save_store,
+    )
+    from tape_spark.streaming.neardup import (
+        _arrival_signatures,
+        _load_store_meta,
+        _sig_rows,
+    )
+    from tape_spark.utils.io import append_partitioned_batch
+
+    corpus_rows, corpus = _neardup_corpus(spark, n=4)
+    store = str(tmp_path / "nd_refuse")
+    minhash_save_store(
+        minhash_signatures(corpus), store, num_entry_buckets=4, num_sig_buckets=4
+    )
+    doc = spark.createDataFrame(
+        [(700, " ".join(f"zz{j} kk{j}" for j in range(15)))],
+        "doc_id long, text string",
+    )
+    meta = _load_store_meta(spark, store)
+    sig = _arrival_signatures(doc, meta, "text", "doc_id").select(
+        F.col("doc_id").alias("corpus_id"), "signature"
+    )
+    append_partitioned_batch(
+        _sig_rows(sig, "corpus_id", meta["num_sig_buckets"]),
+        "sbucket", ["corpus_id"], f"{store}/sigs", "t9",
+    )
+    with _pytest.raises(ValueError, match="half-applied.*t9"):
+        minhash_compact_store(spark, store)
+    minhash_append_store(doc, store, batch_id="t9")
+    info = minhash_compact_store(spark, store)
+    assert info["entries_files_before"] >= 1
+
+
+def test_foreach_batch_replay_idempotent_append(spark, tmp_path):
+    """Re-invoking the foreachBatch fn with the SAME micro-batch id (what
+    a restarted stream does for an uncommitted trigger) must not grow the
+    store twice — the streaming exactly-once contract for store growth."""
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_match_foreach_batch,
+        minhash_save_store,
+    )
+
+    corpus_rows, corpus = _neardup_corpus(spark, n=4)
+    store = str(tmp_path / "nd_replay")
+    minhash_save_store(
+        minhash_signatures(corpus), store, num_entry_buckets=4, num_sig_buckets=4
+    )
+    batch = spark.createDataFrame(
+        [(800, " ".join(f"rep{j} lay{j}" for j in range(15)))],
+        "doc_id long, text string",
+    )
+    got = []
+    fn = minhash_match_foreach_batch(
+        store, lambda df, bid: got.extend(df.collect()),
+        threshold=0.3, append_arrivals=True,
+    )
+    fn(batch, 7)
+    n_sigs = spark.read.parquet(f"{store}/sigs").count()
+    fn(batch, 7)  # replay of the same trigger
+    assert spark.read.parquet(f"{store}/sigs").count() == n_sigs
+    assert spark.read.parquet(f"{store}/batches").count() == 1

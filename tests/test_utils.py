@@ -252,3 +252,100 @@ class TestCachingLifecycle:
         assert result.storageLevel.useMemory
         assert not cache.storageLevel.useMemory
         assert result.collect()[0][0] == 50
+
+
+class TestPartitionedBatchAppend:
+    def test_append_replaces_on_retry_and_cleans_partials(self, spark, tmp_path):
+        """Same-batch retries converge to exactly-once: a full re-run and
+        a partial-files re-run both end with exactly one copy of the
+        batch's rows, tagged for later cleanup."""
+        import os
+
+        from tape_spark.utils.io import (
+            append_partitioned_batch,
+            list_batch_file_ids,
+            remove_batch_files,
+        )
+
+        base = spark.range(0, 100).selectExpr("id % 4 as p", "id as v")
+        path = str(tmp_path / "t")
+        base.write.partitionBy("p").parquet(path)
+        batch = spark.range(100, 140).selectExpr("id % 4 as p", "id as v")
+        n = append_partitioned_batch(batch, "p", ["v"], path, "g1")
+        assert n == 4  # one file per touched partition
+        assert spark.read.parquet(path).count() == 140
+        assert list_batch_file_ids(path) == {"g1"}
+        # full retry: replaced, not duplicated
+        append_partitioned_batch(batch, "p", ["v"], path, "g1")
+        assert spark.read.parquet(path).count() == 140
+        # partial-crash simulation: delete one of g1's files (as if the
+        # mover died mid-way), retry heals to the full batch exactly once
+        victims = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".batch-g1.parquet")
+        ]
+        os.remove(victims[0])
+        append_partitioned_batch(batch, "p", ["v"], path, "g1")
+        assert spark.read.parquet(path).count() == 140
+        # cleanup removes exactly the batch's files
+        assert remove_batch_files(path, "g1") == 4
+        assert spark.read.parquet(path).count() == 100
+
+    def test_batch_id_validated(self, spark, tmp_path):
+        import pytest
+
+        from tape_spark.utils.io import append_partitioned_batch
+
+        df = spark.range(2).selectExpr("id as p", "id as v")
+        with pytest.raises(ValueError, match="batch_id"):
+            append_partitioned_batch(df, "p", None, str(tmp_path / "x"), "a/b")
+
+
+def test_compact_partitioned_parquet_per_partition_k(spark, tmp_path):
+    """k is sized per partition, not off the global mean: a hot partition
+    many times the average still splits to ~target-sized files while tiny
+    partitions fuse to one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tape_spark.utils.io import compact_partitioned_parquet
+
+    # hot partition 0: ~120k rows of incompressible 64-char md5 text;
+    # cold partitions 1-3: 200 rows each
+    hot = spark.range(120_000).select(
+        F.lit(0).alias("p"),
+        F.col("id").alias("k"),
+        F.concat(F.md5(F.col("id").cast("string")),
+                 F.md5((F.col("id") + 1).cast("string"))).alias("v"),
+    )
+    cold = spark.range(600).select(
+        (F.col("id") % 3 + 1).cast("long").alias("p"),
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("v"),
+    )
+    path = str(tmp_path / "skewed")
+    hot.unionByName(cold).repartition(8).write.partitionBy("p").parquet(path)
+    before = spark.read.parquet(path).groupBy("p").count().collect()
+
+    def files_in(p):
+        d = os.path.join(path, f"p={p}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    hot_bytes_before = sum(
+        os.path.getsize(os.path.join(path, "p=0", f)) for f in files_in(0)
+    )
+    want_hot_k = max(1, hot_bytes_before // (1024 * 1024) + 1)
+    compact_partitioned_parquet(spark, path, "p", sort_cols=["k"], target_file_mb=1)
+    # hot partition split by ITS byte-derived k (a global-mean k would
+    # give ~2 across 4 partitions); slot-hash collisions can merge a
+    # couple of salt groups, so the count is bounded, not exact. cold
+    # partitions fuse to one file.
+    assert want_hot_k >= 4
+    assert want_hot_k - 2 <= len(files_in(0)) <= want_hot_k
+    for p in (1, 2, 3):
+        assert len(files_in(p)) == 1
+    after = spark.read.parquet(path).groupBy("p").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
