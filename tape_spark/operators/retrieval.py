@@ -670,6 +670,84 @@ def rrf_fuse(
     )
 
 
+def bm25_rebucket_index(spark, path: str, num_term_buckets: int) -> dict:
+    """Rewrite a saved index with a NEW term-bucket modulus — the verb
+    that keeps the per-partition read constant as the index grows (the
+    same lifecycle role as ``minhash_rebucket_store``: partition counts
+    are frozen at save time, so a corpus that grew 10× since its save
+    carries 10×-oversized term buckets). Postings keep every row —
+    only ``tbucket = pmod(xxhash64(term), B)`` is recomputed — and every
+    stats row's ``num_term_buckets`` is updated in place (stamps
+    preserved), so queries are bit-identical before and after.
+
+    OFFLINE verb with the same crash contract as the store's: between
+    the postings swap and the stats swap a concurrent query would prune
+    with the old modulus against the new layout and silently miss
+    postings. Quiesce queries around the call; a crash mid-verb is
+    repaired by re-running it. Refuses while an append batch is
+    half-applied (stamped stats row without a marker)."""
+    if num_term_buckets < 1:
+        raise ValueError("num_term_buckets must be >= 1")
+    from ..utils.io import (
+        atomic_replace_parquet,
+        recover_compact_swap,
+        write_partitioned_single_file,
+    )
+
+    srows = spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()
+    applied = _read_batch_markers(spark, path)
+    pending = sorted(
+        {
+            r["batch_id"]
+            for r in srows
+            if r["batch_id"] is not None and r["batch_id"] not in applied
+        }
+    )
+    if pending:
+        raise ValueError(
+            f"index at {path!r} has half-applied append batches {pending}; "
+            "retry bm25_append_index with the same batch_id first, then "
+            "rebucket"
+        )
+    import os as _os
+    import shutil as _shutil
+
+    live = f"{path}/postings"
+    recover_compact_swap(live)
+    old_mod = {int(r["num_term_buckets"]) for r in srows}
+    rewritten = (
+        spark.read.parquet(live)
+        .select(
+            F.pmod(F.xxhash64("term"), F.lit(int(num_term_buckets)))
+            .cast("int")
+            .alias("tbucket"),
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+        )
+    )
+    tmp = live + "__compact_tmp"
+    write_partitioned_single_file(rewritten, "tbucket", ["term"], tmp, "overwrite")
+    old = live + "__compact_old"
+    _os.rename(live, old)
+    _os.rename(tmp, live)
+    _shutil.rmtree(old)
+    new_stats = spark.createDataFrame(
+        [
+            (int(r["n"] or 0), int(r["sumdl"] or 0), int(num_term_buckets),
+             r["batch_id"])
+            for r in srows
+        ],
+        _STATS_SCHEMA,
+    )
+    atomic_replace_parquet(new_stats, f"{path}/stats")
+    return {
+        "num_term_buckets": (sorted(old_mod), int(num_term_buckets)),
+        "stats_rows": len(srows),
+    }
+
+
 def bm25_compact_index(spark, path: str) -> dict:
     """Compact a saved BM25 index after appends: N ``bm25_append_index``
     calls leave N files in every term-bucket partition (a pruned query
@@ -682,6 +760,15 @@ def bm25_compact_index(spark, path: str) -> dict:
     for the caller's ingest log. Rule of thumb: compact when appends-
     since-last-compact ≈ 10–20 (measured: query wall grows roughly
     linearly in files-per-partition past that; see docs/SCALING.md).
+
+    The r12 "compacted composed query 2× slower warm" anomaly is
+    root-caused and FIXED (round 13): the old PROBE-KEY file salt put
+    each term's postings in one file, so one task owned a head term's
+    whole scoring work — 200× task skew in the heaviest stage. The
+    full-row salt (``utils/io.py``) spreads hot terms across the
+    per-partition files: warm composed walls back to scan-layout parity
+    (4.1–4.4 s vs 7.5–7.9 s keysalt at 4.75 M docs) and the selective
+    single-term probe got FASTER too (0.73–0.92 s vs 1.1–1.26 s).
 
     Refuses to run while a batched append is HALF-APPLIED (a stats row
     stamped with a ``batch_id`` that has no marker in ``{path}/batches``):

@@ -11,6 +11,7 @@ from .neardup import (
     minhash_compact_store,
     minhash_match_batch,
     minhash_match_foreach_batch,
+    minhash_rebucket_store,
     minhash_save_store,
     stream_minhash_matches,
 )
@@ -37,5 +38,6 @@ __all__ = [
     "minhash_compact_store",
     "minhash_match_batch",
     "minhash_match_foreach_batch",
+    "minhash_rebucket_store",
     "running_stats",
 ]

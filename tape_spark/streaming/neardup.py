@@ -603,6 +603,96 @@ def minhash_match_foreach_batch(
     return _fn
 
 
+def minhash_rebucket_store(
+    spark,
+    path: str,
+    *,
+    num_entry_buckets: Optional[int] = None,
+    num_sig_buckets: Optional[int] = None,
+) -> dict:
+    """Rewrite a saved store with NEW partition bucket counts — the verb
+    that makes :func:`minhash_save_store`'s sizing rule actionable as the
+    corpus grows. The rule keeps one partition a constant read
+    (``num_entry_buckets ≈ bands·N·16 B / 32 MB``); without this verb the
+    moduli are frozen at save time, so a store that grew 5× since its
+    save carries 5×-oversized partitions and the pruned per-trigger read
+    grows with it. Entries are recomputed from the persisted signatures
+    (band/bucket values are signature-derived and unchanged — only the
+    partition assignment moves), so matches are bit-identical before and
+    after (asserted in tests); meta is swapped atomically last.
+
+    Returns the old and new bucket counts. Refuses (like compaction)
+    while a batch append is half-applied.
+
+    OFFLINE verb: unlike compaction (row-preserving, readers see the
+    same rows mid-swap), rebucketing changes the pruning moduli — between
+    a table swap and the final meta swap, a concurrent match would
+    compute partition IN-sets with the old modulus against the new
+    layout and silently MISS matches. Quiesce matches around the call. A
+    crash mid-verb leaves the same inconsistent window; repair by
+    RE-RUNNING the verb with the same arguments (it recomputes both
+    tables from the signatures, which are the durable source of truth —
+    the stale ``sbucket`` column in a half-swapped sigs table is ignored
+    on read)."""
+    meta = _load_store_meta(spark, path)
+    new_eb = int(num_entry_buckets or meta["num_entry_buckets"])
+    new_sb = int(num_sig_buckets or meta["num_sig_buckets"])
+    if new_eb < 1 or new_sb < 1:
+        raise ValueError("bucket counts must be >= 1")
+    from ..utils.io import (
+        atomic_replace_parquet,
+        list_batch_file_ids,
+        recover_compact_swap,
+        write_partitioned_single_file,
+    )
+
+    tagged = list_batch_file_ids(f"{path}/entries") | list_batch_file_ids(
+        f"{path}/sigs"
+    )
+    pending = sorted(tagged - _read_store_markers(spark, path))
+    if pending:
+        raise ValueError(
+            f"store at {path!r} has half-applied append batches {pending}; "
+            "retry minhash_append_store with the same batch_id first, then "
+            "rebucket"
+        )
+    import os as _os
+    import shutil as _shutil
+
+    sigs = spark.read.parquet(f"{path}/sigs").select("corpus_id", "signature")
+    # write both rewritten tables fully to tmp dirs, then swap each with
+    # the same recoverable rename convention compaction uses
+    for table, frame, part_col, sort_cols in (
+        (
+            "entries",
+            _entry_rows(sigs, "corpus_id", meta["bands"],
+                        meta["num_hashes"] // meta["bands"], new_eb),
+            "pbucket",
+            ["band", "bucket"],
+        ),
+        ("sigs", _sig_rows(sigs, "corpus_id", new_sb), "sbucket", ["corpus_id"]),
+    ):
+        live = f"{path}/{table}"
+        recover_compact_swap(live)
+        tmp = live + "__compact_tmp"
+        write_partitioned_single_file(frame, part_col, sort_cols, tmp, "overwrite")
+        old = live + "__compact_old"
+        _os.rename(live, old)
+        _os.rename(tmp, live)
+        _shutil.rmtree(old)
+    new_meta = spark.createDataFrame(
+        [(meta["num_hashes"], meta["signature_bits"], meta["bands"], new_eb,
+          new_sb, meta["shingle_n"], meta["seed"])],
+        "num_hashes int, signature_bits int, bands int, num_entry_buckets int, "
+        "num_sig_buckets int, shingle_n int, seed int",
+    )
+    atomic_replace_parquet(new_meta, f"{path}/meta")
+    return {
+        "num_entry_buckets": (meta["num_entry_buckets"], new_eb),
+        "num_sig_buckets": (meta["num_sig_buckets"], new_sb),
+    }
+
+
 def minhash_compact_store(spark, path: str) -> dict:
     """Compact a near-dup store after appends: every
     :func:`minhash_append_store` / ``append_arrivals`` trigger adds one

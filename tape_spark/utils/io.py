@@ -90,6 +90,7 @@ def compact_partitioned_parquet(
     part_col: str,
     sort_cols: Optional[Sequence[str]] = None,
     target_file_mb: int = 16,
+    salt_cols: Optional[Sequence[str]] = None,
 ) -> int:
     """Rewrite ``dirpath`` (a ``partitionBy(part_col)`` parquet dir) with
     a BOUNDED number of files per partition value. Returns the number of
@@ -111,10 +112,10 @@ def compact_partitioned_parquet(
     a pruned warm read of a few partitions still fans out across an
     executor's threads, large enough that footer cost stays negligible).
     The
-    split salt is the hash of the probe keys (``sort_cols``), so a probe
-    key's rows land in ONE of the k files and a selective read touches
-    one file per partition — finer pruning than the fused layout, with
-    read parallelism preserved."""
+    split salt defaults to the FULL ROW identity so hot probe keys
+    spread across the k files (see the salt comment below for the
+    measured reason); each file stays sorted by ``sort_cols`` so
+    selective reads still skip row groups."""
     recover_compact_swap(dirpath)
     n_before = 0
     for root, _, files in os.walk(dirpath):
@@ -144,7 +145,25 @@ def compact_partitioned_parquet(
 
     df = spark.read.parquet(dirpath)
     tmp = dirpath.rstrip("/") + "__compact_tmp"
-    salt_cols = list(sort_cols) if sort_cols else [part_col]
+    # Salt choice decides how a HOT probe key's rows spread across the k
+    # files. Default: FULL ROW identity — a hot key (a head Zipf term, a
+    # celebrity band bucket) spreads evenly across the k files, so the
+    # per-row work its matches feed (decode, explode, partial aggregate)
+    # parallelizes across k tasks instead of serializing in one. This
+    # was measured, not guessed: salting by the probe key alone
+    # concentrated each query term's postings into ONE task and made the
+    # composed BM25 mix ~2x SLOWER warm after compaction even though the
+    # scan itself read fewer bytes (docs/SCALING.md round 13, the r12
+    # open observation). Within-file sort by sort_cols is unchanged, so
+    # row-group min/max skipping on the probe keys still prunes — a
+    # selective probe now touches up to k files per partition instead of
+    # one, the right trade at k ≈ partition_bytes/16 MB. Pass explicit
+    # salt_cols to restore key-locality where a workload wants it.
+    salt_cols = (
+        list(salt_cols)
+        if salt_cols
+        else [c for c in df.columns]
+    )
     if part_k:
         vals = sorted(part_k)
         k_expr = F.coalesce(

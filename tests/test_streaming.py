@@ -906,3 +906,88 @@ def test_foreach_batch_replay_idempotent_append(spark, tmp_path):
     fn(batch, 7)  # replay of the same trigger
     assert spark.read.parquet(f"{store}/sigs").count() == n_sigs
     assert spark.read.parquet(f"{store}/batches").count() == 1
+
+
+def test_minhash_rebucket_store_preserves_matches(spark, tmp_path):
+    """Rebucketing changes only the partition assignment (band/bucket
+    values are signature-derived): matches are bit-identical across the
+    rewrite and the new moduli land in meta."""
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_match_batch,
+        minhash_rebucket_store,
+        minhash_save_store,
+    )
+    from tape_spark.streaming.neardup import _load_store_meta
+
+    corpus_rows, corpus = _neardup_corpus(spark)
+    store = str(tmp_path / "nd_rb")
+    minhash_save_store(
+        minhash_signatures(corpus), store, num_entry_buckets=4, num_sig_buckets=2
+    )
+    probe = spark.createDataFrame(
+        [(9, corpus_rows[2][1] + " tail"), (10, corpus_rows[5][1] + " x")],
+        "doc_id long, text string",
+    )
+
+    def snap():
+        return sorted(
+            tuple(r) for r in minhash_match_batch(probe, store, threshold=0.3).collect()
+        )
+
+    want = snap()
+    assert want  # non-trivial fixture
+    info = minhash_rebucket_store(
+        spark, store, num_entry_buckets=16, num_sig_buckets=8
+    )
+    assert info["num_entry_buckets"] == (4, 16)
+    meta = _load_store_meta(spark, store)
+    assert (meta["num_entry_buckets"], meta["num_sig_buckets"]) == (16, 8)
+    assert snap() == want
+    import os
+
+    parts = [d for d in os.listdir(f"{store}/entries") if d.startswith("pbucket=")]
+    assert len(parts) > 4  # layout actually moved
+
+
+def test_bm25_rebucket_index_preserves_queries(spark, tmp_path):
+    """Same contract for the BM25 index: scores bit-identical, stats
+    stamps preserved, modulus updated on every stats row."""
+    from tape_spark.operators import (
+        bm25_append_index,
+        bm25_build_index,
+        bm25_load_index,
+        bm25_rebucket_index,
+        bm25_save_index,
+        bm25_topk_indexed,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} w{i % 3} gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    base = docs.filter("doc_id < 20")
+    batch = docs.filter("doc_id >= 20")
+    path = str(tmp_path / "bm_rb")
+    p, s = bm25_build_index(base, num_term_buckets=4)
+    bm25_save_index(p, s, path)
+    bm25_append_index(batch, path, batch_id="g7")
+    queries = [("q1", "alpha w1"), ("q2", "gamma w0")]
+
+    def snap():
+        pp, ss = bm25_load_index(spark, path)
+        return sorted(
+            tuple(r) for r in bm25_topk_indexed(pp, ss, queries, k=5).collect()
+        )
+
+    want = snap()
+    assert want
+    info = bm25_rebucket_index(spark, path, num_term_buckets=16)
+    assert info["num_term_buckets"] == ([4], 16)
+    assert snap() == want
+    srows = spark.read.parquet(f"{path}/stats").collect()
+    assert {int(r["num_term_buckets"]) for r in srows} == {16}
+    assert sorted(r["batch_id"] for r in srows if r["batch_id"]) == ["g7"]
+    # a retried append of the already-applied batch stays a no-op
+    bm25_append_index(batch, path, batch_id="g7")
+    assert snap() == want
