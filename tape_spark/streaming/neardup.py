@@ -277,9 +277,17 @@ def minhash_save_store(
 
     Sizing rule: choose the bucket counts so one partition stays a
     constant read (tens of MB) as the corpus grows — e.g.
-    ``num_entry_buckets ≈ bands·N·16 B / 32 MB`` — because the pruned
-    per-trigger read is (hit partitions) × (partition size): constant
-    partition size is what makes small-trigger cost flat in corpus size.
+    ``num_entry_buckets ≈ bands·N·16 B / 32 MB`` — and grow them with
+    :func:`minhash_rebucket_store` when the corpus outgrows the save-time
+    choice. Scope of the claim (measured, docs/SCALING.md r12–r13): the
+    pruned per-trigger read is (hit partitions) × (partition size), and
+    the IN-set only excludes partitions for SMALL triggers — single-digit
+    docs hit a strict subset of buckets; a 50 k-doc trigger's 16·|batch|
+    band keys saturate any realistic bucket count (birthday bound), so
+    its floor is one full scan of the narrow 16 B/row entries table —
+    bands× less I/O than a signature-carrying probe, proportional to
+    corpus size, amortized by constant partition size only in how many
+    TASKS each partition costs, not in bytes.
     """
     from pyspark.sql import types as T
 
