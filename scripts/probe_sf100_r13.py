@@ -761,16 +761,22 @@ def main():
         except ValueError as e:
             raised, msg = True, str(e)[:300]
         raise_secs = round(time.time() - t0, 1)
+        # the aggregate must DEPEND on the matched right column — a bare
+        # count(*) lets Catalyst prune the entire asof window (measured:
+        # 0.4 s "joins" at 100M events) and the comparison is vacuous
+        probe_agg = [
+            F.count(F.lit(1)),
+            F.sum(F.pmod(F.xxhash64(F.col("profile")), F.lit(1_000_003))),
+            F.sum(F.pmod(F.xxhash64(F.col("t_r")), F.lit(1_000_003))),
+        ]
         walls = {"unguarded": [], "guarded": []}
         for _ in range(REPS):
             t0 = time.time()
-            asof_join(ev, right, on="t", by="user_id").agg(
-                F.count(F.lit(1))
-            ).collect()
+            asof_join(ev, right, on="t", by="user_id").agg(*probe_agg).collect()
             walls["unguarded"].append(round(time.time() - t0, 1))
             t0 = time.time()
             asof_join(ev, right, on="t", by="user_id",
-                      max_rows_per_key=3 * n).agg(F.count(F.lit(1))).collect()
+                      max_rows_per_key=3 * n).agg(*probe_agg).collect()
             walls["guarded"].append(round(time.time() - t0, 1))
         emit(phase, {
             "n_events": n,

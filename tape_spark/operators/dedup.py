@@ -386,13 +386,20 @@ def lsh_candidate_pairs(
         F.explode(_band_struct_expr(bands, rows_per_band)).alias("e"),
     ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
     if max_bucket_size is not None:
-        small = (
+        # anti-join the OVER-FULL keys (tiny: capped corpora have few
+        # boilerplate buckets) instead of semi-joining the huge
+        # small-keys relation — the broadcast build keeps the narrow
+        # entries side shuffle-free, the same shape the fused path uses
+        # for its cap
+        overfull = (
             band_entries.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") <= max_bucket_size)
+            .filter(F.col("sz") > max_bucket_size)
             .select("band", "bucket")
         )
-        band_entries = band_entries.join(small, on=["band", "bucket"], how="left_semi")
+        band_entries = band_entries.join(
+            F.broadcast(overfull), on=["band", "bucket"], how="left_anti"
+        )
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -673,9 +680,11 @@ def minhash_near_duplicates(
         #   fused ~ n_docs*bands*(16 + sig_bytes)    (band entries carry sigs)
         #   slim  ~ n_docs*bands*16 + 2*n_docs*sig_bytes   (entries + 2 sig tables)
         #         + C*(16 + sig_bytes)               (pair dedup + sig_a re-shuffle)
-        # The pass costs one (band, bucket) aggregation — noise next to
-        # either join, and it prevents the ~10x local-disk mistake in
-        # either direction.
+        # The pass costs one (band, bucket) aggregation — measured 6–9 s
+        # warm at 1 M docs (r13 `automode_tie` follow-up), i.e. ~20% of a
+        # slim join there and shrinking relative share as either join
+        # grows — and it prevents the ~10x local-disk mistake in either
+        # direction.
         slim_entries = sigs.select(
             F.explode(_band_struct_expr(bands, rows_per_band)).alias("e")
         ).select(F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
