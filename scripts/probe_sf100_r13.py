@@ -408,6 +408,84 @@ def main():
             "true_match_work_fixed": counts.get("A_1m_64") is not None,
         })
 
+    elif phase == "pointlookup_rebucket":
+        # The regime bucket growth exists FOR: point-lookup triggers,
+        # where the pbucket IN-set is a strict partition subset. Compare
+        # 8-doc trigger walls + records read across the three stores, and
+        # measure minhash_rebucket_store itself at 5 M docs (on a copy of
+        # the 64-bucket store; parity asserted against the natively-built
+        # 320-bucket store).
+        from pyspark.sql import functions as F
+
+        from tape_spark.streaming import minhash_match_batch, minhash_rebucket_store
+
+        spark = session({"spark.ui.enabled": "true"})
+        docs = spark.read.parquet(f"{ZIPF_DIR}/documents.parquet")
+        arr = (
+            docs.filter(F.col("doc_id") < 1_000_000)
+            .filter(F.pmod(F.xxhash64("doc_id"), F.lit(131071)) == 9)
+            .limit(8)
+            .select(
+                (F.col("doc_id") + 300_000_000).alias("doc_id"),
+                F.concat("text", F.lit(" tail")).alias("text"),
+            )
+            .persist()
+        )
+        n_arr = arr.count()
+        rb = f"{SCRATCH}/store_5m_rebucketed"
+        reb = {}
+        if not os.path.exists(f"{rb}/meta"):
+            if os.path.exists(rb):
+                shutil.rmtree(rb)
+            t0 = time.time()
+            shutil.copytree(f"{R12_SCRATCH}/store_5m", rb)
+            reb["copy_secs"] = round(time.time() - t0, 1)
+            t0 = time.time()
+            reb["info"] = minhash_rebucket_store(
+                spark, rb, num_entry_buckets=320, num_sig_buckets=160
+            )
+            reb["rebucket_secs"] = round(time.time() - t0, 1)
+        stores = {
+            "A_1m_64": f"{R12_SCRATCH}/store_1m",
+            "C_5m_64": f"{R12_SCRATCH}/store_5m",
+            "B_5m_320": f"{SCRATCH}/store_5m_b320",
+            "R_5m_rebucketed_320": rb,
+        }
+        out = {k: {"walls": [], "metrics": []} for k in stores}
+        checks = {}
+        for rep in range(3):
+            for k, path in stores.items():
+                caches = []
+
+                def one(path=path):
+                    m = minhash_match_batch(arr, path, threshold=0.5,
+                                            _cleanup=caches)
+                    return m.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(F.pmod(F.xxhash64("doc_id", "corpus_id"),
+                                     F.lit(1_000_000_007))).alias("s"),
+                    ).first()
+
+                wall, row, mtr = run_with_metrics(spark, one)
+                out[k]["walls"].append(wall)
+                out[k]["metrics"].append({
+                    "input_records": mtr["input_records"],
+                    "input_mb": mtr["input_mb"],
+                })
+                checks[k] = (int(row["n"]), int(row["s"] or 0))
+                for c in caches:
+                    c.unpersist()
+        same_5m = len({checks[k] for k in
+                       ("C_5m_64", "B_5m_320", "R_5m_rebucketed_320")}) == 1
+        emit(phase, {
+            "n_arrivals": n_arr,
+            "rebucket": reb,
+            "walls": {k: v["walls"] for k, v in out.items()},
+            "read_metrics": {k: v["metrics"][-1] for k, v in out.items()},
+            "match_checksums": {k: list(v) for k, v in checks.items()},
+            "rebucketed_equals_native_320": same_5m,
+        })
+
     elif phase == "rowgroup_skip":
         # Ask #2, second part: entries files are written sorted by
         # (band, bucket) — measure whether PUSHING the arrivals' bucket
