@@ -745,6 +745,144 @@ def main():
             ),
         })
 
+    elif phase == "ingest_loop2":
+        # The r12 ingest_loop drove the verbs directly; this re-drive
+        # composes the FULL r13 stack: a real checkpointed writeStream
+        # through the foreachBatch wrapper (batch-id idempotent appends),
+        # stopped after 6 triggers, compacted (full-row salt, markers
+        # preserved), RESTARTED from the same checkpoint for 6 more.
+        # Evidence sought: flat per-trigger walls under the exactly-once
+        # protocol, compaction neutral-or-better, matches found across
+        # the stop/compact/restart boundary.
+        from pyspark.sql import functions as F
+
+        from tape_spark.operators import minhash_signatures
+        from tape_spark.streaming import (
+            minhash_compact_store,
+            minhash_match_foreach_batch,
+            minhash_save_store,
+        )
+
+        spark = session()
+        docs = (
+            spark.read.parquet(f"{ZIPF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") < 1_000_000)
+            .repartition(64)
+            .persist()
+        )
+        n_corpus = docs.count()
+        store = f"{SCRATCH}/loop2_store"
+        src = f"{SCRATCH}/loop2_src"
+        ckpt = f"{SCRATCH}/loop2_ckpt"
+        for p in (store, src, ckpt):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        t0 = time.time()
+        sigs = minhash_signatures(docs, signature_bits=32).persist()
+        minhash_save_store(sigs, store, num_entry_buckets=64, num_sig_buckets=32)
+        save_secs = round(time.time() - t0, 1)
+        sigs.unpersist()
+        n_triggers, per = 12, 50_000
+        for i in range(n_triggers):
+            (
+                docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(n_triggers)) == i)
+                .limit(per)
+                .select(
+                    (F.col("doc_id") + 10_000_000 * (i + 1)).alias("doc_id"),
+                    F.concat("text", F.lit(" tail")).alias("text"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            time.sleep(0.05)
+
+        ticks = []   # (batch_id, completion wall time, n_matches)
+
+        def sink(df, bid):
+            n = df.count()
+            ticks.append((bid, time.time(), n))
+
+        def run_stream():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    minhash_match_foreach_batch(
+                        store, sink, threshold=0.5, append_arrivals=True
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(3600)
+
+        # first half: all 12 files exist but we stop after the stream
+        # drains what it sees — simpler: run availableNow over ALL 12,
+        # with a compaction BETWEEN two stream runs by splitting the
+        # input in time: move files 7..12 aside first
+        hold = f"{SCRATCH}/loop2_hold"
+        os.makedirs(hold, exist_ok=True)
+        files = sorted(
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        import glob as _glob
+
+        all_files = sorted(_glob.glob(f"{src}/*.parquet"),
+                           key=lambda p: os.path.getmtime(p))
+        for p in all_files[6:]:
+            shutil.move(p, hold)
+        t_start = time.time()
+        run_stream()
+        files_mid = sum(
+            1 for root, _, fs in os.walk(store) for f in fs
+            if f.endswith(".parquet")
+        )
+        t0 = time.time()
+        compact_info = minhash_compact_store(spark, store)
+        compact_secs = round(time.time() - t0, 1)
+        files_after_compact = sum(
+            1 for root, _, fs in os.walk(store) for f in fs
+            if f.endswith(".parquet")
+        )
+        for p in sorted(_glob.glob(f"{hold}/*.parquet")):
+            shutil.move(p, src)
+        n_first_half = len(ticks)
+        t_start2 = time.time()
+        run_stream()
+        # per-trigger walls from sink completion deltas (the second run's
+        # first trigger is measured from the restart, not across the
+        # compaction pause)
+        walls = []
+        prev = t_start
+        for i, (bid, t, n) in enumerate(ticks):
+            if i == n_first_half:
+                prev = t_start2
+            walls.append({"batch": bid, "wall": round(t - prev, 1), "matches": n})
+            prev = t
+        # cross-boundary evidence: trigger 6+ should match earlier
+        # triggers' appended arrivals too (near-copies of the same base
+        # docs collide); matches grow as the store grows
+        emit(phase, {
+            "n_corpus": n_corpus,
+            "save_secs": save_secs,
+            "triggers": walls,
+            "files_mid": files_mid,
+            "compact_info": compact_info,
+            "compact_secs": compact_secs,
+            "files_after_compact": files_after_compact,
+            "markers": sorted(
+                r["batch_id"]
+                for r in spark.read.parquet(f"{store}/batches").collect()
+            ),
+            "final_sigs": spark.read.parquet(f"{store}/sigs").count(),
+            "expected_sigs": n_corpus + n_triggers * per,
+        })
+
     elif phase == "automode_tie":
         # Ask #6: the one A/B point where auto's pick != measured best
         # (cap 64 / thr 0.7), re-measured with more interleaved reps to
