@@ -779,40 +779,54 @@ def q_dedup_minhash_lsh(spark, sf_dir):
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.concat("text", F.lit(" tailword")).alias("text"),
     )
+    import re
+    import shutil
+
     sigs = minhash_signatures(docs, num_hashes=64, shingle_n=2)
     store_dir = tempfile.mkdtemp(prefix="tape_nd_store_")
-    minhash_save_store(sigs, store_dir, bands=16,
-                       num_entry_buckets=8, num_sig_buckets=4)
     caches = []
-    matches = minhash_match_batch(
-        arr, store_dir, threshold=0.3, _cleanup=caches
-    )
-    plan = matches._jdf.queryExecution().executedPlan().toString()
-    store_plan_pruned = ("pbucket" in plan) and ("sbucket" in plan)
-    scan = stream_minhash_matches(arr, sigs, threshold=0.3)
-    sym_diff = int(
-        matches.join(scan, ["doc_id", "corpus_id"], "left_anti").count()
-    ) + int(scan.join(matches, ["doc_id", "corpus_id"], "left_anti").count())
-    store_equals_scan = sym_diff == 0
-    # exact arrival↔corpus pairs via one self-join over the union: the
-    # id offset makes (corpus, arrival) pairs exactly the id_a<10⁷≤id_b rows
-    uni = docs.select("doc_id", "text").unionByName(arr)
-    cross_exact = ngram_jaccard_pairs(uni, n=2, threshold=0.7).filter(
-        (F.col("id_a") < 10_000_000) & (F.col("id_b") >= 10_000_000)
-    )
-    n_store_exact = int(cross_exact.count())
-    n_store_hit = int(
-        cross_exact.join(
-            matches.select(
-                F.col("corpus_id").alias("id_a"), F.col("doc_id").alias("id_b")
-            ),
-            ["id_a", "id_b"],
-            "left_semi",
-        ).count()
-    )
-    store_recall_ok = n_store_exact == 0 or n_store_hit / n_store_exact >= 0.8
-    for c in caches:
-        c.unpersist()
+    try:
+        minhash_save_store(sigs, store_dir, bands=16,
+                           num_entry_buckets=8, num_sig_buckets=4)
+        matches = minhash_match_batch(
+            arr, store_dir, threshold=0.3, _cleanup=caches
+        )
+        plan = matches._jdf.queryExecution().executedPlan().toString()
+        # Assert ACTUAL partition pruning, not column presence: each
+        # bucket column must appear inside a non-empty PartitionFilters
+        # clause of a scan node (post-scan Filter nodes don't count).
+        part_filters = re.findall(r"PartitionFilters: \[([^\]]+)\]", plan)
+        store_plan_pruned = any(
+            "pbucket" in pf for pf in part_filters
+        ) and any("sbucket" in pf for pf in part_filters)
+        scan = stream_minhash_matches(arr, sigs, threshold=0.3)
+        sym_diff = int(
+            matches.join(scan, ["doc_id", "corpus_id"], "left_anti").count()
+        ) + int(scan.join(matches, ["doc_id", "corpus_id"], "left_anti").count())
+        store_equals_scan = sym_diff == 0
+        # exact arrival↔corpus pairs via one self-join over the union: the
+        # id offset makes (corpus, arrival) pairs exactly the id_a<10⁷≤id_b rows
+        uni = docs.select("doc_id", "text").unionByName(arr)
+        cross_exact = ngram_jaccard_pairs(uni, n=2, threshold=0.7).filter(
+            (F.col("id_a") < 10_000_000) & (F.col("id_b") >= 10_000_000)
+        )
+        n_store_exact = int(cross_exact.count())
+        n_store_hit = int(
+            cross_exact.join(
+                matches.select(
+                    F.col("corpus_id").alias("id_a"), F.col("doc_id").alias("id_b")
+                ),
+                ["id_a", "id_b"],
+                "left_semi",
+            ).count()
+        )
+        store_recall_ok = n_store_exact == 0 or n_store_hit / n_store_exact >= 0.8
+    finally:
+        for c in caches:
+            c.unpersist()
+        # all results above are Python scalars; the store has no live
+        # readers past this point, so the temp dir is safe to drop
+        shutil.rmtree(store_dir, ignore_errors=True)
     return spark.createDataFrame(
         [
             (

@@ -494,6 +494,14 @@ def _minhash_pairs_slim(
     )
 
 
+# auto-mode measurement-pass sizing: past _AUTO_TARGET_ENTRIES band
+# entries the candidate count is estimated from a deterministic
+# (xxhash64 % _SAMPLE_DENOM) doc sample sized to ~the target — module
+# level so tests can force the sampled path on small corpora
+_AUTO_TARGET_ENTRIES = 2_000_000
+_SAMPLE_DENOM = 4096
+
+
 def _auto_join_mode_decision(
     n_docs: int, bands: int, sig_bytes: int, candidate_pairs: int
 ) -> dict:
@@ -586,8 +594,12 @@ def minhash_near_duplicates(
       disk; slim needs ~8 GB. At 100 TB the same rule applies per
       executor: cap the buckets, then go slim.
     - ``'auto'``: measure instead of guess — one narrow counting pass
-      over the (capped) band entries computes the exact candidate-pair
-      count, then both shapes' shuffle-byte volumes are compared
+      over the (capped) band entries computes the candidate-pair count
+      (EXACT up to ~2 M band entries; past that, a deterministic doc
+      sample with the unbiased x(x−1)/p² pair correction bounds the
+      pass at ~2 M rows — <1 s at 1 M docs vs 6–9 s exact, picks
+      unchanged on the measured anchors), then both shapes'
+      shuffle-byte volumes are compared
       (fused: entries x (key + sig); slim: slim entries + two
       signature tables + candidates x (key + sig)) with a fitted
       per-byte cost ratio: fused's bytes are wide-row sort-merge bytes
@@ -673,31 +685,64 @@ def minhash_near_duplicates(
             measured_cache = sigs
     if join_mode == "auto":
         # measure, don't guess: one narrow counting pass over the (capped)
-        # 16-byte band entries computes the EXACT candidate-pair count
+        # 16-byte band entries computes the candidate-pair count
         # C = sum over buckets of sz*(sz-1)/2, then the two shapes'
-        # shuffle volumes are compared directly (C is measured, not
-        # estimated, so there is no explosion risk in trusting it):
+        # shuffle volumes are compared directly:
         #   fused ~ n_docs*bands*(16 + sig_bytes)    (band entries carry sigs)
         #   slim  ~ n_docs*bands*16 + 2*n_docs*sig_bytes   (entries + 2 sig tables)
         #         + C*(16 + sig_bytes)               (pair dedup + sig_a re-shuffle)
-        # The pass costs one (band, bucket) aggregation — measured 6–9 s
-        # warm at 1 M docs (r13 `automode_tie` follow-up), i.e. ~20% of a
-        # slim join there and shrinking relative share as either join
-        # grows — and it prevents the ~10x local-disk mistake in either
-        # direction.
-        slim_entries = sigs.select(
+        #
+        # Past ~2 M band entries the pass runs on a DETERMINISTIC doc
+        # sample (xxhash64 of the id, rate p sized to ~2 M sampled
+        # entries) with the unbiased pair correction Ĉ = Σ x(x−1)/2 / p²
+        # (a true bucket of size s samples Binomial(s,p), and
+        # E[X(X−1)] = s(s−1)p² exactly). The r13 exact pass cost 6–9 s
+        # warm at 1 M docs — a fixed tax on every auto call; sampling
+        # bounds the pass at ~2 M rows regardless of corpus size
+        # (measured <1 s at 1 M docs, picks unchanged on all pinned
+        # anchors — docs/SCALING.md round 14). The decision only needs C
+        # to the ~6x volume boundary, and the estimator's error
+        # concentrates exactly where it matters least: heavy buckets
+        # (which dominate any decision-relevant C) survive sampling with
+        # low relative error, while sz≤2 noise perturbs C by far less
+        # than the boundary margin. With a ``max_bucket_size`` cap the
+        # sampled cap is p·cap; if that falls below 8 the boundary noise
+        # would misclassify near-cap buckets, so the pass falls back to
+        # exact (tight caps shrink the entries anyway).
+        n_docs = sigs.count()
+        total_entries = n_docs * bands
+        p_eff, k_num = 1.0, _SAMPLE_DENOM
+        if total_entries > 2 * _AUTO_TARGET_ENTRIES:
+            k_num = max(
+                1,
+                int(round(_AUTO_TARGET_ENTRIES / total_entries * _SAMPLE_DENOM)),
+            )
+            p_eff = k_num / _SAMPLE_DENOM
+            if max_bucket_size is not None and p_eff * max_bucket_size < 8:
+                p_eff, k_num = 1.0, _SAMPLE_DENOM
+        meas = sigs
+        if p_eff < 1.0:
+            meas = sigs.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(_SAMPLE_DENOM))
+                < F.lit(k_num)
+            )
+        slim_entries = meas.select(
             F.explode(_band_struct_expr(bands, rows_per_band)).alias("e")
         ).select(F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
         sizes = slim_entries.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("sz")
         )
         if max_bucket_size is not None:
-            sizes = sizes.filter(F.col("sz") <= max_bucket_size)
+            cap = (
+                max_bucket_size
+                if p_eff >= 1.0
+                else max(1, int(p_eff * max_bucket_size))
+            )
+            sizes = sizes.filter(F.col("sz") <= cap)
         row = sizes.agg(
             F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("c")
         ).first()
-        cand = int(row["c"] or 0)
-        n_docs = sigs.count()
+        cand = int(float(row["c"] or 0) / (p_eff * p_eff))
         # width from the ACTUAL schema, not the parameter — on the
         # caller-provided signatures path signature_bits is ignored
         from pyspark.sql import types as _T
@@ -705,6 +750,7 @@ def minhash_near_duplicates(
         elem = sigs.schema["signature"].dataType.elementType
         sig_bytes = num_hashes * (4 if isinstance(elem, _T.IntegerType) else 8)
         decision = _auto_join_mode_decision(n_docs, bands, sig_bytes, cand)
+        decision["sample_fraction"] = p_eff
         join_mode = decision["picked"]
         # observability hook (module-level, last call wins): probes and the
         # A/B harness need to know WHICH shape auto picked and from what

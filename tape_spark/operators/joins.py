@@ -51,6 +51,7 @@ def asof_join(
     tolerance: Optional[float] = None,
     suffix: str = "_r",
     max_rows_per_key: Optional[int] = None,
+    salt_slices: Optional[int] = None,
 ) -> DataFrame:
     """Left as-of join: attach to every left row the single right row that
     is nearest in ``on`` — at-or-before it (``backward``, the default),
@@ -87,6 +88,26 @@ def asof_join(
     ``max_rows_per_key`` counts the union per key and raises before the
     sort naming the hot keys (see
     :func:`tape_spark.utils.keys.assert_max_rows_per_key`).
+
+    ``salt_slices=S`` (S > 1) breaks that cliff with a SALTED TWO-PHASE
+    plan: the union is cut into S equal-width time slices (one tiny
+    eager min/max job fixes the range), the same ordered scan runs per
+    ``(by, slice)`` partition — so a 10 M-row celebrity key becomes S
+    parallel sorts of ~10M/S rows — and slice-boundary misses are
+    repaired with per-slice CARRY rows: one map-side-combined aggregate
+    collects each slice's last (backward) / first (forward) right row,
+    a tiny per-key window turns those into "latest right row BEFORE
+    this slice" / "earliest AFTER", and a left rows whose in-slice scan
+    found nothing coalesce to the carry. Match semantics (ties,
+    tolerance, NULL handling, all three directions) are IDENTICAL to
+    the unsalted plan — asserted row-for-row in tests — because a left
+    row's true predecessor is either in its own slice (in-slice scan
+    finds it) or is the latest right row of an earlier slice (the carry
+    is exactly that). Also lifts the ``by=None`` global-sort bottleneck
+    (the slice column becomes the only partition key). Cost: one extra
+    narrow aggregate over the union + a same-key join of the small
+    carry frame (≤ keys x S rows); worth it only when a key's rows
+    overflow one task's sort — see docs/SCALING.md "salted asof".
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -165,18 +186,87 @@ def asof_join(
     )
     u = l_side.unionByName(r_side)
 
+    # --- salted two-phase plan (see docstring): time-slice the union so
+    # no single task sorts a whole hot key, then repair slice boundaries
+    # with per-slice carry rows
+    slice_keys: List[str] = []
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
+    if salt_slices is not None:
+        if salt_slices < 1:
+            raise ValueError("salt_slices must be >= 1")
+        if salt_slices > 1:
+            rng = u.agg(F.min("__t").alias("lo"), F.max("__t").alias("hi")).first()
+            lo, hi = rng["lo"], rng["hi"]
+            if lo is not None and hi is not None and hi > lo:
+                width = (hi - lo) / float(salt_slices)
+                u = u.withColumn(
+                    "__slice",
+                    F.least(
+                        F.floor((F.col("__t") - F.lit(lo)) / F.lit(width)),
+                        F.lit(salt_slices - 1),
+                    ).cast("int"),
+                )
+                slice_keys = ["__slice"]
+                # per-slice boundary rows: the slice's last right row
+                # under the backward tie order (max (__t, __rid) — the
+                # LAST input row among equal timestamps, exactly the row
+                # the unsalted scan would have propagated across the
+                # boundary) and/or its first under the forward tie order.
+                # One map-side-combined aggregate; left rows contribute a
+                # NULL ordering key, which max_by/min_by ignore.
+                ord_key = F.when(
+                    F.col("__is_left") == 0,
+                    F.struct(F.col("__t"), F.col("__rid")),
+                )
+                aggs = []
+                if need_b:
+                    aggs.append(F.max_by("__r", ord_key).alias("__r_last"))
+                if need_f:
+                    aggs.append(F.min_by("__r", ord_key).alias("__r_first"))
+                per_slice = u.groupBy(*by, "__slice").agg(*aggs)
+                # tiny per-key windows over ≤ salt_slices rows/key turn
+                # boundary rows into carries: latest right row BEFORE the
+                # slice / earliest right row AFTER it
+                w_cb = (
+                    Window.partitionBy(*by)
+                    .orderBy(F.col("__slice").asc())
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                )
+                w_cf = (
+                    Window.partitionBy(*by)
+                    .orderBy(F.col("__slice").asc())
+                    .rowsBetween(1, Window.unboundedFollowing)
+                )
+                carry_cols = []
+                if need_b:
+                    per_slice = per_slice.withColumn(
+                        "__carry_b", F.last("__r_last", ignorenulls=True).over(w_cb)
+                    )
+                    carry_cols.append("__carry_b")
+                if need_f:
+                    per_slice = per_slice.withColumn(
+                        "__carry_f", F.first("__r_first", ignorenulls=True).over(w_cf)
+                    )
+                    carry_cols.append("__carry_f")
+                u = u.join(
+                    per_slice.select(*by, "__slice", *carry_cols),
+                    [*by, "__slice"],
+                    "left",
+                )
+
     # backward: ascending scan; a right row at the same ``on`` sorts first
     # (__is_left asc) so equal timestamps match, as in merge_asof; among
     # tied right rows __rid asc puts the LAST input row nearest the left.
     w_back = (
-        Window.partitionBy(*by)
+        Window.partitionBy(*by, *slice_keys)
         .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__rid").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # forward: the same scan run in descending ``on`` order; __rid desc
     # so the FIRST input row among ties is scanned last (i.e. matches).
     w_fwd = (
-        Window.partitionBy(*by)
+        Window.partitionBy(*by, *slice_keys)
         .orderBy(F.col("__t").desc(), F.col("__is_left").asc(), F.col("__rid").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -188,14 +278,31 @@ def asof_join(
             ok = ok & (gap <= F.lit(float(tolerance)))
         return ok
 
+    # salted: a left row whose in-slice scan found nothing takes the
+    # carry — the true cross-boundary predecessor/successor
+    def _slice_fix(expr, carry_col):
+        return F.coalesce(expr, F.col(carry_col)) if slice_keys else expr
+
     if direction == "backward":
-        u = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w_back))
+        u = u.withColumn(
+            "__m",
+            _slice_fix(F.last("__r", ignorenulls=True).over(w_back), "__carry_b"),
+        )
     elif direction == "forward":
-        u = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w_fwd))
+        u = u.withColumn(
+            "__m",
+            _slice_fix(F.last("__r", ignorenulls=True).over(w_fwd), "__carry_f"),
+        )
     else:  # nearest: take both candidates, keep the closer valid one
         u = (
-            u.withColumn("__mb", F.last("__r", ignorenulls=True).over(w_back))
-            .withColumn("__mf", F.last("__r", ignorenulls=True).over(w_fwd))
+            u.withColumn(
+                "__mb",
+                _slice_fix(F.last("__r", ignorenulls=True).over(w_back), "__carry_b"),
+            )
+            .withColumn(
+                "__mf",
+                _slice_fix(F.last("__r", ignorenulls=True).over(w_fwd), "__carry_f"),
+            )
         )
         b_ok = _within(F.col("__mb"))
         f_ok = _within(F.col("__mf"))

@@ -287,6 +287,47 @@ def pq_cosine_topk(
     )
 
 
+_SIZE_UNITS = {
+    "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('10485760', '10MB', '1g', '-1')."""
+    s = str(v).strip().lower()
+    for suffix in sorted(_SIZE_UNITS, key=len, reverse=True):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * _SIZE_UNITS[suffix])
+    return int(float(s))
+
+
+def _rerank_broadcast_cutoff_bytes(spark) -> int:
+    """Config-aware cutoff for the rerank covered-slice broadcast.
+
+    Priority: an explicit ``spark.tape.rerank.broadcastCutoffBytes``
+    wins; else if the session has DISABLED auto broadcasts
+    (``spark.sql.autoBroadcastJoinThreshold`` <= 0) the hint is never
+    applied (return 0 — the admin said this cluster cannot hold
+    broadcast tables, a signal a hardcoded constant ignored); else the
+    cutoff is ~15% of the configured executor (or, in local mode,
+    driver) heap, floored at the session threshold and capped at the
+    512 MB bound measured safe on this host class."""
+    explicit = spark.conf.get("spark.tape.rerank.broadcastCutoffBytes", None)
+    if explicit is not None:
+        return _parse_size_bytes(explicit)
+    thr = _parse_size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    if thr <= 0:
+        return 0
+    mem_conf = spark.conf.get("spark.executor.memory", None)
+    if mem_conf is None:
+        mem_conf = spark.conf.get("spark.driver.memory", "1g")
+    heap = _parse_size_bytes(mem_conf)
+    return min(512 * 1024 * 1024, max(thr, int(heap * 0.15)))
+
+
 def ivfpq_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -500,9 +541,24 @@ def ivfpq_cosine_topk(
     # local relation: both legs read the local rows, nothing upstream
     # recomputes, and no executor cache outlives the call (a persist
     # here leaked one cached frame per rerank query for the session).
-    short_schema = short.schema
-    short_rows = short.collect()
-    short = spark.createDataFrame(short_rows, short_schema)
+    # The collect is GUARDED by a row bound (|queries| × n_short is known
+    # before running anything): past it, the shortlist is materialized
+    # EXECUTOR-SIDE via an eager localCheckpoint instead — lineage is
+    # truncated (neither leg recomputes the ADC scan) and the blocks are
+    # reclaimed by the ContextCleaner when the frame is unreferenced, so
+    # the r12 leak does not return with the fallback.
+    collect_limit = int(
+        spark.conf.get("spark.tape.rerank.collectRowLimit", "500000")
+    )
+    n_short_rows_bound = len(q_ids) * n_short
+    if n_short_rows_bound <= collect_limit:
+        short_schema = short.schema
+        short_rows = short.collect()
+        short = spark.createDataFrame(short_rows, short_schema)
+        n_distinct_short_ids = len({r["corpus_id"] for r in short_rows})
+    else:
+        short = short.localCheckpoint(eager=True)
+        n_distinct_short_ids = n_short_rows_bound  # conservative bound
     covered = vecs.join(
         F.broadcast(short.select("corpus_id").distinct()), "corpus_id", "left_semi"
     )
@@ -510,12 +566,13 @@ def ivfpq_cosine_topk(
     # the vector width: ≤ |queries| × n_short × dim × 8 B (plus overhead).
     # For wide embeddings and large query batches that bound can exceed
     # executor memory / Spark's 8 GB broadcast cap where a shuffle join
-    # would (slowly) complete — so past a conservative estimate the hint
-    # is dropped and the ≤|shortlist|-row outer join falls back to a
-    # shuffle of two small-by-contract sides.
+    # would (slowly) complete — so past the cutoff the hint is dropped
+    # and the ≤|shortlist|-row outer join falls back to a shuffle of two
+    # small-by-contract sides. The cutoff is CONFIG-AWARE, not a bare
+    # constant: see _rerank_broadcast_cutoff_bytes.
     dim = q_mat.shape[1]
-    est_broadcast_bytes = len({r["corpus_id"] for r in short_rows}) * dim * 8
-    if est_broadcast_bytes <= 512 * 1024 * 1024:
+    est_broadcast_bytes = n_distinct_short_ids * dim * 8
+    if est_broadcast_bytes <= _rerank_broadcast_cutoff_bytes(spark):
         covered = F.broadcast(covered)
     joined = (
         short.select("query_id", "corpus_id")

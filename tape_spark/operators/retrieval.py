@@ -348,6 +348,11 @@ def bm25_save_index(postings: DataFrame, stats: DataFrame, path: str) -> None:
     write_partitioned_single_file(postings, "tbucket", ["term"],
                                   f"{path}/postings", "overwrite")
     stats.write.mode("overwrite").parquet(f"{path}/stats")
+    # a FULL rewrite leaves postings consistent with the stats modulus,
+    # so it also repairs a crashed rebucket — readmit readers
+    from ..utils.io import clear_rebucket_sentinel
+
+    clear_rebucket_sentinel(path)
 
 
 _STATS_SCHEMA = "n long, sumdl long, num_term_buckets int, batch_id string"
@@ -414,6 +419,9 @@ def bm25_append_index(
         applied = _read_batch_markers(spark, path)
         if batch_id in applied:
             return  # fully applied; retry is a no-op
+    from ..utils.io import check_rebucket_sentinel
+
+    check_rebucket_sentinel(path)
     # explicit schema: pre-batch_id stats files lack the column and are
     # read as NULL; plain inference could pick either file's schema
     srows = spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()
@@ -454,7 +462,12 @@ def bm25_append_index(
 
 def bm25_load_index(spark, path: str) -> Tuple[DataFrame, DataFrame]:
     """Read back a saved index as ``(postings, stats)``. ``stats`` holds
-    one row per save/append; consumers sum the counters."""
+    one row per save/append; consumers sum the counters. Raises while a
+    rebucket is in progress (or crashed mid-swap) — the layout may not
+    match the recorded modulus and pruned queries would miss postings."""
+    from ..utils.io import check_rebucket_sentinel
+
+    check_rebucket_sentinel(path)
     return (
         spark.read.parquet(f"{path}/postings"),
         spark.read.parquet(f"{path}/stats"),
@@ -683,15 +696,21 @@ def bm25_rebucket_index(spark, path: str, num_term_buckets: int) -> dict:
     OFFLINE verb with the same crash contract as the store's: between
     the postings swap and the stats swap a concurrent query would prune
     with the old modulus against the new layout and silently miss
-    postings. Quiesce queries around the call; a crash mid-verb is
-    repaired by re-running it. Refuses while an append batch is
-    half-applied (stamped stats row without a marker)."""
+    postings. A ``__rebucket_inprogress`` sentinel is dropped before the
+    first swap and removed after the stats swap; load/append/compact
+    paths RAISE while it exists, so the window (and a crash inside it)
+    fails loudly instead of returning incomplete results. A crash
+    mid-verb is repaired by re-running it (clears the sentinel on
+    success). Refuses while an append batch is half-applied (stamped
+    stats row without a marker)."""
     if num_term_buckets < 1:
         raise ValueError("num_term_buckets must be >= 1")
     from ..utils.io import (
         atomic_replace_parquet,
+        clear_rebucket_sentinel,
         recover_compact_swap,
         write_partitioned_single_file,
+        write_rebucket_sentinel,
     )
 
     srows = spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()
@@ -714,6 +733,10 @@ def bm25_rebucket_index(spark, path: str, num_term_buckets: int) -> dict:
 
     live = f"{path}/postings"
     recover_compact_swap(live)
+    # sentinel BEFORE the first swap: load/query/append/compact raise
+    # during the inconsistent window (and after a crash inside it);
+    # re-running THIS verb is the repair and clears it on success
+    write_rebucket_sentinel(path)
     old_mod = {int(r["num_term_buckets"]) for r in srows}
     rewritten = (
         spark.read.parquet(live)
@@ -742,6 +765,8 @@ def bm25_rebucket_index(spark, path: str, num_term_buckets: int) -> dict:
         _STATS_SCHEMA,
     )
     atomic_replace_parquet(new_stats, f"{path}/stats")
+    # stats modulus now matches the layout — safe to readmit readers
+    clear_rebucket_sentinel(path)
     return {
         "num_term_buckets": (sorted(old_mod), int(num_term_buckets)),
         "stats_rows": len(srows),
@@ -779,8 +804,13 @@ def bm25_compact_index(spark, path: str) -> dict:
     fully-applied batches are PRESERVED, so their retries stay no-ops
     after compaction.
     """
-    from ..utils.io import atomic_replace_parquet, compact_partitioned_parquet
+    from ..utils.io import (
+        atomic_replace_parquet,
+        check_rebucket_sentinel,
+        compact_partitioned_parquet,
+    )
 
+    check_rebucket_sentinel(path)
     srows = spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()
     mods = {int(r["num_term_buckets"]) for r in srows}
     if len(mods) != 1:
@@ -820,4 +850,21 @@ def bm25_compact_index(spark, path: str) -> dict:
     # stats dir before the new write commits — a crash in between would
     # destroy N/Σdl permanently (they exist nowhere else)
     atomic_replace_parquet(merged, f"{path}/stats")
-    return {"postings_files_before": n_files, "stats_rows_before": len(srows)}
+    # fold the one-file-per-append marker dir (ids preserved exactly —
+    # retries of applied batches remain no-ops)
+    import os as _os
+
+    n_markers = 0
+    if _os.path.exists(f"{path}/batches"):
+        folded = spark.createDataFrame(
+            [(b,) for b in sorted(applied)], "batch_id string"
+        ).coalesce(1)
+        n_markers = sum(
+            1 for f in _os.listdir(f"{path}/batches") if f.endswith(".parquet")
+        )
+        atomic_replace_parquet(folded, f"{path}/batches")
+    return {
+        "postings_files_before": n_files,
+        "stats_rows_before": len(srows),
+        "marker_files_before": n_markers,
+    }

@@ -333,9 +333,18 @@ def minhash_save_store(
         "num_sig_buckets int, shingle_n int, seed int",
     )
     meta.write.mode("overwrite").parquet(f"{path}/meta")
+    # a FULL rewrite leaves every table consistent with this meta, so it
+    # also repairs a crashed rebucket — readmit readers
+    from ..utils.io import clear_rebucket_sentinel
+
+    clear_rebucket_sentinel(path)
 
 
-def _load_store_meta(spark, path: str) -> dict:
+def _load_store_meta(spark, path: str, _check_sentinel: bool = True) -> dict:
+    if _check_sentinel:
+        from ..utils.io import check_rebucket_sentinel
+
+        check_rebucket_sentinel(path)
     rows = spark.read.parquet(f"{path}/meta").collect()
     metas = {tuple(r) for r in rows}
     if len(metas) != 1:
@@ -378,6 +387,7 @@ def minhash_append_store(
     id_col: str = "doc_id",
     batch_id: Optional[str] = None,
     _sigs: Optional[DataFrame] = None,
+    _markers: Optional[set] = None,
 ) -> None:
     """Grow a saved store with NEW documents — the incremental-ingest
     verb. Signatures are built with the kernel parameters recorded in the
@@ -404,8 +414,14 @@ def minhash_append_store(
     """
     _require_integral_id(new_docs, id_col, "minhash_append_store")
     spark = new_docs.sparkSession
-    if batch_id is not None and batch_id in _read_store_markers(spark, path):
-        return  # fully applied; retry is a no-op
+    if batch_id is not None:
+        # _markers: caller-held applied-id set (the foreachBatch wrapper
+        # passes one) — skips the per-trigger {path}/batches read, whose
+        # cost otherwise grows with the number of past triggers
+        applied = (_markers if _markers is not None
+                   else _read_store_markers(spark, path))
+        if batch_id in applied:
+            return  # fully applied; retry is a no-op
     meta = _load_store_meta(spark, path)
     sigs = _sigs
     if sigs is None:
@@ -426,6 +442,8 @@ def minhash_append_store(
         spark.createDataFrame([(batch_id,)], "batch_id string").write.mode(
             "append"
         ).parquet(f"{path}/batches")
+        if _markers is not None:
+            _markers.add(batch_id)
         return
     # sigs first: an entries row whose signature row is missing would
     # produce candidates that verify against NULL (dropped pairs); a
@@ -443,6 +461,7 @@ def minhash_match_batch(
     id_col: str = "doc_id",
     corpus_id_col: str = "corpus_id",
     threshold: float = 0.5,
+    push_bucket_in: bool = False,
     _arrival_sigs: Optional[DataFrame] = None,
     _cleanup: Optional[list] = None,
     _meta: Optional[dict] = None,
@@ -467,6 +486,18 @@ def minhash_match_batch(
     materialized; :func:`minhash_match_foreach_batch` manages that
     lifecycle per trigger — callers looping over many batches directly
     should ``spark.catalog.clearCache()`` or go through the wrapper.
+
+    ``push_bucket_in=True`` additionally pushes the arrivals' ``bucket``
+    IN-set into the entries scan (the files are sorted by (band, bucket),
+    so row groups that hold none of the probe buckets are page-skipped —
+    measured 500 000× fewer records read at point-lookup scale). The set
+    is pushed in ≤1 000-literal chunks via
+    :func:`tape_spark.utils.io.filter_in_chunked`, so a raised
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` cannot overflow the
+    parquet filter evaluator no matter the trigger size (unchunked, the
+    push crashes past ~1–2 k literals). OFF by default: warm-local the
+    filter evaluation costs more than the narrow scan it saves — it pays
+    on cold/remote reads where records-read dominates (docs/SCALING.md).
     """
     if id_col == corpus_id_col:
         raise ValueError(
@@ -490,16 +521,25 @@ def minhash_match_batch(
                                   "corpus_id", "__arr_id")
     empty_schema = f"{id_col} long, {corpus_id_col} long, est_jaccard double"
     # phase 1 eager job: the arrivals' partition IN-set (≤ num_entry_buckets
-    # values; the job scans the ARRIVALS only, never the store)
-    pbuckets = [int(r["pbucket"])
-                for r in arr_entries.select("pbucket").distinct().collect()]
+    # values; the job scans the ARRIVALS only, never the store). With
+    # push_bucket_in the same single job also gathers the bucket keys.
+    if push_bucket_in:
+        keys = arr_entries.select("pbucket", "bucket").distinct().collect()
+        pbuckets = sorted({int(r["pbucket"]) for r in keys})
+        probe_buckets = sorted({int(r["bucket"]) for r in keys})
+    else:
+        pbuckets = [int(r["pbucket"])
+                    for r in arr_entries.select("pbucket").distinct().collect()]
     if not pbuckets:
         return spark.createDataFrame([], empty_schema)
-    entries = (
-        spark.read.parquet(f"{path}/entries")
-        .filter(F.col("pbucket").isin(pbuckets))
-        .select("corpus_id", "band", "bucket")
+    entries = spark.read.parquet(f"{path}/entries").filter(
+        F.col("pbucket").isin(pbuckets)
     )
+    if push_bucket_in:
+        from ..utils.io import filter_in_chunked
+
+        entries = filter_in_chunked(entries, "bucket", probe_buckets)
+    entries = entries.select("corpus_id", "band", "bucket")
     cand = (
         F.broadcast(arr_entries.select("__arr_id", "band", "bucket"))
         .join(entries, on=["band", "bucket"])
@@ -572,6 +612,13 @@ def minhash_match_foreach_batch(
     exists once the micro-batch is materialized.
     """
 
+    # applied-marker cache shared across triggers: loaded from
+    # {path}/batches ONCE (this closure is the store's sole appender by
+    # the streaming contract), then maintained in-process — without it
+    # every trigger re-lists and re-reads a marker dir that grows one
+    # file per past trigger
+    _marker_state: dict = {"applied": None}
+
     def _fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         meta = _load_store_meta(spark, path)
@@ -597,12 +644,15 @@ def minhash_match_foreach_batch(
                 # fully-applied batch's replay is a marker-checked no-op.
                 # The SINK's replay exposure stays the caller's contract,
                 # as foreachBatch documents.
+                if _marker_state["applied"] is None:
+                    _marker_state["applied"] = _read_store_markers(spark, path)
                 minhash_append_store(
                     batch, path, text_col=text_col, id_col=id_col,
                     batch_id=f"sb{batch_id}",
                     _sigs=sigs.select(
                         F.col(id_col).alias("corpus_id"), "signature"
                     ),
+                    _markers=_marker_state["applied"],
                 )
         finally:
             for frame in caches:
@@ -636,13 +686,18 @@ def minhash_rebucket_store(
     same rows mid-swap), rebucketing changes the pruning moduli — between
     a table swap and the final meta swap, a concurrent match would
     compute partition IN-sets with the old modulus against the new
-    layout and silently MISS matches. Quiesce matches around the call. A
-    crash mid-verb leaves the same inconsistent window; repair by
+    layout and silently MISS matches. The verb drops a
+    ``__rebucket_inprogress`` sentinel before the first swap and removes
+    it after the meta swap; every load/match/append/compact path RAISES
+    while it exists, so both the live window and a crash inside it fail
+    loudly instead of silently missing matches. Repair a crashed run by
     RE-RUNNING the verb with the same arguments (it recomputes both
     tables from the signatures, which are the durable source of truth —
     the stale ``sbucket`` column in a half-swapped sigs table is ignored
-    on read)."""
-    meta = _load_store_meta(spark, path)
+    on read), which clears the sentinel on success."""
+    # bypass the sentinel gate: re-running THIS verb is the documented
+    # repair for a crashed rebucket
+    meta = _load_store_meta(spark, path, _check_sentinel=False)
     new_eb = int(num_entry_buckets or meta["num_entry_buckets"])
     new_sb = int(num_sig_buckets or meta["num_sig_buckets"])
     if new_eb < 1 or new_sb < 1:
@@ -667,7 +722,12 @@ def minhash_rebucket_store(
     import os as _os
     import shutil as _shutil
 
+    from ..utils.io import clear_rebucket_sentinel, write_rebucket_sentinel
+
     sigs = spark.read.parquet(f"{path}/sigs").select("corpus_id", "signature")
+    # sentinel BEFORE the first swap: readers fail loudly during the
+    # inconsistent window (and after a crash inside it)
+    write_rebucket_sentinel(path)
     # write both rewritten tables fully to tmp dirs, then swap each with
     # the same recoverable rename convention compaction uses
     for table, frame, part_col, sort_cols in (
@@ -695,6 +755,8 @@ def minhash_rebucket_store(
         "num_sig_buckets int, shingle_n int, seed int",
     )
     atomic_replace_parquet(new_meta, f"{path}/meta")
+    # meta now matches the layout everywhere — safe to readmit readers
+    clear_rebucket_sentinel(path)
     return {
         "num_entry_buckets": (meta["num_entry_buckets"], new_eb),
         "num_sig_buckets": (meta["num_sig_buckets"], new_sb),
@@ -715,10 +777,18 @@ def minhash_compact_store(spark, path: str) -> dict:
     tagged data files present with no marker in ``{path}/batches``):
     rewriting would erase the file tags the batch's retry uses to
     replace-instead-of-duplicate. Retry the append first, then compact.
-    Markers of applied batches are preserved, so their retries stay
+    Markers of applied batches are preserved — FOLDED into one file (the
+    marker dir otherwise grows one single-row file per past trigger and
+    every marker read lists/opens them all) — so their retries stay
     no-ops after compaction."""
-    from ..utils.io import compact_partitioned_parquet, list_batch_file_ids
+    from ..utils.io import (
+        atomic_replace_parquet,
+        check_rebucket_sentinel,
+        compact_partitioned_parquet,
+        list_batch_file_ids,
+    )
 
+    check_rebucket_sentinel(path)
     tagged = list_batch_file_ids(f"{path}/entries") | list_batch_file_ids(
         f"{path}/sigs"
     )
@@ -736,4 +806,22 @@ def minhash_compact_store(spark, path: str) -> dict:
     n_sigs = compact_partitioned_parquet(
         spark, f"{path}/sigs", "sbucket", sort_cols=["corpus_id"]
     )
-    return {"entries_files_before": n_entries, "sigs_files_before": n_sigs}
+    # fold the one-file-per-trigger marker dir (ids preserved exactly —
+    # retries of applied batches remain no-ops)
+    import os as _os
+
+    n_markers = 0
+    if _os.path.exists(f"{path}/batches"):
+        markers = spark.createDataFrame(
+            [(b,) for b in sorted(_read_store_markers(spark, path))],
+            "batch_id string",
+        ).coalesce(1)
+        n_markers = sum(
+            1 for f in _os.listdir(f"{path}/batches") if f.endswith(".parquet")
+        )
+        atomic_replace_parquet(markers, f"{path}/batches")
+    return {
+        "entries_files_before": n_entries,
+        "sigs_files_before": n_sigs,
+        "marker_files_before": n_markers,
+    }

@@ -24,6 +24,78 @@ import os
 import shutil
 from typing import Optional, Sequence
 
+REBUCKET_SENTINEL = "__rebucket_inprogress"
+
+
+def write_rebucket_sentinel(path: str) -> None:
+    """Mark an index/store root as mid-rebucket. Rebucketing changes the
+    partition-pruning modulus across two non-atomic table swaps; between
+    them a concurrent reader would prune with the old modulus against the
+    new layout and silently return INCOMPLETE results. The sentinel makes
+    that window (and a crash inside it) fail loudly instead: every
+    load/match/query/append/compact path raises while it exists."""
+    with open(os.path.join(path, REBUCKET_SENTINEL), "w") as f:
+        f.write("rebucket in progress; see tape_spark.utils.io\n")
+
+
+def clear_rebucket_sentinel(path: str) -> None:
+    try:
+        os.remove(os.path.join(path, REBUCKET_SENTINEL))
+    except FileNotFoundError:
+        pass
+
+
+def check_rebucket_sentinel(path: str) -> None:
+    """Raise if ``path`` carries a rebucket-in-progress sentinel — the
+    layout may not match the recorded modulus, so pruned reads could
+    silently miss rows. Repair: re-run the rebucket verb with the same
+    arguments (it recomputes both tables from the durable source rows),
+    which clears the sentinel on success."""
+    p = os.path.join(path, REBUCKET_SENTINEL)
+    if os.path.exists(p):
+        raise RuntimeError(
+            f"{path!r} has an in-progress or crashed rebucket ({p} present): "
+            "pruned reads against a half-swapped layout silently miss rows. "
+            "Re-run the rebucket verb with the same arguments to repair."
+        )
+
+
+def filter_in_chunked(df, col: str, values, max_pushed_literals: int = 200):
+    """``df WHERE col IN values`` with a BOUNDED pushed-literal count.
+
+    Spark pushes an In filter to parquet as a recursive Or tree; past
+    ~1–2 k literals evaluating it overflows the filter evaluator's stack
+    (measured: ``BENCH_sf100_r13.json`` phase ``rowgroup_skip`` — a
+    100-doc trigger's 1 600-literal bucket IN-set crashes with
+    ``StackOverflowError`` when ``spark.sql.parquet.pushdown
+    .inFilterThreshold`` is raised above the set size; the r14 bisect
+    found the limit CONTEXT-DEPENDENT — the same 1 000-literal slice
+    passes or overflows depending on page boundaries and surrounding
+    stack depth, failing as low as ~900 — hence the 200 default, a 4x
+    margin under the worst observed failure). Slicing the set into
+    ≤``max_pushed_literals`` runs and UNIONING one scan per slice
+    keeps every pushed tree below the limit while preserving the
+    row-group skipping the push exists for (each scan prunes with its
+    own slice; a slice's misses are skipped at the page level exactly as
+    before). The slices are disjoint, so the union is exact with no
+    dedup step.
+
+    Below the bound this is a plain ``isin`` — zero plan change for the
+    common case."""
+    from pyspark.sql import functions as F
+
+    vals = sorted(set(values))
+    if len(vals) <= max_pushed_literals:
+        return df.filter(F.col(col).isin(vals))
+    parts = [
+        df.filter(F.col(col).isin(vals[i : i + max_pushed_literals]))
+        for i in range(0, len(vals), max_pushed_literals)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
 
 def write_partitioned_single_file(
     df,

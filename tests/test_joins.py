@@ -789,3 +789,99 @@ def test_asof_join_max_rows_per_key_guard(spark):
     assert sorted(map(tuple, ok.collect())) == sorted(map(tuple, base.collect()))
     with pytest.raises(ValueError, match="must be positive"):
         asof_join(left, right, on="t", by="user", max_rows_per_key=0)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("slices", [3, 16])
+def test_asof_salted_matches_pandas(spark, direction, slices):
+    """salt_slices must not change a single match: the salted two-phase
+    plan (per-(key, time-slice) scans + boundary carries) is compared
+    row-for-row against pandas.merge_asof on random data."""
+    left, right = _trades_quotes(seed=23)
+    out = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by="key",
+            direction=direction,
+            salt_slices=slices,
+        )
+        .toPandas()
+        .sort_values(["key", "t", "qty"])
+        .reset_index(drop=True)
+    )
+    exp = _expected_asof(left, right, direction)
+    pd.testing.assert_frame_equal(
+        out[["key", "t", "qty", "t_r", "px"]],
+        exp[["key", "t", "qty", "t_r", "px"]],
+        check_dtype=False,
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_salted_tolerance_and_ties(spark, direction):
+    """Boundary-adversarial case: duplicated timestamps (ties must keep
+    merge_asof's last/first-input-row choice ACROSS slice boundaries)
+    plus a tolerance that invalidates distant carries."""
+    left, right = _trades_quotes(seed=31, n_left=150, n_right=90)
+    # force heavy timestamp ties, including across slice boundaries
+    right["t"] = np.round(right["t"], -1)
+    left["t"] = np.round(left["t"], -1)
+    out = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by="key",
+            direction=direction,
+            tolerance=25.0,
+            salt_slices=7,
+        )
+        .toPandas()
+        .sort_values(["key", "t", "qty"])
+        .reset_index(drop=True)
+    )
+    exp = _expected_asof(left, right, direction, tolerance=25.0)
+    pd.testing.assert_frame_equal(
+        out[["key", "t", "qty", "t_r", "px"]],
+        exp[["key", "t", "qty", "t_r", "px"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_salted_no_by_and_edges(spark):
+    """salt_slices with by=None (the global-sort bottleneck it also
+    lifts), the all-equal-timestamps degenerate range (salting becomes a
+    no-op), salt_slices=1 (no-op), and salt_slices=0 (raises)."""
+    import warnings as _w
+
+    from tape_spark.operators import asof_join
+
+    left, right = _trades_quotes(seed=41, n_keys=1, n_left=60, n_right=40)
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        base = sorted(
+            map(tuple, asof_join(ldf.drop("key"), rdf.drop("key"), on="t").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                asof_join(
+                    ldf.drop("key"), rdf.drop("key"), on="t", salt_slices=8
+                ).collect(),
+            )
+        )
+    assert salted == base
+    # degenerate time range: every row at the same timestamp
+    l1 = spark.createDataFrame([(1, 5.0, "a"), (1, 5.0, "b")], "k long, t double, v string")
+    r1 = spark.createDataFrame([(1, 5.0, 9.0)], "k long, t double, px double")
+    got = asof_join(l1, r1, on="t", by="k", salt_slices=4).collect()
+    assert all(r["px"] == 9.0 for r in got) and len(got) == 2
+    # salt_slices=1 is a documented no-op
+    one = sorted(map(tuple, asof_join(ldf, rdf, on="t", by="key", salt_slices=1).collect()))
+    plain = sorted(map(tuple, asof_join(ldf, rdf, on="t", by="key").collect()))
+    assert one == plain
+    with pytest.raises(ValueError, match="salt_slices"):
+        asof_join(ldf, rdf, on="t", by="key", salt_slices=0)
