@@ -381,10 +381,17 @@ def lsh_candidate_pairs(
     corpus scale such clusters are near-identical and better handled by
     exact dedup first). Returns distinct ``(id_a, id_b)``.
     """
+    # ONE long join key instead of the (band, bucket) pair: joins and
+    # aggregates on a single bigint hit Spark's specialized long-key
+    # hashed relation / hash map — measured 8-10x faster on the 80M-row
+    # candidate probe than the two-column key (r14, docs/SCALING.md). A
+    # cross-band xxhash64 collision merely merges two buckets — extra
+    # CANDIDATES at ~2^-64 probability, removed by the verify/distinct
+    # exactly like any banding false positive.
     band_entries = signatures.select(
         F.col(id_col),
         F.explode(_band_struct_expr(bands, rows_per_band)).alias("e"),
-    ).select(id_col, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    ).select(id_col, F.xxhash64("e.band", "e.bucket").alias("__bk"))
     if max_bucket_size is not None:
         # anti-join the OVER-FULL keys (tiny: capped corpora have few
         # boilerplate buckets) instead of semi-joining the huge
@@ -392,19 +399,19 @@ def lsh_candidate_pairs(
         # entries side shuffle-free, the same shape the fused path uses
         # for its cap
         overfull = (
-            band_entries.groupBy("band", "bucket")
+            band_entries.groupBy("__bk")
             .agg(F.count(F.lit(1)).alias("sz"))
             .filter(F.col("sz") > max_bucket_size)
-            .select("band", "bucket")
+            .select("__bk")
         )
         band_entries = band_entries.join(
-            F.broadcast(overfull), on=["band", "bucket"], how="left_anti"
+            F.broadcast(overfull), on="__bk", how="left_anti"
         )
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     return (
-        a.join(b, on=["band", "bucket"])
+        a.join(b, on="__bk")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
@@ -816,24 +823,34 @@ def minhash_near_duplicates(
             result.count()
             sigs.unpersist()
         return result
+    # single long join key (xxhash64 of the band struct) — see
+    # lsh_candidate_pairs: long-key joins/aggs hit Spark's specialized
+    # long hashed relation, measured 8-10x faster than the two-column
+    # (band, bucket) key; `band` still rides along for the
+    # first-agreeing-band dedup filter below
     entries = sigs.select(
         F.col(id_col), F.col("signature"), F.explode(band_expr).alias("e")
-    ).select(id_col, "signature", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+    ).select(
+        id_col,
+        "signature",
+        F.col("e.band").alias("band"),
+        F.xxhash64("e.band", "e.bucket").alias("__bk"),
+    )
     if max_bucket_size is not None:
         # Count bucket sizes over a signature-free projection (narrow
-        # shuffle), keep only the over-full (band, bucket) keys — a tiny
-        # relation — and broadcast-anti-join it against the wide entries,
-        # so the wide side is never shuffled for the cap.
+        # shuffle), keep only the over-full keys — a tiny relation — and
+        # broadcast-anti-join it against the wide entries, so the wide
+        # side is never shuffled for the cap.
         slim = sigs.select(F.col(id_col), F.explode(band_expr).alias("e")).select(
-            F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+            F.xxhash64("e.band", "e.bucket").alias("__bk")
         )
         overfull = (
-            slim.groupBy("band", "bucket")
+            slim.groupBy("__bk")
             .agg(F.count(F.lit(1)).alias("sz"))
             .filter(F.col("sz") > max_bucket_size)
-            .select("band", "bucket")
+            .select("__bk")
         )
-        entries = entries.join(F.broadcast(overfull), on=["band", "bucket"], how="left_anti")
+        entries = entries.join(F.broadcast(overfull), on="__bk", how="left_anti")
     a = entries.alias("a")
     b = entries.alias("b")
     # The verify expressions are UNROLLED into flat position-wise
@@ -857,7 +874,7 @@ def minhash_near_duplicates(
     # coalesce(when(band0_agrees, 0), when(band1_agrees, 1), ...) is the
     # first (= minimum) agreeing band, again as pure codegen.
     first_band = _first_agreeing_band(pos_eq, bands, rows_per_band)
-    joined = a.join(b, on=["band", "bucket"]).filter(
+    joined = a.join(b, on="__bk").filter(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
     pair_cols = [
@@ -868,9 +885,11 @@ def minhash_near_duplicates(
     if max_bucket_size is None:
         # No pruning: every agreeing band of a pair survives the join, so
         # the signature-derived first agreeing band is always present and
-        # the dedup stays a pure map-side filter.
+        # the dedup stays a pure map-side filter. (`a.band`: the single
+        # hashed join key leaves band on both sides; they are equal on
+        # every non-collision row.)
         result = (
-            joined.filter(F.col("band") == first_band)
+            joined.filter(F.col("a.band") == first_band)
             .select(*pair_cols)
             .filter(F.col("est_jaccard") >= threshold)
         )

@@ -126,17 +126,21 @@ def stream_minhash_matches(
     rows_per_band = num_hashes // bands
     band_expr = _band_struct_expr(bands, rows_per_band)
 
-    def _entries(sigs, idc, sig_alias):
+    def _entries(sigs, idc, sig_alias, keep_band=False):
+        # single hashed long join key (see lsh_candidate_pairs: 8-10x
+        # faster joins than the two-column (band, bucket) key); `band`
+        # kept only on the side the first-agreeing-band filter reads
+        extra = [F.col("e.band").alias("band")] if keep_band else []
         return sigs.select(
             F.col(idc), F.col("signature").alias(sig_alias), F.explode(band_expr).alias("e")
-        ).select(idc, sig_alias, F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket"))
+        ).select(idc, sig_alias, *extra, F.xxhash64("e.band", "e.bucket").alias("__bk"))
 
     stream_sigs = minhash_signatures(
         docs, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
         signature_bits=signature_bits,
     )
-    s = _entries(stream_sigs, id_col, "__sig_s")
+    s = _entries(stream_sigs, id_col, "__sig_s", keep_band=True)
     c = _entries(
         signatures.select(F.col(other[0]).alias(corpus_id_col), "signature"),
         corpus_id_col,
@@ -146,7 +150,7 @@ def stream_minhash_matches(
         broadcast_arrivals = bool(docs.isStreaming)
     if broadcast_arrivals:
         s = F.broadcast(s)
-    joined = s.join(c, on=["band", "bucket"])
+    joined = s.join(c, on="__bk")
     pos_eq = _position_agreements("__sig_s", "__sig_c", num_hashes)
     est = _est_jaccard(pos_eq, num_hashes)
     first_band = _first_agreeing_band(pos_eq, bands, rows_per_band)
@@ -539,10 +543,20 @@ def minhash_match_batch(
         from ..utils.io import filter_in_chunked
 
         entries = filter_in_chunked(entries, "bucket", probe_buckets)
-    entries = entries.select("corpus_id", "band", "bucket")
+    # single hashed long join key — Spark's long-key hashed relation
+    # probes the 80M-row entries side 8-10x faster than the two-column
+    # (band, bucket) key (r14, docs/SCALING.md); a cross-band hash
+    # collision adds a candidate at ~2^-64, removed by the verify
+    entries = entries.select(
+        "corpus_id", F.xxhash64("band", "bucket").alias("__bk")
+    )
     cand = (
-        F.broadcast(arr_entries.select("__arr_id", "band", "bucket"))
-        .join(entries, on=["band", "bucket"])
+        F.broadcast(
+            arr_entries.select(
+                "__arr_id", F.xxhash64("band", "bucket").alias("__bk")
+            )
+        )
+        .join(entries, on="__bk")
         .select("__arr_id", "corpus_id")
         .distinct()
         .withColumn(
