@@ -217,9 +217,12 @@ def _arrivals(spark, n_arr):
 
 
 def main():
-    phase = sys.argv[1]
+    # PROBE_SUFFIX lets a phase re-run under a different cgroup throttle
+    # (set outside) and land as its own record, e.g. "_iops100"
+    global OUT
+    phase = sys.argv[1] + os.environ.get("PROBE_SUFFIX", "")
 
-    if phase == "cold_bm25":
+    if phase.startswith("cold_bm25"):
         # Ask #1 A/B no.1: the composed 4-query mix on the SAME corpus in
         # both layouts, reading from the throttled loop mount, cold. The
         # r13 claim under test: the compaction file-count win (148 vs
@@ -253,13 +256,13 @@ def main():
                 m, _ = timed_cold(lambda p=p: run(p))
                 out[n].append(m)
         emit(phase, {
-            "throttle": "80MiB/s + 1000 read IOPS on the store device",
+            "throttle": os.environ.get("PROBE_THROTTLE", "80MiB/s + 1000 read IOPS"),
             "parity": checks["uncompacted"] == checks["rowsalt_compacted"],
             "postings_files": nfiles,
             "cold_throttled": out,
         })
 
-    elif phase == "cold_pointlookup":
+    elif phase.startswith("cold_pointlookup"):
         # Ask #1 A/B no.2 + ask #2 done-criterion: point lookups against
         # the 64- and 320-bucket stores under the throttle, with and
         # without the CHUNKED bucket IN push (r13: the unchunked push
@@ -277,8 +280,12 @@ def main():
             "b64": f"{COLD_MNT}/store_5m",
             "b320": f"{COLD_MNT}/store_5m_b320",
         }
+        n_arrs = [
+            int(x)
+            for x in os.environ.get("PROBE_NARRS", "8,100").split(",")
+        ]
         results = []
-        for n_arr in (8, 100, 1000):
+        for n_arr in n_arrs:
             arr = _arrivals(spark, n_arr)
             arr.count()
             rec = {"n_arr": n_arr, "runs": {}, "rows": {}}
@@ -298,18 +305,19 @@ def main():
                             c.unpersist()
                         walls.append(m)
                         rec["rows"][tag] = int(nrows)
+                        print(f"  {n_arr} {tag} rep{rep}: {m}", flush=True)
                     rec["runs"][tag] = walls
             arr.unpersist()
             results.append(rec)
             # row parity across all four variants of this n_arr
             rec["rows_agree"] = len(set(rec["rows"].values())) == 1
         emit(phase, {
-            "throttle": "80MiB/s + 1000 read IOPS",
+            "throttle": os.environ.get("PROBE_THROTTLE", "80MiB/s + 1000 read IOPS"),
             "in_filter_threshold": 100000,
             "points": results,
         })
 
-    elif phase == "cold_trigger50k":
+    elif phase.startswith("cold_trigger50k"):
         # Ask #1 A/B no.3: one 50k-doc trigger per store generation under
         # the throttle — the batch regime where r13 found bucket count
         # irrelevant WARM (the IN-set covers every partition); cold the
@@ -339,7 +347,7 @@ def main():
                 out.setdefault(sname, []).append(m)
                 rows[sname] = int(nrows)
         emit(phase, {
-            "throttle": "80MiB/s + 1000 read IOPS",
+            "throttle": os.environ.get("PROBE_THROTTLE", "80MiB/s + 1000 read IOPS"),
             "n_arr": 50_000,
             "rows": rows,
             "cold_throttled": out,
@@ -390,7 +398,7 @@ def main():
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         emit(phase, {"base": base, "arrow_batch_attack": attack})
 
-    elif phase == "asof_salted":
+    elif phase.startswith("asof_salted"):
         # Ask #4: the celebrity-key single-sort drag (guarded-permissive
         # walls swung 29.7-110.2s in r13). A/B the unsalted window plan
         # against salt_slices=32 on the same 100M-event celebrity frame,
@@ -403,7 +411,11 @@ def main():
         ev = (
             spark.read.parquet(f"{SF_DIR}/events.parquet")
             .select(
-                F.when(F.pmod(F.xxhash64("user_id"), F.lit(10)) == 0, F.lit(42))
+                F.when(
+                    F.pmod(F.xxhash64("user_id"),
+                           F.lit(int(os.environ.get("PROBE_HOT_MOD", "10")))) == 0,
+                    F.lit(42),
+                )
                 .otherwise(F.col("user_id")).alias("user_id"),
                 F.col("ts").cast("timestamp").cast("double").alias("t"),
                 "value",
