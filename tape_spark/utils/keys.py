@@ -57,6 +57,9 @@ def assert_max_rows_per_key(
             f"{op_name}: key(s) exceed max_rows_per_key={int(max_rows_per_key)} "
             f"— each key's rows sort inside ONE task, so a hot key is a "
             f"single-core cliff with no progress signal. Hottest (up to 10): "
-            f"{named}. Remedies: pre-filter or cap the hot keys, split them "
-            f"by time range, or route them through a dedicated pass."
+            f"{named}. Remedies: for asof_join pass salt_slices=S (the "
+            f"salted two-phase plan splits each key into S time slices "
+            f"with boundary repair — bit-identical results); otherwise "
+            f"pre-filter or cap the hot keys, split them by time range, "
+            f"or route them through a dedicated pass."
         )
