@@ -1021,13 +1021,23 @@ def embedding_near_duplicates(
             ids = (bits.reshape(len(mat), num_tables, num_planes) * weights).sum(axis=2)
             return pd.Series(list(ids))
 
+        # single hashed long join key (see lsh_candidate_pairs): long-key
+        # equi-joins hit the specialized LongHashedRelation, ~8-10x
+        # faster probes than a two-column key; a cross-table collision
+        # adds a candidate pair at ~2^-64, removed by the exact cosine
+        # filter below like any LSH false positive
         tabled = base.withColumn("bs", buckets(F.col("v"))).select(
-            id_col, "v", "norm", F.posexplode("bs").alias("t", "bucket")
+            id_col,
+            "v",
+            "norm",
+            F.posexplode("bs").alias("t", "bucket"),
+        ).select(
+            id_col, "v", "norm", F.xxhash64("t", "bucket").alias("__tb")
         )
         a = tabled.alias("a")
         b = tabled.alias("b")
         joined = (
-            a.join(b, on=[F.col("a.t") == F.col("b.t"), F.col("a.bucket") == F.col("b.bucket")])
+            a.join(b, on="__tb")
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
