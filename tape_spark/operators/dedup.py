@@ -15,6 +15,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import numpy as np
@@ -418,6 +419,30 @@ def lsh_candidate_pairs(
     )
 
 
+# The three plan-time kernels below are built as ONE memoized SQL string
+# handed to F.expr (a single py4j round trip): the Column-API construction
+# was hundreds of driver↔JVM socket calls per invocation — profiled at
+# ~1.9 s of the ~2 s driver plan-construction tax charged to EVERY
+# join-mode call at num_hashes=128 (r15; the parsed Catalyst trees are
+# the same, results bit-identical — locked by the minhash parity tests).
+# lru_cache on the STRING is session-lifetime-safe (no JVM refs cached).
+
+
+def _qident(name: str) -> str:
+    """Backquote a (possibly alias-qualified dotted) column name for SQL."""
+    return ".".join(f"`{p}`" for p in name.split("."))
+
+
+@lru_cache(maxsize=None)
+def _band_struct_sql(bands: int, rows_per_band: int) -> str:
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', "
+        f"xxhash64(slice(`signature`, {b * rows_per_band + 1}, {rows_per_band}), {b}))"
+        for b in range(bands)
+    )
+    return f"array({structs})"
+
+
 def _band_struct_expr(bands: int, rows_per_band: int):
     """The banding kernel: slice a column named ``signature`` into
     ``bands`` runs of ``rows_per_band`` and hash each run to a bucket.
@@ -431,50 +456,50 @@ def _band_struct_expr(bands: int, rows_per_band: int):
     ~0.3-0.4 µs/entry slower — a 16 M-entry banding pass dropped from
     6-9 s to ~2 s when unrolled (r14; the values are bit-identical,
     asserted in tests)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                    F.lit(b),
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
+    return F.expr(_band_struct_sql(bands, rows_per_band))
 
 
-def _first_agreeing_band(pos_eq: list, bands: int, rows_per_band: int):
+@lru_cache(maxsize=None)
+def _first_agreeing_band_sql(
+    sig_a: str, sig_b: str, bands: int, rows_per_band: int
+) -> str:
+    a, b = _qident(sig_a), _qident(sig_b)
+    cases = []
+    for bi in range(bands):
+        cond = " AND ".join(
+            f"({a}[{bi * rows_per_band + j}] = {b}[{bi * rows_per_band + j}])"
+            for j in range(rows_per_band)
+        )
+        cases.append(f"CASE WHEN {cond} THEN {bi} END")
+    return f"coalesce({', '.join(cases)})"
+
+
+def _first_agreeing_band(sig_a: str, sig_b: str, bands: int, rows_per_band: int):
     """Index of the first band whose signature slices fully agree — the
     exact, map-side replacement for a distinct over banded pair copies
     (slice equality implies bucket equality, so each pair is emitted
-    from exactly one band). Shared by the fused join and the streaming
-    matcher."""
-
-    def band_agrees(bi):
-        cond = pos_eq[bi * rows_per_band]
-        for j in range(1, rows_per_band):
-            cond = cond & pos_eq[bi * rows_per_band + j]
-        return cond
-
-    return F.coalesce(*[F.when(band_agrees(bi), F.lit(bi)) for bi in range(bands)])
+    from exactly one band). Unrolled flat position-wise comparisons
+    (codegen, not interpreted HOFs). Shared by the fused join and the
+    streaming matcher."""
+    return F.expr(_first_agreeing_band_sql(sig_a, sig_b, bands, rows_per_band))
 
 
-def _position_agreements(sig_a: str, sig_b: str, num_hashes: int) -> list:
-    """Unrolled flat position-wise signature comparisons (codegen, not
-    interpreted HOFs — the zip_with/aggregate form measured ~250 µs/pair
-    interpreted at sf100). Shared by the fused and slim join shapes so
-    the verify semantics can never drift between them."""
-    return [F.col(sig_a)[i] == F.col(sig_b)[i] for i in range(num_hashes)]
+@lru_cache(maxsize=None)
+def _est_jaccard_sql(sig_a: str, sig_b: str, num_hashes: int) -> str:
+    a, b = _qident(sig_a), _qident(sig_b)
+    terms = " + ".join(
+        f"cast(({a}[{i}] = {b}[{i}]) as int)" for i in range(num_hashes)
+    )
+    return f"({terms}) / {float(num_hashes)}D"
 
 
-def _est_jaccard(pos_eq: list, num_hashes: int):
-    """Estimated Jaccard = fraction of agreeing signature positions."""
-    agree = pos_eq[0].cast("int")
-    for term in pos_eq[1:]:
-        agree = agree + term.cast("int")
-    return agree / F.lit(float(num_hashes))
+def _est_jaccard(sig_a: str, sig_b: str, num_hashes: int):
+    """Estimated Jaccard = fraction of agreeing signature positions, as
+    unrolled flat position-wise comparisons (codegen, not interpreted
+    HOFs — the zip_with/aggregate form measured ~250 µs/pair interpreted
+    at sf100). Shared by the fused and slim join shapes and the
+    streaming matcher so the verify semantics can never drift."""
+    return F.expr(_est_jaccard_sql(sig_a, sig_b, num_hashes))
 
 
 def _minhash_pairs_slim(
@@ -506,7 +531,7 @@ def _minhash_pairs_slim(
     sig_b = sigs.select(
         F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b")
     )
-    est = _est_jaccard(_position_agreements("__sig_a", "__sig_b", num_hashes), num_hashes)
+    est = _est_jaccard("__sig_a", "__sig_b", num_hashes)
     return (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
@@ -528,9 +553,17 @@ def _plan_row_estimate(df):
     Defined for materialized caches and count-known relations; None for
     pipelines whose size Catalyst cannot know (their sizeInBytes is a
     worthless Long.MaxValue-ish sentinel, so no byte fallback). Used
-    only to size the auto-mode sampling rate."""
-    rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
-    return max(1, int(str(rc.get()))) if rc.isDefined() else None
+    only to size the auto-mode sampling rate.
+
+    This reaches through ``df._jdf`` into private py4j surface
+    (``queryExecution().optimizedPlan().stats()``) that can move across
+    Spark minor versions — any failure degrades to None (the caller then
+    counts exactly), never raises: a stats HINT must not break the op."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return max(1, int(str(rc.get()))) if rc.isDefined() else None
+    except Exception:
+        return None
 
 
 def _auto_join_mode_decision(
@@ -861,8 +894,7 @@ def minhash_near_duplicates(
     # constant, so 64 GetArrayItem equality terms compile into one
     # codegen'd expression tree (~10× on the verify stage, identical
     # results — locked by tests/test_operators.py minhash parity tests).
-    pos_eq = _position_agreements("a.signature", "b.signature", num_hashes)
-    est = _est_jaccard(pos_eq, num_hashes)
+    est = _est_jaccard("a.signature", "b.signature", num_hashes)
     # First-matching-band dedup: a pair that collides in k bands appears k
     # times in the join; keep it only from the first band whose signature
     # slices agree — an exact, *map-side* replacement for distinct() (at
@@ -873,7 +905,7 @@ def minhash_near_duplicates(
     # event) is dropped, which the est filter would do anyway.
     # coalesce(when(band0_agrees, 0), when(band1_agrees, 1), ...) is the
     # first (= minimum) agreeing band, again as pure codegen.
-    first_band = _first_agreeing_band(pos_eq, bands, rows_per_band)
+    first_band = _first_agreeing_band("a.signature", "b.signature", bands, rows_per_band)
     joined = a.join(b, on="__bk").filter(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )

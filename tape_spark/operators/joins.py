@@ -51,7 +51,7 @@ def asof_join(
     tolerance: Optional[float] = None,
     suffix: str = "_r",
     max_rows_per_key: Optional[int] = None,
-    salt_slices: Optional[int] = None,
+    salt_slices: Union[None, int, str] = None,
 ) -> DataFrame:
     """Left as-of join: attach to every left row the single right row that
     is nearest in ``on`` — at-or-before it (``backward``, the default),
@@ -108,6 +108,17 @@ def asof_join(
     narrow aggregate over the union + a same-key join of the small
     carry frame (≤ keys x S rows); worth it only when a key's rows
     overflow one task's sort — see docs/SCALING.md "salted asof".
+
+    ``salt_slices="auto"`` derives S from the SAME count the hot-key
+    guard runs (so it requires ``max_rows_per_key``, which becomes the
+    target rows-per-task): S = ceil(hottest key's rows / bound), clamped
+    to 4096, and 1 (the plain unsalted plan) when no key exceeds the
+    bound — the guard then salts instead of raising. With an explicit
+    integer ``salt_slices`` the guard accounts for the salt: it raises
+    only if even the per-slice rows (~n/S) would exceed the bound, and
+    the error names the S that would suffice. The derivation assumes a
+    hot key's rows spread roughly evenly over the time range; a key
+    bursty in time needs a larger S (slices are equal-width in time).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
@@ -115,14 +126,34 @@ def asof_join(
     for k in by + [on]:
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} must exist on both sides")
-    if not by:
-        warnings.warn(
-            "asof_join with by=None runs as ONE globally ordered window "
-            "partition — a single-task sort at scale. Pass `by` keys for "
-            "any large input.",
-            stacklevel=2,
-        )
-    if max_rows_per_key is not None:
+    if isinstance(salt_slices, str):
+        if salt_slices != "auto":
+            raise ValueError(
+                f"salt_slices must be an int or 'auto', got {salt_slices!r}"
+            )
+        if max_rows_per_key is None:
+            raise ValueError(
+                "salt_slices='auto' derives S from the hot-key count, so "
+                "it needs max_rows_per_key (the target rows-per-task)"
+            )
+        from ..utils.keys import find_hot_keys, suggest_salt_slices
+
+        if by:
+            hot = find_hot_keys(
+                left.select(*by).unionByName(right.select(*by)),
+                by,
+                max_rows_per_key,
+            )
+            salt_slices = (
+                suggest_salt_slices(hot[0]["__n"], max_rows_per_key) if hot else 1
+            )
+        else:
+            # keyless: ONE global partition — target-size the slices from
+            # the total row count (the slice column becomes the only key)
+            salt_slices = suggest_salt_slices(
+                left.count() + right.count(), max_rows_per_key
+            )
+    elif max_rows_per_key is not None:
         from ..utils.keys import assert_max_rows_per_key
 
         assert_max_rows_per_key(
@@ -130,6 +161,14 @@ def asof_join(
             by,
             max_rows_per_key,
             "asof_join",
+            salt_slices=salt_slices if salt_slices else 1,
+        )
+    if not by and (salt_slices is None or salt_slices <= 1):
+        warnings.warn(
+            "asof_join with by=None runs as ONE globally ordered window "
+            "partition — a single-task sort at scale. Pass `by` keys for "
+            "any large input (or salt_slices to slice the global sort).",
+            stacklevel=2,
         )
     # a NULL right timestamp has no position on the axis; under the
     # default asc-nulls-first ordering it would otherwise sort before
@@ -249,11 +288,21 @@ def asof_join(
                         "__carry_f", F.first("__r_first", ignorenulls=True).over(w_cf)
                     )
                     carry_cols.append("__carry_f")
-                u = u.join(
-                    per_slice.select(*by, "__slice", *carry_cols),
-                    [*by, "__slice"],
-                    "left",
+                # eqNullSafe on the by keys (plain equality on __slice):
+                # groupBy and the window partitionBy both treat NULL as an
+                # ordinary group, so a NULL-key left row's carry lives in
+                # the NULL group of per_slice — a null-rejecting equi-join
+                # here would silently drop its cross-slice matches
+                ps_by = [f"__ps_by_{i}" for i in range(len(by))]
+                ps = per_slice.select(
+                    *[F.col(k).alias(a) for k, a in zip(by, ps_by)],
+                    F.col("__slice").alias("__ps_slice"),
+                    *carry_cols,
                 )
+                cond = F.col("__slice") == F.col("__ps_slice")
+                for k, a in zip(by, ps_by):
+                    cond = cond & F.col(k).eqNullSafe(F.col(a))
+                u = u.join(ps, cond, "left").drop("__ps_slice", *ps_by)
 
     # backward: ascending scan; a right row at the same ``on`` sorts first
     # (__is_left asc) so equal timestamps match, as in merge_asof; among

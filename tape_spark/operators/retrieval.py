@@ -358,10 +358,35 @@ def bm25_save_index(postings: DataFrame, stats: DataFrame, path: str) -> None:
 _STATS_SCHEMA = "n long, sumdl long, num_term_buckets int, batch_id string"
 
 
+def _read_stats_rows(spark, path: str) -> list:
+    """Collect ``{path}/stats`` rows under the explicit schema, rolling an
+    interrupted ``atomic_replace_parquet`` swap of the stats dir forward
+    first (compaction replaces stats; a crash between its renames would
+    otherwise read as path-missing). Explicit schema: pre-batch_id stats
+    files lack the column and are read as NULL; plain inference could pick
+    either file's schema."""
+    from ..utils.io import recover_compact_swap
+
+    recover_compact_swap(f"{path}/stats")
+    return spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()
+
+
 def _read_batch_markers(spark, path: str) -> set:
-    """Applied-batch ids from ``{path}/batches`` (empty if none yet)."""
+    """Applied-batch ids from ``{path}/batches`` (empty if none yet).
+
+    Repairs an interrupted marker-fold swap FIRST: ``bm25_compact_index``
+    replaces ``{path}/batches`` via ``atomic_replace_parquet``, and a crash
+    between its two renames leaves the live dir missing (data intact in the
+    ``__compact_old``/``__compact_tmp`` siblings). Without the roll-forward
+    the exists-check below would read that state as "no markers", so a
+    retried append would double-insert — permanently double-counting the
+    N/sumdl stats.
+    """
     import os as _os
 
+    from ..utils.io import recover_compact_swap
+
+    recover_compact_swap(f"{path}/batches")
     if not _os.path.exists(f"{path}/batches"):
         return set()
     return {
@@ -422,9 +447,7 @@ def bm25_append_index(
     from ..utils.io import check_rebucket_sentinel
 
     check_rebucket_sentinel(path)
-    # explicit schema: pre-batch_id stats files lack the column and are
-    # read as NULL; plain inference could pick either file's schema
-    srows = spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()
+    srows = _read_stats_rows(spark, path)
     mods = {int(r["num_term_buckets"]) for r in srows}
     if len(mods) != 1:
         raise ValueError(
@@ -465,9 +488,15 @@ def bm25_load_index(spark, path: str) -> Tuple[DataFrame, DataFrame]:
     one row per save/append; consumers sum the counters. Raises while a
     rebucket is in progress (or crashed mid-swap) — the layout may not
     match the recorded modulus and pruned queries would miss postings."""
-    from ..utils.io import check_rebucket_sentinel
+    from ..utils.io import check_rebucket_sentinel, recover_compact_swap
 
     check_rebucket_sentinel(path)
+    # roll interrupted compaction swaps forward before reading: postings
+    # are swapped by compact_partitioned_parquet, stats by
+    # atomic_replace_parquet — a crash between renames leaves either
+    # live dir missing with the data intact in its __compact_* siblings
+    recover_compact_swap(f"{path}/postings")
+    recover_compact_swap(f"{path}/stats")
     return (
         spark.read.parquet(f"{path}/postings"),
         spark.read.parquet(f"{path}/stats"),
@@ -713,7 +742,7 @@ def bm25_rebucket_index(spark, path: str, num_term_buckets: int) -> dict:
         write_rebucket_sentinel,
     )
 
-    srows = spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()
+    srows = _read_stats_rows(spark, path)
     applied = _read_batch_markers(spark, path)
     pending = sorted(
         {
@@ -811,7 +840,7 @@ def bm25_compact_index(spark, path: str) -> dict:
     )
 
     check_rebucket_sentinel(path)
-    srows = spark.read.schema(_STATS_SCHEMA).parquet(f"{path}/stats").collect()
+    srows = _read_stats_rows(spark, path)
     mods = {int(r["num_term_buckets"]) for r in srows}
     if len(mods) != 1:
         raise ValueError(

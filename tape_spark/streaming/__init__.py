@@ -14,6 +14,8 @@ from .neardup import (
     minhash_rebucket_store,
     minhash_save_store,
     stream_minhash_matches,
+    suggest_num_buckets,
+    suggest_num_buckets_for_store,
 )
 from .stateful import running_stats
 from .windows import (
@@ -39,5 +41,7 @@ __all__ = [
     "minhash_match_batch",
     "minhash_match_foreach_batch",
     "minhash_rebucket_store",
+    "suggest_num_buckets",
+    "suggest_num_buckets_for_store",
     "running_stats",
 ]

@@ -109,7 +109,6 @@ def stream_minhash_matches(
         _band_struct_expr,
         _est_jaccard,
         _first_agreeing_band,
-        _position_agreements,
         minhash_signatures,
     )
 
@@ -151,9 +150,8 @@ def stream_minhash_matches(
     if broadcast_arrivals:
         s = F.broadcast(s)
     joined = s.join(c, on="__bk")
-    pos_eq = _position_agreements("__sig_s", "__sig_c", num_hashes)
-    est = _est_jaccard(pos_eq, num_hashes)
-    first_band = _first_agreeing_band(pos_eq, bands, rows_per_band)
+    est = _est_jaccard("__sig_s", "__sig_c", num_hashes)
+    first_band = _first_agreeing_band("__sig_s", "__sig_c", bands, rows_per_band)
     return (
         joined.filter(F.col("band") == first_band)
         .select(id_col, corpus_id_col, est.alias("est_jaccard"))
@@ -344,11 +342,101 @@ def minhash_save_store(
     clear_rebucket_sentinel(path)
 
 
+# suggest_num_buckets constants, pinned to the r14 cold-store anchors
+# (docs/SCALING.md round 14 "Store point lookup under the emulated cold
+# store"): the 5 M-doc store (80 M entries) measured best at 320 buckets
+# (250 k entries/bucket) for 8-doc point lookups and at 64 buckets
+# (1.25 M entries/bucket) for coverage-saturating 100-doc triggers.
+_POINT_ENTRIES_PER_BUCKET = 250_000
+_SCAN_ENTRIES_PER_BUCKET = 1_250_000
+_COVERAGE_TAU = 0.5
+
+
+def suggest_num_buckets(
+    num_docs: int,
+    expected_trigger_docs: int,
+    *,
+    bands: int = 16,
+) -> dict:
+    """Apply the r14-measured coverage rule to pick ``num_entry_buckets``
+    for a near-dup store (save-time, or :func:`minhash_rebucket_store`
+    after the corpus grows).
+
+    The rule (docs/SCALING.md round 14, ``cold_pointlookup*``): a trigger
+    of ``d`` docs probes ``d·bands`` band keys; the expected fraction of
+    the B entry partitions those keys cover is ``1 − (1−1/B)^(d·bands)``
+    ≈ ``1 − e^(−d·bands/B)``. While coverage stays a strict subset
+    (≤ ~50%), MORE buckets prune bytes — measured 3.0× fewer device bytes
+    and ~2× wall at 8-doc lookups on 320 vs 64 buckets. Once the probe
+    set covers every partition, more buckets only multiply FILES — 1.9×
+    the requests and a 1.8× wall LOSS at 100-doc triggers in the
+    request-dominated regime. So:
+
+    - if a bucket count that de-saturates coverage (B ≥ keys/ln 2 for the
+      50% target) is reachable at ~250 k entries/bucket (the measured
+      point-lookup anchor), suggest that point-lookup sizing;
+    - otherwise the trigger saturates any realistic count — suggest the
+      scan sizing (~1.25 M entries/bucket, the measured 64-bucket
+      anchor), bounded below at 8 so a store is never one giant file.
+
+    Returns ``{"num_buckets", "regime", "expected_coverage", "probe_keys",
+    "total_entries"}`` — ``expected_coverage`` is the covered-partition
+    fraction AT the suggested count. Pure arithmetic, no jobs; pass the
+    CURRENT corpus size (``num_docs``) and the typical trigger size.
+    """
+    import math
+
+    if num_docs < 1 or expected_trigger_docs < 1 or bands < 1:
+        raise ValueError(
+            "num_docs, expected_trigger_docs and bands must all be >= 1"
+        )
+    total_entries = int(num_docs) * int(bands)
+    probe_keys = int(expected_trigger_docs) * int(bands)
+    # smallest B whose expected coverage is <= tau: 1 - e^(-keys/B) <= tau
+    b_prune = math.ceil(probe_keys / math.log(1.0 / (1.0 - _COVERAGE_TAU)))
+    b_point = max(8, math.ceil(total_entries / _POINT_ENTRIES_PER_BUCKET))
+    if b_point >= b_prune:
+        b, regime = max(b_point, b_prune), "point-lookup"
+    else:
+        b, regime = max(8, math.ceil(total_entries / _SCAN_ENTRIES_PER_BUCKET)), "scan-saturated"
+    coverage = 1.0 - math.exp(-probe_keys / float(b))
+    return {
+        "num_buckets": int(b),
+        "regime": regime,
+        "expected_coverage": coverage,
+        "probe_keys": probe_keys,
+        "total_entries": total_entries,
+    }
+
+
+def suggest_num_buckets_for_store(
+    spark, path: str, expected_trigger_docs: int
+) -> dict:
+    """:func:`suggest_num_buckets` for a SAVED store: reads ``bands`` from
+    the store meta and sizes the corpus with one narrow count over the
+    persisted signature table (metadata-only column pruning — no
+    signature bytes move). Compare ``num_buckets`` against the meta's
+    ``num_entry_buckets`` to decide whether a
+    :func:`minhash_rebucket_store` is worth the rewrite."""
+    meta = _load_store_meta(spark, path)
+    n_docs = spark.read.parquet(f"{path}/sigs").select("corpus_id").count()
+    out = suggest_num_buckets(
+        n_docs, expected_trigger_docs, bands=meta["bands"]
+    )
+    out["current_num_buckets"] = meta["num_entry_buckets"]
+    return out
+
+
 def _load_store_meta(spark, path: str, _check_sentinel: bool = True) -> dict:
+    from ..utils.io import recover_compact_swap
+
     if _check_sentinel:
         from ..utils.io import check_rebucket_sentinel
 
         check_rebucket_sentinel(path)
+    # roll an interrupted meta swap forward (minhash_compact_store replaces
+    # {path}/meta via atomic_replace_parquet) instead of raising path-missing
+    recover_compact_swap(f"{path}/meta")
     rows = spark.read.parquet(f"{path}/meta").collect()
     metas = {tuple(r) for r in rows}
     if len(metas) != 1:
@@ -373,9 +461,20 @@ def _arrival_signatures(docs: DataFrame, meta: dict, text_col: str, id_col: str)
 
 
 def _read_store_markers(spark, path: str) -> set:
-    """Applied-batch ids from ``{path}/batches`` (empty if none yet)."""
+    """Applied-batch ids from ``{path}/batches`` (empty if none yet).
+
+    Repairs an interrupted marker-fold swap FIRST: ``minhash_compact_store``
+    replaces ``{path}/batches`` via ``atomic_replace_parquet``, and a crash
+    between its two renames leaves the live dir missing (data intact in the
+    ``__compact_old``/``__compact_tmp`` siblings). Without the roll-forward
+    the exists-check below would read that state as "no markers", so a
+    retried append would double-insert its batch.
+    """
     import os as _os
 
+    from ..utils.io import recover_compact_swap
+
+    recover_compact_swap(f"{path}/batches")
     if not _os.path.exists(f"{path}/batches"):
         return set()
     return {
@@ -491,17 +590,25 @@ def minhash_match_batch(
     lifecycle per trigger — callers looping over many batches directly
     should ``spark.catalog.clearCache()`` or go through the wrapper.
 
-    ``push_bucket_in=True`` additionally pushes the arrivals' ``bucket``
+    ``push_bucket_in=True`` is a DIAGNOSTIC flag, not a tuning knob —
+    enabling it emits a ``UserWarning``. It pushes the arrivals' ``bucket``
     IN-set into the entries scan (the files are sorted by (band, bucket),
     so row groups that hold none of the probe buckets are page-skipped —
-    measured 500 000× fewer records read at point-lookup scale). The set
-    is pushed in ≤1 000-literal chunks via
-    :func:`tape_spark.utils.io.filter_in_chunked`, so a raised
-    ``spark.sql.parquet.pushdown.inFilterThreshold`` cannot overflow the
-    parquet filter evaluator no matter the trigger size (unchunked, the
-    push crashes past ~1–2 k literals). OFF by default: warm-local the
-    filter evaluation costs more than the narrow scan it saves — it pays
-    on cold/remote reads where records-read dominates (docs/SCALING.md).
+    500 000× fewer records read at point-lookup scale), but the r14 cold
+    object-store emulation measured it wall-NEGATIVE in every regime
+    tested (48–117 s vs 31–39 s plain at 100 docs, both
+    bandwidth-dominated and request-dominated; no byte or request
+    reduction — docs/SCALING.md round 14) and neutral-to-negative warm:
+    the pushed-filter evaluation costs more than the narrow scan it
+    saves. It stays available to measure records-read effects on other
+    storage stacks. Safety when enabled: the set is pushed in chunks of
+    ``filter_in_chunked``'s default (≤200 literals — a 4× margin under
+    the lowest observed parquet filter-evaluator StackOverflow at ~900),
+    and the probe-pair collect is bounded by
+    ``spark.tape.match.maxPushedBuckets`` (default 10 000 pairs) — past
+    the bound the scan falls back to pbucket-only pruning (whose collect
+    is bounded at ≤ ``num_entry_buckets`` values) instead of growing the
+    driver set with the trigger.
     """
     if id_col == corpus_id_col:
         raise ValueError(
@@ -515,7 +622,7 @@ def minhash_match_batch(
     meta = _meta if _meta is not None else _load_store_meta(spark, path)
     num_hashes = meta["num_hashes"]
     bands = meta["bands"]
-    from ..operators.dedup import _est_jaccard, _position_agreements
+    from ..operators.dedup import _est_jaccard
 
     sigs = _arrival_sigs
     if sigs is None:
@@ -527,11 +634,38 @@ def minhash_match_batch(
     # phase 1 eager job: the arrivals' partition IN-set (≤ num_entry_buckets
     # values; the job scans the ARRIVALS only, never the store). With
     # push_bucket_in the same single job also gathers the bucket keys.
+    probe_buckets = None
     if push_bucket_in:
-        keys = arr_entries.select("pbucket", "bucket").distinct().collect()
-        pbuckets = sorted({int(r["pbucket"]) for r in keys})
-        probe_buckets = sorted({int(r["bucket"]) for r in keys})
-    else:
+        import warnings
+
+        warnings.warn(
+            "push_bucket_in=True is a diagnostic flag: the r14 cold-store "
+            "emulation measured it wall-negative in every regime tested "
+            "(48-117 s vs 31-39 s plain at 100 docs; no byte or request "
+            "reduction - docs/SCALING.md round 14). Leave it off unless "
+            "you are measuring records-read effects on your storage stack.",
+            UserWarning,
+            stacklevel=2,
+        )
+        # bounded probe-pair collect: a huge trigger's distinct
+        # (pbucket, bucket) set is O(arrivals x bands) and would otherwise
+        # grow the driver set without limit; past the cap fall back to
+        # pbucket-only pruning (collect bounded at <= num_entry_buckets)
+        max_push = int(
+            spark.conf.get("spark.tape.match.maxPushedBuckets", "10000")
+        )
+        keys = (
+            arr_entries.select("pbucket", "bucket").distinct()
+            .limit(max_push + 1).collect()
+        )
+        if len(keys) <= max_push:
+            pbuckets = sorted({int(r["pbucket"]) for r in keys})
+            probe_buckets = sorted({int(r["bucket"]) for r in keys})
+        else:
+            # truncated collect -> its pbucket set may be incomplete;
+            # re-gather the (small, bounded) partition IN-set alone
+            keys = None
+    if probe_buckets is None:
         pbuckets = [int(r["pbucket"])
                     for r in arr_entries.select("pbucket").distinct().collect()]
     if not pbuckets:
@@ -539,7 +673,7 @@ def minhash_match_batch(
     entries = spark.read.parquet(f"{path}/entries").filter(
         F.col("pbucket").isin(pbuckets)
     )
-    if push_bucket_in:
+    if probe_buckets is not None:
         from ..utils.io import filter_in_chunked
 
         entries = filter_in_chunked(entries, "bucket", probe_buckets)
@@ -584,8 +718,7 @@ def minhash_match_batch(
     pairs = F.broadcast(cand.join(arr_sigs, on="__arr_id")).join(
         store_sigs, on="corpus_id"
     )
-    pos_eq = _position_agreements("__sig_s", "__sig_c", num_hashes)
-    est = _est_jaccard(pos_eq, num_hashes)
+    est = _est_jaccard("__sig_s", "__sig_c", num_hashes)
     return (
         pairs.select(
             F.col("__arr_id").alias(id_col),

@@ -98,9 +98,10 @@ def test_match_batch_push_bucket_in_equals_default(spark, tmp_path):
         for r in minhash_match_batch(arriving, store, threshold=0.3).collect()
     )
     assert want
-    pushed = minhash_match_batch(
-        arriving, store, threshold=0.3, push_bucket_in=True
-    )
+    with pytest.warns(UserWarning, match="diagnostic"):
+        pushed = minhash_match_batch(
+            arriving, store, threshold=0.3, push_bucket_in=True
+        )
     assert sorted(tuple(r) for r in pushed.collect()) == want
     plan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "In(bucket" in plan or "bucket IN" in plan, plan

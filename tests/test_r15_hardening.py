@@ -1,0 +1,368 @@
+"""Round-15 hardening: marker-fold crash recovery (a crashed
+atomic_replace_parquet swap of {path}/batches must roll forward, not read
+as "no markers applied"), NULL-``by``-key parity for the salted asof plan,
+the bounded + warning-gated diagnostic ``push_bucket_in``, auto-derived
+``salt_slices``, the ``suggest_num_buckets`` coverage-rule advisor, the
+``_plan_row_estimate`` private-API guard, and the memoized single-SQL
+banding/verify kernels."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _crash_swap(dirpath: str) -> None:
+    """Simulate a crash BETWEEN atomic_replace_parquet's two renames: the
+    live dir has moved to __compact_old and the tmp (fully written) has
+    not moved in yet — the live path is missing, data intact."""
+    os.rename(dirpath, dirpath + "__compact_tmp")
+
+
+def _neardup_corpus(spark, n=6, id_base=100):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (id_base + i, f"{base} doc{i} " + " ".join(f"c{i}w{j}" for j in range(10)))
+        for i in range(n)
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# -------------------------------------------------- marker-fold recovery
+
+
+def test_store_marker_crash_rolls_forward_and_retry_is_noop(spark, tmp_path):
+    """A crash between the marker-fold renames leaves {store}/batches
+    missing; without recovery a retried append reads the marker set as
+    EMPTY and double-inserts its batch."""
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import minhash_append_store, minhash_save_store
+    from tape_spark.streaming.neardup import _read_store_markers
+
+    _, corpus = _neardup_corpus(spark, n=4)
+    store = str(tmp_path / "store_crash")
+    minhash_save_store(
+        minhash_signatures(corpus), store, num_entry_buckets=4, num_sig_buckets=2
+    )
+    arriving = spark.createDataFrame(
+        [(900, "zeta eta theta brand new arrival doc")], "doc_id long, text string"
+    )
+    minhash_append_store(arriving, store, batch_id="b0")
+    n_sigs = spark.read.parquet(f"{store}/sigs").count()
+    assert _read_store_markers(spark, store) == {"b0"}
+
+    _crash_swap(f"{store}/batches")
+    assert not os.path.exists(f"{store}/batches")
+    # the reader repairs the swap instead of reporting an empty set ...
+    assert _read_store_markers(spark, store) == {"b0"}
+    # ... so the retried append is the no-op the batch contract promises
+    minhash_append_store(arriving, store, batch_id="b0")
+    assert spark.read.parquet(f"{store}/sigs").count() == n_sigs
+
+
+def test_bm25_marker_crash_does_not_double_count_stats(spark, tmp_path):
+    from tape_spark.operators import bm25_build_index, bm25_save_index
+    from tape_spark.operators.retrieval import (
+        _read_batch_markers,
+        bm25_append_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "ducks like data lakes")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "bm25_crash")
+    postings, stats = bm25_build_index(docs, num_term_buckets=4)
+    bm25_save_index(postings, stats, idx)
+    newdocs = spark.createDataFrame(
+        [(3, "parquet footers are tiny")], "doc_id long, text string"
+    )
+    bm25_append_index(newdocs, idx, batch_id="a0")
+    srows = spark.read.parquet(f"{idx}/stats").count()
+
+    _crash_swap(f"{idx}/batches")
+    assert _read_batch_markers(spark, idx) == {"a0"}
+    bm25_append_index(newdocs, idx, batch_id="a0")  # retry: must be a no-op
+    assert spark.read.parquet(f"{idx}/stats").count() == srows
+
+
+def test_load_index_and_store_meta_recover_crashed_swaps(spark, tmp_path):
+    from tape_spark.operators import bm25_build_index, bm25_save_index
+    from tape_spark.operators.retrieval import bm25_load_index
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import minhash_save_store
+    from tape_spark.streaming.neardup import _load_store_meta
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    idx = str(tmp_path / "bm25_loadcrash")
+    postings, stats = bm25_build_index(docs, num_term_buckets=2)
+    bm25_save_index(postings, stats, idx)
+    _crash_swap(f"{idx}/stats")
+    _, st = bm25_load_index(spark, idx)
+    assert st.count() == 1
+
+    _, corpus = _neardup_corpus(spark, n=3)
+    store = str(tmp_path / "store_metacrash")
+    minhash_save_store(
+        minhash_signatures(corpus), store, num_entry_buckets=2, num_sig_buckets=2
+    )
+    _crash_swap(f"{store}/meta")
+    assert _load_store_meta(spark, store)["bands"] == 16
+
+
+# -------------------------------------------- salted asof: NULL by keys
+
+
+def _null_by_frames(seed=47, n_left=120, n_right=80):
+    rng = np.random.default_rng(seed)
+    keys = ["a", "b", None]
+    left = pd.DataFrame(
+        {
+            "key": [keys[i % 3] for i in range(n_left)],
+            "t": rng.uniform(0, 1000, n_left).round(1),
+            "qty": np.arange(n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": [keys[i % 3] for i in range(n_right)],
+            "t": rng.uniform(0, 1000, n_right).round(1),
+            "px": rng.uniform(1, 2, n_right).round(4),
+        }
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_salted_null_by_key_parity(spark, direction):
+    """NULL ``by`` keys group together in both the window partitioning
+    and the carry aggregate; the carry JOIN must be null-safe on the by
+    keys or NULL-key left rows silently lose their cross-slice matches.
+    Salted output must equal the unsalted plan row-for-row."""
+    from tape_spark.operators.joins import asof_join
+
+    left, right = _null_by_frames()
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+
+    def rows(salt):
+        out = [
+            (r["key"], r["t"], r["qty"], r["t_r"], r["px"])
+            for r in asof_join(
+                sl, sr, on="t", by="key", direction=direction,
+                salt_slices=salt,
+            ).collect()
+        ]
+        return sorted(
+            out,
+            key=lambda tup: tuple(
+                (v is None, 0 if v is None else v) for v in tup
+            ),
+        )
+
+    assert rows(5) == rows(None)
+    # and the NULL-key group really does carry across slices: at 5 slices
+    # some NULL-key left rows' predecessors are in earlier slices, so a
+    # null-rejecting carry join would show as missing px values here
+    nulls_matched = [r for r in rows(5) if r[0] is None and r[4] is not None]
+    assert nulls_matched
+
+
+# ------------------------------------- push_bucket_in: diagnostic + bound
+
+
+def test_push_bucket_in_warns_and_falls_back_past_bound(spark, tmp_path):
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import minhash_match_batch, minhash_save_store
+
+    corpus_rows, corpus = _neardup_corpus(spark)
+    store = str(tmp_path / "store_pushbound")
+    minhash_save_store(
+        minhash_signatures(corpus), store, num_entry_buckets=8, num_sig_buckets=4
+    )
+    arriving = spark.createDataFrame(
+        [(i, corpus_rows[i][1] + " tail") for i in range(3)],
+        "doc_id long, text string",
+    )
+    want = sorted(
+        tuple(r) for r in minhash_match_batch(arriving, store, threshold=0.3).collect()
+    )
+    assert want
+    # enabling the diagnostic flag warns, citing the r14 measurement
+    with pytest.warns(UserWarning, match="diagnostic"):
+        pushed = minhash_match_batch(
+            arriving, store, threshold=0.3, push_bucket_in=True
+        )
+    assert sorted(tuple(r) for r in pushed.collect()) == want
+    # past the probe-pair bound: falls back to pbucket-only pruning —
+    # identical rows, NO bucket IN-filter in the plan
+    spark.conf.set("spark.tape.match.maxPushedBuckets", "1")
+    try:
+        with pytest.warns(UserWarning, match="diagnostic"):
+            capped = minhash_match_batch(
+                arriving, store, threshold=0.3, push_bucket_in=True
+            )
+        assert sorted(tuple(r) for r in capped.collect()) == want
+        plan = capped._jdf.queryExecution().executedPlan().toString()
+        assert "In(bucket" not in plan, plan
+    finally:
+        spark.conf.unset("spark.tape.match.maxPushedBuckets")
+
+
+# ------------------------------------------------- auto salt_slices
+
+
+def _celebrity_frames(spark):
+    left = spark.createDataFrame(
+        [("hot", float(t), t) for t in range(400)]
+        + [("cold", float(t), 1000 + t) for t in range(20)],
+        "key string, t double, qty long",
+    )
+    right = spark.createDataFrame(
+        [("hot", float(t) + 0.5, float(t)) for t in range(0, 400, 5)]
+        + [("cold", 7.5, 1.25)],
+        "key string, t double, px double",
+    )
+    return left, right
+
+
+def test_asof_guard_error_names_computed_salt(spark):
+    from tape_spark.operators.joins import asof_join
+
+    left, right = _celebrity_frames(spark)
+    with pytest.raises(ValueError, match=r"salt_slices=5"):
+        asof_join(left, right, on="t", by="key", max_rows_per_key=100).collect()
+
+
+def test_asof_auto_salt_matches_unsalted(spark):
+    from tape_spark.operators.joins import asof_join
+
+    left, right = _celebrity_frames(spark)
+
+    def rows(**kw):
+        return sorted(
+            (r["key"], r["t"], r["qty"], r["t_r"], r["px"])
+            for r in asof_join(left, right, on="t", by="key", **kw).collect()
+        )
+
+    want = rows()
+    # auto derives S=ceil(480/100)=5 from the guard count and salts
+    # instead of raising; results identical to the unsalted plan
+    assert rows(max_rows_per_key=100, salt_slices="auto") == want
+    # no hot key at a loose bound: auto degrades to the unsalted plan
+    assert rows(max_rows_per_key=10_000, salt_slices="auto") == want
+
+
+def test_asof_explicit_salt_relaxes_guard(spark):
+    """With an explicit salt the guard bounds per-SLICE rows (~n/S): a
+    sufficient S passes where the unsalted call raises; an insufficient
+    one still raises, naming the S that would do."""
+    from tape_spark.operators.joins import asof_join
+
+    left, right = _celebrity_frames(spark)
+    ok = asof_join(
+        left, right, on="t", by="key", max_rows_per_key=100, salt_slices=8
+    )
+    assert ok.count() == 420
+    with pytest.raises(ValueError, match=r"already salted.*salt_slices=5"):
+        asof_join(
+            left, right, on="t", by="key", max_rows_per_key=100, salt_slices=2
+        ).collect()
+
+
+def test_asof_auto_salt_validation(spark):
+    from tape_spark.operators.joins import asof_join
+
+    left, right = _celebrity_frames(spark)
+    with pytest.raises(ValueError, match="max_rows_per_key"):
+        asof_join(left, right, on="t", by="key", salt_slices="auto")
+    with pytest.raises(ValueError, match="int or 'auto'"):
+        asof_join(left, right, on="t", by="key", salt_slices="many")
+
+
+# ---------------------------------------------- suggest_num_buckets
+
+
+def test_suggest_num_buckets_flips_between_measured_anchors():
+    """The r14 anchors (docs/SCALING.md, cold_pointlookup*): the 5 M-doc
+    store wants 320 buckets for 8-doc point lookups and 64 for
+    coverage-saturating 100-doc triggers."""
+    from tape_spark.streaming import suggest_num_buckets
+
+    point = suggest_num_buckets(5_000_000, 8, bands=16)
+    assert point["regime"] == "point-lookup"
+    assert point["num_buckets"] == 320
+    assert point["expected_coverage"] < 0.5
+
+    scan = suggest_num_buckets(5_000_000, 100, bands=16)
+    assert scan["regime"] == "scan-saturated"
+    assert scan["num_buckets"] == 64
+    assert scan["expected_coverage"] > 0.99
+
+    with pytest.raises(ValueError):
+        suggest_num_buckets(0, 8)
+
+
+def test_suggest_num_buckets_for_store(spark, tmp_path):
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import minhash_save_store, suggest_num_buckets_for_store
+
+    _, corpus = _neardup_corpus(spark, n=5)
+    store = str(tmp_path / "store_suggest")
+    minhash_save_store(
+        minhash_signatures(corpus), store, num_entry_buckets=4, num_sig_buckets=2
+    )
+    out = suggest_num_buckets_for_store(spark, store, expected_trigger_docs=2)
+    assert out["current_num_buckets"] == 4
+    assert out["total_entries"] == 5 * 16
+    assert out["num_buckets"] >= 8  # floor
+
+
+# ------------------------------------------- _plan_row_estimate guard
+
+
+def test_plan_row_estimate_degrades_to_none_on_private_api_drift(spark):
+    from tape_spark.operators.dedup import _plan_row_estimate
+
+    class _Broken:
+        @property
+        def _jdf(self):
+            raise AttributeError("py4j surface moved")
+
+    assert _plan_row_estimate(_Broken()) is None
+    # and the real surface still works on a count-known relation
+    df = spark.range(10).persist()
+    df.count()
+    est = _plan_row_estimate(df)
+    assert est is None or est == 10
+    df.unpersist()
+
+
+# ------------------------------------- memoized single-SQL plan kernels
+
+
+def test_kernel_sql_builders_are_memoized_and_correct(spark):
+    from tape_spark.operators.dedup import (
+        _band_struct_sql,
+        _est_jaccard,
+        _est_jaccard_sql,
+        _first_agreeing_band,
+    )
+
+    assert _band_struct_sql(4, 2) is _band_struct_sql(4, 2)  # lru_cache hit
+    assert _est_jaccard_sql("__sig_a", "__sig_b", 8) is _est_jaccard_sql(
+        "__sig_a", "__sig_b", 8
+    )
+    df = spark.range(3).select(
+        F.array(*[F.xxhash64("id", F.lit(i)) for i in range(8)]).alias("sa"),
+        F.array(*[F.xxhash64("id", F.lit(i)) for i in range(8)]).alias("sb"),
+    )
+    rows = df.select(
+        _est_jaccard("sa", "sb", 8).alias("e"),
+        _first_agreeing_band("sa", "sb", 4, 2).alias("fb"),
+    ).collect()
+    assert all(r["e"] == 1.0 and r["fb"] == 0 for r in rows)
