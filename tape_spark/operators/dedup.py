@@ -717,15 +717,21 @@ def minhash_near_duplicates(
         # stop_shingles, signature_bits) are ignored on this path, but
         # num_hashes MUST match the stored signature length — a mismatch
         # would index past the array, turn every comparison NULL, and
-        # silently return an empty result. One O(1) first-row probe.
-        sigs = signatures
-        probe = sigs.select(F.size("signature").alias("n")).first()
-        if probe is not None and probe["n"] != num_hashes:
-            raise ValueError(
-                f"signatures frame has {probe['n']}-hash signatures but "
-                f"num_hashes={num_hashes}; pass the num_hashes the "
-                f"signatures were built with"
-            )
+        # silently return an empty result. The guard is PLAN-EMBEDDED
+        # (a codegen'd assert_true filter, one array-length check per
+        # row) instead of an eager first-row probe: the probe was a
+        # driver job charged to every call — ~0.13 s of fixed stage
+        # overhead that kept explicit join_mode='slim' plan construction
+        # above the r14 ask's 0.3 s budget (r15). A mismatch now fails
+        # at first execution with this message rather than at call time.
+        sigs = signatures.filter(
+            F.assert_true(
+                F.size("signature") == F.lit(int(num_hashes)),
+                f"signatures frame's signature length != num_hashes="
+                f"{num_hashes}; pass the num_hashes the signatures were "
+                f"built with",
+            ).isNull()
+        )
     measured_cache = None
     if join_mode == "auto" and not owns_sigs:
         # auto mode runs TWO eager driver jobs below (the bucket-size agg
@@ -734,7 +740,9 @@ def minhash_near_duplicates(
         # it around the measurement (released right after — the caller
         # owns the lifecycle) and say so: the RETURNED plan still
         # recomputes signatures once unless the caller persists.
-        lvl = sigs.storageLevel
+        # storage level of the CALLER's frame — `sigs` wraps it in the
+        # plan-embedded width-guard filter, which never carries a level
+        lvl = signatures.storageLevel
         if not (lvl.useMemory or lvl.useDisk):
             import warnings
 

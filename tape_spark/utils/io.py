@@ -123,6 +123,31 @@ def write_partitioned_single_file(
     w.write.partitionBy(part_col).mode(mode).parquet(path)
 
 
+def read_parquet_snapshot(spark, dirpath: str):
+    """Read a (possibly partitioned) parquet dir as an EXPLICIT FILE
+    LIST — a frozen snapshot safe to ``persist`` across out-of-band
+    appends to the dir.
+
+    Why not ``spark.read.parquet(dirpath)``: Spark's cache manager
+    substitutes cached plans into later queries by canonicalized plan
+    equality, and file relations canonicalize by their ROOT PATHS — so
+    persisting a dir-rooted read makes EVERY later read of that dir in
+    the session (ours or a user's) silently return the stale cached
+    snapshot after new files are appended (measured r15: a post-append
+    ``read.parquet`` returned the pre-append row count until unpersist).
+    Rooting the relation at the individual files (``basePath`` keeps the
+    partition columns) gives it root paths no fresh dir read can match,
+    so the cache stays private to the frames derived from it."""
+    files = []
+    for root, _, names in os.walk(dirpath):
+        for f in names:
+            if f.endswith(".parquet"):
+                files.append(os.path.join(root, f))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {dirpath!r}")
+    return spark.read.option("basePath", dirpath).parquet(*sorted(files))
+
+
 def recover_compact_swap(dirpath: str) -> None:
     """Repair an interrupted :func:`compact_partitioned_parquet` swap.
 

@@ -991,15 +991,20 @@ def test_minhash_bucket_cap_pruned_first_band_pair_survives(spark):
 
 
 def test_minhash_precomputed_signatures_num_hashes_mismatch_raises(spark):
+    """The width guard is plan-embedded (r15: the eager first-row probe
+    was a driver job charged to every call) — a mismatch fails at first
+    execution with a clear message instead of silently returning empty."""
     from tape_spark.operators.dedup import minhash_near_duplicates
 
     sigs = spark.createDataFrame(
-        [(0, [1, 2, 3, 4])], "doc_id long, signature array<bigint>"
+        [(0, [1, 2, 3, 4]), (1, [1, 2, 3, 4])],
+        "doc_id long, signature array<bigint>",
     )
-    with pytest.raises(ValueError, match="num_hashes"):
-        minhash_near_duplicates(
-            sigs.select("doc_id"), num_hashes=8, bands=2, signatures=sigs
-        )
+    out = minhash_near_duplicates(
+        sigs.select("doc_id"), num_hashes=8, bands=2, signatures=sigs
+    )
+    with pytest.raises(Exception, match="num_hashes"):
+        out.collect()
 
 
 # ------------------------------------------------------------------ #

@@ -342,6 +342,112 @@ def test_plan_row_estimate_degrades_to_none_on_private_api_drift(spark):
     df.unpersist()
 
 
+# --------------------------------------- cross-trigger store cache (r15)
+
+
+def test_read_parquet_snapshot_is_frozen_and_does_not_poison_dir_reads(
+    spark, tmp_path
+):
+    """Persisting a DIR-rooted read makes every later read of the dir
+    return the stale cache after out-of-band appends (Spark substitutes
+    cached plans by root-path-canonicalized equality). The snapshot read
+    roots at the files, so fresh dir reads stay correct while the cache
+    is live, and the snapshot itself stays frozen."""
+    from pyspark import StorageLevel
+
+    from tape_spark.utils.io import read_parquet_snapshot
+
+    p = str(tmp_path / "snap")
+    spark.range(0, 10).withColumn("part", F.pmod("id", F.lit(2)).cast("int")) \
+        .write.partitionBy("part").parquet(p)
+    snap = read_parquet_snapshot(spark, p).persist(StorageLevel.MEMORY_AND_DISK)
+    assert snap.count() == 10
+    assert set(snap.columns) == {"id", "part"}  # basePath keeps partitions
+    spark.range(100, 105).withColumn("part", F.lit(0)) \
+        .write.mode("append").partitionBy("part").parquet(p)
+    try:
+        # fresh dir read sees the append even with the snapshot cached
+        assert spark.read.parquet(p).count() == 15
+        assert snap.count() == 10  # the snapshot stays a snapshot
+    finally:
+        snap.unpersist()
+    with pytest.raises(FileNotFoundError):
+        read_parquet_snapshot(spark, str(tmp_path / "missing"))
+
+
+def test_foreach_batch_cached_equals_uncached_and_disk_stays_fresh(
+    spark, tmp_path
+):
+    """The cache_store loop must produce the same per-trigger matches as
+    the scan-per-trigger loop, grow the store exactly once per batch, and
+    leave direct dir reads correct while the stream's cache is live."""
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.streaming import (
+        minhash_match_batch,
+        minhash_match_foreach_batch,
+        minhash_save_store,
+    )
+
+    corpus_rows, corpus = _neardup_corpus(spark, n=6)
+
+    def run(cache):
+        store = str(tmp_path / f"store_cache_{cache}")
+        minhash_save_store(
+            minhash_signatures(corpus), store,
+            num_entry_buckets=4, num_sig_buckets=2,
+        )
+        fn = minhash_match_foreach_batch(
+            store,
+            lambda df, bid: got.append(
+                sorted((r[0], r[1]) for r in df.collect())
+            ),
+            threshold=0.3,
+            append_arrivals=True,
+            cache_store=cache,
+        )
+        got = []
+        # trigger 0: near-copies of corpus docs 0-1; trigger 1: a
+        # near-copy of TRIGGER 0's arrival 900 (only matchable through
+        # the delta/cache growth) plus a fresh doc
+        t0 = spark.createDataFrame(
+            [(900 + i, corpus_rows[i][1] + " tail") for i in range(2)],
+            "doc_id long, text string",
+        )
+        t1 = spark.createDataFrame(
+            [(950, corpus_rows[0][1] + " tail extra"),
+             (951, "totally fresh words nothing shared")],
+            "doc_id long, text string",
+        )
+        fn(t0, 0)
+        fn(t1, 1)
+        return store, got
+
+    store_c, got_c = run(True)
+    store_u, got_u = run(False)
+    assert got_c == got_u
+    # trigger 1's arrival 950 found trigger 0's appended 900 via the cache
+    assert any(pair[1] == 900 for pair in got_c[1])
+    # disk reads are NOT poisoned by the live cache: a fresh batch match
+    # straight off the dir sees both appended batches
+    probe = spark.createDataFrame(
+        [(999, corpus_rows[0][1] + " tail")], "doc_id long, text string"
+    )
+    ids_c = sorted(
+        r["corpus_id"]
+        for r in minhash_match_batch(probe, store_c, threshold=0.3).collect()
+    )
+    ids_u = sorted(
+        r["corpus_id"]
+        for r in minhash_match_batch(probe, store_u, threshold=0.3).collect()
+    )
+    assert ids_c == ids_u and 900 in ids_c
+    assert (
+        spark.read.parquet(f"{store_c}/sigs").count()
+        == spark.read.parquet(f"{store_u}/sigs").count()
+        == 6 + 4
+    )
+
+
 # ------------------------------------- memoized single-SQL plan kernels
 
 
