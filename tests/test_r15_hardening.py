@@ -342,6 +342,43 @@ def test_plan_row_estimate_degrades_to_none_on_private_api_drift(spark):
     df.unpersist()
 
 
+def test_auto_mode_row_estimate_uses_pre_guard_frame(spark):
+    """The plan-embedded width guard is a Filter node, and Filter hides
+    a cached relation's exact rowCount from the stats visitor — so auto
+    mode must estimate from the PRE-guard signatures frame, or every
+    auto call on a caller-provided cache pays a full count() job (the
+    r15 auto-wall regression: 2.5 s -> 9-12 s at 1 M docs)."""
+    from tape_spark.operators.dedup import (
+        _plan_row_estimate,
+        minhash_near_duplicates,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared words plus row {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, num_hashes=16).persist()
+    sigs.count()
+    try:
+        direct = _plan_row_estimate(sigs)
+        guarded = _plan_row_estimate(
+            sigs.filter(F.assert_true(F.size("signature") == 16).isNull())
+        )
+        # the premise: the guard filter really does hide the count
+        assert direct == 40
+        assert guarded is None
+        # and auto mode still works end-to-end on the guarded path
+        out = minhash_near_duplicates(
+            docs, num_hashes=16, bands=4, threshold=0.9,
+            signatures=sigs, join_mode="auto",
+        )
+        assert out.columns == ["id_a", "id_b", "est_jaccard"]
+        out.collect()
+    finally:
+        sigs.unpersist()
+
+
 # --------------------------------------- cross-trigger store cache (r15)
 
 
