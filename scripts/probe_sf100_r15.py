@@ -241,6 +241,48 @@ def main():
         emit(phase, {"auto_walls": walls, "picks": picks})
         spark.stop()
 
+    elif phase == "cache_build":
+        # the honest caveat on the trigger win: the cross-trigger store
+        # cache's FIRST trigger pays the full materialization (~185s in
+        # trigger_verify). Decompose it: build wall + executor metrics +
+        # cache footprint for the default compressed in-memory columnar
+        # format vs compressed=false (the build is CPU-bound on batch
+        # compression if the uncompressed build is much faster).
+        spark = session()
+        from tape_spark.utils.io import read_parquet_snapshot
+
+        store = f"{R12_SCRATCH}/store_5m"
+
+        def storage_bytes():
+            with urllib.request.urlopen(f"{_ui_base(spark)}/storage/rdd") as r:
+                rdds = json.loads(r.read())
+            return {
+                "memory_mb": round(sum(x["memoryUsed"] for x in rdds) / 1e6, 1),
+                "disk_mb": round(sum(x["diskUsed"] for x in rdds) / 1e6, 1),
+            }
+
+        results = {}
+        for comp in ("true", "false"):
+            spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", comp)
+            walls, met, foot = [], None, None
+            for rep in range(2):
+                e = read_parquet_snapshot(spark, f"{store}/entries").persist()
+                s = read_parquet_snapshot(spark, f"{store}/sigs").persist()
+                w, _, met = run_with_metrics(
+                    spark, lambda: (e.count(), s.count())
+                )
+                walls.append(w)
+                foot = storage_bytes()
+                e.unpersist(blocking=True)
+                s.unpersist(blocking=True)
+            results[f"compressed_{comp}"] = {
+                "build_walls": walls,
+                "footprint": foot,
+                "stage_split": met,
+            }
+        emit(phase, results)
+        spark.stop()
+
     else:
         raise SystemExit(f"unknown phase {phase!r}")
 

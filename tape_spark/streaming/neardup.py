@@ -798,9 +798,13 @@ def minhash_match_foreach_batch(
     corpus doc per executor-cluster — at 1 KB/doc signatures, a 5 B-doc
     corpus caches ~5 TB across a 1000-executor cluster (~5 GB each),
     spilling to local disk past memory, which still beats re-reading the
-    remote store every trigger. Set ``cache_store=False`` to restore the
-    scan-per-trigger behavior (e.g. many independent short-lived streams
-    against one store).
+    remote store every trigger. The build is NOT free: at the 5 M-doc
+    anchor it costs ~2 840 s executor (the array-payload sigs table is
+    the expensive half) against ~156 s saved per trigger — break-even
+    ≈ 18 triggers (docs/SCALING.md round 15 ``cache_build``). Set
+    ``cache_store=False`` to restore the scan-per-trigger behavior
+    (streams that won't outlive ~20 triggers, or many independent
+    short-lived streams against one store).
 
     ``foreachBatch`` (not a stream-static join) is what makes the pruning
     possible: partition IN-filters need the batch's key set, which only
