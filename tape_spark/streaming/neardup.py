@@ -21,6 +21,7 @@ match, keep best match, route to review) downstream.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
@@ -247,6 +248,91 @@ def _sig_rows(sigs: DataFrame, id_col: str, num_sig_buckets: int) -> DataFrame:
         F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(num_sig_buckets))
         .cast("int")
         .alias("sbucket"),
+    )
+
+
+# ------------------------------------------------------------------ #
+# Per-trigger matcher plan segments, compiled to memoized SQL strings
+# executed by ONE parameterized spark.sql call each: the Column-API
+# construction of the match plan was ~1.2k py4j round trips per trigger
+# (~1 s of driver wall charged to EVERY trigger — r15 profile), the
+# same tax the slim batch join paid before `_slim_join_sql`. The
+# IN-lists vary per trigger, so those strings are built per call
+# (pure-Python, ~µs) around the memoized expression kernels; semantics
+# are locked by the stream==batch parity tests.
+# ------------------------------------------------------------------ #
+
+
+@lru_cache(maxsize=None)
+def _arr_entries_sql(
+    id_col: str, bands: int, rows_per_band: int, num_entry_buckets: int
+) -> str:
+    """``_entry_rows`` + the ``__arr_id`` rename as one SQL string over
+    the ``{sigs}`` parameter."""
+    from ..operators.dedup import _band_struct_sql, _qident
+
+    qid = _qident(id_col)
+    band_arr = _band_struct_sql(bands, rows_per_band)
+    return (
+        f"SELECT cast({qid} AS BIGINT) AS __arr_id, __e.band AS band, "
+        "__e.bucket AS bucket, "
+        f"cast(pmod(xxhash64(__e.band, __e.bucket), {int(num_entry_buckets)})"
+        " AS INT) AS pbucket "
+        f"FROM {{sigs}} LATERAL VIEW explode({band_arr}) __t AS __e"
+    )
+
+
+def _cand_sql(pbuckets, num_sig_buckets: int) -> str:
+    """Candidate probe: broadcast the arrivals' single-long-key band
+    entries against the (pruned) store entries, dedup while 16 bytes
+    wide, attach the sbucket prune key. ``{arr}`` / ``{entries}`` are
+    the frame parameters; the pbucket IN-prune is inlined (None for a
+    caller-pre-filtered entries frame — the push_bucket_in path)."""
+    where = (
+        f"WHERE pbucket IN ({','.join(str(int(p)) for p in pbuckets)}) "
+        if pbuckets is not None
+        else ""
+    )
+    return (
+        "SELECT __arr_id, corpus_id, "
+        f"cast(pmod(xxhash64(corpus_id), {int(num_sig_buckets)}) AS INT) "
+        "AS sbucket FROM ("
+        "SELECT /*+ BROADCAST(__a) */ DISTINCT __a.__arr_id, __e.corpus_id "
+        "FROM (SELECT __arr_id, xxhash64(band, bucket) AS __bk FROM {arr}) __a "
+        "JOIN (SELECT corpus_id, xxhash64(band, bucket) AS __bk "
+        f"FROM {{entries}} {where}) __e ON __a.__bk = __e.__bk)"
+    )
+
+
+def _verify_sql(
+    id_col: str,
+    corpus_id_col: str,
+    num_hashes: int,
+    threshold: float,
+    sbuckets,
+) -> str:
+    """The split-broadcast verify as one SQL string: the pruned store
+    signatures stream once through the broadcast 16-byte candidates
+    (``{cand}``) and the broadcast arrival signatures (``{arr_sigs}``,
+    an (id, signature) frame), then the shared unrolled est_jaccard +
+    threshold."""
+    from ..operators.dedup import _est_jaccard_sql, _qident
+
+    qid = _qident(id_col)
+    est = _est_jaccard_sql("__s.signature", "__sc.signature", num_hashes)
+    slist = ",".join(str(int(s)) for s in sbuckets)
+    return (
+        f"SELECT __arr_id AS {_qident(id_col)}, "
+        f"corpus_id AS {_qident(corpus_id_col)}, est_jaccard FROM ("
+        "SELECT /*+ BROADCAST(__c), BROADCAST(__s) */ "
+        f"__c.__arr_id, __c.corpus_id, {est} AS est_jaccard "
+        "FROM {cand} __c "
+        "JOIN (SELECT corpus_id, signature FROM {sigs_src} "
+        f"WHERE sbucket IN ({slist})) __sc "
+        "ON __c.corpus_id = __sc.corpus_id "
+        f"JOIN (SELECT cast({qid} AS BIGINT) AS __arr_id, signature "
+        "FROM {arr_sigs}) __s ON __c.__arr_id = __s.__arr_id) "
+        f"WHERE est_jaccard >= CAST('{float(threshold)!r}' AS DOUBLE)"
     )
 
 
@@ -491,6 +577,7 @@ def minhash_append_store(
     batch_id: Optional[str] = None,
     _sigs: Optional[DataFrame] = None,
     _markers: Optional[set] = None,
+    _meta: Optional[dict] = None,
 ) -> None:
     """Grow a saved store with NEW documents — the incremental-ingest
     verb. Signatures are built with the kernel parameters recorded in the
@@ -525,7 +612,10 @@ def minhash_append_store(
                    else _read_store_markers(spark, path))
         if batch_id in applied:
             return  # fully applied; retry is a no-op
-    meta = _load_store_meta(spark, path)
+    # _meta: caller-held store meta (the foreachBatch wrapper passes its
+    # cross-trigger copy) — meta is immutable between offline verbs, and
+    # re-reading it per trigger is a measured ~0.3 s driver tax
+    meta = _meta if _meta is not None else _load_store_meta(spark, path)
     sigs = _sigs
     if sigs is None:
         sigs = _arrival_signatures(new_docs, meta, text_col, id_col).select(
@@ -599,6 +689,12 @@ def minhash_match_batch(
     prune filters still apply (on a persisted frame they skip cached
     batches via min/max stats instead of parquet partitions).
 
+    Each phase's plan is compiled as ONE parameterized ``spark.sql``
+    call from memoized SQL kernels (``_arr_entries_sql`` / ``_cand_sql``
+    / ``_verify_sql``): the Column-API construction cost ~1.2 k py4j
+    round trips — ~1 s of driver wall — per TRIGGER, the same per-call
+    tax the batch slim join shed via ``_slim_join_sql`` (r15).
+
     Returns ``(id_col, corpus_id_col, est_jaccard)``. The candidate cache
     is ∝ arrivals and stays persisted until the returned frame is
     materialized; :func:`minhash_match_foreach_batch` manages that
@@ -637,14 +733,15 @@ def minhash_match_batch(
     meta = _meta if _meta is not None else _load_store_meta(spark, path)
     num_hashes = meta["num_hashes"]
     bands = meta["bands"]
-    from ..operators.dedup import _est_jaccard
-
     sigs = _arrival_sigs
     if sigs is None:
         sigs = _arrival_signatures(docs, meta, text_col, id_col)
-    arr_entries = _entry_rows(sigs, id_col, bands, num_hashes // bands,
-                              meta["num_entry_buckets"]).withColumnRenamed(
-                                  "corpus_id", "__arr_id")
+    arr_entries = spark.sql(
+        _arr_entries_sql(
+            id_col, bands, num_hashes // bands, meta["num_entry_buckets"]
+        ),
+        sigs=sigs,
+    )
     empty_schema = f"{id_col} long, {corpus_id_col} long, est_jaccard double"
     # phase 1 eager job: the arrivals' partition IN-set (≤ num_entry_buckets
     # values; the job scans the ARRIVALS only, never the store). With
@@ -690,33 +787,29 @@ def minhash_match_batch(
         if _store_entries is not None
         else spark.read.parquet(f"{path}/entries")
     )
-    entries = entries_src.filter(F.col("pbucket").isin(pbuckets))
+    # the pbucket IN-prune is inlined in the candidate SQL (below); the
+    # diagnostic push path pre-applies its chunked bucket filter here and
+    # the SQL then takes the frame as-is
+    in_pbuckets = pbuckets
     if probe_buckets is not None:
         from ..utils.io import filter_in_chunked
 
-        entries = filter_in_chunked(entries, "bucket", probe_buckets)
-    # single hashed long join key — Spark's long-key hashed relation
-    # probes the 80M-row entries side 8-10x faster than the two-column
-    # (band, bucket) key (r14, docs/SCALING.md); a cross-band hash
-    # collision adds a candidate at ~2^-64, removed by the verify
-    entries = entries.select(
-        "corpus_id", F.xxhash64("band", "bucket").alias("__bk")
-    )
-    cand = (
-        F.broadcast(
-            arr_entries.select(
-                "__arr_id", F.xxhash64("band", "bucket").alias("__bk")
-            )
+        entries_src = filter_in_chunked(
+            entries_src.filter(F.col("pbucket").isin(pbuckets)),
+            "bucket",
+            probe_buckets,
         )
-        .join(entries, on="__bk")
-        .select("__arr_id", "corpus_id")
-        .distinct()
-        .withColumn(
-            "sbucket",
-            F.pmod(F.xxhash64("corpus_id"), F.lit(meta["num_sig_buckets"])).cast("int"),
-        )
-        .persist()
-    )
+        in_pbuckets = None
+    # candidate probe on the single hashed long join key — Spark's
+    # long-key hashed relation probes the 80M-row entries side 8-10x
+    # faster than the two-column (band, bucket) key (r14,
+    # docs/SCALING.md); a cross-band hash collision adds a candidate at
+    # ~2^-64, removed by the verify
+    cand = spark.sql(
+        _cand_sql(in_pbuckets, meta["num_sig_buckets"]),
+        arr=arr_entries,
+        entries=entries_src,
+    ).persist()
     if _cleanup is not None:
         _cleanup.append(cand)
     # phase 2 eager job: candidates' sbucket IN-set (materializes the cache)
@@ -727,31 +820,15 @@ def minhash_match_batch(
     sigs_src = (
         _store_sigs if _store_sigs is not None else spark.read.parquet(f"{path}/sigs")
     )
-    store_sigs = (
-        sigs_src.filter(F.col("sbucket").isin(sbuckets))
-        .select("corpus_id", F.col("signature").alias("__sig_c"))
-    )
-    arr_sigs = sigs.select(
-        F.col(id_col).cast("long").alias("__arr_id"),
-        F.col("signature").alias("__sig_s"),
-    )
     # two SMALL broadcasts instead of one candidate×sig-width broadcast:
     # the store side streams once through both hash joins inside one
     # codegen stage, and only the ~|candidates| surviving rows ever carry
     # signature payloads through an operator boundary
-    pairs = (
-        F.broadcast(cand.select("__arr_id", "corpus_id"))
-        .join(store_sigs, on="corpus_id")
-        .join(F.broadcast(arr_sigs), on="__arr_id")
-    )
-    est = _est_jaccard("__sig_s", "__sig_c", num_hashes)
-    return (
-        pairs.select(
-            F.col("__arr_id").alias(id_col),
-            F.col("corpus_id").alias(corpus_id_col),
-            est.alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
+    return spark.sql(
+        _verify_sql(id_col, corpus_id_col, num_hashes, threshold, sbuckets),
+        cand=cand,
+        sigs_src=sigs_src,
+        arr_sigs=sigs,
     )
 
 
@@ -853,7 +930,15 @@ def minhash_match_foreach_batch(
 
     def _fn(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        meta = _load_store_meta(spark, path)
+        # meta is written once at save time and immutable under this
+        # closure's sole-appender contract (appends never touch it;
+        # rebucket/compact are offline verbs that refuse while a stream
+        # holds the store) — loading it per trigger was a measured
+        # ~0.3 s of driver-side parquet read + rebucket-sentinel check
+        # charged to EVERY trigger (r15 profile)
+        if _marker_state.get("meta") is None:
+            _marker_state["meta"] = _load_store_meta(spark, path)
+        meta = _marker_state["meta"]
         sigs = _arrival_signatures(batch, meta, text_col, id_col).persist()
         caches = [sigs]
         store_entries = store_sigs = None
@@ -892,6 +977,7 @@ def minhash_match_foreach_batch(
                     batch_id=f"sb{batch_id}",
                     _sigs=corpus_sigs,
                     _markers=_marker_state["applied"],
+                    _meta=meta,
                 )
                 if cache_store and not already_applied:
                     # mirror the append into the cache as delta frames:
