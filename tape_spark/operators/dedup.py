@@ -502,60 +502,6 @@ def _est_jaccard(sig_a: str, sig_b: str, num_hashes: int):
     return F.expr(_est_jaccard_sql(sig_a, sig_b, num_hashes))
 
 
-@lru_cache(maxsize=None)
-def _slim_join_sql(
-    id_col: str,
-    bands: int,
-    rows_per_band: int,
-    num_hashes: int,
-    threshold: float,
-    max_bucket_size: Optional[int],
-) -> str:
-    """The ENTIRE slim band join as one SQL string (memoized): banding
-    explode → optional broadcast-anti bucket cap → deduped candidate
-    self-join → two signature attaches → unrolled verify + threshold.
-    ``{sigs}`` is the signature-frame parameter substituted by
-    ``spark.sql(sql, sigs=...)``. Semantically identical to the former
-    Column-API construction (same Catalyst shapes: single long join key,
-    broadcast anti cap, distinct narrow candidates) — locked bit-identical
-    by the minhash parity tests."""
-    qid = _qident(id_col)
-    band_arr = _band_struct_sql(bands, rows_per_band)
-    est = _est_jaccard_sql("sa.signature", "sb.signature", num_hashes)
-    entries = (
-        f"SELECT {qid} AS __id, xxhash64(__e.band, __e.bucket) AS __bk "
-        f"FROM {{sigs}} LATERAL VIEW explode({band_arr}) __t AS __e"
-    )
-    ctes = [f"__band_entries AS ({entries})"]
-    src = "__band_entries"
-    if max_bucket_size is not None:
-        # anti-join the tiny over-full key set, broadcast — the narrow
-        # entries side stays shuffle-free, same shape as the fused cap
-        ctes.append(
-            "__overfull AS (SELECT __bk FROM __band_entries "
-            f"GROUP BY __bk HAVING count(1) > {int(max_bucket_size)})"
-        )
-        ctes.append(
-            "__kept AS (SELECT /*+ BROADCAST(__o) */ __e2.__id, __e2.__bk "
-            "FROM __band_entries __e2 LEFT ANTI JOIN __overfull __o "
-            "ON __e2.__bk = __o.__bk)"
-        )
-        src = "__kept"
-    ctes.append(
-        "__cand AS (SELECT DISTINCT a.__id AS id_a, b.__id AS id_b "
-        f"FROM {src} a JOIN {src} b ON a.__bk = b.__bk WHERE a.__id < b.__id)"
-    )
-    return (
-        "WITH " + ", ".join(ctes) + " SELECT id_a, id_b, est_jaccard FROM ("
-        f"SELECT __cand.id_a, __cand.id_b, {est} AS est_jaccard "
-        f"FROM __cand JOIN {{sigs}} sa ON __cand.id_a = sa.{qid} "
-        f"JOIN {{sigs}} sb ON __cand.id_b = sb.{qid}) "
-        # string→double cast replays repr() exactly; a bare scientific
-        # literal would need the D suffix dialect
-        f"WHERE est_jaccard >= CAST('{float(threshold)!r}' AS DOUBLE)"
-    )
-
-
 def _minhash_pairs_slim(
     sigs: DataFrame,
     id_col: str,
@@ -572,17 +518,59 @@ def _minhash_pairs_slim(
     shape (distinct candidates O(n_docs)) and when it loses (candidate
     explosions re-shuffle sig-wide pair rows on the second attach).
 
-    Compiled as ONE memoized SQL string handed to a single parameterized
-    ``spark.sql`` call: the Column-API construction was ~390 py4j driver↔
-    JVM round trips per invocation (~0.24 s at num_hashes=128 — the bulk
-    of the per-call plan tax the r14 verdict flagged), the SQL compile is
-    ~5 (measured 0.39–0.44 s → 0.07–0.11 s per explicit slim call, r15;
-    results bit-identical on the parity matrix, cap and no-cap)."""
-    sql = _slim_join_sql(
-        id_col, bands, rows_per_band, num_hashes, float(threshold),
-        max_bucket_size,
+    Built from memoized SQL FRAGMENTS applied via ``selectExpr`` /
+    ``filter`` strings over the DataFrame API — NOT a single
+    parameterized ``spark.sql(..., sigs=frame)`` call, and NOT
+    per-expression Column-API plumbing:
+
+    - the Column-API form cost ~390 py4j driver↔JVM round trips per
+      invocation (~0.24 s at num_hashes=128 — the bulk of the per-call
+      plan tax the r14 verdict flagged); fragment ``selectExpr`` calls
+      cost one round trip per FRAME (~40 total, <0.05 s);
+    - the full-SQL form was ~5 round trips but SEVERS CACHE LINKAGE:
+      ``spark.sql`` substitutes ``{frame}`` through a temp view, and the
+      re-resolved plan no longer matches the persisted plan in the cache
+      manager — a persisted caller ``signatures`` frame was silently
+      recomputed from scratch by every action on the returned plan
+      (measured r15: the plan showed FileScan, not InMemoryTableScan).
+      The DataFrame API keeps the exact plan object, so cache
+      substitution works."""
+    qid = _qident(id_col)
+    band_entries = sigs.selectExpr(
+        f"{qid} AS __id",
+        f"explode({_band_struct_sql(bands, rows_per_band)}) AS __e",
+    ).selectExpr("__id", "xxhash64(__e.band, __e.bucket) AS __bk")
+    if max_bucket_size is not None:
+        # anti-join the tiny over-full key set, broadcast — the narrow
+        # entries side stays shuffle-free, same shape as the fused cap
+        overfull = (
+            band_entries.groupBy("__bk")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket_size)
+            .select("__bk")
+        )
+        band_entries = band_entries.join(
+            F.broadcast(overfull), on="__bk", how="left_anti"
+        )
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (
+        a.join(b, on="__bk")
+        .filter("a.__id < b.__id")
+        .selectExpr("a.__id AS id_a", "b.__id AS id_b")
+        .distinct()
     )
-    return sigs.sparkSession.sql(sql, sigs=sigs)
+    sig_a = sigs.selectExpr(f"{qid} AS id_a", "signature AS __sig_a")
+    sig_b = sigs.selectExpr(f"{qid} AS id_b", "signature AS __sig_b")
+    est = _est_jaccard_sql("__sig_a", "__sig_b", num_hashes)
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .selectExpr("id_a", "id_b", f"{est} AS est_jaccard")
+        # string→double cast replays repr() exactly; a bare scientific
+        # literal would need the D suffix dialect
+        .filter(f"est_jaccard >= CAST('{float(threshold)!r}' AS DOUBLE)")
+    )
 
 
 # auto-mode measurement-pass sizing: past _AUTO_TARGET_ENTRIES band

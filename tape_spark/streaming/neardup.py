@@ -21,7 +21,6 @@ match, keep best match, route to review) downstream.
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
@@ -252,87 +251,111 @@ def _sig_rows(sigs: DataFrame, id_col: str, num_sig_buckets: int) -> DataFrame:
 
 
 # ------------------------------------------------------------------ #
-# Per-trigger matcher plan segments, compiled to memoized SQL strings
-# executed by ONE parameterized spark.sql call each: the Column-API
-# construction of the match plan was ~1.2k py4j round trips per trigger
-# (~1 s of driver wall charged to EVERY trigger — r15 profile), the
-# same tax the slim batch join paid before `_slim_join_sql`. The
-# IN-lists vary per trigger, so those strings are built per call
+# Per-trigger matcher plan segments, built from memoized SQL FRAGMENTS
+# applied via selectExpr/filter strings over the DataFrame API: the
+# per-expression Column-API construction of the match plan was ~1.2k
+# py4j round trips per trigger (~1 s of driver wall charged to EVERY
+# trigger — r15 profile); fragment selectExpr calls cost one round trip
+# per FRAME. Deliberately NOT a single parameterized spark.sql call:
+# {frame} substitution goes through a temp view and SEVERS CACHE
+# LINKAGE — the cross-trigger store cache's persisted frames were
+# silently re-planned as fresh FileScans (measured r15, docs/SCALING.md
+# round 15). The IN-lists vary per trigger and are inlined per call
 # (pure-Python, ~µs) around the memoized expression kernels; semantics
 # are locked by the stream==batch parity tests.
 # ------------------------------------------------------------------ #
 
 
-@lru_cache(maxsize=None)
-def _arr_entries_sql(
-    id_col: str, bands: int, rows_per_band: int, num_entry_buckets: int
-) -> str:
-    """``_entry_rows`` + the ``__arr_id`` rename as one SQL string over
-    the ``{sigs}`` parameter."""
+def _arr_entry_frame(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int,
+    num_entry_buckets: int,
+) -> DataFrame:
+    """``_entry_rows`` + the ``__arr_id`` rename, two fragment selects."""
     from ..operators.dedup import _band_struct_sql, _qident
 
     qid = _qident(id_col)
-    band_arr = _band_struct_sql(bands, rows_per_band)
-    return (
-        f"SELECT cast({qid} AS BIGINT) AS __arr_id, __e.band AS band, "
-        "__e.bucket AS bucket, "
+    return sigs.selectExpr(
+        f"cast({qid} AS BIGINT) AS __arr_id",
+        f"explode({_band_struct_sql(bands, rows_per_band)}) AS __e",
+    ).selectExpr(
+        "__arr_id",
+        "__e.band AS band",
+        "__e.bucket AS bucket",
         f"cast(pmod(xxhash64(__e.band, __e.bucket), {int(num_entry_buckets)})"
-        " AS INT) AS pbucket "
-        f"FROM {{sigs}} LATERAL VIEW explode({band_arr}) __t AS __e"
+        " AS INT) AS pbucket",
     )
 
 
-def _cand_sql(pbuckets, num_sig_buckets: int) -> str:
+def _cand_frame(
+    arr_entries: DataFrame,
+    entries_src: DataFrame,
+    pbuckets,
+    num_sig_buckets: int,
+) -> DataFrame:
     """Candidate probe: broadcast the arrivals' single-long-key band
     entries against the (pruned) store entries, dedup while 16 bytes
-    wide, attach the sbucket prune key. ``{arr}`` / ``{entries}`` are
-    the frame parameters; the pbucket IN-prune is inlined (None for a
-    caller-pre-filtered entries frame — the push_bucket_in path)."""
-    where = (
-        f"WHERE pbucket IN ({','.join(str(int(p)) for p in pbuckets)}) "
-        if pbuckets is not None
-        else ""
+    wide, attach the sbucket prune key. The pbucket IN-prune is inlined
+    (None for a caller-pre-filtered entries frame — the push_bucket_in
+    path); ``F.broadcast`` pins the build side explicitly."""
+    entries_k = entries_src
+    if pbuckets is not None:
+        entries_k = entries_k.filter(
+            f"pbucket IN ({','.join(str(int(p)) for p in pbuckets)})"
+        )
+    entries_k = entries_k.selectExpr(
+        "corpus_id", "xxhash64(band, bucket) AS __bk"
+    )
+    arr_k = arr_entries.selectExpr(
+        "__arr_id", "xxhash64(band, bucket) AS __bk"
     )
     return (
-        "SELECT __arr_id, corpus_id, "
-        f"cast(pmod(xxhash64(corpus_id), {int(num_sig_buckets)}) AS INT) "
-        "AS sbucket FROM ("
-        "SELECT /*+ BROADCAST(__a) */ DISTINCT __a.__arr_id, __e.corpus_id "
-        "FROM (SELECT __arr_id, xxhash64(band, bucket) AS __bk FROM {arr}) __a "
-        "JOIN (SELECT corpus_id, xxhash64(band, bucket) AS __bk "
-        f"FROM {{entries}} {where}) __e ON __a.__bk = __e.__bk)"
+        F.broadcast(arr_k)
+        .join(entries_k, on="__bk")
+        .select("__arr_id", "corpus_id")
+        .distinct()
+        .selectExpr(
+            "__arr_id",
+            "corpus_id",
+            f"cast(pmod(xxhash64(corpus_id), {int(num_sig_buckets)}) AS INT)"
+            " AS sbucket",
+        )
     )
 
 
-def _verify_sql(
+def _verify_frame(
+    cand: DataFrame,
+    sigs_src: DataFrame,
+    arr_sigs: DataFrame,
     id_col: str,
     corpus_id_col: str,
     num_hashes: int,
     threshold: float,
     sbuckets,
-) -> str:
-    """The split-broadcast verify as one SQL string: the pruned store
-    signatures stream once through the broadcast 16-byte candidates
-    (``{cand}``) and the broadcast arrival signatures (``{arr_sigs}``,
-    an (id, signature) frame), then the shared unrolled est_jaccard +
-    threshold."""
+) -> DataFrame:
+    """The split-broadcast verify: the pruned store signatures stream
+    once through the broadcast 16-byte candidates and the broadcast
+    arrival signatures (``arr_sigs``: an (id, signature) frame), then
+    the shared unrolled est_jaccard + threshold."""
     from ..operators.dedup import _est_jaccard_sql, _qident
 
     qid = _qident(id_col)
-    est = _est_jaccard_sql("__s.signature", "__sc.signature", num_hashes)
-    slist = ",".join(str(int(s)) for s in sbuckets)
+    store_sigs = sigs_src.filter(
+        f"sbucket IN ({','.join(str(int(s)) for s in sbuckets)})"
+    ).selectExpr("corpus_id", "signature AS __sig_c")
+    arr_k = arr_sigs.selectExpr(
+        f"cast({qid} AS BIGINT) AS __arr_id", "signature AS __sig_s"
+    )
+    est = _est_jaccard_sql("__sig_s", "__sig_c", num_hashes)
     return (
-        f"SELECT __arr_id AS {_qident(id_col)}, "
-        f"corpus_id AS {_qident(corpus_id_col)}, est_jaccard FROM ("
-        "SELECT /*+ BROADCAST(__c), BROADCAST(__s) */ "
-        f"__c.__arr_id, __c.corpus_id, {est} AS est_jaccard "
-        "FROM {cand} __c "
-        "JOIN (SELECT corpus_id, signature FROM {sigs_src} "
-        f"WHERE sbucket IN ({slist})) __sc "
-        "ON __c.corpus_id = __sc.corpus_id "
-        f"JOIN (SELECT cast({qid} AS BIGINT) AS __arr_id, signature "
-        "FROM {arr_sigs}) __s ON __c.__arr_id = __s.__arr_id) "
-        f"WHERE est_jaccard >= CAST('{float(threshold)!r}' AS DOUBLE)"
+        F.broadcast(cand.select("__arr_id", "corpus_id"))
+        .join(store_sigs, on="corpus_id")
+        .join(F.broadcast(arr_k), on="__arr_id")
+        .selectExpr(
+            f"__arr_id AS {qid}",
+            f"corpus_id AS {_qident(corpus_id_col)}",
+            f"{est} AS est_jaccard",
+        )
+        .filter(f"est_jaccard >= CAST('{float(threshold)!r}' AS DOUBLE)")
     )
 
 
@@ -689,11 +712,15 @@ def minhash_match_batch(
     prune filters still apply (on a persisted frame they skip cached
     batches via min/max stats instead of parquet partitions).
 
-    Each phase's plan is compiled as ONE parameterized ``spark.sql``
-    call from memoized SQL kernels (``_arr_entries_sql`` / ``_cand_sql``
-    / ``_verify_sql``): the Column-API construction cost ~1.2 k py4j
-    round trips — ~1 s of driver wall — per TRIGGER, the same per-call
-    tax the batch slim join shed via ``_slim_join_sql`` (r15).
+    Each phase's plan is built from memoized SQL fragments applied via
+    ``selectExpr``/``filter`` strings (``_arr_entry_frame`` /
+    ``_cand_frame`` / ``_verify_frame``): the per-expression Column-API
+    construction cost ~1.2 k py4j round trips — ~1 s of driver wall —
+    per TRIGGER; fragments cost one round trip per frame. A single
+    parameterized ``spark.sql(..., frame=...)`` call would be fewer
+    still but severs cache linkage through its temp-view substitution —
+    the cross-trigger store cache silently degraded to fresh parquet
+    scans when tried (r15, docs/SCALING.md).
 
     Returns ``(id_col, corpus_id_col, est_jaccard)``. The candidate cache
     is ∝ arrivals and stays persisted until the returned frame is
@@ -736,11 +763,8 @@ def minhash_match_batch(
     sigs = _arrival_sigs
     if sigs is None:
         sigs = _arrival_signatures(docs, meta, text_col, id_col)
-    arr_entries = spark.sql(
-        _arr_entries_sql(
-            id_col, bands, num_hashes // bands, meta["num_entry_buckets"]
-        ),
-        sigs=sigs,
+    arr_entries = _arr_entry_frame(
+        sigs, id_col, bands, num_hashes // bands, meta["num_entry_buckets"]
     )
     empty_schema = f"{id_col} long, {corpus_id_col} long, est_jaccard double"
     # phase 1 eager job: the arrivals' partition IN-set (≤ num_entry_buckets
@@ -805,10 +829,8 @@ def minhash_match_batch(
     # faster than the two-column (band, bucket) key (r14,
     # docs/SCALING.md); a cross-band hash collision adds a candidate at
     # ~2^-64, removed by the verify
-    cand = spark.sql(
-        _cand_sql(in_pbuckets, meta["num_sig_buckets"]),
-        arr=arr_entries,
-        entries=entries_src,
+    cand = _cand_frame(
+        arr_entries, entries_src, in_pbuckets, meta["num_sig_buckets"]
     ).persist()
     if _cleanup is not None:
         _cleanup.append(cand)
@@ -824,11 +846,9 @@ def minhash_match_batch(
     # the store side streams once through both hash joins inside one
     # codegen stage, and only the ~|candidates| surviving rows ever carry
     # signature payloads through an operator boundary
-    return spark.sql(
-        _verify_sql(id_col, corpus_id_col, num_hashes, threshold, sbuckets),
-        cand=cand,
-        sigs_src=sigs_src,
-        arr_sigs=sigs,
+    return _verify_frame(
+        cand, sigs_src, sigs, id_col, corpus_id_col, num_hashes, threshold,
+        sbuckets,
     )
 
 

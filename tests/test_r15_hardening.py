@@ -485,6 +485,69 @@ def test_foreach_batch_cached_equals_uncached_and_disk_stays_fresh(
     )
 
 
+def test_persisted_inputs_reach_plans_as_inmemory_scans(spark, tmp_path):
+    """Cache-linkage lock: a persisted caller signatures frame must be
+    served from the cache by the slim join, and the cross-trigger store
+    cache's persisted frames by the matcher. A single parameterized
+    spark.sql(..., frame=...) call LOOKS equivalent but substitutes the
+    frame through a temp view, whose re-resolved plan no longer matches
+    the persisted plan in the cache manager — the r15 regression this
+    test pins: plans silently degraded to fresh FileScans (full store
+    re-reads per trigger, full signature recompute per action)."""
+    from pyspark import StorageLevel
+
+    from tape_spark.operators import minhash_signatures
+    from tape_spark.operators.dedup import minhash_near_duplicates
+    from tape_spark.streaming import minhash_match_batch, minhash_save_store
+    from tape_spark.utils.io import read_parquet_snapshot
+
+    corpus_rows, corpus = _neardup_corpus(spark, n=6)
+    sigs = minhash_signatures(corpus).persist()
+    sigs.count()
+    try:
+        out = minhash_near_duplicates(
+            corpus.select("doc_id"), num_hashes=64, bands=16, threshold=0.3,
+            signatures=sigs, join_mode="slim",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        # the signature pipeline (shingle + minhash UDF) must NOT appear
+        # outside the cached subtree: no scan of the source table
+        assert "Scan ExistingRDD" not in plan.split("InMemoryRelation")[0]
+    finally:
+        sigs.unpersist()
+
+    store = str(tmp_path / "store_linkage")
+    minhash_save_store(
+        minhash_signatures(corpus), store,
+        num_entry_buckets=4, num_sig_buckets=2,
+    )
+    e = read_parquet_snapshot(spark, f"{store}/entries").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    s = read_parquet_snapshot(spark, f"{store}/sigs").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    e.count(), s.count()
+    try:
+        probe = spark.createDataFrame(
+            [(900, corpus_rows[0][1] + " tail")], "doc_id long, text string"
+        )
+        m = minhash_match_batch(
+            probe, store, threshold=0.3, _store_entries=e, _store_sigs=s
+        )
+        plan = m._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2
+        # neither store table may fall back to its parquet files
+        assert f"{store}/entries" not in plan.replace("\n", " ").split(
+            "InMemoryRelation"
+        )[0]
+        assert m.count() >= 1
+    finally:
+        e.unpersist()
+        s.unpersist()
+
+
 # ------------------------------------- memoized single-SQL plan kernels
 
 
