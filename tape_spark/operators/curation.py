@@ -33,6 +33,7 @@ Scale shape (100 TB corpus, ~MB-scale benchmark set):
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, Optional
 
 import numpy as np
@@ -60,11 +61,12 @@ def _toks_sql(text_col: str) -> str:
     return ws_tokens_sql(text_col)
 
 
-def _ngram_array(toks_name: str, n: int):
+@lru_cache(maxsize=None)
+def _ngram_sql(toks_name: str, n: int) -> str:
     """Distinct word ``n``-grams from an ALREADY-STAGED token-array
-    column as an array<string>. Pure built-in expressions (sequence /
-    slice / array_join / array_distinct) — whole-stage codegen, no
-    Python.
+    column, as a SQL fragment producing an array<string>. Pure built-in
+    expressions (sequence / slice / array_join / array_distinct) —
+    whole-stage codegen, no Python.
 
     The tokens MUST be a bound column, never the split expression
     inlined: an expression inside the ``transform`` lambda re-evaluates
@@ -77,13 +79,17 @@ def _ngram_array(toks_name: str, n: int):
     the token column is referenced more than once by a non-cheap
     producer (the same discipline as ``dedup._word_shingles``).
     """
-    grams = F.expr(
-        f"CASE WHEN size({toks_name}) >= {n} THEN "
+    return (
+        f"array_distinct(CASE WHEN size({toks_name}) >= {n} THEN "
         f"transform(sequence(0, size({toks_name}) - {n}), "
         f"i -> array_join(slice({toks_name}, i + 1, {n}), ' ')) "
-        f"ELSE cast(array() as array<string>) END"
+        f"ELSE cast(array() as array<string>) END)"
     )
-    return F.array_distinct(grams)
+
+
+def _ngram_array(toks_name: str, n: int):
+    """Column form of :func:`_ngram_sql` for the non-hot-path callers."""
+    return F.expr(_ngram_sql(toks_name, n))
 
 
 def decontaminate(
@@ -147,25 +153,31 @@ def decontaminate(
 
     assert_max_doc_tokens(docs, text_col, max_doc_tokens, "decontaminate")
     bench_text = bench_text_col or text_col
-    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+    # SQL fragments (one selectExpr round trip per frame) instead of
+    # per-expression Column plumbing: the Column form rebuilt ~0.18 s of
+    # py4j round trips per call (utils/sqlfrag.py; bit-identical,
+    # oracle-locked by the decontaminate driver row)
+    key_sql = (lambda c: f"xxhash64({c})") if hashed else (lambda c: c)
+    from ..utils.sqlfrag import qident
+
+    qi = qident(id_col)
 
     bench_grams = (
-        benchmark.select(F.expr(_toks_sql(bench_text)).alias("__tk"))
-        .select(F.explode(_ngram_array("__tk", n)).alias("__gram"))
-        .select(key(F.col("__gram")).alias("__bg"))
+        benchmark.selectExpr(f"{_toks_sql(bench_text)} AS __tk")
+        .selectExpr(f"explode({_ngram_sql('__tk', n)}) AS __gram")
+        .selectExpr(f"{key_sql('__gram')} AS __bg")
         .distinct()
     )
     # explode_outer keeps 0-ngram documents (one NULL placeholder row);
     # guard the key derivation because xxhash64(NULL) is the seed value,
     # not NULL, which would miscount the placeholder as a real n-gram
-    doc_grams = docs.select(
-        F.col(id_col), F.expr(_toks_sql(text_col)).alias("__tk")
-    ).select(
-        F.col(id_col),
-        F.explode_outer(_ngram_array("__tk", n)).alias("__gram"),
-    ).select(
-        F.col(id_col),
-        F.when(F.col("__gram").isNotNull(), key(F.col("__gram"))).alias("__dg"),
+    doc_grams = (
+        docs.selectExpr(qi, f"{_toks_sql(text_col)} AS __tk")
+        .selectExpr(qi, f"explode_outer({_ngram_sql('__tk', n)}) AS __gram")
+        .selectExpr(
+            qi,
+            f"CASE WHEN __gram IS NOT NULL THEN {key_sql('__gram')} END AS __dg",
+        )
     )
 
     if method == "broadcast":
@@ -173,21 +185,19 @@ def decontaminate(
             F.broadcast(bench_grams), doc_grams["__dg"] == bench_grams["__bg"], "left"
         )
         out = flagged.groupBy(id_col).agg(
-            F.count("__dg").cast("long").alias("n_ngrams"),
-            F.count("__bg").cast("long").alias("n_contaminated"),
+            F.expr("cast(count(__dg) AS long) AS n_ngrams"),
+            F.expr("cast(count(__bg) AS long) AS n_contaminated"),
         )
     else:
         out = _bloom_decontaminate_counts(
             doc_grams, bench_grams, id_col, bloom_bits_per_key, bloom_num_hashes
         )
-    return out.select(
-        F.col(id_col),
+    return out.selectExpr(
+        qi,
         "n_ngrams",
         "n_contaminated",
-        (
-            F.col("n_contaminated") / F.greatest(F.col("n_ngrams"), F.lit(1))
-        ).alias("contamination"),
-        (F.col("n_contaminated") >= min_hits).alias("is_contaminated"),
+        "(n_contaminated / greatest(n_ngrams, 1)) AS contamination",
+        f"(n_contaminated >= {int(min_hits)}) AS is_contaminated",
     )
 
 
@@ -515,13 +525,22 @@ def stratified_sample(
             raise ValueError(f"fraction for stratum {s!r} must be in [0, 1]")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError("default_fraction must be in [0, 1]")
-    rate = F.lit(float(default_fraction))
-    expr = None
-    for s, frac in fractions.items():
-        cond = F.col(strata_col) == F.lit(s)
-        expr = F.when(cond, F.lit(float(frac))) if expr is None else expr.when(cond, F.lit(float(frac)))
-    rate = expr.otherwise(rate) if expr is not None else rate
-    return df.filter(_hash_unit(id_col, salt) < rate)
+    # ONE string-filter round trip instead of ~20 Column-API py4j calls
+    # per invocation (utils/sqlfrag.py). String→double casts replay
+    # repr(float) exactly, so the kept set is bit-identical to the
+    # Column form (oracle-locked by the stratified_sample driver row).
+    from ..utils.hashing import md5_unit_sql
+    from ..utils.sqlfrag import qident, sql_str
+
+    dbl = lambda v: f"CAST({sql_str(repr(float(v)))} AS DOUBLE)"  # noqa: E731
+    rate = dbl(default_fraction)
+    if fractions:
+        whens = " ".join(
+            f"WHEN {qident(strata_col)} = {sql_str(s)} THEN {dbl(frac)}"
+            for s, frac in fractions.items()
+        )
+        rate = f"CASE {whens} ELSE {rate} END"
+    return df.filter(f"({md5_unit_sql(qident(id_col), salt)}) < ({rate})")
 
 
 def mix_fractions(

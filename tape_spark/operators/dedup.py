@@ -140,14 +140,17 @@ def exact_dedup(
     Returns ``(doc_id, dup_count)`` — the survivor id and how many rows it
     represents.
     """
+    # expression-string forms: ~5 py4j round trips per call instead of
+    # ~25 (the per-call plan-construction tax; utils/sqlfrag.py)
+    qt, qi = _qident(text_col), _qident(id_col)
     if by_hash:
-        key = [F.xxhash64(F.col(text_col)).alias("__h"), F.length(text_col).alias("__l")]
+        key = [F.expr(f"xxhash64({qt}) AS __h"), F.expr(f"length({qt}) AS __l")]
     else:
-        key = [F.col(text_col)]
+        key = [F.expr(qt)]
     return (
         df.groupBy(*key)
-        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
-        .select(id_col, "dup_count")
+        .agg(F.expr(f"min({qi}) AS {qi}"), F.expr("count(1) AS dup_count"))
+        .selectExpr(qi, "dup_count")
     )
 
 

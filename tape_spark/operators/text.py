@@ -8,6 +8,7 @@ rolling-hash window-minimum runs as an Arrow-batched pandas UDF.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import numpy as np
@@ -15,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..utils.sqlfrag import qident, sql_str
 
 # Small per-language stopword lists for the n-gram voting heuristic.
 # Order matters: ties break toward the earlier entry.
@@ -39,6 +42,38 @@ def _stopword_hits(text_col, words) -> "F.Column":
     return F.regexp_count(F.lower(text_col), F.lit(pattern))
 
 
+def _stopword_hits_sql(text_sql: str, words: "tuple[str, ...]") -> str:
+    """SQL-fragment twin of :func:`_stopword_hits` (same expression, same
+    match counts — parity locked by the language_id oracle row)."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return f"regexp_count(lower({text_sql}), {sql_str(pattern)})"
+
+
+@lru_cache(maxsize=None)
+def _language_id_fragments(
+    text_col: str, id_col: str
+) -> "tuple[tuple[str, ...], tuple[str, ...]]":
+    qt, qi = qident(text_col), qident(id_col)
+    langs = list(LANG_STOPWORDS)
+    stage1 = (
+        qi,
+        *[
+            f"{_stopword_hits_sql(qt, tuple(ws))} AS score_{lang}"
+            for lang, ws in LANG_STOPWORDS.items()
+        ],
+        # rlike stops at the first match
+        f"({qt} RLIKE {sql_str(CJK_PATTERN)}) AS has_cjk",
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    whens = ["WHEN has_cjk THEN 'zh'", f"WHEN {best} <= 0 THEN 'und'"] + [
+        # first language reaching the max wins
+        f"WHEN score_{lang} = {best} THEN {sql_str(lang)}"
+        for lang in langs
+    ]
+    stage2 = (qi, "CASE " + " ".join(whens) + " END AS pred_lang")
+    return stage1, stage2
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic language ID: per-language stopword vote + CJK detection.
 
@@ -46,18 +81,39 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     force ``zh``; the argmax (ties → earlier language, zero hits →
     ``'und'``) is the prediction. Deterministic and SQL-expressible, so a
     cross-engine oracle can verify it exactly.
+
+    Built from SQL fragments memoized on ``(text_col, id_col)`` and applied
+    with two ``selectExpr`` calls: the Column-API form rebuilt ~200 py4j
+    round trips (~0.12 s of driver wall) on EVERY call (see
+    ``utils/sqlfrag.py``; results bit-identical, oracle-locked).
     """
-    scored = df.select(
-        F.col(id_col),
-        *[_stopword_hits(F.col(text_col), ws).alias(f"score_{lang}") for lang, ws in LANG_STOPWORDS.items()],
-        F.col(text_col).rlike(CJK_PATTERN).alias("has_cjk"),  # stops at first match
+    stage1, stage2 = _language_id_fragments(text_col, id_col)
+    return df.selectExpr(*stage1).selectExpr(*stage2)
+
+
+@lru_cache(maxsize=None)
+def _text_quality_fragments(text_col: str, id_col: str) -> "tuple[str, ...]":
+    qt, qi = qident(text_col), qident(id_col)
+    t = f"trim({qt})"
+    n_chars = f"length({qt})"
+    # CASE WHEN NULL THEN .. ELSE falls through exactly like the Column
+    # when/otherwise it replaces: NULL text -> NULL n_chars/n_tokens,
+    # 0.0 ratios (the NULL condition takes the ELSE branch both ways)
+    n_tokens = (
+        f"CASE WHEN length({t}) = 0 THEN 0 "
+        f"ELSE size(split({t}, '\\\\s+')) END"
     )
-    langs = list(LANG_STOPWORDS)
-    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
-    pred = F.when(F.col("has_cjk"), F.lit("zh")).when(best <= 0, F.lit("und"))
-    for lang in langs:  # first language reaching the max wins
-        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+    return (
+        qi,
+        f"cast({n_chars} AS long) AS n_chars",
+        f"cast(({n_tokens}) AS long) AS n_tokens",
+        f"CASE WHEN ({n_tokens}) > 0 "
+        f"THEN length(regexp_replace({t}, '\\\\s+', '')) / ({n_tokens}) "
+        f"ELSE cast(0.0 AS double) END AS avg_token_len",
+        f"CASE WHEN {n_chars} > 0 "
+        f"THEN ({n_chars} - length(regexp_replace({qt}, {sql_str(PUNCT_CLASS)}, ''))) / {n_chars} "
+        f"ELSE cast(0.0 AS double) END AS punct_ratio",
+    )
 
 
 def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -65,23 +121,12 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
     Columns: ``n_chars``, ``n_tokens`` (whitespace), ``avg_token_len``,
     ``punct_ratio``. All built-in expressions; thresholds for filtering are
-    the caller's policy.
+    the caller's policy. Built from SQL fragments memoized on
+    ``(text_col, id_col)`` — one ``selectExpr`` round trip per call
+    instead of ~130 Column-API py4j exchanges (``utils/sqlfrag.py``;
+    results bit-identical, oracle-locked).
     """
-    text = F.col(text_col)
-    tokens = F.split(F.trim(text), r"\s+")
-    n_chars = F.length(text)
-    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens))
-    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
-    return df.select(
-        F.col(id_col),
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        (
-            F.when(n_tokens > 0, F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / n_tokens)
-            .otherwise(F.lit(0.0))
-        ).alias("avg_token_len"),
-        (F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))).alias("punct_ratio"),
-    )
+    return df.selectExpr(*_text_quality_fragments(text_col, id_col))
 
 
 def stopword_ratio(
@@ -472,29 +517,39 @@ def chunk_documents(
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
     stride = chunk_tokens - overlap_tokens
+    s1, s2, s3 = _chunk_documents_fragments(text_col, id_col, chunk_tokens, stride)
+    return df.selectExpr(*s1).selectExpr(*s2).selectExpr(*s3)
+
+
+@lru_cache(maxsize=None)
+def _chunk_documents_fragments(
+    text_col: str, id_col: str, chunk_tokens: int, stride: int
+) -> "tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]":
+    """:func:`chunk_documents`'s plan as three memoized ``selectExpr``
+    stages (tokenize → posexplode windows → shape output) — the Column-API
+    form rebuilt ~230 py4j round trips (~0.12 s driver wall) per call
+    (``utils/sqlfrag.py``; bit-identical, oracle-locked)."""
+    qt, qi = qident(text_col), qident(id_col)
     # NULL text behaves like the documented empty-document case (one empty chunk)
-    text = F.trim(F.coalesce(F.col(text_col), F.lit("")))
-    toks = F.when(F.length(text) == 0, F.array()).otherwise(F.split(text, r"\s+"))
-    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    t = f"trim(coalesce({qt}, ''))"
+    toks = f"CASE WHEN length({t}) = 0 THEN array() ELSE split({t}, '\\\\s+') END"
     # windows = 1 + ceil((n - chunk)/stride), clamped to >= 1: the last
     # window start is <= n - chunk + stride <= n (stride <= chunk), so
     # every generated slice is non-empty and the last one reaches token n
-    chunks = F.expr(
+    chunks = (
         f"transform(sequence(0, int(greatest(1, ceil((size(__toks) - {chunk_tokens}) / {stride}) + 1)) - 1), "
         f"i -> slice(__toks, i * {stride} + 1, {chunk_tokens}))"
     )
-    out = staged.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_index", "__chunk")
-    )
-    return out.select(
-        F.col(id_col),
-        "chunk_index",
-        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
-        F.array_join("__chunk", " ").alias("chunk"),
-        F.sha2(
-            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("chunk_index").cast("string")),
-            256,
-        ).alias("chunk_id"),
+    return (
+        (qi, f"{toks} AS __toks"),
+        (qi, f"posexplode({chunks}) AS (chunk_index, __chunk)"),
+        (
+            qi,
+            "chunk_index",
+            "cast(size(__chunk) AS long) AS n_chunk_tokens",
+            "array_join(__chunk, ' ') AS chunk",
+            f"sha2(concat(cast({qi} AS string), ':', cast(chunk_index AS string)), 256) AS chunk_id",
+        ),
     )
 
 

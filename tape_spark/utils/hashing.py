@@ -29,6 +29,24 @@ def md5_unit(col: Column, salt: str = "") -> Column:
     )
 
 
+def md5_unit_sql(col_sql: str, salt: str = "") -> str:
+    """The SAME draw as :func:`md5_unit`, as a SQL fragment string — for
+    operators that build their plans from memoized fragments to avoid the
+    per-call Column-API py4j tax (see ``utils/sqlfrag.py``). MUST stay
+    expression-for-expression identical to :func:`md5_unit`; the parity is
+    locked by ``test_md5_unit_sql_matches_column`` so the two definitions
+    cannot drift."""
+    from .sqlfrag import sql_str
+
+    seed = f"cast({col_sql} AS string)"
+    if salt:
+        seed = f"concat({seed}, {sql_str(':' + salt)})"
+    return (
+        f"cast(conv(substring(md5({seed}), 1, 13), 16, 10) AS double)"
+        f" / {float(1 << 52)!r}D"
+    )
+
+
 def md5_bucket(col: Column, num_buckets: int) -> Column:
     """Deterministic bucket id in [0, num_buckets) from the same md5 bits."""
     return (

@@ -572,3 +572,162 @@ def test_kernel_sql_builders_are_memoized_and_correct(spark):
         _first_agreeing_band("sa", "sb", 4, 2).alias("fb"),
     ).collect()
     assert all(r["e"] == 1.0 and r["fb"] == 0 for r in rows)
+
+
+# --------------------------- batch text/curation fragment conversions
+# The r15 verdict measured 0.18-0.32 s of per-call Column-API py4j plan
+# construction in the q7/q10 batch ops; they now build from memoized SQL
+# fragments (utils/sqlfrag.py). These tests pin the conversion to the
+# EXACT legacy Column semantics on the adversarial shapes (NULL / empty /
+# whitespace-only text, quotes and backslashes in values and salts) so a
+# fragment-escaping bug cannot drift the oracle-hashed driver rows.
+
+
+def _edge_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, None, None),
+            (2, "", "en"),
+            (3, "   ", "de"),
+            (4, "\t\n  x ", None),
+            (5, "the and of to is in that it", "en"),
+            (6, "你好 世界 一二三", "zh"),
+            (7, "a'b \\ backslash 'quoted'", "weird'quote"),
+            (8, "est est une une le la les et dans", "fr"),
+            (9, ".,!?;: only punct", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_language_id_fragments_match_legacy_column_semantics(spark):
+    from tape_spark.operators.text import (
+        CJK_PATTERN,
+        LANG_STOPWORDS,
+        _language_id_fragments,
+        _stopword_hits,
+        language_id,
+    )
+
+    # memoized: the fragment tuples are built once per (text_col, id_col)
+    assert _language_id_fragments("text", "doc_id") is _language_id_fragments(
+        "text", "doc_id"
+    )
+    docs = _edge_docs(spark)
+    scored = docs.select(
+        F.col("doc_id"),
+        *[
+            _stopword_hits(F.col("text"), ws).alias(f"score_{lang}")
+            for lang, ws in LANG_STOPWORDS.items()
+        ],
+        F.col("text").rlike(CJK_PATTERN).alias("has_cjk"),
+    )
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.when(F.col("has_cjk"), F.lit("zh")).when(best <= 0, F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    legacy = scored.select(F.col("doc_id"), pred.alias("pred_lang"))
+    assert sorted(map(tuple, language_id(docs).collect())) == sorted(
+        map(tuple, legacy.collect())
+    )
+
+
+def test_text_quality_fragments_match_legacy_column_semantics(spark):
+    from tape_spark.operators.text import PUNCT_CLASS, text_quality
+
+    docs = _edge_docs(spark)
+    text = F.col("text")
+    tokens = F.split(F.trim(text), r"\s+")
+    n_chars = F.length(text)
+    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(tokens))
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    legacy = docs.select(
+        F.col("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        (
+            F.when(
+                n_tokens > 0,
+                F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / n_tokens,
+            ).otherwise(F.lit(0.0))
+        ).alias("avg_token_len"),
+        (F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))).alias(
+            "punct_ratio"
+        ),
+    )
+    got = text_quality(docs)
+    assert got.schema == legacy.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, legacy.collect()))
+
+
+def test_chunk_documents_fragments_match_legacy_column_semantics(spark):
+    from tape_spark.operators import chunk_documents
+
+    docs = _edge_docs(spark)
+    for ct, ov in ((5, 0), (5, 2), (64, 8)):
+        stride = ct - ov
+        text = F.trim(F.coalesce(F.col("text"), F.lit("")))
+        toks = F.when(F.length(text) == 0, F.array()).otherwise(F.split(text, r"\s+"))
+        staged = docs.select(F.col("doc_id"), toks.alias("__toks"))
+        chunks = F.expr(
+            f"transform(sequence(0, int(greatest(1, ceil((size(__toks) - {ct}) / {stride}) + 1)) - 1), "
+            f"i -> slice(__toks, i * {stride} + 1, {ct}))"
+        )
+        legacy = staged.select(
+            F.col("doc_id"), F.posexplode(chunks).alias("chunk_index", "__chunk")
+        ).select(
+            F.col("doc_id"),
+            "chunk_index",
+            F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk"),
+            F.sha2(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("chunk_index").cast("string"),
+                ),
+                256,
+            ).alias("chunk_id"),
+        )
+        got = chunk_documents(docs, chunk_tokens=ct, overlap_tokens=ov)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, legacy.collect())
+        ), f"chunk_tokens={ct} overlap={ov}"
+
+
+def test_md5_unit_sql_matches_column(spark):
+    from tape_spark.utils.hashing import md5_unit, md5_unit_sql
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (37,), (123456789,)], "doc_id long"
+    ).withColumn("s", F.col("doc_id").cast("string"))
+    for salt in ("", "x", "s'alt\\y"):
+        got = df.select(
+            md5_unit(F.col("doc_id"), salt).alias("a"),
+            F.expr(md5_unit_sql("`doc_id`", salt)).alias("b"),
+        ).collect()
+        assert all(r["a"] == r["b"] for r in got), salt
+
+
+def test_stratified_sample_fragment_matches_legacy_filter(spark):
+    from tape_spark.operators import stratified_sample
+    from tape_spark.utils.hashing import md5_unit
+
+    docs = _edge_docs(spark)
+    fr = {"en": 0.8, "de": 0.35, "weird'quote": 0.5, "zh": 1.0, "es": 0.0}
+    salt = "s'alt\\x"
+    rate = F.lit(0.1)
+    expr = None
+    for s, frac in fr.items():
+        cond = F.col("lang") == F.lit(s)
+        expr = (
+            F.when(cond, F.lit(float(frac)))
+            if expr is None
+            else expr.when(cond, F.lit(float(frac)))
+        )
+    legacy = docs.filter(md5_unit(F.col("doc_id"), salt) < expr.otherwise(rate))
+    got = stratified_sample(
+        docs, "lang", fr, default_fraction=0.1, salt=salt
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, legacy.collect()))
