@@ -289,45 +289,82 @@ def corpus_filter(
     frames, no shuffle, and the filter composes with predicate pushdown
     when callers do ``corpus_filter(df).filter("keep")``.
     """
-    words = stopwords or LANG_STOPWORDS["en"]
-    text = F.col(text_col)
-    ws = F.split(F.trim(text), r"\s+")
-    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(ws))
-    avg_len = F.when(
-        n_tokens > 0, F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / n_tokens
-    ).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tokens > 0, _stopword_hits(text, words) / n_tokens).otherwise(
-        F.lit(0.0)
+    words = tuple(stopwords or LANG_STOPWORDS["en"])
+    s1, s2, s3 = _corpus_filter_fragments(
+        text_col,
+        id_col,
+        int(min_tokens),
+        int(max_tokens),
+        float(max_rep_ratio),
+        float(min_stop_ratio),
+        float(min_avg_token_len),
+        float(max_avg_token_len),
+        words,
+        int(rep_n),
     )
-    grams = F.when(
-        F.size(F.col("__toks")) >= rep_n,
-        F.expr(
-            f"transform(sequence(1, size(__toks) - {rep_n - 1}), "
-            f"i -> array_join(slice(__toks, i, {rep_n}), ' '))"
-        ),
-    ).otherwise(F.array())
-    total = F.size(F.col("__grams"))
-    rep_ratio = F.when(
-        total > 0, 1.0 - F.size(F.array_distinct(F.col("__grams"))) / total
-    ).otherwise(F.lit(0.0))
-    staged = df.withColumn(
-        "__toks", F.split(F.trim(F.lower(text)), r"\s+")
-    ).withColumn("__grams", grams)
-    reasons = F.concat_ws(
-        ",",
-        F.when(n_tokens < min_tokens, F.lit("too_short")),
-        F.when(n_tokens > max_tokens, F.lit("too_long")),
-        F.when(rep_ratio > max_rep_ratio, F.lit("repetitive")),
-        F.when(stop_ratio < min_stop_ratio, F.lit("low_stopword")),
-        F.when(
-            (avg_len < min_avg_token_len) | (avg_len > max_avg_token_len),
-            F.lit("odd_token_len"),
-        ),
+    return df.selectExpr(*s1).selectExpr(*s2).selectExpr(*s3)
+
+
+@lru_cache(maxsize=None)
+def _corpus_filter_fragments(
+    text_col: str,
+    id_col: str,
+    min_tokens: int,
+    max_tokens: int,
+    max_rep_ratio: float,
+    min_stop_ratio: float,
+    min_avg_token_len: float,
+    max_avg_token_len: float,
+    words: "tuple[str, ...]",
+    rep_n: int,
+) -> "tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]":
+    """:func:`corpus_filter`'s gate as three memoized ``selectExpr``
+    stages (stage the lowered tokens, then the gram array, then the one
+    reason projection) — replaces a withColumn chain that paid both the
+    per-Column py4j tax and one extra eager analysis pass per
+    withColumn (``utils/sqlfrag.py``; bit-identical, oracle-locked by
+    the corpus_filter driver row). Same float-literal replay convention
+    as the other fragments: CAST('repr' AS DOUBLE)."""
+    qt, qi = qident(text_col), qident(id_col)
+    t = f"trim({qt})"
+    dbl = lambda v: f"CAST({sql_str(repr(float(v)))} AS DOUBLE)"  # noqa: E731
+    n_tokens = (
+        f"CASE WHEN length({t}) = 0 THEN 0 "
+        f"ELSE size(split({t}, '\\\\s+')) END"
     )
-    return staged.select(
-        F.col(id_col),
-        (reasons == "").alias("keep"),
-        reasons.alias("reasons"),
+    avg_len = (
+        f"CASE WHEN ({n_tokens}) > 0 "
+        f"THEN length(regexp_replace({t}, '\\\\s+', '')) / ({n_tokens}) "
+        f"ELSE cast(0.0 AS double) END"
+    )
+    stop_ratio = (
+        f"CASE WHEN ({n_tokens}) > 0 "
+        f"THEN {_stopword_hits_sql(qt, words)} / ({n_tokens}) "
+        f"ELSE cast(0.0 AS double) END"
+    )
+    grams = (
+        f"CASE WHEN size(__toks) >= {rep_n} THEN "
+        f"transform(sequence(1, size(__toks) - {rep_n - 1}), "
+        f"i -> array_join(slice(__toks, i, {rep_n}), ' ')) "
+        f"ELSE array() END"
+    )
+    rep_ratio = (
+        "CASE WHEN size(__grams) > 0 "
+        "THEN 1.0 - size(array_distinct(__grams)) / size(__grams) "
+        "ELSE cast(0.0 AS double) END"
+    )
+    reasons = (
+        "concat_ws(',', "
+        f"CASE WHEN ({n_tokens}) < {min_tokens} THEN 'too_short' END, "
+        f"CASE WHEN ({n_tokens}) > {max_tokens} THEN 'too_long' END, "
+        f"CASE WHEN ({rep_ratio}) > {dbl(max_rep_ratio)} THEN 'repetitive' END, "
+        f"CASE WHEN ({stop_ratio}) < {dbl(min_stop_ratio)} THEN 'low_stopword' END, "
+        f"CASE WHEN (({avg_len}) < {dbl(min_avg_token_len)}) OR (({avg_len}) > {dbl(max_avg_token_len)}) THEN 'odd_token_len' END)"
+    )
+    return (
+        ("*", f"split(trim(lower({qt})), '\\\\s+') AS __toks"),
+        ("*", f"{grams} AS __grams"),
+        (qi, f"(({reasons}) = '') AS keep", f"{reasons} AS reasons"),
     )
 
 
@@ -350,59 +387,79 @@ def text_signals(
     operators (:func:`language_id`, :func:`text_quality`, ...) remain for
     à-la-carte use; this fuses their expressions.
     """
-    words = stopwords or LANG_STOPWORDS["en"]
-    text = F.col(text_col)
-    ws = F.split(F.trim(text), r"\s+")
-    n_chars = F.length(text)
-    n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(ws))
-    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
-    grams = F.when(
-        F.size(F.col("__toks")) >= rep_n,
-        F.expr(
-            f"transform(sequence(1, size(__toks) - {rep_n - 1}), "
-            f"i -> array_join(slice(__toks, i, {rep_n}), ' '))"
-        ),
-    ).otherwise(F.array())
-    total = F.size(F.col("__grams"))
+    words = tuple(stopwords or LANG_STOPWORDS["en"])
+    s1, s2, s3 = _text_signals_fragments(text_col, id_col, int(rep_n), words)
+    return df.selectExpr(*s1).selectExpr(*s2).selectExpr(*s3)
+
+
+@lru_cache(maxsize=None)
+def _text_signals_fragments(
+    text_col: str, id_col: str, rep_n: int, words: "tuple[str, ...]"
+) -> "tuple[tuple[str, ...], tuple[str, ...], tuple[str, ...]]":
+    """:func:`text_signals`'s fused projection as three memoized
+    ``selectExpr`` stages (stage the lowered tokens; then the gram array
+    + per-language scores + CJK flag; then the one signal projection) —
+    replaces a 6-frame withColumn chain that paid both the per-Column
+    py4j tax and one eager analysis pass per withColumn
+    (``utils/sqlfrag.py``; bit-identical, oracle-locked by the
+    text_signals driver row)."""
+    qt, qi = qident(text_col), qident(id_col)
+    t = f"trim({qt})"
     langs = list(LANG_STOPWORDS)
-    staged = (
-        df.withColumn("__toks", F.split(F.trim(F.lower(text)), r"\s+"))
-        .withColumn("__grams", grams)
-        .withColumns(
-            {f"__s_{lang}": _stopword_hits(text, ws_) for lang, ws_ in LANG_STOPWORDS.items()}
-        )
-        .withColumn(
-            "__cjk", text.rlike(CJK_PATTERN)  # stops at first match
-        )
-        .withColumn(
-            "__stop_hits",
-            F.col("__s_en") if words == LANG_STOPWORDS["en"] else _stopword_hits(text, words),
-        )
+    n_chars = f"length({qt})"
+    n_tokens = (
+        f"CASE WHEN length({t}) = 0 THEN 0 "
+        f"ELSE size(split({t}, '\\\\s+')) END"
     )
-    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
-    pred = F.when(F.col("__cjk"), F.lit("zh")).when(best <= 0, F.lit("und"))
-    for lang in langs:  # first language reaching the max wins
-        pred = pred.when(F.col(f"__s_{lang}") == best, F.lit(lang))
-    return staged.select(
-        F.col(id_col),
-        pred.alias("pred_lang"),
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
-        (
-            F.when(n_tokens > 0, F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / n_tokens)
-            .otherwise(F.lit(0.0))
-        ).alias("avg_token_len"),
-        (F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))).alias("punct_ratio"),
-        (
-            F.when(n_tokens > 0, F.col("__stop_hits") / n_tokens).otherwise(F.lit(0.0))
-        ).alias("stop_ratio"),
-        (
-            F.when(total > 0, 1.0 - F.size(F.array_distinct(F.col("__grams"))) / total)
-            .otherwise(F.lit(0.0))
-        ).alias("rep_ratio"),
-        F.regexp_count(F.lower(text), F.lit(BPE_ISH_PATTERN))
-        .cast("long")
-        .alias("n_bpe_tokens"),
+    grams = (
+        f"CASE WHEN size(__toks) >= {rep_n} THEN "
+        f"transform(sequence(1, size(__toks) - {rep_n - 1}), "
+        f"i -> array_join(slice(__toks, i, {rep_n}), ' ')) "
+        f"ELSE array() END"
+    )
+    stage2 = (
+        "*",
+        f"{grams} AS __grams",
+        *[
+            f"{_stopword_hits_sql(qt, tuple(ws_))} AS __s_{lang}"
+            for lang, ws_ in LANG_STOPWORDS.items()
+        ],
+        # rlike stops at the first match
+        f"({qt} RLIKE {sql_str(CJK_PATTERN)}) AS __cjk",
+    )
+    stop_hits = (
+        "__s_en" if words == tuple(LANG_STOPWORDS["en"]) else _stopword_hits_sql(qt, words)
+    )
+    best = "greatest(" + ", ".join(f"__s_{lang}" for lang in langs) + ")"
+    pred = (
+        "CASE WHEN __cjk THEN 'zh' "
+        + f"WHEN {best} <= 0 THEN 'und' "
+        # first language reaching the max wins
+        + " ".join(f"WHEN __s_{lang} = {best} THEN {sql_str(lang)}" for lang in langs)
+        + " END"
+    )
+    stage3 = (
+        qi,
+        f"{pred} AS pred_lang",
+        f"cast({n_chars} AS long) AS n_chars",
+        f"cast(({n_tokens}) AS long) AS n_tokens",
+        f"CASE WHEN ({n_tokens}) > 0 "
+        f"THEN length(regexp_replace({t}, '\\\\s+', '')) / ({n_tokens}) "
+        f"ELSE cast(0.0 AS double) END AS avg_token_len",
+        f"CASE WHEN {n_chars} > 0 "
+        f"THEN ({n_chars} - length(regexp_replace({qt}, {sql_str(PUNCT_CLASS)}, ''))) / {n_chars} "
+        f"ELSE cast(0.0 AS double) END AS punct_ratio",
+        f"CASE WHEN ({n_tokens}) > 0 THEN ({stop_hits}) / ({n_tokens}) "
+        f"ELSE cast(0.0 AS double) END AS stop_ratio",
+        "CASE WHEN size(__grams) > 0 "
+        "THEN 1.0 - size(array_distinct(__grams)) / size(__grams) "
+        "ELSE cast(0.0 AS double) END AS rep_ratio",
+        f"cast(regexp_count(lower({qt}), {sql_str(BPE_ISH_PATTERN)}) AS long) AS n_bpe_tokens",
+    )
+    return (
+        ("*", f"split(trim(lower({qt})), '\\\\s+') AS __toks"),
+        stage2,
+        stage3,
     )
 
 

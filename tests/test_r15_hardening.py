@@ -731,3 +731,153 @@ def test_stratified_sample_fragment_matches_legacy_filter(spark):
         docs, "lang", fr, default_fraction=0.1, salt=salt
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, legacy.collect()))
+
+
+def test_text_signals_fragments_match_legacy_column_semantics(spark):
+    from tape_spark.operators.text import (
+        BPE_ISH_PATTERN,
+        CJK_PATTERN,
+        LANG_STOPWORDS,
+        PUNCT_CLASS,
+        _stopword_hits,
+        text_signals,
+    )
+
+    docs = _edge_docs(spark)
+    # note: stopwords become regex alternation branches, so a word with a
+    # backslash would be an invalid pattern in BOTH forms — quotes are the
+    # escaping hazard the fragment path must handle
+    for rep_n, words in ((2, None), (3, ["est", "o'brien"])):
+        w = words or LANG_STOPWORDS["en"]
+        text = F.col("text")
+        ws = F.split(F.trim(text), r"\s+")
+        n_chars = F.length(text)
+        n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(ws))
+        n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+        grams = F.when(
+            F.size(F.col("__toks")) >= rep_n,
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {rep_n - 1}), "
+                f"i -> array_join(slice(__toks, i, {rep_n}), ' '))"
+            ),
+        ).otherwise(F.array())
+        total = F.size(F.col("__grams"))
+        langs = list(LANG_STOPWORDS)
+        staged = (
+            docs.withColumn("__toks", F.split(F.trim(F.lower(text)), r"\s+"))
+            .withColumn("__grams", grams)
+            .withColumns(
+                {
+                    f"__s_{lang}": _stopword_hits(text, ws_)
+                    for lang, ws_ in LANG_STOPWORDS.items()
+                }
+            )
+            .withColumn("__cjk", text.rlike(CJK_PATTERN))
+            .withColumn(
+                "__stop_hits",
+                F.col("__s_en") if w == LANG_STOPWORDS["en"] else _stopword_hits(text, w),
+            )
+        )
+        best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+        pred = F.when(F.col("__cjk"), F.lit("zh")).when(best <= 0, F.lit("und"))
+        for lang in langs:
+            pred = pred.when(F.col(f"__s_{lang}") == best, F.lit(lang))
+        legacy = staged.select(
+            F.col("doc_id"),
+            pred.alias("pred_lang"),
+            n_chars.cast("long").alias("n_chars"),
+            n_tokens.cast("long").alias("n_tokens"),
+            (
+                F.when(
+                    n_tokens > 0,
+                    F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / n_tokens,
+                ).otherwise(F.lit(0.0))
+            ).alias("avg_token_len"),
+            (F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))).alias(
+                "punct_ratio"
+            ),
+            (
+                F.when(n_tokens > 0, F.col("__stop_hits") / n_tokens).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("stop_ratio"),
+            (
+                F.when(
+                    total > 0, 1.0 - F.size(F.array_distinct(F.col("__grams"))) / total
+                ).otherwise(F.lit(0.0))
+            ).alias("rep_ratio"),
+            F.regexp_count(F.lower(text), F.lit(BPE_ISH_PATTERN))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        got = text_signals(docs, rep_n=rep_n, stopwords=words)
+        assert got.schema == legacy.schema
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, legacy.collect())
+        ), (rep_n, words)
+
+
+def test_corpus_filter_fragments_match_legacy_column_semantics(spark):
+    from tape_spark.operators.text import (
+        LANG_STOPWORDS,
+        _stopword_hits,
+        corpus_filter,
+    )
+
+    docs = _edge_docs(spark)
+    for kw in (
+        {},
+        dict(min_tokens=3, max_tokens=6, max_rep_ratio=0.3, min_stop_ratio=0.0,
+             min_avg_token_len=1.5, max_avg_token_len=9.0,
+             stopwords=["le", "o'brien"], rep_n=3),
+    ):
+        words = kw.get("stopwords") or LANG_STOPWORDS["en"]
+        rep_n = kw.get("rep_n", 2)
+        min_tokens = kw.get("min_tokens", 10)
+        max_tokens = kw.get("max_tokens", 100_000)
+        max_rep_ratio = kw.get("max_rep_ratio", 0.5)
+        min_stop_ratio = kw.get("min_stop_ratio", 0.02)
+        min_avg_token_len = kw.get("min_avg_token_len", 2.0)
+        max_avg_token_len = kw.get("max_avg_token_len", 12.0)
+        text = F.col("text")
+        ws = F.split(F.trim(text), r"\s+")
+        n_tokens = F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(F.size(ws))
+        avg_len = F.when(
+            n_tokens > 0,
+            F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / n_tokens,
+        ).otherwise(F.lit(0.0))
+        stop_ratio = F.when(
+            n_tokens > 0, _stopword_hits(text, words) / n_tokens
+        ).otherwise(F.lit(0.0))
+        grams = F.when(
+            F.size(F.col("__toks")) >= rep_n,
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {rep_n - 1}), "
+                f"i -> array_join(slice(__toks, i, {rep_n}), ' '))"
+            ),
+        ).otherwise(F.array())
+        total = F.size(F.col("__grams"))
+        rep_ratio = F.when(
+            total > 0, 1.0 - F.size(F.array_distinct(F.col("__grams"))) / total
+        ).otherwise(F.lit(0.0))
+        staged = docs.withColumn(
+            "__toks", F.split(F.trim(F.lower(text)), r"\s+")
+        ).withColumn("__grams", grams)
+        reasons = F.concat_ws(
+            ",",
+            F.when(n_tokens < min_tokens, F.lit("too_short")),
+            F.when(n_tokens > max_tokens, F.lit("too_long")),
+            F.when(rep_ratio > max_rep_ratio, F.lit("repetitive")),
+            F.when(stop_ratio < min_stop_ratio, F.lit("low_stopword")),
+            F.when(
+                (avg_len < min_avg_token_len) | (avg_len > max_avg_token_len),
+                F.lit("odd_token_len"),
+            ),
+        )
+        legacy = staged.select(
+            F.col("doc_id"), (reasons == "").alias("keep"), reasons.alias("reasons")
+        )
+        got = corpus_filter(docs, **kw)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, legacy.collect())
+        ), kw
