@@ -97,13 +97,59 @@ def _ensemble(spark: SparkSession, sf_dir: str):
     )
 
 
+# Parquet LAYOUT memo (file count + row count from the footers), keyed on
+# path — metadata-only, same contract as _SCHEMA_CACHE: no rows or results
+# are memoized, every action still reads the data.
+_LAYOUT_CACHE: dict = {}
+
+
+def _parquet_layout(path: str) -> "tuple[int, int]":
+    got = _LAYOUT_CACHE.get(path)
+    if got is None:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        got = (len(files), rows)
+        _LAYOUT_CACHE[path] = got
+    return got
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-file corpora load as one partition; spread across cores (a real
-    # 100 TB corpus arrives pre-split, so this shuffle exists only at toy SF)
+    # Single-file corpora load as one partition, so the text kernels need a
+    # spreading shuffle — but its WIDTH is derived from the input size
+    # (footer row count), not the core count: repartition(defaultParallelism)
+    # on a toy corpus paid ~60 tasks of pure scheduling overhead per action
+    # (measured r15: q7 1.26 s -> 0.64 s, q10 1.49 s -> 0.90 s at width 5 vs
+    # 32), while width 1 serializes the kernels (q7 0.94 s). ~1000 rows per
+    # slice keeps each task's kernel work well above the per-task fixed cost;
+    # the width clamps to defaultParallelism, so at any real SF this is
+    # exactly the old behavior, and a pre-split corpus (>= width files)
+    # skips the shuffle outright — a 100 TB corpus arrives pre-split.
     _pin_time_configs(spark)
-    return _read_parquet(spark, f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
+    path = f"{sf_dir}/documents.parquet"
+    df = _read_parquet(spark, path)
+    n_files, rows = _parquet_layout(path)
+    rows_per_slice = int(
+        spark.conf.get("spark.tape.docs.rowsPerSlice", "1000")
     )
+    width = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-rows // max(1, rows_per_slice)),
+        ),
+    )
+    if n_files < width:
+        df = df.repartition(width)
+    return df
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
