@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..utils.sqlfrag import qident, sql_str
+from ..utils.sqlfrag import memo_udf, qident, sql_str
 
 # Small per-language stopword lists for the n-gram voting heuristic.
 # Order matters: ties break toward the earlier entry.
@@ -206,29 +206,10 @@ def token_count(
     )
 
 
-def document_fingerprint(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 5,
-    window: int = 4,
-) -> DataFrame:
-    """Document fingerprints: a normalized-content SHA plus winnowed
-    rolling-hash fingerprints.
-
-    ``content_sha`` is ``sha2`` of the whitespace-collapsed lowercased text
-    (built-in; exact-dup detection robust to spacing). ``winnow`` applies
-    the standard winnowing scheme (Schleimer et al. 2003): polynomial
-    rolling hashes of ``k``-grams, minimum per sliding ``window`` —
-    an Arrow-batched pandas UDF since it's inherently sequential per doc.
-    """
-    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-
+def _build_winnow_udf(k: int, window: int):
     # polynomial k-gram hashes as one sliding-window matmul per document:
     # with byte values < 256 and k ≤ 7 the dot product stays below 2^63,
     # so no intermediate modulo is needed (vectorized, no per-char loop)
-    if k > 7:
-        raise ValueError("document_fingerprint supports k <= 7 (int64 rolling hash)")
     base = 257
     powers = (base ** np.arange(k - 1, -1, -1)).astype(np.int64)
 
@@ -254,6 +235,35 @@ def document_fingerprint(
             mins = np.unique(sliding_window_view(hashes, window).min(axis=1))
             out.append(mins.tolist())
         return pd.Series(out)
+
+    return winnow
+
+
+def document_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprints: a normalized-content SHA plus winnowed
+    rolling-hash fingerprints.
+
+    ``content_sha`` is ``sha2`` of the whitespace-collapsed lowercased text
+    (built-in; exact-dup detection robust to spacing). ``winnow`` applies
+    the standard winnowing scheme (Schleimer et al. 2003): polynomial
+    rolling hashes of ``k``-grams, minimum per sliding ``window`` —
+    an Arrow-batched pandas UDF since it's inherently sequential per doc.
+    """
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+
+    if k > 7:
+        raise ValueError("document_fingerprint supports k <= 7 (int64 rolling hash)")
+    # one UDF object per (k, window) per session, not per call (memo_udf:
+    # the per-call cloudpickle + JVM registration was ~10 ms of this
+    # operator's ~40 ms construction wall, measured r15 interleaved A/B)
+    winnow = memo_udf(("fingerprint_winnow", int(k), int(window)),
+                      lambda: _build_winnow_udf(int(k), int(window)))
 
     return df.select(
         F.col(id_col),
@@ -463,6 +473,20 @@ def _text_signals_fragments(
     )
 
 
+def _build_unicode_normalize_udf(nf: str):
+    @F.pandas_udf(T.StringType())
+    def _unicode_normalize(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: x
+            if x is None or x.isascii()
+            else unicodedata.normalize(nf, x)
+        )
+
+    return _unicode_normalize
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",
@@ -499,19 +523,10 @@ def normalize_text(
     if strip_control:
         col = F.regexp_replace(col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
     if form is not None:
-        nf = form  # bind for the closure
-
-        @F.pandas_udf(T.StringType())
-        def _unicode_normalize(s: pd.Series) -> pd.Series:
-            import unicodedata
-
-            return s.map(
-                lambda x: x
-                if x is None or x.isascii()
-                else unicodedata.normalize(nf, x)
-            )
-
-        col = _unicode_normalize(col)
+        # one UDF object per form per session (memo_udf — see
+        # document_fingerprint's winnow note)
+        col = memo_udf(("unicode_normalize", form),
+                       lambda: _build_unicode_normalize_udf(form))(col)
     if lowercase:
         col = F.lower(col)
     if collapse_whitespace:

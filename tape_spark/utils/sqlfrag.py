@@ -18,7 +18,7 @@ fresh file scans (measured r15, locked by
 
 from __future__ import annotations
 
-__all__ = ["qident", "sql_str"]
+__all__ = ["qident", "sql_str", "memo_udf"]
 
 
 def qident(name: str) -> str:
@@ -31,3 +31,34 @@ def sql_str(s: str) -> str:
     default parser (``spark.sql.parser.escapedStringLiterals=false``,
     where ``\\`` sequences in literals are escape-processed)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+# The UDF flavor of the same per-call tax: a pandas_udf defined inside an
+# operator body re-cloudpickles its closure and re-registers a JVM
+# PythonFunction on EVERY operator call (~10-20 ms, measured r15). The
+# kernels are deterministic and parameter-pure, so one UDF object per
+# parameter tuple is identical — but a UserDefinedFunction caches its JVM
+# handle, which dies with the SparkContext, so the memo key includes the
+# application id (a fresh context gets fresh UDF objects; entries for dead
+# contexts are dropped on the next miss).
+_UDF_MEMO: dict = {}
+
+
+def memo_udf(key: tuple, build):
+    """Return ``build()`` memoized per ``(sparkContext.applicationId, *key)``.
+
+    ``build`` must construct and return the UDF object (closure-pure:
+    everything it captures must be derivable from ``key``)."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    app = sess.sparkContext.applicationId if sess is not None else None
+    full = (app,) + tuple(key)
+    got = _UDF_MEMO.get(full)
+    if got is None:
+        if app is not None:
+            for k in [k for k in _UDF_MEMO if k[0] != app]:
+                del _UDF_MEMO[k]
+        got = build()
+        _UDF_MEMO[full] = got
+    return got

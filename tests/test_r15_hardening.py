@@ -881,3 +881,38 @@ def test_corpus_filter_fragments_match_legacy_column_semantics(spark):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, legacy.collect())
         ), kw
+
+
+def test_memo_udf_reuses_per_session_and_keys_on_params(spark):
+    """memo_udf must hand back the SAME UDF object for equal parameter
+    tuples within a session (that is the whole optimization: no per-call
+    cloudpickle/JVM registration) while distinct parameters get distinct
+    kernels — and repeated operator calls must stay value-identical."""
+    from tape_spark.operators.text import (
+        _build_unicode_normalize_udf,
+        _build_winnow_udf,
+    )
+    from tape_spark.utils.sqlfrag import memo_udf
+
+    u1 = memo_udf(("t_memo", 5, 4), lambda: _build_winnow_udf(5, 4))
+    u2 = memo_udf(("t_memo", 5, 4), lambda: _build_winnow_udf(5, 4))
+    u3 = memo_udf(("t_memo", 3, 2), lambda: _build_winnow_udf(3, 2))
+    assert u1 is u2
+    assert u3 is not u1
+
+    from tape_spark.operators import document_fingerprint, normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "Café  du  Mondé"), (3, None)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, document_fingerprint(df).collect()))
+    b = sorted(map(tuple, document_fingerprint(df).collect()))
+    assert a == b
+    n1 = sorted(map(tuple, normalize_text(df, form="NFC", lowercase=True).collect()))
+    n2 = sorted(map(tuple, normalize_text(df, form="NFC", lowercase=True).collect()))
+    assert n1 == n2
+    by_id = {r[0]: r[1] for r in n1}
+    assert by_id[2] == "café du mondé"
+    assert by_id[3] == ""
