@@ -895,13 +895,17 @@ def minhash_match_foreach_batch(
     corpus doc per executor-cluster — at 1 KB/doc signatures, a 5 B-doc
     corpus caches ~5 TB across a 1000-executor cluster (~5 GB each),
     spilling to local disk past memory, which still beats re-reading the
-    remote store every trigger. The build is NOT free: at the 5 M-doc
-    anchor it costs ~2 840 s executor (the array-payload sigs table is
-    the expensive half) against ~156 s saved per trigger — break-even
-    ≈ 18 triggers (docs/SCALING.md round 15 ``cache_build``). Set
-    ``cache_store=False`` to restore the scan-per-trigger behavior
-    (streams that won't outlive ~20 triggers, or many independent
-    short-lived streams against one store).
+    remote store every trigger. The build is NOT free, but it is one
+    extra pass, not a cliff: re-measured at a from-scratch rebuild of
+    the 5 M-doc store (docs/SCALING.md round 15 ``decompose``; the first
+    ``cache_build`` numbers were ~5x steal-inflated), materializing both
+    tables costs ~550 s executor / ~20 s best-case wall — ≈ 3.8x a plain
+    scan of the same rows — against ~25–50 s executor (~4–6 s wall)
+    saved per trigger: break-even ≈ 10–20 triggers on the executor
+    basis, ≈ 3–5 on walls. Set ``cache_store=False`` to restore the
+    scan-per-trigger behavior (streams that won't outlive a handful of
+    triggers, or many independent short-lived streams against one
+    store).
 
     ``foreachBatch`` (not a stream-static join) is what makes the pruning
     possible: partition IN-filters need the batch's key set, which only
