@@ -46,6 +46,22 @@ def _detect_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def _git_head() -> str:
+    """The tree the sweep ran at, so refreshed artifacts are self-describing."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main():
     from pyspark.sql import SparkSession
 
@@ -107,6 +123,7 @@ def main():
         rnd = _detect_round()
         artifact = {
             "round": rnd,
+            "head": _git_head(),
             "sf_dir": SF_DIR,
             "scale_vs_gate": "10x the sf0.01 grading scale (full board)",
             "harness": "scripts/check_sf01.py (driver-replica compare)",

@@ -82,6 +82,20 @@ def _detect_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def _git_head() -> str:
+    """The tree the sweep ran at, so refreshed artifacts are self-describing."""
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def _ensure_sf1() -> None:
     need = ["documents", "embeddings", "events", "lineitem"]
     if all(os.path.exists(os.path.join(SF1_DIR, f"{t}.parquet")) for t in need):
@@ -245,6 +259,7 @@ def main():
         rnd = _detect_round()
         artifact = {
             "round": rnd,
+            "head": _git_head(),
             "sf_dir": os.path.relpath(SF1_DIR, REPO),
             "scale_vs_gate": "100x (50k docs / 200k vectors vs the sf0.01 gate)",
             "harness": "scripts/check_sf1.py (auto-regen data + driver-replica compare; planted-pair minhash oracle)",

@@ -38,6 +38,20 @@ def _detect_round() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def _git_head() -> str:
+    """The tree the sweep ran at, so refreshed artifacts are self-describing."""
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def main() -> int:
     if not os.path.exists(os.path.join(ZIPF_DIR, "documents.parquet")):
         subprocess.run(
@@ -92,6 +106,7 @@ def main() -> int:
         json.dump(
             {
                 "round": rnd,
+                "head": _git_head(),
                 "sf_dir": os.path.relpath(ZIPF_DIR, REPO),
                 "corpus": "10k-word Zipf(1) vocabulary, planted exact (id%10==9) and "
                 "~8%-mutation near (id%10==5) duplicates; every other table linked "
