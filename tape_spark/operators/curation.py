@@ -87,11 +87,6 @@ def _ngram_sql(toks_name: str, n: int) -> str:
     )
 
 
-def _ngram_array(toks_name: str, n: int):
-    """Column form of :func:`_ngram_sql` for the non-hot-path callers."""
-    return F.expr(_ngram_sql(toks_name, n))
-
-
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -154,44 +149,55 @@ def decontaminate(
     assert_max_doc_tokens(docs, text_col, max_doc_tokens, "decontaminate")
     bench_text = bench_text_col or text_col
     # SQL fragments (one selectExpr round trip per frame) instead of
-    # per-expression Column plumbing: the Column form rebuilt ~0.18 s of
-    # py4j round trips per call (utils/sqlfrag.py; bit-identical,
-    # oracle-locked by the decontaminate driver row)
-    key_sql = (lambda c: f"xxhash64({c})") if hashed else (lambda c: c)
-    from ..utils.sqlfrag import qident
+    # per-expression Column plumbing (r15), and the gram derivation fused
+    # into ONE Dataset per side (r16): every new Dataset costs an eager
+    # JVM analysis pass (~16 ms, the measured construction floor), so the
+    # tokenize → n-gram → hash chain is a single explode projection with
+    # the token array LET-BOUND (utils/sqlfrag.let_sql — evaluate-once,
+    # same guarantee the old staged projections gave). Bit-identical,
+    # oracle-locked by the decontaminate driver row.
+    from ..utils.sqlfrag import let_sql, qident
 
     qi = qident(id_col)
 
-    bench_grams = (
-        benchmark.selectExpr(f"{_toks_sql(bench_text)} AS __tk")
-        .selectExpr(f"explode({_ngram_sql('__tk', n)}) AS __gram")
-        .selectExpr(f"{key_sql('__gram')} AS __bg")
-        .distinct()
-    )
+    def grams_sql(tcol: str) -> str:
+        body = _ngram_sql("__tk", n)
+        if hashed:
+            body = f"transform({body}, g -> xxhash64(g))"
+        return let_sql(_toks_sql(tcol), "__tk", body)
+
+    bench_grams = benchmark.selectExpr(
+        f"explode({grams_sql(bench_text)}) AS __bg"
+    ).distinct()
     # explode_outer keeps 0-ngram documents (one NULL placeholder row);
-    # guard the key derivation because xxhash64(NULL) is the seed value,
-    # not NULL, which would miscount the placeholder as a real n-gram
-    doc_grams = (
-        docs.selectExpr(qi, f"{_toks_sql(text_col)} AS __tk")
-        .selectExpr(qi, f"explode_outer({_ngram_sql('__tk', n)}) AS __gram")
-        .selectExpr(
-            qi,
-            f"CASE WHEN __gram IS NOT NULL THEN {key_sql('__gram')} END AS __dg",
-        )
+    # the hash is applied INSIDE the gram array (never to the placeholder:
+    # xxhash64(NULL) is the seed value, not NULL), so a NULL __dg means
+    # exactly "no n-grams"
+    doc_grams = docs.selectExpr(
+        qi, f"explode_outer({grams_sql(text_col)}) AS __dg"
     )
 
     if method == "broadcast":
         flagged = doc_grams.join(
             F.broadcast(bench_grams), doc_grams["__dg"] == bench_grams["__bg"], "left"
         )
-        out = flagged.groupBy(id_col).agg(
+        # the derived columns fold into the aggregate (Catalyst computes
+        # each distinct aggregate expression once), saving the final
+        # projection Dataset; expressions identical to the bloom branch's
+        return flagged.groupBy(id_col).agg(
             F.expr("cast(count(__dg) AS long) AS n_ngrams"),
             F.expr("cast(count(__bg) AS long) AS n_contaminated"),
+            F.expr(
+                "(cast(count(__bg) AS long) / greatest(cast(count(__dg) AS long), 1))"
+                " AS contamination"
+            ),
+            F.expr(
+                f"(cast(count(__bg) AS long) >= {int(min_hits)}) AS is_contaminated"
+            ),
         )
-    else:
-        out = _bloom_decontaminate_counts(
-            doc_grams, bench_grams, id_col, bloom_bits_per_key, bloom_num_hashes
-        )
+    out = _bloom_decontaminate_counts(
+        doc_grams, bench_grams, id_col, bloom_bits_per_key, bloom_num_hashes
+    )
     return out.selectExpr(
         qi,
         "n_ngrams",
@@ -269,15 +275,23 @@ def split_contaminated(
 
     assert_max_doc_tokens(docs, text_col, max_doc_tokens, "split_contaminated")
     bench_text = bench_text_col or text_col
-    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
     key_sql = (lambda e: f"xxhash64({e})") if hashed else (lambda e: e)
+    from ..utils.sqlfrag import let_sql, qident
 
-    bench_grams = (
-        benchmark.select(F.expr(_toks_sql(bench_text)).alias("__tk"))
-        .select(F.explode(_ngram_array("__tk", n)).alias("__gram"))
-        .select(key(F.col("__gram")).alias("__bg"))
-        .distinct()
-    )
+    qi = qident(id_col)
+
+    def grams_sql(tcol: str) -> str:
+        body = _ngram_sql("__tk", n)
+        if hashed:
+            body = f"transform({body}, g -> xxhash64(g))"
+        return let_sql(_toks_sql(tcol), "__tk", body)
+
+    # tokenize → n-gram → hash fused into one explode projection per side
+    # (let-bound tokens, utils/sqlfrag.let_sql — same derivation as
+    # :func:`decontaminate`, fewer eager-analysis passes)
+    bench_grams = benchmark.selectExpr(
+        f"explode({grams_sql(bench_text)}) AS __bg"
+    ).distinct()
 
     # stage 1 (gate): per-document HIT-SET — the doc's distinct n-gram
     # keys that appear in the benchmark. Empty-result-biased: in the
@@ -285,9 +299,7 @@ def split_contaminated(
     # re-attach join broadcasts it (AQE) and clean docs flow straight
     # through the identity branch.
     hitsets = (
-        docs.select(F.col(id_col), F.expr(_toks_sql(text_col)).alias("__tk"))
-        .select(F.col(id_col), F.explode(_ngram_array("__tk", n)).alias("__gram"))
-        .select(F.col(id_col), key(F.col("__gram")).alias("__dg"))
+        docs.selectExpr(qi, f"explode({grams_sql(text_col)}) AS __dg")
         .join(F.broadcast(bench_grams), F.col("__dg") == F.col("__bg"), "inner")
         .groupBy(id_col)
         .agg(F.collect_list("__dg").alias("__hitset"))

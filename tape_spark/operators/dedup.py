@@ -219,11 +219,45 @@ def ngram_jaccard_pairs(
     bounded sample (:func:`estimate_stop_shingles`) and dropped *before*
     the exact doc-frequency shuffle ever sees their rows — the exact
     count then runs only over the residual, lighter-tailed shingles.
+
+    Plan shape (r16): the per-document distinct is ``array_distinct`` on
+    the in-row gram array — NOT a row-level ``.distinct()``, which cost a
+    full (id, shingle) exchange + aggregate — and each document's shingle
+    count ``|A|`` rides the exploded rows as an 8-byte column instead of
+    being re-aggregated and joined back twice. That removes three of the
+    old plan's shuffles (the distinct exchange, the sizes aggregate, and
+    the two size-attach joins collapse into the pair aggregate) and two
+    of its four corpus scans (each scan re-tokenized the full corpus):
+    what remains is the irreducible pair: one self-join on the shingle
+    hash + one (id_a, id_b) aggregate. Results are identical — same
+    tokenizer, same per-doc distinct, same hash domain, same Jaccard
+    arithmetic (``plans/r16/ngram_jaccard_{before,after}.txt``).
     """
-    shingles = _word_shingles(df, text_col, id_col, n).select(
-        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    # stage the tokens, then the distinct hashed grams, then explode with
+    # the in-row size: three projections (each new Dataset is one eager
+    # analysis pass), tokens staged so no lambda re-splits per element
+    grams_sql = (
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> array_join(slice(__toks, i, {n}), ' ')) "
+        f"ELSE array() END"
     )
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    qi = _qident(id_col)
+    shingles = (
+        df.select(
+            F.col(id_col),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+        )
+        .selectExpr(
+            qi,
+            f"transform(array_distinct({grams_sql}), g -> xxhash64(g)) AS __sh",
+        )
+        .selectExpr(
+            qi,
+            "size(__sh) AS __n",
+            "explode(__sh) AS shingle",
+        )
+    )
     if max_doc_frequency is not None and stop_shingle_sample is not None:
         # heavy hitters estimated from a sample and pruned up front: their
         # (doc, shingle) rows never enter the doc-frequency shuffle below.
@@ -242,9 +276,9 @@ def ngram_jaccard_pairs(
     if max_doc_frequency is not None:
         # cap join fan-out: a shingle in d documents yields O(d²) pair rows,
         # so stop-shingles dominate cost while carrying no dedup signal.
-        # Sizes are computed BEFORE the cap so the Jaccard denominator stays
-        # exact; dropping shared shingles only understates |A∩B| (similarity
-        # is under-, never over-estimated).
+        # Sizes (__n) were derived from the FULL in-row gram array above, so
+        # the Jaccard denominator stays exact; dropping shared shingles only
+        # understates |A∩B| (similarity is under-, never over-estimated).
         rare = (
             shingles.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -253,25 +287,23 @@ def ngram_jaccard_pairs(
         )
         shingles = shingles.join(rare, on="shingle", how="left_semi")
 
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    pair_counts = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("intersection"))
+    # self-join on the hashed shingle (id< folded into the join condition),
+    # then ONE pair aggregate computes the Jaccard directly: min(__n) is the
+    # group-constant document size, so no size table is joined back
+    b = shingles.select(
+        F.col("shingle").alias("__sh_b"),
+        F.col(id_col).alias("__id_b"),
+        F.col("__n").alias("__n_b"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b"))
+    inter = F.count(F.lit(1))
     return (
-        pair_counts.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("intersection") / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+        shingles.join(
+            b,
+            (F.col("shingle") == F.col("__sh_b")) & (F.col(id_col) < F.col("__id_b")),
         )
+        .groupBy(F.col(id_col).alias("id_a"), F.col("__id_b").alias("id_b"))
+        .agg((inter / (F.min("__n") + F.min("__n_b") - inter)).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -311,26 +311,34 @@ def bm25_build_index(
         )
     if num_term_buckets < 1:
         raise ValueError("num_term_buckets must be >= 1")
+    # one staging projection (tokens referenced by size + explode below),
+    # tbucket computed as a grouping expression and dl re-attached with
+    # min() (group-constant: dl is functionally dependent on doc_id), so
+    # the old post-aggregate reorder projection folds away — each new
+    # Dataset costs an eager analysis pass (~16 ms, the r16 construction
+    # floor); output schema/rows identical
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         _doc_tokens(text_col).alias("__toks"),
-    ).select("doc_id", F.size("__toks").cast("long").alias("dl"), "__toks")
+    )
     postings = (
-        base.select("doc_id", "dl", F.explode("__toks").alias("term"))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select(
+        base.select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+        .groupBy(
             F.pmod(F.xxhash64("term"), F.lit(num_term_buckets))
             .cast("int")
             .alias("tbucket"),
-            "term",
-            "doc_id",
-            "tf",
-            "dl",
+            F.col("term"),
+            F.col("doc_id"),
         )
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("dl").alias("dl"))
     )
     stats = base.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("__toks").cast("long")).alias("sumdl"),
     ).withColumn("num_term_buckets", F.lit(int(num_term_buckets)))
     return postings, stats
 

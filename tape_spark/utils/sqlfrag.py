@@ -18,7 +18,7 @@ fresh file scans (measured r15, locked by
 
 from __future__ import annotations
 
-__all__ = ["qident", "sql_str", "memo_udf"]
+__all__ = ["qident", "sql_str", "let_sql", "memo_udf"]
 
 
 def qident(name: str) -> str:
@@ -31,6 +31,23 @@ def sql_str(s: str) -> str:
     default parser (``spark.sql.parser.escapedStringLiterals=false``,
     where ``\\`` sequences in literals are escape-processed)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def let_sql(bound_expr: str, var: str, body: str) -> str:
+    """SQL let-binding: evaluate ``bound_expr`` ONCE per row and bind it to
+    the lambda variable ``var`` inside ``body``.
+
+    ``transform``'s argument array is evaluated once and the lambda sees
+    its element as a variable lookup, so this gives the same
+    evaluate-once guarantee as staging the expression through a separate
+    projection — without the extra Dataset (each new Dataset costs an
+    eager JVM analysis pass, ~16 ms, the r15-measured construction
+    floor). Measured r16 on a 200 k-token document: let-bound == staged
+    wall, while inlining the expression into a lambda body directly is
+    O(elements × cost(expr)) — the round-10 quadratic-tokenizer trap this
+    helper exists to avoid re-introducing.
+    """
+    return f"element_at(transform(array({bound_expr}), {var} -> {body}), 1)"
 
 
 # The UDF flavor of the same per-call tax: a pandas_udf defined inside an
