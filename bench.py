@@ -40,8 +40,17 @@ import sys
 # inherited from whatever ran earlier on the host), and an IO-bound
 # calibration probe is interleaved alongside the pure-JVM one so the
 # calibration columns actually span the dimension the drift lives in.
+# rev 4 = r16 no-cached-base-tables fix: the suite-level
+# `ens.frames["source"].persist()` is gone and q1 re-ingests inside its
+# timed body like q2/q3/q6/q9. This slows MORE than q1: Spark's cache
+# manager matches by canonicalized logical plan, so the re-ingests in
+# q2/q3/q6/q9 were ALSO silently resolving their source scans to the
+# suite-level InMemoryRelation (measured r16: their rev-3 walls were
+# compute-over-cached-input too). Rev 4 q1/q2/q3/q6/q9 measure honest
+# scan+compute — expect each a few tenths to ~2x SLOWER than rev 3;
+# that is the comparability break, not a code regression.
 # The rev→round map lives in docs/SCALING.md §Bench comparability.
-BENCH_REV = 3
+BENCH_REV = 4
 import time
 
 import numpy as np
@@ -82,14 +91,6 @@ def main():
     def run(name, fn):
         workloads.append((name, fn))
 
-    ens = em._ensemble(spark, SF_DIR)
-    # SPARK_GRAFT_NO_PERSIST=1 skips the suite-level cache for huge local
-    # scale probes (sf100: a 600M-row deserialized cache would spill tens
-    # of GB to disk and measure the spill, not the operators)
-    if not os.environ.get("SPARK_GRAFT_NO_PERSIST"):
-        ens.frames["source"] = ens.frames["source"].persist()
-    ens.frames["source"].count()  # warm the cache so workloads measure compute
-
     # Spin up the Python UDF worker pool before timing (the no-op
     # mapInPandas job forces one pandas+numpy import per worker process),
     # so queries measure steady-state compute — the signal that
@@ -121,13 +122,17 @@ def main():
                 df.agg(*[F.count(c) for c in df.columns]).collect()
 
     # .agg(count(result)) instead of .count(): consume the computed column
-    # so pruning cannot drop the aggregate expression (see q7's note)
-    run(
-        "q1_batch_mean",
-        lambda: ens.batch(np.mean, "l_extendedprice", meta=("result", float))
-        .agg(F.count("result"))
-        .collect(),
-    )
+    # so pruning cannot drop the aggregate expression (see q7's note).
+    # rev 4: re-ingest inside the timed body (same pattern as q2/q3/q6/q9)
+    # — rev ≤3 timed this against a suite-level persisted source table,
+    # i.e. compute-over-cached-input rather than scan+compute.
+    def batch_mean():
+        e = em._ensemble(spark, SF_DIR)
+        e.batch(np.mean, "l_extendedprice", meta=("result", float)).agg(
+            F.count("result")
+        ).collect()
+
+    run("q1_batch_mean", batch_mean)
 
     def prune_sync():
         e = em._ensemble(spark, SF_DIR)
