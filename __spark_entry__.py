@@ -103,21 +103,31 @@ def _ensemble(spark: SparkSession, sf_dir: str):
 _LAYOUT_CACHE: dict = {}
 
 
-def _parquet_layout(path: str) -> "tuple[int, int]":
-    got = _LAYOUT_CACHE.get(path)
-    if got is None:
-        import pyarrow.parquet as pq
+def _parquet_layout(path: str) -> "tuple[int, int] | None":
+    """File count + row count from local parquet footers, or ``None`` when
+    the path is not a local filesystem path (``hdfs://``, ``s3a://``, …) —
+    this probe exists for the local driver-harness testdata; remote stores
+    must go through Spark's own (filesystem-agnostic) readers, so callers
+    treat ``None`` as "no footer knowledge" and fall back to the plain
+    scale-safe behavior instead of crashing on os.listdir of a URI."""
+    _MISS = object()
+    got = _LAYOUT_CACHE.get(path, _MISS)
+    if got is _MISS:
+        try:
+            import pyarrow.parquet as pq
 
-        if os.path.isdir(path):
-            files = [
-                os.path.join(path, f)
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
-            ]
-        else:
-            files = [path]
-        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        got = (len(files), rows)
+            if os.path.isdir(path):
+                files = [
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                ]
+            else:
+                files = [path]
+            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            got = (len(files), rows)
+        except (OSError, ValueError, ImportError):
+            got = None
         _LAYOUT_CACHE[path] = got
     return got
 
@@ -136,7 +146,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _pin_time_configs(spark)
     path = f"{sf_dir}/documents.parquet"
     df = _read_parquet(spark, path)
-    n_files, rows = _parquet_layout(path)
+    layout = _parquet_layout(path)
+    if layout is None:
+        # non-local path (or unreadable footers): no layout knowledge —
+        # return the plain scan; a remote warehouse corpus arrives
+        # pre-split and Spark's split planning sizes the scan itself
+        return df
+    n_files, rows = layout
     rows_per_slice = int(
         spark.conf.get("spark.tape.docs.rowsPerSlice", "1000")
     )
@@ -147,7 +163,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             -(-rows // max(1, rows_per_slice)),
         ),
     )
-    if n_files < width:
+    # A pre-split corpus skips the spreading shuffle ONLY when the scan
+    # actually loads wide enough: Spark packs small files into splits
+    # (maxPartitionBytes/openCostInBytes), so footer file count alone
+    # overstates input partitions — a corpus pre-split into many tiny
+    # files can still load as 1-2 partitions and serialize the text
+    # kernels. getNumPartitions is plan-time metadata (no job); it is
+    # only consulted when n_files >= width, so single-file corpora (the
+    # bench path) never pay the RDD-conversion tax.
+    if n_files < width or df.rdd.getNumPartitions() < width:
         df = df.repartition(width)
     return df
 

@@ -113,20 +113,24 @@ def main():
             "stream_match_batch",
         )
         # the r16 broadcast guard's fallback path: an "oversized" arrival
-        # batch (threshold forced tiny) must plan the verify without
-        # F.broadcast on the arrival side (shuffle join)
-        prev = spark.conf.get("spark.tape.match.maxArrivalBroadcastBytes", None)
-        spark.conf.set("spark.tape.match.maxArrivalBroadcastBytes", "1")
+        # batch (cap forced tiny) must plan every guarded leg WITHOUT the
+        # F.broadcast pin (shuffle joins; auto-broadcast disabled too so
+        # the dump shows the genuinely-huge regime, where Catalyst's own
+        # estimates would also decline)
+        import warnings
+
+        spark.conf.set("spark.tape.match.maxBroadcastBytes", "1k")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            explain_to_file(
-                minhash_match_batch(arrivals, store, threshold=0.3),
-                "stream_match_fallback",
-            )
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                explain_to_file(
+                    minhash_match_batch(arrivals, store, threshold=0.3),
+                    "stream_match_fallback",
+                )
         finally:
-            if prev is None:
-                spark.conf.unset("spark.tape.match.maxArrivalBroadcastBytes")
-            else:
-                spark.conf.set("spark.tape.match.maxArrivalBroadcastBytes", prev)
+            spark.conf.unset("spark.tape.match.maxBroadcastBytes")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

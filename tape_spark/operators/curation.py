@@ -144,8 +144,10 @@ def decontaminate(
         raise ValueError(f"method must be broadcast|bloom, got {method!r}")
     if method == "bloom" and not hashed:
         raise ValueError("method='bloom' requires hashed=True")
+    from ..utils.sqlfrag import check_parser_mode
     from ..utils.tokens import assert_max_doc_tokens
 
+    check_parser_mode(docs.sparkSession)
     assert_max_doc_tokens(docs, text_col, max_doc_tokens, "decontaminate")
     bench_text = bench_text_col or text_col
     # SQL fragments (one selectExpr round trip per frame) instead of
@@ -542,13 +544,33 @@ def stratified_sample(
     # repr(float) exactly, so the kept set is bit-identical to the
     # Column form (oracle-locked by the stratified_sample driver row).
     from ..utils.hashing import md5_unit_sql
-    from ..utils.sqlfrag import qident, sql_str
+    from ..utils.sqlfrag import check_parser_mode, qident, sql_str
+
+    check_parser_mode(df.sparkSession)
+
+    def _stratum_lit(s):
+        # the pre-fragment form accepted any F.lit-able key (int strata on
+        # an int column); replay the same literal kinds in SQL and fail
+        # CLEARLY (naming the stratum) on anything else instead of an
+        # opaque AttributeError inside the string escaping
+        if isinstance(s, str):
+            return sql_str(s)
+        if isinstance(s, bool):
+            return "TRUE" if s else "FALSE"
+        if isinstance(s, int):
+            return str(int(s))
+        if isinstance(s, float):
+            return f"CAST({sql_str(repr(float(s)))} AS DOUBLE)"
+        raise ValueError(
+            f"stratum key {s!r} has unsupported type {type(s).__name__}; "
+            "keys must be str, bool, int, or float"
+        )
 
     dbl = lambda v: f"CAST({sql_str(repr(float(v)))} AS DOUBLE)"  # noqa: E731
     rate = dbl(default_fraction)
     if fractions:
         whens = " ".join(
-            f"WHEN {qident(strata_col)} = {sql_str(s)} THEN {dbl(frac)}"
+            f"WHEN {qident(strata_col)} = {_stratum_lit(s)} THEN {dbl(frac)}"
             for s, frac in fractions.items()
         )
         rate = f"CASE {whens} ELSE {rate} END"

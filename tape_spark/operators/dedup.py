@@ -141,16 +141,22 @@ def exact_dedup(
     represents.
     """
     # expression-string forms: ~5 py4j round trips per call instead of
-    # ~25 (the per-call plan-construction tax; utils/sqlfrag.py)
-    qt, qi = _qident(text_col), _qident(id_col)
+    # ~25 (the per-call plan-construction tax; utils/sqlfrag.py).
+    # text_col/id_col name TOP-LEVEL columns of df, so they are quoted as
+    # SINGLE backquoted segments: _qident's dotted form (`a`.`b`) neither
+    # resolves a column literally named 'a.b' nor parses as an alias
+    # target, where the pre-fragment .alias(id_col) handled both.
+    _seg = lambda c: "`" + c.replace("`", "``") + "`"  # noqa: E731
+    qt, qi = _seg(text_col), _seg(id_col)
+    qi_alias = qi
     if by_hash:
         key = [F.expr(f"xxhash64({qt}) AS __h"), F.expr(f"length({qt}) AS __l")]
     else:
         key = [F.expr(qt)]
     return (
         df.groupBy(*key)
-        .agg(F.expr(f"min({qi}) AS {qi}"), F.expr("count(1) AS dup_count"))
-        .selectExpr(qi, "dup_count")
+        .agg(F.expr(f"min({qi}) AS {qi_alias}"), F.expr("count(1) AS dup_count"))
+        .selectExpr(qi_alias, "dup_count")
     )
 
 

@@ -149,10 +149,16 @@ def asof_join(
             )
         else:
             # keyless: ONE global partition — target-size the slices from
-            # the total row count (the slice column becomes the only key)
-            salt_slices = suggest_salt_slices(
-                left.count() + right.count(), max_rows_per_key
+            # the total row count (the slice column becomes the only key).
+            # One count over the union, not two separate count() actions:
+            # the pre-pass costs one job instead of two (each job carries
+            # the fixed scheduling floor; the scans are unavoidable).
+            total = (
+                left.select(F.lit(1).alias("__one"))
+                .unionByName(right.select(F.lit(1).alias("__one")))
+                .count()
             )
+            salt_slices = suggest_salt_slices(total, max_rows_per_key)
     elif max_rows_per_key is not None:
         from ..utils.keys import assert_max_rows_per_key
 

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..utils.sqlfrag import memo_udf, qident, sql_str
+from ..utils.sqlfrag import check_parser_mode, memo_udf, qident, sql_str
 
 # Small per-language stopword lists for the n-gram voting heuristic.
 # Order matters: ties break toward the earlier entry.
@@ -87,6 +87,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     round trips (~0.12 s of driver wall) on EVERY call (see
     ``utils/sqlfrag.py``; results bit-identical, oracle-locked).
     """
+    check_parser_mode(df.sparkSession)
     stage1, stage2 = _language_id_fragments(text_col, id_col)
     return df.selectExpr(*stage1).selectExpr(*stage2)
 
@@ -126,6 +127,7 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     instead of ~130 Column-API py4j exchanges (``utils/sqlfrag.py``;
     results bit-identical, oracle-locked).
     """
+    check_parser_mode(df.sparkSession)
     return df.selectExpr(*_text_quality_fragments(text_col, id_col))
 
 
@@ -299,6 +301,7 @@ def corpus_filter(
     frames, no shuffle, and the filter composes with predicate pushdown
     when callers do ``corpus_filter(df).filter("keep")``.
     """
+    check_parser_mode(df.sparkSession)
     words = tuple(stopwords or LANG_STOPWORDS["en"])
     s1, s2, s3 = _corpus_filter_fragments(
         text_col,
@@ -397,6 +400,7 @@ def text_signals(
     operators (:func:`language_id`, :func:`text_quality`, ...) remain for
     à-la-carte use; this fuses their expressions.
     """
+    check_parser_mode(df.sparkSession)
     words = tuple(stopwords or LANG_STOPWORDS["en"])
     s1, s2, s3 = _text_signals_fragments(text_col, id_col, int(rep_n), words)
     return df.selectExpr(*s1).selectExpr(*s2).selectExpr(*s3)
@@ -588,6 +592,7 @@ def chunk_documents(
         raise ValueError("chunk_tokens must be positive")
     if not 0 <= overlap_tokens < chunk_tokens:
         raise ValueError("overlap_tokens must be in [0, chunk_tokens)")
+    check_parser_mode(df.sparkSession)
     stride = chunk_tokens - overlap_tokens
     s1, s2, s3 = _chunk_documents_fragments(text_col, id_col, chunk_tokens, stride)
     return df.selectExpr(*s1).selectExpr(*s2).selectExpr(*s3)

@@ -68,7 +68,14 @@ def stream_minhash_matches(
     pass over the persisted signature table per trigger, zero exchange.
     Default ``None`` broadcasts exactly when ``docs.isStreaming`` (a
     micro-batch is small by construction; a BATCH arrivals frame of
-    unknown size is left to Catalyst/AQE).
+    unknown size is left to Catalyst/AQE). The streaming pin CANNOT be
+    size-guarded per trigger — a stream-static join's plan is built once,
+    before any batch exists — so bounding the micro-batch
+    (``maxOffsetsPerTrigger`` / ``maxFilesPerTrigger``) is the caller's
+    contract here; the ``foreachBatch`` store path
+    (:func:`minhash_match_foreach_batch`) materializes each batch first
+    and therefore enforces ``spark.tape.match.maxBroadcastBytes`` with
+    exact row counts — use it when trigger sizes are untrusted.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
@@ -200,6 +207,40 @@ def stream_minhash_matches(
 # ---------------------------------------------------------------------------
 
 
+def _parse_size_bytes(v) -> int:
+    """Parse a size conf value ('512m', '16g', '10485760b', plain bytes)."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4)):
+        if s.endswith(suf):
+            mult, s = m, s[:-1]
+            break
+    return int(float(s) * mult)
+
+
+# conservative per-row overhead for a broadcast hashed relation beyond the
+# column payload (key slot + row framing); used only for the guard's
+# estimate, which works from EXACT row counts, not Catalyst size guesses
+_BC_ROW_OVERHEAD = 32
+
+
+def _dir_parquet_bytes(path: str) -> int:
+    """Total on-disk parquet bytes under a (local) store table dir."""
+    import os as _os
+
+    total = 0
+    for root, _, names in _os.walk(path):
+        for f in names:
+            if f.endswith(".parquet"):
+                try:
+                    total += _os.path.getsize(_os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
 def _require_integral_id(df: DataFrame, id_col: str, where: str) -> None:
     """The store keys corpus ids as LONG (16-byte entry rows, xxhash64
     partition buckets). A non-integral id column would be cast to NULL
@@ -291,12 +332,16 @@ def _cand_frame(
     entries_src: DataFrame,
     pbuckets,
     num_sig_buckets: int,
+    broadcast_arrivals: bool = True,
 ) -> DataFrame:
     """Candidate probe: broadcast the arrivals' single-long-key band
     entries against the (pruned) store entries, dedup while 16 bytes
     wide, attach the sbucket prune key. The pbucket IN-prune is inlined
     (None for a caller-pre-filtered entries frame — the push_bucket_in
-    path); ``F.broadcast`` pins the build side explicitly."""
+    path); ``F.broadcast`` pins the build side explicitly —
+    ``broadcast_arrivals=False`` (the size-guard fallback) leaves the
+    strategy to Catalyst, which shuffles both sides instead of building
+    an oversized broadcast relation."""
     entries_k = entries_src
     if pbuckets is not None:
         entries_k = entries_k.filter(
@@ -308,8 +353,10 @@ def _cand_frame(
     arr_k = arr_entries.selectExpr(
         "__arr_id", "xxhash64(band, bucket) AS __bk"
     )
+    if broadcast_arrivals:
+        arr_k = F.broadcast(arr_k)
     return (
-        F.broadcast(arr_k)
+        arr_k
         .join(entries_k, on="__bk")
         .select("__arr_id", "corpus_id")
         .distinct()
@@ -331,11 +378,16 @@ def _verify_frame(
     num_hashes: int,
     threshold: float,
     sbuckets,
+    broadcast_cand: bool = True,
+    broadcast_arr: bool = True,
 ) -> DataFrame:
     """The split-broadcast verify: the pruned store signatures stream
     once through the broadcast 16-byte candidates and the broadcast
     arrival signatures (``arr_sigs``: an (id, signature) frame), then
-    the shared unrolled est_jaccard + threshold."""
+    the shared unrolled est_jaccard + threshold. The ``broadcast_*``
+    flags are the size-guard fallbacks: when an exact row count says a
+    build side would exceed ``spark.tape.match.maxBroadcastBytes``, the
+    pin is dropped and Catalyst plans a shuffle join for that leg."""
     from ..operators.dedup import _est_jaccard_sql, _qident
 
     qid = _qident(id_col)
@@ -346,10 +398,15 @@ def _verify_frame(
         f"cast({qid} AS BIGINT) AS __arr_id", "signature AS __sig_s"
     )
     est = _est_jaccard_sql("__sig_s", "__sig_c", num_hashes)
+    cand_k = cand.select("__arr_id", "corpus_id")
+    if broadcast_cand:
+        cand_k = F.broadcast(cand_k)
+    if broadcast_arr:
+        arr_k = F.broadcast(arr_k)
     return (
-        F.broadcast(cand.select("__arr_id", "corpus_id"))
+        cand_k
         .join(store_sigs, on="corpus_id")
-        .join(F.broadcast(arr_k), on="__arr_id")
+        .join(arr_k, on="__arr_id")
         .selectExpr(
             f"__arr_id AS {qid}",
             f"corpus_id AS {_qident(corpus_id_col)}",
@@ -687,7 +744,11 @@ def minhash_match_batch(
     """Match ONE batch of arriving documents against a saved store with
     partition pruning on both store reads.
 
-    Three-phase plan, all store sides read-pruned and never shuffled:
+    Three-phase plan, all store sides read-pruned and never shuffled
+    (as long as the arrival-side broadcasts stay under
+    ``spark.tape.match.maxBroadcastBytes``, default 512m — past that
+    exact-row-count guard a leg falls back to a Catalyst shuffle join:
+    slower, correct, bounded memory):
 
     1. The arrivals' band entries probe the ENTRIES table (pruned to the
        arrivals' ``pbucket`` IN-set, collected by one narrow eager job
@@ -767,9 +828,15 @@ def minhash_match_batch(
         sigs, id_col, bands, num_hashes // bands, meta["num_entry_buckets"]
     )
     empty_schema = f"{id_col} long, {corpus_id_col} long, est_jaccard double"
-    # phase 1 eager job: the arrivals' partition IN-set (≤ num_entry_buckets
-    # values; the job scans the ARRIVALS only, never the store). With
-    # push_bucket_in the same single job also gathers the bucket keys.
+    # phase 1 eager job: the arrivals' partition IN-set AND entry count in
+    # ONE partial-aggregated job (≤ num_entry_buckets result rows; the job
+    # scans the ARRIVALS only, never the store). The count feeds the
+    # broadcast size guard below at zero extra jobs.
+    pbucket_rows = (
+        arr_entries.groupBy("pbucket").agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    pbuckets = sorted(int(r["pbucket"]) for r in pbucket_rows)
+    n_arr_entries = sum(int(r["__n"]) for r in pbucket_rows)
     probe_buckets = None
     if push_bucket_in:
         import warnings
@@ -795,17 +862,44 @@ def minhash_match_batch(
             .limit(max_push + 1).collect()
         )
         if len(keys) <= max_push:
-            pbuckets = sorted({int(r["pbucket"]) for r in keys})
             probe_buckets = sorted({int(r["bucket"]) for r in keys})
-        else:
-            # truncated collect -> its pbucket set may be incomplete;
-            # re-gather the (small, bounded) partition IN-set alone
-            keys = None
-    if probe_buckets is None:
-        pbuckets = [int(r["pbucket"])
-                    for r in arr_entries.select("pbucket").distinct().collect()]
+        # truncated collect -> fall back to pbucket-only pruning (the
+        # complete IN-set already came from the count job above)
     if not pbuckets:
         return spark.createDataFrame([], empty_schema)
+    # Broadcast size guard: the three pinned build sides below are all
+    # ∝ the ARRIVING batch, bounded by the micro-batch contract — but a
+    # pathological trigger (huge batch × wide signatures) must degrade,
+    # not OOM the driver. Row counts here are EXACT (the entries count
+    # rides the phase-1 job; candidates are counted with their sbucket
+    # job), so the estimate is rows × payload + a fixed per-row overhead,
+    # compared against spark.tape.match.maxBroadcastBytes (default 512m —
+    # guide §3.1's "a few hundred MB is usually fine"; deliberately NOT
+    # spark.sql.autoBroadcastJoinThreshold, whose 10 MB default governs
+    # ESTIMATE-based auto decisions and would demote the measured
+    # 50 k-doc anchor triggers ~15 MB sig broadcasts that are the design).
+    # Past the cap the pin is dropped for that leg and Catalyst plans a
+    # shuffle join — slower, correct, bounded memory.
+    cap = _parse_size_bytes(
+        spark.conf.get("spark.tape.match.maxBroadcastBytes", "512m")
+    )
+    n_arr = n_arr_entries // max(1, bands)
+    sig_bytes = num_hashes * (4 if meta["signature_bits"] == 32 else 8)
+    bc_entries = n_arr_entries * (16 + _BC_ROW_OVERHEAD) <= cap
+    bc_arr_sigs = n_arr * (8 + sig_bytes + _BC_ROW_OVERHEAD) <= cap
+    if not (bc_entries and bc_arr_sigs):
+        import warnings
+
+        warnings.warn(
+            f"minhash_match_batch: arriving batch (~{n_arr} docs) exceeds "
+            "spark.tape.match.maxBroadcastBytes "
+            f"({cap} B) on the "
+            f"{'entries' if not bc_entries else 'signature'} build side; "
+            "falling back to a shuffle join for that leg (correct, slower "
+            "- consider smaller triggers via maxFilesPerTrigger/"
+            "maxOffsetsPerTrigger, or raise the cap)",
+            stacklevel=2,
+        )
     entries_src = (
         _store_entries
         if _store_entries is not None
@@ -830,15 +924,22 @@ def minhash_match_batch(
     # docs/SCALING.md); a cross-band hash collision adds a candidate at
     # ~2^-64, removed by the verify
     cand = _cand_frame(
-        arr_entries, entries_src, in_pbuckets, meta["num_sig_buckets"]
+        arr_entries, entries_src, in_pbuckets, meta["num_sig_buckets"],
+        broadcast_arrivals=bc_entries,
     ).persist()
     if _cleanup is not None:
         _cleanup.append(cand)
-    # phase 2 eager job: candidates' sbucket IN-set (materializes the cache)
-    sbuckets = [int(r["sbucket"]) for r in cand.select("sbucket").distinct().collect()]
+    # phase 2 eager job: candidates' sbucket IN-set + exact count in one
+    # partial-aggregated job (materializes the cache; feeds the guard)
+    sbucket_rows = (
+        cand.groupBy("sbucket").agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    sbuckets = sorted(int(r["sbucket"]) for r in sbucket_rows)
+    n_cand = sum(int(r["__n"]) for r in sbucket_rows)
     if not sbuckets:
         cand.unpersist()
         return spark.createDataFrame([], empty_schema)
+    bc_cand = n_cand * (16 + _BC_ROW_OVERHEAD) <= cap
     sigs_src = (
         _store_sigs if _store_sigs is not None else spark.read.parquet(f"{path}/sigs")
     )
@@ -848,7 +949,7 @@ def minhash_match_batch(
     # signature payloads through an operator boundary
     return _verify_frame(
         cand, sigs_src, sigs, id_col, corpus_id_col, num_hashes, threshold,
-        sbuckets,
+        sbuckets, broadcast_cand=bc_cand, broadcast_arr=bc_arr_sigs,
     )
 
 
@@ -895,7 +996,13 @@ def minhash_match_foreach_batch(
     corpus doc per executor-cluster — at 1 KB/doc signatures, a 5 B-doc
     corpus caches ~5 TB across a 1000-executor cluster (~5 GB each),
     spilling to local disk past memory, which still beats re-reading the
-    remote store every trigger. The build is NOT free, but it is one
+    remote store every trigger. A store whose DECODED size estimate
+    (on-disk parquet bytes × ``spark.tape.match.cacheDecodeFactor``,
+    default 4) exceeds ``spark.tape.match.maxCachedStoreBytes`` (default
+    16g; 0 = no ceiling) degrades to scan-per-trigger with a warning
+    instead of OOM-thrashing a single-host user — re-evaluated at every
+    cache (re)build, so append growth past the cap degrades at the next
+    delta fold. The build is NOT free, but it is one
     extra pass, not a cliff: re-measured at a from-scratch rebuild of
     the 5 M-doc store (docs/SCALING.md round 15 ``decompose``; the first
     ``cache_build`` numbers were ~5x steal-inflated), materializing both
@@ -935,6 +1042,43 @@ def minhash_match_foreach_batch(
         from ..utils.io import read_parquet_snapshot
 
         if _store_cache["base_entries"] is None:
+            # Memory ceiling: the cache holds the WHOLE store decoded
+            # (entries + signatures) at MEMORY_AND_DISK; a store that
+            # outgrew the host would OOM-thrash a single-machine user
+            # before the spill saves them. Estimate from on-disk parquet
+            # bytes × a decode factor (columnar decode + JVM object
+            # overhead; conf spark.tape.match.cacheDecodeFactor, default
+            # 4) against spark.tape.match.maxCachedStoreBytes (default
+            # 16g; 0 disables the ceiling). Past the cap, degrade to the
+            # cache_store=False behavior — scan-per-trigger, bounded
+            # memory — with a warning naming the estimate. Re-evaluated
+            # on every cache (re)build, so a store grown past the cap by
+            # appends degrades at the next delta fold.
+            cap = _parse_size_bytes(
+                spark.conf.get("spark.tape.match.maxCachedStoreBytes", "16g")
+            )
+            factor = float(
+                spark.conf.get("spark.tape.match.cacheDecodeFactor", "4")
+            )
+            est = int(
+                (_dir_parquet_bytes(f"{path}/entries")
+                 + _dir_parquet_bytes(f"{path}/sigs")) * factor
+            )
+            if cap > 0 and est > cap:
+                if not _store_cache.get("over_cap_warned"):
+                    import warnings
+
+                    warnings.warn(
+                        f"cache_store: store at {path!r} estimates to "
+                        f"~{est} B decoded (> "
+                        f"spark.tape.match.maxCachedStoreBytes={cap} B); "
+                        "degrading to scan-per-trigger (cache_store=False "
+                        "behavior). Raise the cap, shrink the store, or "
+                        "set the conf to 0 to disable the ceiling.",
+                        stacklevel=2,
+                    )
+                    _store_cache["over_cap_warned"] = True
+                return None, None
             # snapshot reads (explicit file lists), NOT dir reads: a
             # persisted dir-rooted read would be cache-substituted into
             # every later read of the dir and serve STALE data after
@@ -1003,7 +1147,7 @@ def minhash_match_foreach_batch(
                     _markers=_marker_state["applied"],
                     _meta=meta,
                 )
-                if cache_store and not already_applied:
+                if cache_store and store_entries is not None and not already_applied:
                     # mirror the append into the cache as delta frames:
                     # the SAME _sig_rows/_entry_rows expressions the
                     # append wrote, eagerly checkpointed so their lineage

@@ -18,7 +18,30 @@ fresh file scans (measured r15, locked by
 
 from __future__ import annotations
 
-__all__ = ["qident", "sql_str", "let_sql", "memo_udf"]
+__all__ = ["qident", "sql_str", "let_sql", "memo_udf", "check_parser_mode"]
+
+
+def check_parser_mode(spark) -> None:
+    """Refuse to apply fragments under a non-default string-literal parser.
+
+    Every memoized fragment escapes its string literals for the DEFAULT
+    parser (``spark.sql.parser.escapedStringLiterals=false``, where ``\\``
+    sequences are escape-processed). Under ``escapedStringLiterals=true``
+    the doubled backslashes in regex literals (``\\\\s+``, ``\\\\b...``)
+    parse as DIFFERENT patterns and the text operators would return wrong
+    results with no error — so raise at fragment-application time instead
+    (one conf read, ~0.6 ms, dwarfed by the ~16 ms/frame analysis floor
+    the fragments already pay)."""
+    if (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        or "false"
+    ).lower() == "true":
+        raise ValueError(
+            "spark.sql.parser.escapedStringLiterals=true changes how the "
+            "memoized SQL fragments' string literals parse (regex escapes "
+            "would silently become different patterns); unset it (the "
+            "default) to use the tape_spark text/curation operators"
+        )
 
 
 def qident(name: str) -> str:
@@ -69,13 +92,18 @@ def memo_udf(key: tuple, build):
     from pyspark.sql import SparkSession
 
     sess = SparkSession.getActiveSession()
-    app = sess.sparkContext.applicationId if sess is not None else None
+    if sess is None:
+        # no active session → no applicationId to scope the entry's
+        # lifetime: a (None, *key) memo would survive a SparkContext
+        # restart and hand back a UDF whose cached _judf holds a dead JVM
+        # handle. Skip the memo entirely; the caller just pays one build.
+        return build()
+    app = sess.sparkContext.applicationId
     full = (app,) + tuple(key)
     got = _UDF_MEMO.get(full)
     if got is None:
-        if app is not None:
-            for k in [k for k in _UDF_MEMO if k[0] != app]:
-                del _UDF_MEMO[k]
+        for k in [k for k in _UDF_MEMO if k[0] != app]:
+            del _UDF_MEMO[k]
         got = build()
         _UDF_MEMO[full] = got
     return got
