@@ -238,15 +238,37 @@ def ngram_jaccard_pairs(
     hash + one (id_a, id_b) aggregate. Results are identical — same
     tokenizer, same per-doc distinct, same hash domain, same Jaccard
     arithmetic (``plans/r16/ngram_jaccard_{before,after}.txt``).
+
+    The gram array is fed to ``explode`` as an INLINE expression, with
+    ``|A|`` riding inside the exploded struct via a let-binding, for two
+    measured reasons (docs/SCALING.md round 16 "InferFiltersFromGenerate"):
+    exploding a STAGED array attribute (a) triggers
+    ``InferFiltersFromGenerate``, whose inferred ``size(...) > 0``
+    predicate is pushed through the staging projections and re-evaluates
+    the whole nested-HOF gram chain per row in an interpreted Filter
+    (measured 30x the operator wall on 600-token documents), and (b) if
+    any column above the Generate still references the array (the old
+    ``size(__sh)``), the entire array is duplicated onto every exploded
+    row — O(grams²) bytes per document.
     """
-    # stage the tokens, then the distinct hashed grams, then explode with
-    # the in-row size: three projections (each new Dataset is one eager
-    # analysis pass), tokens staged so no lambda re-splits per element
+    # tokens staged (referenced 3x by the gram window — no lambda
+    # re-splits per element), then ONE inline generator: the let-bound
+    # distinct gram array is wrapped to (gram, |A|) structs and exploded
+    # in the same expression, so no array attribute ever feeds or
+    # crosses the Generate; the hash runs post-explode as a codegen
+    # scalar instead of an interpreted per-element lambda
     grams_sql = (
         f"CASE WHEN size(__toks) >= {n} THEN "
         f"transform(sequence(1, size(__toks) - {n - 1}), "
         f"i -> array_join(slice(__toks, i, {n}), ' ')) "
         f"ELSE array() END"
+    )
+    from ..utils.sqlfrag import let_sql
+
+    gram_structs = let_sql(
+        f"array_distinct({grams_sql})",
+        "__a",
+        "transform(__a, __g -> struct(__g AS g, size(__a) AS n))",
     )
     qi = _qident(id_col)
     shingles = (
@@ -254,15 +276,8 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
         )
-        .selectExpr(
-            qi,
-            f"transform(array_distinct({grams_sql}), g -> xxhash64(g)) AS __sh",
-        )
-        .selectExpr(
-            qi,
-            "size(__sh) AS __n",
-            "explode(__sh) AS shingle",
-        )
+        .selectExpr(qi, f"explode({gram_structs}) AS __e")
+        .selectExpr(qi, "__e.n AS __n", "xxhash64(__e.g) AS shingle")
     )
     if max_doc_frequency is not None and stop_shingle_sample is not None:
         # heavy hitters estimated from a sample and pruned up front: their

@@ -320,3 +320,42 @@ def test_exact_dedup_dotted_id_col(spark):
         out = exact_dedup(df, text_col="text", id_col="a.b", by_hash=by_hash)
         assert out.columns == ["a.b", "dup_count"]
         assert sorted(tuple(r) for r in out.collect()) == [(1, 2), (3, 1)]
+
+
+# ------------------------------- ngram generator-shape pin (r16 session 2)
+
+
+def test_ngram_jaccard_generator_shape_avoids_inferred_chain_filter(spark):
+    """The gram array must feed explode as an INLINE expression with the
+    doc size riding inside the exploded struct: exploding a STAGED array
+    attribute triggers InferFiltersFromGenerate, whose size(chain)>0
+    predicate re-evaluates the whole nested-HOF gram chain per row in an
+    interpreted Filter (measured 30x the operator wall on 600-token
+    docs), and a post-Generate size(__sh) makes the array ride every
+    exploded row. Pin: no Filter in the plan evaluates the gram chain,
+    and no array column crosses the Generate."""
+    import contextlib
+    import io
+
+    from tape_spark.operators import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(df, n=2, threshold=0.1)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for line in plan.splitlines():
+        if line.startswith("Condition"):
+            assert "array_distinct" not in line, line
+            assert "array_join" not in line, line
+    # the Generate consumes the struct array expression inline: no staged
+    # gram-array attribute (the old `... AS __sh#N` projection) exists to
+    # ride through it ("__sh_b", the join-side id rename, is fine)
+    assert " AS __sh#" not in plan
+    # results sanity (same pairs as the pre-fix plan)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, 2, 0.5)]
