@@ -359,3 +359,78 @@ def test_ngram_jaccard_generator_shape_avoids_inferred_chain_filter(spark):
     # results sanity (same pairs as the pre-fix plan)
     got = sorted(tuple(r) for r in out.collect())
     assert got == [(1, 2, 0.5)]
+
+
+# ------------------------- prune/sync plan slimming (r16 session 3)
+
+
+def _ramp_ensemble(spark, object_frame=None):
+    from tape_spark import ColumnMapper, Ensemble
+
+    rows = [
+        (i, float(j), 100.0 + i + j, 1.0, "r" if j % 2 else "g")
+        for i in range(8)
+        for j in range(i + 1)
+    ]
+    src = spark.createDataFrame(rows, "oid long, t double, flux double, err double, band string")
+    cm = ColumnMapper(
+        id_col="oid", time_col="t", flux_col="flux", err_col="err", band_col="band"
+    )
+    return Ensemble(spark).from_spark(
+        src, object_frame=object_frame, column_mapper=cm, npartitions=2
+    )
+
+
+def test_prune_on_derived_object_collapses_to_single_count_subtree(spark):
+    """With the auto-derived object table, calc_nobs must replace it with
+    groupBy(id).count() outright (same rows: derived ids == count keys)
+    instead of distinct + inner-join + fill, and the sync semi-join must
+    use the unique ids without a defensive distinct. Pin: the pruned
+    source's plan holds exactly TWO source subtrees (the survivor scan and
+    the count build side) and no Inner join; before this change it held
+    three subtrees and an Inner join (measured at sf0.1: 3 scans -> 2,
+    4 HashAggregates -> 2, 2 joins -> 1 per prune action)."""
+    ens = _ramp_ensemble(spark)
+    ens.prune(threshold=4)
+    plan = ens.source._jdf.queryExecution().executedPlan().toString()
+    assert "Inner" not in plan, plan
+    assert "LeftSemi" in plan
+    # one aggregate pair (partial+final count), not two (count + distinct)
+    assert plan.count("HashAggregate") == 2, plan
+    # rows: objects with >= 4 observations survive (oid 3..7)
+    ids = sorted(r[0] for r in ens.object.select("oid").collect())
+    assert ids == [3, 4, 5, 6, 7]
+    assert ens.source.count() == sum(i + 1 for i in range(3, 8))
+
+
+def test_prune_with_user_object_keeps_join_semantics(spark):
+    """A user-supplied object table must keep the old calc_nobs path
+    (left join onto the EXISTING object rows — not a rebuilt count table)
+    and the defensive distinct on the sync build side. The extra column
+    proves the join path ran: the slimmed path would have dropped it."""
+    obj = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(10)], "oid long, name string"
+    )
+    ens = _ramp_ensemble(spark, object_frame=obj)
+    ens.calc_nobs(temporary=False)
+    rows = {r["oid"]: r for r in ens.object.collect()}
+    # ingest sync (keep_empty_objects=False) drops source-less oids 8, 9
+    assert sorted(rows) == list(range(8))
+    assert rows[7]["nobs_total"] == 8
+    assert rows[7]["name"] == "name7"  # user columns survive: join path, not rebuild
+    ens.prune(threshold=4)
+    ids = sorted(r[0] for r in ens.object.select("oid").collect())
+    assert ids == [3, 4, 5, 6, 7]
+
+
+def test_prune_parity_derived_vs_user_object(spark):
+    """The slimmed derived-object path and the fallback path must produce
+    identical pruned sources when the user object equals the derived one."""
+    ens_a = _ramp_ensemble(spark)
+    ens_a.prune(threshold=3)
+    obj = spark.createDataFrame([(i,) for i in range(8)], "oid long")
+    ens_b = _ramp_ensemble(spark, object_frame=obj)
+    ens_b.prune(threshold=3)
+    rows_a = sorted(tuple(r) for r in ens_a.source.collect())
+    rows_b = sorted(tuple(r) for r in ens_b.source.collect())
+    assert rows_a == rows_b
