@@ -1118,6 +1118,11 @@ class Ensemble:
         """
         id_col, band_col = self._id_col, self._band_col
         src = self.frames[SOURCE_FRAME_LABEL]
+        # Capture BEFORE _table_df's sync clears it: if the source was
+        # filtered and keep_empty_objects left the (pristine) object table
+        # un-rebuilt, the pristine shortcut below would drop the now-empty
+        # objects that the left-join + fill(0) path keeps at count 0.
+        source_was_dirty = self._source_dirty
         obj = self._table_df(OBJECT_FRAME_LABEL)
         added: List[str] = []
         if by_band:
@@ -1133,14 +1138,17 @@ class Ensemble:
         else:
             counts = src.groupBy(id_col).agg(F.count(F.lit(1)).alias(f"{label}_total"))
             added = [f"{label}_total"]
-        if obj is self._pristine_object:
+        if obj is self._pristine_object and not source_was_dirty:
             # The object table is still the auto-derived
-            # ``select(id).distinct()`` of this same source, so its id set
-            # EQUALS the count keys: the counts frame IS the joined result
-            # (same rows, same columns, same order; no id can be missing a
-            # count, so the na.fill is vacuous). Skips one hash aggregate
-            # (the distinct) and one join per downstream action — the
-            # canonical prune() path always lands here.
+            # ``select(id).distinct()`` of this same source, AND the source
+            # has not been filtered since (a dirty source with
+            # keep_empty_objects=True keeps the pristine object while the
+            # count keys shrink), so its id set EQUALS the count keys: the
+            # counts frame IS the joined result (same rows, same columns,
+            # same order; no id can be missing a count, so the na.fill is
+            # vacuous). Skips one hash aggregate (the distinct) and one
+            # join per downstream action — the canonical prune() path
+            # always lands here.
             self.frames[OBJECT_FRAME_LABEL] = counts
             self._object_unique_ids = True  # grouped by id
         else:

@@ -434,3 +434,30 @@ def test_prune_parity_derived_vs_user_object(spark):
     rows_a = sorted(tuple(r) for r in ens_a.source.collect())
     rows_b = sorted(tuple(r) for r in ens_b.source.collect())
     assert rows_a == rows_b
+
+
+def test_calc_nobs_keeps_empty_objects_after_source_filter(spark):
+    """keep_empty_objects=True + a source filter + calc_nobs: the object
+    table stays pristine by identity (sync does not rebuild it), but the
+    count keys shrink to the filtered source — the pristine shortcut must
+    NOT fire, so filtered-out objects keep nobs_total = 0 exactly as the
+    left-join + fill path always gave."""
+    from tape_spark import ColumnMapper, Ensemble
+
+    rows = [
+        (i, float(j), 100.0 + i + j, 1.0, "r" if j % 2 else "g")
+        for i in range(8)
+        for j in range(i + 1)
+    ]
+    src = spark.createDataFrame(rows, "oid long, t double, flux double, err double, band string")
+    cm = ColumnMapper(
+        id_col="oid", time_col="t", flux_col="flux", err_col="err", band_col="band"
+    )
+    ens = Ensemble(spark, keep_empty_objects=True).from_spark(
+        src, column_mapper=cm, npartitions=2
+    )
+    ens.query("flux >= 106.0", table="source")  # oids 0..2 lose all rows
+    ens.calc_nobs(temporary=False)
+    counts = {r["oid"]: r["nobs_total"] for r in ens.object.collect()}
+    assert sorted(counts) == list(range(8))  # every pristine id survives
+    assert counts == {0: 0, 1: 0, 2: 0, 3: 1, 4: 3, 5: 5, 6: 7, 7: 8}
